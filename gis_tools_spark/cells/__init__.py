@@ -1,0 +1,192 @@
+"""Hierarchical grid-cell index ("qcell") — the engine's H3 stand-in.
+
+The north star calls for H3/S2 cell indexing at resolutions 7–11; the h3
+wheel is unavailable in this sandbox, so we use a quadtree grid over
+lon/lat with the *same semantics* (hierarchical cover cells, parent /
+children, k-ring disks). Design goal: point encoding is **pure column
+arithmetic** — floor + bit shifts — so the join hot path needs NO Python
+UDF and the same expression runs in Spark SQL and DuckDB (oracle).
+
+Replaces the reference's in-memory R-tree prefilter
+(/root/reference/gistools/coordinates.py:303-317): equi-join on cell ids
+is the distributed filter phase; exact geometry tests are the refine.
+
+Cell id layout (int64): ``(res << 58) | (ix << 29) | iy``
+  res ∈ [0, 26];  ix = floor((lon+180)/360 * 2^res) ∈ [0, 2^res)
+                  iy = floor((lat+90)/180 * 2^res)  ∈ [0, 2^res)
+
+Resolution guide (cell width in degrees = 360 / 2^res):
+  res 12 ≈ 0.088°(~9.8 km)   ≈ H3 res 5-6
+  res 15 ≈ 0.011°(~1.2 km)   ≈ H3 res 7
+  res 20 ≈ 3.4e-4°(~38 m)    ≈ H3 res 11
+Default join resolutions RES_MIN..RES_MAX mirror the north star's 7–11.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+RES_SHIFT = 58
+IX_SHIFT = 29
+MAX_RES = 26
+
+# default multi-resolution band for filter-refine joins (≈ H3 7–11)
+RES_MIN = 12
+RES_MAX = 16
+DEFAULT_RES = 14
+
+
+def latlng_to_cell(lon, lat, res: int):
+    """Vectorized numpy encode. Clamps to the valid grid."""
+    n = 1 << res
+    ix = np.clip(np.floor((np.asarray(lon, dtype=np.float64) + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor((np.asarray(lat, dtype=np.float64) + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    return (np.int64(res) << RES_SHIFT) | (ix << IX_SHIFT) | iy
+
+
+def cell_res(cell):
+    return np.asarray(cell, dtype=np.int64) >> RES_SHIFT
+
+
+def cell_ixiy(cell):
+    c = np.asarray(cell, dtype=np.int64)
+    return (c >> IX_SHIFT) & ((1 << RES_SHIFT - IX_SHIFT) - 1), c & ((1 << IX_SHIFT) - 1)
+
+
+def make_cell(res, ix, iy):
+    return (np.int64(res) << RES_SHIFT) | (np.asarray(ix, dtype=np.int64) << IX_SHIFT) | np.asarray(iy, dtype=np.int64)
+
+
+def cell_to_bounds(cell):
+    """(minx, miny, maxx, maxy) of one or many cells."""
+    c = np.asarray(cell, dtype=np.int64)
+    res = c >> RES_SHIFT
+    n = np.left_shift(np.int64(1), res).astype(np.float64)
+    ix, iy = cell_ixiy(c)
+    w, h = 360.0 / n, 180.0 / n
+    minx = -180.0 + ix * w
+    miny = -90.0 + iy * h
+    return minx, miny, minx + w, miny + h
+
+
+def cell_to_boundary(cell) -> np.ndarray:
+    minx, miny, maxx, maxy = cell_to_bounds(cell)
+    return np.array([(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy), (minx, miny)])
+
+
+def parent(cell, parent_res: int):
+    c = np.asarray(cell, dtype=np.int64)
+    res = c >> RES_SHIFT
+    ix, iy = cell_ixiy(c)
+    shift = res - parent_res
+    return make_cell(parent_res, ix >> shift, iy >> shift)
+
+
+def children(cell) -> np.ndarray:
+    c = int(cell)
+    res = c >> RES_SHIFT
+    ix = (c >> IX_SHIFT) & ((1 << RES_SHIFT - IX_SHIFT) - 1)
+    iy = c & ((1 << IX_SHIFT) - 1)
+    out = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            out.append(make_cell(res + 1, 2 * ix + dx, 2 * iy + dy))
+    return np.array(out, dtype=np.int64)
+
+
+def grid_disk(cell, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k (the H3 ``grid_disk`` analog,
+    used by the kNN ring-expansion join — SURVEY §2.5 nearest_feature)."""
+    c = int(cell)
+    res = c >> RES_SHIFT
+    n = 1 << res
+    ix = (c >> IX_SHIFT) & ((1 << RES_SHIFT - IX_SHIFT) - 1)
+    iy = c & ((1 << IX_SHIFT) - 1)
+    xs = np.arange(max(0, ix - k), min(n - 1, ix + k) + 1, dtype=np.int64)
+    ys = np.arange(max(0, iy - k), min(n - 1, iy + k) + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    return make_cell(res, gx.ravel(), gy.ravel())
+
+
+def grid_ring(cell, k: int) -> np.ndarray:
+    """Only the cells at exactly Chebyshev distance k."""
+    if k == 0:
+        return np.array([int(cell)], dtype=np.int64)
+    disk = grid_disk(cell, k)
+    inner = set(grid_disk(cell, k - 1).tolist())
+    return np.array([c for c in disk.tolist() if c not in inner], dtype=np.int64)
+
+
+def bbox_to_cells(minx, miny, maxx, maxy, res: int) -> np.ndarray:
+    """All cells at `res` intersecting the bbox (inclusive of edges)."""
+    n = 1 << res
+    ix0 = int(np.clip(np.floor((minx + 180.0) / 360.0 * n), 0, n - 1))
+    ix1 = int(np.clip(np.floor((maxx + 180.0) / 360.0 * n), 0, n - 1))
+    iy0 = int(np.clip(np.floor((miny + 90.0) / 180.0 * n), 0, n - 1))
+    iy1 = int(np.clip(np.floor((maxy + 90.0) / 180.0 * n), 0, n - 1))
+    xs = np.arange(ix0, ix1 + 1, dtype=np.int64)
+    ys = np.arange(iy0, iy1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    return make_cell(res, gx.ravel(), gy.ravel())
+
+
+def adaptive_res(minx, miny, maxx, maxy,
+                 res_min: int = RES_MIN, res_max: int = RES_MAX,
+                 max_cells: int = 64) -> int:
+    """Finest res in [res_min, res_max] whose bbox cover stays ≤ max_cells.
+
+    This is the engine's analog of the reference's katana pre-split 'for
+    faster intersection' (/root/reference/gistools/geometry.py:489): big
+    geometries get coarse cells (bounded fan-out → bounded skew), small
+    ones get fine cells (selective join keys).
+    """
+    for res in range(res_max, res_min - 1, -1):
+        n = 1 << res
+        ncx = int((maxx + 180.0) / 360.0 * n) - int((minx + 180.0) / 360.0 * n) + 1
+        ncy = int((maxy + 90.0) / 180.0 * n) - int((miny + 90.0) / 180.0 * n) + 1
+        if ncx * ncy <= max_cells:
+            return res
+    return res_min
+
+
+def polygon_to_cells(geom: dict, res: int, exact: bool = True) -> np.ndarray:
+    """Cover cells of a polygonal geometry at `res` (H3 polygon_to_cells
+    analog). exact=True drops bbox-cover cells that don't intersect."""
+    from ..geom import kernels
+
+    minx, miny, maxx, maxy = kernels.bounds(geom)
+    cand = bbox_to_cells(minx, miny, maxx, maxy, res)
+    if not exact or len(cand) <= 4:
+        return cand
+    keep = []
+    for c in cand.tolist():
+        cx0, cy0, cx1, cy1 = cell_to_bounds(np.int64(c))
+        # cheap: cell center or corners covered, or polygon vertex in cell,
+        # or edge crossing — use the exact rect-clip (empty → no intersect)
+        clipped = kernels.clip_rect(geom, cx0, cy0, cx1, cy1)
+        if clipped is not None:
+            keep.append(c)
+    return np.array(keep, dtype=np.int64) if keep else cand[:1]
+
+
+# ------------------------------------------------------------------ SQL/Column builders
+
+def cell_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """ANSI-SQL expression (runs in both Spark SQL and DuckDB) for
+    latlng_to_cell — used to keep query & oracle byte-identical."""
+    n = 1 << res
+    ix = f"CAST(least(greatest(floor((({lon_expr}) + 180.0) / 360.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    iy = f"CAST(least(greatest(floor((({lat_expr}) + 90.0) / 180.0 * {n}), 0), {n - 1}) AS BIGINT)"
+    return f"(CAST({res} AS BIGINT) * {1 << RES_SHIFT} + {ix} * {1 << IX_SHIFT} + {iy})"
+
+
+def cell_column(lon_col, lat_col, res: int):
+    """PySpark Column for latlng_to_cell (pure JVM arithmetic, no UDF)."""
+    from pyspark.sql import functions as F
+
+    n = 1 << res
+    ix = F.floor((lon_col + F.lit(180.0)) / 360.0 * n)
+    iy = F.floor((lat_col + F.lit(90.0)) / 180.0 * n)
+    ix = F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1)).cast("long")
+    iy = F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1)).cast("long")
+    return (F.lit(res).cast("long") * F.lit(1 << RES_SHIFT) + ix * F.lit(1 << IX_SHIFT) + iy)

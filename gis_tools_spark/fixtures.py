@@ -1,0 +1,276 @@
+"""Deterministic synthetic fixture generator (FIXTURES.md schemas).
+
+Everything is seeded (seed=42); no external data. Produces pandas
+DataFrames (unit tests / oracles) and writes parquet for Spark tests
+and benchmarks. The `images` table is the BASELINE.json input_hint
+shape exactly: (image_id, bytes, w, h, fmt, caption, phash); the geo
+sidecar (lon/lat, geo_transform, footprint, bbox, cells) is *derived*
+by the engine but we also generate the ground truth here for oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from .cells import RES_MAX, RES_MIN, adaptive_res, bbox_to_cells, latlng_to_cell
+from .geom import wkb
+from .geom.kernels import convex_hull, ring_area_signed
+from .raster import codec
+
+SEED = 42
+AOI = (5.0, 40.0, 10.0, 45.0)  # lon/lat extent of the reference SRTM tile
+N_HOTSPOTS = 12
+
+
+# ------------------------------------------------------------------ images
+
+def gen_images(n: int, seed: int = SEED, with_pixels: bool = True,
+               fmts=("raw", "png")) -> pd.DataFrame:
+    """input_hint table + ground-truth geo columns.
+
+    Skew by construction: 80% of anchors cluster around 12 hotspots
+    (city-skew for salting tests), 20% uniform in the AOI.
+    """
+    rng = np.random.default_rng(seed)
+    minx, miny, maxx, maxy = AOI
+    hot = np.stack(
+        [rng.uniform(minx, maxx, N_HOTSPOTS), rng.uniform(miny, maxy, N_HOTSPOTS)], axis=1
+    )
+    n_hot = int(n * 0.8)
+    which = rng.integers(0, N_HOTSPOTS, n_hot)
+    lon = np.empty(n)
+    lat = np.empty(n)
+    lon[:n_hot] = hot[which, 0] + rng.normal(0, 0.03, n_hot)
+    lat[:n_hot] = hot[which, 1] + rng.normal(0, 0.03, n_hot)
+    lon[n_hot:] = rng.uniform(minx, maxx, n - n_hot)
+    lat[n_hot:] = rng.uniform(miny, maxy, n - n_hot)
+    lon = np.clip(lon, minx, maxx)
+    lat = np.clip(lat, miny, maxy)
+
+    w = rng.choice([16, 32, 64], n).astype(np.int32)
+    h = rng.choice([16, 32, 64], n).astype(np.int32)
+    fmt = rng.choice(list(fmts), n)
+    # footprint spans ~0.001–0.01 degrees
+    span = rng.uniform(0.001, 0.01, n)
+    res_x = span / w
+    res_y = span / h
+
+    rows = []
+    for i in range(n):
+        if with_pixels:
+            prng = np.random.default_rng(seed * 1_000_003 + i)
+            arr = prng.integers(0, 256, (int(h[i]), int(w[i]), 3), dtype=np.uint8)
+            buf = codec.encode(arr, str(fmt[i]))
+            ph = codec.phash64(arr)
+        else:
+            buf, ph = b"", 0
+        rows.append((f"img{i:09d}", buf, int(w[i]), int(h[i]), str(fmt[i]),
+                     f"caption for img{i} at ({lon[i]:.4f},{lat[i]:.4f})", ph))
+    df = pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+    # geotransform: anchor = upper-left corner; GDAL-style (x0, rx, 0, y0, 0, -ry)
+    df["gt_x0"] = lon - span / 2
+    df["gt_rx"] = res_x
+    df["gt_y0"] = lat + span / 2
+    df["gt_ry"] = res_y
+    df["minx"] = df["gt_x0"]
+    df["maxx"] = df["gt_x0"] + res_x * w
+    df["maxy"] = df["gt_y0"]
+    df["miny"] = df["gt_y0"] - res_y * h
+    df["lon"] = (df["minx"] + df["maxx"]) / 2
+    df["lat"] = (df["miny"] + df["maxy"]) / 2
+    df["footprint_wkb"] = [
+        wkb.box(a, b, c, d)
+        for a, b, c, d in zip(df["minx"], df["miny"], df["maxx"], df["maxy"])
+    ]
+    return df
+
+
+# ------------------------------------------------------------------ zones
+
+def gen_zones(n_zones: int = 64, seed: int = SEED) -> pd.DataFrame:
+    """Polygon layer analog of enp_pn_s_973.shp (6 irregular polygons,
+    fields gid/nom/secteur/surf — reference examples/example_2.py).
+
+    Convex hulls of 8–20 random points; adjacent pairs overlap; zone 2 is
+    a MultiPolygon; zone 3 has a hole.
+    """
+    rng = np.random.default_rng(seed + 1)
+    minx, miny, maxx, maxy = AOI
+    secteurs = ["nord", "sud", "est", "ouest"]
+    rows = []
+    for gid in range(1, n_zones + 1):
+        cx = rng.uniform(minx + 0.3, maxx - 0.3)
+        cy = rng.uniform(miny + 0.3, maxy - 0.3)
+        r = rng.uniform(0.15, 0.45)
+        npts = rng.integers(8, 21)
+        th = rng.uniform(0, 2 * np.pi, npts)
+        rr = rng.uniform(0.3 * r, r, npts)
+        pts = np.stack([cx + rr * np.cos(th), cy + rr * np.sin(th)], axis=1)
+        hull = convex_hull(pts)
+        if gid == 2:  # MultiPolygon: hull + disjoint square offset away
+            off = 1.0
+            sq = np.array([(cx + off, cy + off), (cx + off + 0.2, cy + off),
+                           (cx + off + 0.2, cy + off + 0.2), (cx + off, cy + off + 0.2),
+                           (cx + off, cy + off)])
+            g = {"type": "MultiPolygon", "polygons": [[hull], [sq]]}
+            area = abs(ring_area_signed(hull)) + 0.04
+            buf = wkb.encode(g)
+        elif gid == 3:  # hole: concentric square hole at the centroid
+            hx, hy = cx, cy
+            hole = np.array([(hx - 0.03, hy - 0.03), (hx - 0.03, hy + 0.03),
+                             (hx + 0.03, hy + 0.03), (hx + 0.03, hy - 0.03),
+                             (hx - 0.03, hy - 0.03)])
+            g = {"type": "Polygon", "rings": [hull, hole]}
+            area = abs(ring_area_signed(hull)) - 0.0036
+            buf = wkb.encode(g)
+        else:
+            g = {"type": "Polygon", "rings": [hull]}
+            area = abs(ring_area_signed(hull))
+            buf = wkb.encode(g)
+        rows.append((gid, f"zone_{gid}", secteurs[gid % 4], float(area), buf))
+    return pd.DataFrame(rows, columns=["gid", "nom", "secteur", "surf", "geometry_wkb"])
+
+
+# ------------------------------------------------------------------ points
+
+def gen_points(n: int, seed: int = SEED, zones: pd.DataFrame | None = None) -> pd.DataFrame:
+    """PIP/kNN point layer: uniform + boundary points + duplicates."""
+    rng = np.random.default_rng(seed + 2)
+    minx, miny, maxx, maxy = AOI
+    n_uni = int(n * 0.9)
+    lon = list(rng.uniform(minx, maxx, n_uni))
+    lat = list(rng.uniform(miny, maxy, n_uni))
+    # points exactly on zone boundaries (edge-case PIP)
+    if zones is not None and len(zones):
+        k = 0
+        for zwkb in zones["geometry_wkb"]:
+            g = wkb.decode(zwkb)
+            from .geom.kernels import ring_list
+
+            for r in ring_list(g):
+                for v in r[:-1]:
+                    lon.append(float(v[0]))
+                    lat.append(float(v[1]))
+                    k += 1
+                    if len(lon) >= n_uni + (n - n_uni) // 2 or k > n:
+                        break
+                break
+            if len(lon) >= n_uni + (n - n_uni) // 2:
+                break
+    # duplicates
+    while len(lon) < n:
+        j = int(rng.integers(0, len(lon)))
+        lon.append(lon[j])
+        lat.append(lat[j])
+    tags = rng.choice(["a", "b", "c", "d"], n)
+    return pd.DataFrame({
+        "pid": np.arange(n, dtype=np.int64),
+        "lon": np.asarray(lon[:n]),
+        "lat": np.asarray(lat[:n]),
+        "tag": tags,
+    })
+
+
+# ------------------------------------------------------------------ lines
+
+def gen_lines(n: int = 64, seed: int = SEED) -> pd.DataFrame:
+    """Polylines + a connected road grid (shared endpoints, degree-2
+    chains, one island, one self-loop) for network tests."""
+    rng = np.random.default_rng(seed + 3)
+    minx, miny, maxx, maxy = AOI
+    rows = []
+    lid = 0
+    # random polylines (some 3D)
+    for _ in range(max(0, n - 20)):
+        nv = int(rng.integers(2, 21))
+        x0 = rng.uniform(minx, maxx)
+        y0 = rng.uniform(miny, maxy)
+        steps = rng.normal(0, 0.02, (nv - 1, 2))
+        pts = np.vstack([[x0, y0], np.cumsum(steps, axis=0) + [x0, y0]])
+        if rng.random() < 0.25:
+            pts = np.column_stack([pts, rng.uniform(0, 100, nv)])
+        rows.append((lid, wkb.linestring(pts),
+                     str(rng.choice(["two-ways", "one-way", "reverse"])), 25.0))
+        lid += 1
+    # road grid 4x4 with shared endpoints
+    gx0, gy0, step = 7.0, 42.0, 0.05
+    nodes = {(i, j): (gx0 + i * step, gy0 + j * step) for i in range(4) for j in range(4)}
+    for i in range(4):
+        for j in range(4):
+            if i < 3:
+                rows.append((lid, wkb.linestring([nodes[(i, j)], nodes[(i + 1, j)]]), "two-ways", 25.0)); lid += 1
+            if j < 3:
+                rows.append((lid, wkb.linestring([nodes[(i, j)], nodes[(i, j + 1)]]), "two-ways", 25.0)); lid += 1
+    # isolated island edge
+    rows.append((lid, wkb.linestring([(9.5, 44.5), (9.6, 44.6)]), "two-ways", 25.0)); lid += 1
+    # self loop
+    rows.append((lid, wkb.linestring([(6.0, 41.0), (6.05, 41.02), (6.0, 41.0)]), "two-ways", 25.0)); lid += 1
+    return pd.DataFrame(rows, columns=["lid", "geometry_wkb", "direction", "max_speed"])
+
+
+# ------------------------------------------------------------------ rasters
+
+def gen_rasters(nx: int = 4, ny: int = 4, tile: int = 64, seed: int = SEED,
+                no_data_frac: float = 0.03) -> pd.DataFrame:
+    """Edge-to-edge float32 tiles of a smooth field over the AOI
+    (biomasse/SRTM analog; FIXTURES.md §3). Parent grid = AOI / (nx,ny)."""
+    rng = np.random.default_rng(seed + 4)
+    minx, miny, maxx, maxy = AOI
+    rx = (maxx - minx) / (nx * tile)
+    ry = (maxy - miny) / (ny * tile)
+    rows = []
+    for ty in range(ny):
+        for tx in range(nx):
+            x0 = minx + tx * tile * rx
+            y0 = maxy - ty * tile * ry  # upper-left anchor
+            xs = x0 + (np.arange(tile) + 0.5) * rx
+            ys = y0 - (np.arange(tile) + 0.5) * ry
+            X, Y = np.meshgrid(xs, ys)
+            val = (100 * np.sin(X * 2.0) + 80 * np.cos(Y * 3.0)
+                   + rng.normal(0, 2.0, (tile, tile))).astype(np.float32)
+            mask = rng.random((tile, tile)) < no_data_frac
+            val[mask] = codec.NO_DATA_F32
+            iid = f"tile_{tx}_{ty}"
+            rows.append((iid, codec.encode_raw_f32(val), tile, tile, "raw_f32",
+                         f"raster tile ({tx},{ty})", codec.phash64(val),
+                         x0, rx, y0, ry))
+    return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                       "caption", "phash", "gt_x0", "gt_rx", "gt_y0", "gt_ry"])
+
+
+# ------------------------------------------------------------------ writers
+
+def write_parquet(out_dir: str, n_images: int = 2000, n_zones: int = 64,
+                  n_points: int = 5000, seed: int = SEED) -> dict[str, str]:
+    os.makedirs(out_dir, exist_ok=True)
+    zones = gen_zones(n_zones, seed)
+    paths = {}
+    for name, df in (
+        ("images", gen_images(n_images, seed)),
+        ("zones", zones),
+        ("points", gen_points(n_points, seed, zones)),
+        ("lines", gen_lines(64, seed)),
+        ("rasters", gen_rasters(seed=seed)),
+    ):
+        p = os.path.join(out_dir, f"{name}.parquet")
+        df.to_parquet(p, index=False)
+        paths[name] = p
+    return paths
+
+
+def zone_cells_lookup(zones: pd.DataFrame, res_min: int = RES_MIN,
+                      res_max: int = RES_MAX) -> pd.DataFrame:
+    """Exploded (gid, cell) cover table for oracle-side joins."""
+    from .geom.kernels import bounds
+
+    rows = []
+    for gid, zwkb in zip(zones["gid"], zones["geometry_wkb"]):
+        g = wkb.decode(zwkb)
+        mnx, mny, mxx, mxy = bounds(g)
+        res = adaptive_res(mnx, mny, mxx, mxy, res_min, res_max)
+        for c in bbox_to_cells(mnx, mny, mxx, mxy, res).tolist():
+            rows.append((gid, c))
+    return pd.DataFrame(rows, columns=["gid", "cell"])

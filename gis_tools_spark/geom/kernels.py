@@ -1,0 +1,568 @@
+"""Pure-numpy computational-geometry kernels.
+
+These are the vectorized bodies that run inside pandas/Arrow UDFs — the
+engine's replacement for the reference's shapely calls (e.g.
+/root/reference/gistools/geometry.py:441-458 R-tree filter + exact
+``intersects`` refine) and numba kernels (geometry.py:332). Everything
+operates on the geom dicts produced by :mod:`gis_tools_spark.geom.wkb`.
+
+Boundary semantics: ``covers_xy`` counts boundary points as inside
+(matching shapely ``intersects`` used by the reference's sjoin at
+layer.py:1099-1114); ``contains_xy`` excludes the boundary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import wkb
+
+EPS = 1e-12
+
+
+# ---------------------------------------------------------------- bounds
+
+def ring_list(g: dict) -> list[np.ndarray]:
+    """All rings/lines/points of a geometry as a flat list of (n,d) arrays."""
+    t = g["type"]
+    if t == "Point":
+        return [g["coords"].reshape(1, -1)]
+    if t == "LineString":
+        return [g["coords"]]
+    if t == "Polygon":
+        return list(g["rings"])
+    if t == "MultiPoint":
+        return [g["points"]]
+    if t == "MultiLineString":
+        return list(g["lines"])
+    if t == "MultiPolygon":
+        return [r for rings in g["polygons"] for r in rings]
+    if t == "GeometryCollection":
+        return [r for sub in g["geoms"] for r in ring_list(sub)]
+    raise ValueError(t)
+
+
+def polygons_of(g: dict) -> list[list[np.ndarray]]:
+    """List of polygons (each a list of rings, exterior first)."""
+    if g["type"] == "Polygon":
+        return [g["rings"]]
+    if g["type"] == "MultiPolygon":
+        return list(g["polygons"])
+    if g["type"] == "GeometryCollection":
+        return [p for sub in g["geoms"] for p in polygons_of(sub)]
+    return []
+
+
+def bounds(g: dict) -> tuple[float, float, float, float]:
+    rl = ring_list(g)
+    mins = np.min([r[:, :2].min(axis=0) for r in rl], axis=0)
+    maxs = np.max([r[:, :2].max(axis=0) for r in rl], axis=0)
+    return float(mins[0]), float(mins[1]), float(maxs[0]), float(maxs[1])
+
+
+# ---------------------------------------------------------------- measures
+
+def ring_area_signed(r: np.ndarray) -> float:
+    """Shoelace. Positive = CCW."""
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def area(g: dict) -> float:
+    """Unsigned area; holes subtracted (ring 0 = exterior, rest = holes)."""
+    total = 0.0
+    for rings in polygons_of(g):
+        total += abs(ring_area_signed(rings[0]))
+        for hole in rings[1:]:
+            total -= abs(ring_area_signed(hole))
+    return total
+
+
+def length(g: dict) -> float:
+    t = g["type"]
+    if t in ("Point", "MultiPoint"):
+        return 0.0
+    lines = (
+        [g["coords"]] if t == "LineString"
+        else g["lines"] if t == "MultiLineString"
+        else ring_list(g)
+    )
+    total = 0.0
+    for l in lines:
+        d = np.diff(l[:, :2], axis=0)
+        total += float(np.sqrt((d * d).sum(axis=1)).sum())
+    return total
+
+
+def centroid(g: dict) -> tuple[float, float]:
+    t = g["type"]
+    if t == "Point":
+        c = g["coords"]
+        return float(c[0]), float(c[1])
+    if t == "MultiPoint":
+        c = g["points"][:, :2].mean(axis=0)
+        return float(c[0]), float(c[1])
+    if t in ("LineString", "MultiLineString"):
+        lines = [g["coords"]] if t == "LineString" else g["lines"]
+        sw = 0.0
+        acc = np.zeros(2)
+        for l in lines:
+            p, q = l[:-1, :2], l[1:, :2]
+            seg = np.sqrt(((q - p) ** 2).sum(axis=1))
+            acc += ((p + q) / 2 * seg[:, None]).sum(axis=0)
+            sw += seg.sum()
+        if sw < EPS:  # degenerate
+            return centroid({"type": "MultiPoint", "points": np.vstack(lines)})
+        return float(acc[0] / sw), float(acc[1] / sw)
+    # polygonal: area-weighted, holes negative
+    sw = 0.0
+    acc = np.zeros(2)
+    for rings in polygons_of(g):
+        for i, r in enumerate(rings):
+            x, y = r[:, 0], r[:, 1]
+            cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+            a = 0.5 * cross.sum()
+            if abs(a) < EPS:
+                continue
+            cx = ((x[:-1] + x[1:]) * cross).sum() / (6 * a)
+            cy = ((y[:-1] + y[1:]) * cross).sum() / (6 * a)
+            w = abs(a) * (1 if i == 0 else -1)
+            acc += w * np.array([cx, cy])
+            sw += w
+    if abs(sw) < EPS:
+        rl = np.vstack([r[:, :2] for r in ring_list(g)])
+        c = rl.mean(axis=0)
+        return float(c[0]), float(c[1])
+    return float(acc[0] / sw), float(acc[1] / sw)
+
+
+# ---------------------------------------------------------------- point in polygon
+
+def _ring_crossings(r: np.ndarray, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Ray-cast crossing parity of points vs one closed ring. (npts,) int."""
+    x0, y0 = r[:-1, 0], r[:-1, 1]
+    x1, y1 = r[1:, 0], r[1:, 1]
+    # For each point, edges whose y-span straddles the point's y.
+    ys_ = ys[:, None]
+    xs_ = xs[:, None]
+    cond = (y0[None, :] > ys_) != (y1[None, :] > ys_)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x0[None, :] + (ys_ - y0[None, :]) * (x1 - x0)[None, :] / (y1 - y0)[None, :]
+    hits = cond & (xs_ < xint)
+    return hits.sum(axis=1)
+
+
+def _on_ring(r: np.ndarray, xs: np.ndarray, ys: np.ndarray, tol: float = 1e-12) -> np.ndarray:
+    """Boolean (npts,): point lies on any segment of the ring."""
+    p = r[:-1, :2][None, :, :]          # (1, nseg, 2)
+    q = r[1:, :2][None, :, :]
+    pt = np.stack([xs, ys], axis=1)[:, None, :]   # (npts, 1, 2)
+    d = q - p
+    seg_len2 = (d * d).sum(axis=2)
+    t = ((pt - p) * d).sum(axis=2) / np.where(seg_len2 < EPS, 1.0, seg_len2)
+    t = np.clip(t, 0.0, 1.0)
+    proj = p + t[:, :, None] * d
+    dist2 = ((pt - proj) ** 2).sum(axis=2)
+    return (dist2 <= tol * tol + EPS).any(axis=1)
+
+
+def covers_xy(g: dict, xs: np.ndarray, ys: np.ndarray, boundary_tol: float = 1e-9) -> np.ndarray:
+    """Boundary-inclusive point-in-polygon over many points (vectorized).
+
+    Replaces the reference's per-point shapely ``intersects`` refine
+    (/root/reference/gistools/geometry.py:450-458).
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    inside = np.zeros(len(xs), dtype=bool)
+    for rings in polygons_of(g):
+        cross = _ring_crossings(rings[0], xs, ys)
+        poly_in = (cross % 2) == 1
+        for hole in rings[1:]:
+            hc = _ring_crossings(hole, xs, ys)
+            poly_in &= (hc % 2) == 0
+        inside |= poly_in
+    if boundary_tol > 0:
+        # chunk to bound memory: npts x nseg matrix
+        bnd = np.zeros(len(xs), dtype=bool)
+        for rings in polygons_of(g):
+            for r in rings:
+                bnd |= _on_ring(r, xs, ys, boundary_tol)
+        inside |= bnd
+    return inside
+
+
+def contains_xy(g: dict, xs, ys) -> np.ndarray:
+    """Strict interior test (boundary excluded)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    inside = np.zeros(len(xs), dtype=bool)
+    on_b = np.zeros(len(xs), dtype=bool)
+    for rings in polygons_of(g):
+        cross = _ring_crossings(rings[0], xs, ys)
+        poly_in = (cross % 2) == 1
+        for hole in rings[1:]:
+            hc = _ring_crossings(hole, xs, ys)
+            poly_in &= (hc % 2) == 0
+        inside |= poly_in
+        for r in rings:
+            on_b |= _on_ring(r, xs, ys)
+    return inside & ~on_b
+
+
+# ---------------------------------------------------------------- segment intersection
+
+def _segments_intersect(p, q, a, b) -> bool:
+    def orient(o, s, t):
+        return (s[0] - o[0]) * (t[1] - o[1]) - (s[1] - o[1]) * (t[0] - o[0])
+
+    d1, d2 = orient(a, b, p), orient(a, b, q)
+    d3, d4 = orient(p, q, a), orient(p, q, b)
+    if ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0)):
+        return True
+
+    def on_seg(o, s, t):
+        return (
+            abs((s[0] - o[0]) * (t[1] - o[1]) - (s[1] - o[1]) * (t[0] - o[0])) < EPS
+            and min(o[0], s[0]) - EPS <= t[0] <= max(o[0], s[0]) + EPS
+            and min(o[1], s[1]) - EPS <= t[1] <= max(o[1], s[1]) + EPS
+        )
+
+    return on_seg(a, b, p) or on_seg(a, b, q) or on_seg(p, q, a) or on_seg(p, q, b)
+
+
+def _rings_cross(r1: np.ndarray, r2: np.ndarray) -> bool:
+    """Any edge of r1 intersects any edge of r2 (vectorized orientation test)."""
+    p = r1[:-1, :2]; q = r1[1:, :2]
+    a = r2[:-1, :2]; b = r2[1:, :2]
+    # orientation of (a,b) vs p and q, for all pairs (i edges of r1, j edges of r2)
+    ab = b - a                                        # (m,2)
+    ap = p[:, None, :] - a[None, :, :]                # (n,m,2)
+    aq = q[:, None, :] - a[None, :, :]
+    d1 = ab[None, :, 0] * ap[:, :, 1] - ab[None, :, 1] * ap[:, :, 0]
+    d2 = ab[None, :, 0] * aq[:, :, 1] - ab[None, :, 1] * aq[:, :, 0]
+    pq = q - p                                        # (n,2)
+    pa = a[None, :, :] - p[:, None, :]
+    pb = b[None, :, :] - p[:, None, :]
+    d3 = pq[:, None, 0] * pa[:, :, 1] - pq[:, None, 1] * pa[:, :, 0]
+    d4 = pq[:, None, 0] * pb[:, :, 1] - pq[:, None, 1] * pb[:, :, 0]
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    if proper.any():
+        return True
+    # collinear/touching fallbacks only where some determinant is ~0
+    touch = (np.abs(d1) < EPS) | (np.abs(d2) < EPS) | (np.abs(d3) < EPS) | (np.abs(d4) < EPS)
+    if not touch.any():
+        return False
+    idx = np.argwhere(touch)
+    for i, j in idx:
+        if _segments_intersect(tuple(p[i]), tuple(q[i]), tuple(a[j]), tuple(b[j])):
+            return True
+    return False
+
+
+def intersects(g1: dict, g2: dict) -> bool:
+    """Exact geometry-intersects for polygon/line/point combos."""
+    b1, b2 = bounds(g1), bounds(g2)
+    if b1[0] > b2[2] or b2[0] > b1[2] or b1[1] > b2[3] or b2[1] > b1[3]:
+        return False
+    t1, t2 = g1["type"], g2["type"]
+    if t1 in ("Point", "MultiPoint") or t2 in ("Point", "MultiPoint"):
+        pt_g, other = (g1, g2) if t1 in ("Point", "MultiPoint") else (g2, g1)
+        pts = pt_g["coords"].reshape(1, -1) if pt_g["type"] == "Point" else pt_g["points"]
+        if other["type"] in ("Point", "MultiPoint"):
+            opts = other["coords"].reshape(1, -1) if other["type"] == "Point" else other["points"]
+            for p in pts:
+                if (np.abs(opts[:, :2] - p[:2]) < EPS).all(axis=1).any():
+                    return True
+            return False
+        if polygons_of(other):
+            return bool(covers_xy(other, pts[:, 0], pts[:, 1]).any())
+        for l in ring_list(other):
+            if _on_any_segment(l, pts):
+                return True
+        return False
+    # line/polygon combos: edge crossing or containment
+    rl1, rl2 = ring_list(g1), ring_list(g2)
+    for r1 in rl1:
+        for r2 in rl2:
+            if _rings_cross(r1, r2):
+                return True
+    # containment: any vertex of one inside the other
+    if polygons_of(g2):
+        v = rl1[0]
+        if covers_xy(g2, v[:1, 0], v[:1, 1]).any():
+            return True
+    if polygons_of(g1):
+        v = rl2[0]
+        if covers_xy(g1, v[:1, 0], v[:1, 1]).any():
+            return True
+    return False
+
+
+def _on_any_segment(line: np.ndarray, pts: np.ndarray) -> bool:
+    return bool(_on_ring(line, pts[:, 0], pts[:, 1], 1e-9).any())
+
+
+# ---------------------------------------------------------------- clipping
+
+def clip_ring_halfplane(ring: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman single step: keep points left of directed a→b."""
+    if len(ring) == 0:
+        return ring
+    pts = ring[:, :2]
+    d = b - a
+    side = d[0] * (pts[:, 1] - a[1]) - d[1] * (pts[:, 0] - a[0])
+    out = []
+    n = len(pts) - 1 if np.array_equal(pts[0], pts[-1]) else len(pts)
+    for i in range(n):
+        j = (i + 1) % n
+        ci, cj = side[i] >= -EPS, side[j] >= -EPS
+        if ci:
+            out.append(pts[i])
+        if ci != cj:
+            t = side[i] / (side[i] - side[j])
+            out.append(pts[i] + t * (pts[j] - pts[i]))
+    if not out:
+        return np.empty((0, 2))
+    out.append(out[0])
+    return np.asarray(out)
+
+
+def clip_ring_convex(ring: np.ndarray, clip_ccw: np.ndarray) -> np.ndarray:
+    """Clip a (possibly concave) ring by a CCW convex ring (S-H)."""
+    r = ring[:, :2]
+    cp = clip_ccw[:, :2]
+    n = len(cp) - 1 if np.array_equal(cp[0], cp[-1]) else len(cp)
+    for i in range(n):
+        r = clip_ring_halfplane(r, cp[i], cp[(i + 1) % n])
+        if len(r) == 0:
+            return r
+    return r
+
+
+def ensure_ccw(ring: np.ndarray) -> np.ndarray:
+    return ring if ring_area_signed(ring) >= 0 else ring[::-1]
+
+
+def clip_polygon_convex(g: dict, clip_ring: np.ndarray) -> dict | None:
+    """Intersect a polygonal geometry with a convex clipper.
+
+    Returns a Polygon/MultiPolygon geom dict or None if empty. Holes are
+    clipped independently and subtracted (valid when clipper is convex).
+    Mirrors the semantics of the reference's overlay "intersection"
+    (/root/reference/gistools/layer.py:103-131) for convex partners.
+    """
+    clip_ccw = ensure_ccw(clip_ring[:, :2])
+    out_polys = []
+    for rings in polygons_of(g):
+        ext = clip_ring_convex(ensure_ccw(rings[0]), clip_ccw)
+        if len(ext) < 4 or abs(ring_area_signed(ext)) < EPS:
+            continue
+        new_rings = [ext]
+        for hole in rings[1:]:
+            h = clip_ring_convex(ensure_ccw(hole), clip_ccw)
+            if len(h) >= 4 and abs(ring_area_signed(h)) > EPS:
+                new_rings.append(h)
+        out_polys.append(new_rings)
+    if not out_polys:
+        return None
+    if len(out_polys) == 1:
+        return {"type": "Polygon", "rings": out_polys[0]}
+    return {"type": "MultiPolygon", "polygons": out_polys}
+
+
+def clip_rect(g: dict, minx, miny, maxx, maxy) -> dict | None:
+    rect = np.array([(minx, miny), (maxx, miny), (maxx, maxy), (minx, maxy), (minx, miny)])
+    return clip_polygon_convex(g, rect)
+
+
+def clip_line_rect(coords: np.ndarray, minx, miny, maxx, maxy) -> list[np.ndarray]:
+    """Cohen–Sutherland-style: return line pieces inside the rect."""
+    pieces = []
+    cur = []
+    for i in range(len(coords) - 1):
+        seg = _clip_seg_rect(coords[i, :2], coords[i + 1, :2], minx, miny, maxx, maxy)
+        if seg is None:
+            if len(cur) >= 2:
+                pieces.append(np.asarray(cur))
+            cur = []
+            continue
+        p, q = seg
+        if cur and np.allclose(cur[-1], p):
+            cur.append(q)
+        else:
+            if len(cur) >= 2:
+                pieces.append(np.asarray(cur))
+            cur = [p, q]
+    if len(cur) >= 2:
+        pieces.append(np.asarray(cur))
+    return pieces
+
+
+def _clip_seg_rect(p, q, minx, miny, maxx, maxy):
+    t0, t1 = 0.0, 1.0
+    d = q - p
+    for lo, hi, pc, dc in ((minx, maxx, p[0], d[0]), (miny, maxy, p[1], d[1])):
+        if abs(dc) < EPS:
+            if pc < lo or pc > hi:
+                return None
+            continue
+        ta, tb = (lo - pc) / dc, (hi - pc) / dc
+        if ta > tb:
+            ta, tb = tb, ta
+        t0, t1 = max(t0, ta), min(t1, tb)
+        if t0 > t1:
+            return None
+    return p + t0 * d, p + t1 * d
+
+
+# ---------------------------------------------------------------- distance
+
+def point_to_geom_distance(g: dict, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Min euclidean distance from each point to the geometry (0 if inside)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    d = np.full(len(xs), np.inf)
+    for r in ring_list(g):
+        if len(r) == 1:
+            dd = np.sqrt((xs - r[0, 0]) ** 2 + (ys - r[0, 1]) ** 2)
+        else:
+            dd = _pts_to_segments_min(r, xs, ys)
+        d = np.minimum(d, dd)
+    if polygons_of(g):
+        inside = covers_xy(g, xs, ys, boundary_tol=0)
+        d[inside] = 0.0
+    return d
+
+
+def _pts_to_segments_min(r: np.ndarray, xs, ys) -> np.ndarray:
+    p = r[:-1, :2][None, :, :]
+    q = r[1:, :2][None, :, :]
+    pt = np.stack([xs, ys], axis=1)[:, None, :]
+    dseg = q - p
+    l2 = (dseg * dseg).sum(axis=2)
+    t = np.clip(((pt - p) * dseg).sum(axis=2) / np.where(l2 < EPS, 1.0, l2), 0, 1)
+    proj = p + t[:, :, None] * dseg
+    return np.sqrt(((pt - proj) ** 2).sum(axis=2)).min(axis=1)
+
+
+def geom_distance(g1: dict, g2: dict) -> float:
+    """Min distance between two geometries (vertex/segment based; exact for
+    non-overlapping convex shapes, and 0 when they intersect)."""
+    if intersects(g1, g2):
+        return 0.0
+    best = np.inf
+    for r1 in ring_list(g1):
+        for r2 in ring_list(g2):
+            best = min(best, float(_pts_to_segments_min(r2 if len(r2) > 1 else np.vstack([r2, r2]), r1[:, 0], r1[:, 1]).min()))
+            best = min(best, float(_pts_to_segments_min(r1 if len(r1) > 1 else np.vstack([r1, r1]), r2[:, 0], r2[:, 1]).min()))
+    return best
+
+
+def hausdorff_distance(g1: dict, g2: dict) -> float:
+    """Discrete (vertex-based) symmetric Hausdorff distance, like shapely's
+    default for LineString vertices (reference layer.py:676-689)."""
+    a = np.vstack([r[:, :2] for r in ring_list(g1)])
+    b = np.vstack([r[:, :2] for r in ring_list(g2)])
+    d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2))
+    return float(max(d.min(axis=1).max(), d.min(axis=0).max()))
+
+
+# ---------------------------------------------------------------- misc ops
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain → closed CCW ring."""
+    pts = np.unique(np.asarray(pts, dtype=np.float64)[:, :2], axis=0)
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    if len(pts) <= 2:
+        return np.vstack([pts, pts[:1]])
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    hull = np.array(lower[:-1] + upper[:-1])
+    return np.vstack([hull, hull[:1]])
+
+
+def simplify_dp(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas–Peucker (matches reference simplify layer.py:1082-1097 and
+    douglas_peucker layer.py:1954-1972)."""
+    pts = coords[:, :2]
+    keep = np.zeros(len(pts), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        l2 = seg @ seg
+        mid = pts[i + 1 : j]
+        if l2 < EPS:
+            d = np.sqrt(((mid - pts[i]) ** 2).sum(axis=1))
+        else:
+            t = np.clip((mid - pts[i]) @ seg / l2, 0, 1)
+            proj = pts[i] + t[:, None] * seg
+            d = np.sqrt(((mid - proj) ** 2).sum(axis=1))
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            keep[i + 1 + k] = True
+            stack.extend([(i, i + 1 + k), (i + 1 + k, j)])
+    if coords.shape[1] == 3:
+        return coords[keep]
+    return pts[keep]
+
+
+def segmentize(coords: np.ndarray, max_len: float) -> np.ndarray:
+    """Densify a line: no segment longer than max_len (reference
+    add_points_to_line, geometry.py:27-34)."""
+    out = [coords[0]]
+    for i in range(len(coords) - 1):
+        p, q = coords[i], coords[i + 1]
+        seg = np.sqrt(((q[:2] - p[:2]) ** 2).sum())
+        n = max(1, int(np.ceil(seg / max_len)))
+        for k in range(1, n + 1):
+            out.append(p + (q - p) * (k / n))
+    return np.asarray(out)
+
+
+def buffer_point(x: float, y: float, dist: float, resolution: int = 16) -> np.ndarray:
+    """Circle approximation ring, CCW, shapely-style 4*resolution segments."""
+    n = 4 * resolution
+    th = np.linspace(0, 2 * np.pi, n + 1)
+    return np.stack([x + dist * np.cos(th), y + dist * np.sin(th)], axis=1)
+
+
+def interpolate_line(coords: np.ndarray, dist: float) -> np.ndarray:
+    """Point at distance along the line (shapely line_interpolate_point)."""
+    pts = coords[:, :2]
+    seg = np.sqrt((np.diff(pts, axis=0) ** 2).sum(axis=1))
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = cum[-1]
+    d = min(max(dist, 0.0), total)
+    i = int(np.searchsorted(cum, d, side="right")) - 1
+    i = min(i, len(seg) - 1)
+    t = 0.0 if seg[i] < EPS else (d - cum[i]) / seg[i]
+    return pts[i] + t * (pts[i + 1] - pts[i])
+
+
+def project_on_line(coords: np.ndarray, x: float, y: float) -> float:
+    """Distance along line of the closest point (shapely .project)."""
+    pts = coords[:, :2]
+    p, q = pts[:-1], pts[1:]
+    d = q - p
+    l2 = (d * d).sum(axis=1)
+    t = np.clip(((np.array([x, y]) - p) * d).sum(axis=1) / np.where(l2 < EPS, 1.0, l2), 0, 1)
+    proj = p + t[:, None] * d
+    dd = ((proj - np.array([x, y])) ** 2).sum(axis=1)
+    i = int(np.argmin(dd))
+    seg = np.sqrt(l2)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    return float(cum[i] + t[i] * seg[i])

@@ -1,0 +1,161 @@
+"""Shared building blocks for the filter–refine spatial joins.
+
+Filter phase: equi-join on hierarchical cell ids (pure JVM arithmetic for
+points; one Arrow-batched cover UDF for polygons — the distributed
+replacement of the reference's R-tree prefilter,
+/root/reference/gistools/geometry.py:450-458 + coordinates.py:303-317).
+
+Refine phase: vectorized numpy exact-geometry tests inside mapInPandas,
+grouped batch-locally by polygon id so each polygon decodes once per
+Arrow batch.
+
+Scale design notes (100 TB / 1000 executors):
+- point cell encode is column arithmetic → whole-stage codegen, no
+  Python worker in the hot path until refine;
+- polygon covers are bounded (≤ max_cells per geometry, adaptive res) →
+  bounded fan-out regardless of geometry size → bounded shuffle;
+- hot cells (city skew) handled by explicit salting (`salted_cells`) +
+  AQE skew-join as backstop;
+- small polygon side → broadcast sidecar path (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .. import cells as C
+from ..geom import kernels as K, wkb
+
+# Salt column used by the skew-handling equi-join.
+SALT_COL = "__salt"
+CELL_COL = "__cell"
+
+
+def point_cells_multires(lon: Column, lat: Column,
+                         res_min: int = C.RES_MIN, res_max: int = C.RES_MAX) -> Column:
+    """Array of the point's ancestor cell at each res in [res_min,res_max].
+
+    Pure column arithmetic — stays inside whole-stage codegen.
+    """
+    return F.array(*[C.cell_column(lon, lat, r) for r in range(res_min, res_max + 1)])
+
+
+def cover_cells_udf(res_min: int = C.RES_MIN, res_max: int = C.RES_MAX,
+                    max_cells: int = 64, exact: bool = False):
+    """pandas_udf: WKB binary series → array<long> adaptive cover cells."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(wkb_s: pd.Series) -> pd.Series:
+        out = []
+        for buf in wkb_s:
+            if buf is None:
+                out.append([])
+                continue
+            g = wkb.decode(buf)
+            mnx, mny, mxx, mxy = K.bounds(g)
+            res = C.adaptive_res(mnx, mny, mxx, mxy, res_min, res_max, max_cells)
+            if exact:
+                cc = C.polygon_to_cells(g, res)
+            else:
+                cc = C.bbox_to_cells(mnx, mny, mxx, mxy, res)
+            out.append(cc.tolist())
+        return pd.Series(out)
+
+    return _cover
+
+
+def with_bbox(df: DataFrame, wkb_col: str = "geometry_wkb") -> DataFrame:
+    """Denormalized bbox columns (minx,miny,maxx,maxy) from WKB."""
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("minx", T.DoubleType()),
+        T.StructField("miny", T.DoubleType()),
+        T.StructField("maxx", T.DoubleType()),
+        T.StructField("maxy", T.DoubleType()),
+    ]))
+    def _bbox(s: pd.Series) -> pd.DataFrame:
+        rows = [K.bounds(wkb.decode(b)) if b is not None else (None,) * 4 for b in s]
+        return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+
+    tmp = "__bb"
+    out = df.withColumn(tmp, _bbox(F.col(wkb_col)))
+    for c in ("minx", "miny", "maxx", "maxy"):
+        out = out.withColumn(c, F.col(f"{tmp}.{c}"))
+    return out.drop(tmp)
+
+
+def explode_cover(df: DataFrame, wkb_col: str, out_col: str = CELL_COL,
+                  res_min: int = C.RES_MIN, res_max: int = C.RES_MAX,
+                  max_cells: int = 64, exact: bool = False) -> DataFrame:
+    """Explode each geometry row into its cover cells."""
+    udf = cover_cells_udf(res_min, res_max, max_cells, exact)
+    return df.withColumn(out_col, F.explode(udf(F.col(wkb_col))))
+
+
+def hot_cells(df: DataFrame, cell_col: str, threshold: int) -> DataFrame:
+    """Tiny table of (cell, n_salts) for cells whose row count exceeds the
+    threshold — the explicit skew histogram (north rule; SURVEY §4 item 2)."""
+    return (
+        df.groupBy(cell_col).count()
+        .where(F.col("count") > threshold)
+        .select(F.col(cell_col).alias("__hot_cell"),
+                F.ceil(F.col("count") / threshold).cast("int").alias("__n_salts"))
+    )
+
+
+def salt_fact_side(df: DataFrame, cell_col: str, hot: DataFrame, hash_col: str) -> DataFrame:
+    """Attach salt to the big (point) side: rows in hot cells spread across
+    n_salts buckets; others get salt 0."""
+    out = df.join(F.broadcast(hot), df[cell_col] == hot["__hot_cell"], "left")
+    return out.withColumn(
+        SALT_COL,
+        F.when(F.col("__n_salts").isNotNull(),
+               F.pmod(F.xxhash64(F.col(hash_col)), F.col("__n_salts")).cast("int"))
+        .otherwise(F.lit(0)),
+    ).drop("__hot_cell", "__n_salts")
+
+
+def salt_dim_side(df: DataFrame, cell_col: str, hot: DataFrame) -> DataFrame:
+    """Replicate the small (polygon-cover) side once per salt bucket."""
+    out = df.join(F.broadcast(hot), df[cell_col] == hot["__hot_cell"], "left")
+    return (
+        out.withColumn("__ns", F.coalesce(F.col("__n_salts"), F.lit(1)))
+        .withColumn(SALT_COL, F.explode(F.sequence(F.lit(0), (F.col("__ns") - 1).cast("int"))))
+        .drop("__hot_cell", "__n_salts", "__ns")
+    )
+
+
+def refine_covers(pair_df: DataFrame, *, poly_wkb: str, poly_group: str,
+                  lon: str, lat: str, predicate: str = "covers") -> DataFrame:
+    """Exact PIP refine over candidate pairs.
+
+    mapInPandas; per Arrow batch, groups by `poly_group` so each polygon
+    decodes once and tests all candidate points vectorized
+    (K.covers_xy — the reference's exact `intersects` refine).
+    predicate: 'covers' (boundary in) or 'contains' (strict interior).
+    """
+    schema = pair_df.schema
+    test = K.covers_xy if predicate == "covers" else K.contains_xy
+
+    def _refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            for _, idx in pdf.groupby(poly_group, sort=False).indices.items():
+                buf = pdf[poly_wkb].iloc[idx[0]]
+                if buf is None:
+                    continue
+                g = wkb.decode(buf)
+                xs = pdf[lon].values[idx]
+                ys = pdf[lat].values[idx]
+                keep[idx] = test(g, xs, ys)
+            out = pdf[keep]
+            if len(out):
+                yield out
+
+    return pair_df.mapInPandas(_refine, schema=schema)

@@ -1,0 +1,240 @@
+"""Point-in-polygon / spatial joins (SURVEY.md §2.5).
+
+Reference semantics: ``GeoLayer.sjoin(other, op)``
+(/root/reference/gistools/layer.py:1099-1114) — join rows of the left
+layer with attributes of the right layer where the spatial predicate
+holds; ``intersects(other)`` (layer.py:715-736) — per-row boolean; the
+canonical PIP case is points ⋈ polygons with op='intersects' (boundary
+counts as a hit).
+
+Two physical strategies, chosen by the caller (or `auto`):
+
+1. **cell join** (default at scale): polygons → bounded adaptive-res
+   cover cells (Arrow UDF, ≤ max_cells each); points → cell id *per
+   distinct cover res* via pure column arithmetic (no explode of the big
+   side); equi-join per res, union, exact refine. Optional explicit
+   salting of hot cells (city skew) on top of AQE.
+
+2. **broadcast** : small polygon side is collected, decoded once, cell-
+   bucketed, and broadcast; a single mapInPandas pass over the points
+   does filter+refine with zero shuffle — the distributed analog of the
+   reference's in-process R-tree (coordinates.py:303-317).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import cells as C
+from ..geom import kernels as K, wkb
+from .core import (
+    CELL_COL,
+    SALT_COL,
+    explode_cover,
+    hot_cells,
+    refine_covers,
+    salt_dim_side,
+    salt_fact_side,
+)
+
+
+def _dedupe_names(points: DataFrame, polygons: DataFrame) -> DataFrame:
+    """Rename right-side columns that collide with left-side names."""
+    taken = set(points.columns)
+    for c in polygons.columns:
+        if c in taken:
+            polygons = polygons.withColumnRenamed(c, f"{c}_right")
+    return polygons
+
+
+def pip_join(points: DataFrame, polygons: DataFrame, *,
+             lon: str = "lon", lat: str = "lat",
+             poly_wkb: str = "geometry_wkb", poly_id: str = "gid",
+             how: str = "inner", predicate: str = "covers",
+             res_min: int = C.RES_MIN, res_max: int = C.RES_MAX,
+             max_cells: int = 64,
+             salt_threshold: int | None = None,
+             strategy: str = "auto",
+             broadcast_max_rows: int = 100_000,
+             keep_poly_wkb: bool = False) -> DataFrame:
+    """Join point rows to polygon rows where the point is covered.
+
+    Returns points.* + polygons.* (collisions suffixed `_right`);
+    how='left' keeps unmatched points with null polygon attributes.
+    """
+    polygons = _dedupe_names(points, polygons)
+    if poly_wkb not in polygons.columns:
+        poly_wkb = f"{poly_wkb}_right"
+    if poly_id not in polygons.columns:
+        poly_id = f"{poly_id}_right"
+
+    if strategy == "auto":
+        n_poly = polygons.count()
+        strategy = "broadcast" if n_poly <= broadcast_max_rows else "cell"
+
+    if strategy == "broadcast":
+        matched = _pip_broadcast(points, polygons, lon=lon, lat=lat,
+                                 poly_wkb=poly_wkb, poly_id=poly_id,
+                                 predicate=predicate, res=res_min,
+                                 keep_poly_wkb=keep_poly_wkb)
+    else:
+        matched = _pip_cell_join(points, polygons, lon=lon, lat=lat,
+                                 poly_wkb=poly_wkb, poly_id=poly_id,
+                                 predicate=predicate, res_min=res_min,
+                                 res_max=res_max, max_cells=max_cells,
+                                 salt_threshold=salt_threshold,
+                                 keep_poly_wkb=keep_poly_wkb)
+
+    if how == "inner":
+        return matched
+    if how == "left":
+        right_cols = [c for c in matched.columns if c not in points.columns]
+        return points.join(matched.select(*points.columns, *right_cols),
+                           on=list(points.columns), how="left")
+    raise ValueError(f"how={how!r}")
+
+
+def _pip_cell_join(points: DataFrame, polygons: DataFrame, *, lon, lat,
+                   poly_wkb, poly_id, predicate, res_min, res_max,
+                   max_cells, salt_threshold, keep_poly_wkb) -> DataFrame:
+    cover = explode_cover(polygons, poly_wkb, CELL_COL, res_min, res_max, max_cells)
+    cover = cover.withColumn("__res", (F.col(CELL_COL) / F.lit(1 << C.RES_SHIFT)).cast("int"))
+    res_list = [r["__res"] for r in cover.select("__res").distinct().collect()]
+
+    pieces = []
+    for res in sorted(res_list):
+        pts = points.withColumn(CELL_COL, C.cell_column(F.col(lon), F.col(lat), res))
+        cov_r = cover.where(F.col("__res") == res).drop("__res")
+        if salt_threshold:
+            hot = hot_cells(pts, CELL_COL, salt_threshold)
+            pts = salt_fact_side(pts, CELL_COL, hot, hash_col=lon)
+            cov_r = salt_dim_side(cov_r, CELL_COL, hot)
+            pieces.append(pts.join(cov_r, on=[CELL_COL, SALT_COL], how="inner")
+                          .drop(CELL_COL, SALT_COL))
+        else:
+            pieces.append(pts.join(cov_r, on=CELL_COL, how="inner").drop(CELL_COL))
+    if not pieces:
+        empty = points.limit(0).crossJoin(polygons.limit(0))
+        return empty if keep_poly_wkb else empty.drop(poly_wkb)
+    cand = pieces[0]
+    for p in pieces[1:]:
+        cand = cand.unionByName(p)
+    refined = refine_covers(cand, poly_wkb=poly_wkb, poly_group=poly_id,
+                            lon=lon, lat=lat, predicate=predicate)
+    return refined if keep_poly_wkb else refined.drop(poly_wkb)
+
+
+def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
+                   poly_wkb, poly_id, predicate, res, keep_poly_wkb) -> DataFrame:
+    """Zero-shuffle path: decode+bucket polygons once, broadcast, stream
+    points through a single mapInPandas."""
+    poly_rows = polygons.collect()
+    attrs = [c for c in polygons.columns if c != poly_wkb or keep_poly_wkb]
+    geoms = []
+    buckets: dict[int, list[int]] = {}
+    for i, row in enumerate(poly_rows):
+        g = wkb.decode(row[poly_wkb])
+        mnx, mny, mxx, mxy = K.bounds(g)
+        geoms.append((g, row))
+        for c in C.bbox_to_cells(mnx, mny, mxx, mxy, res).tolist():
+            buckets.setdefault(c, []).append(i)
+
+    sc = points.sparkSession.sparkContext
+    bc = sc.broadcast((geoms, buckets, res))
+
+    from pyspark.sql import types as T
+
+    poly_schema = polygons.schema
+    out_schema = T.StructType(list(points.schema.fields)
+                              + [poly_schema[c] for c in attrs])
+
+    test = K.covers_xy if predicate == "covers" else K.contains_xy
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geoms_, buckets_, res_ = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            cell = C.latlng_to_cell(pdf[lon].values, pdf[lat].values, res_)
+            # group points by candidate polygon
+            cand: dict[int, list[int]] = {}
+            for j, c in enumerate(cell.tolist()):
+                for pi in buckets_.get(c, ()):
+                    cand.setdefault(pi, []).append(j)
+            frames = []
+            for pi, pjs in cand.items():
+                g, row = geoms_[pi]
+                idx = np.asarray(pjs)
+                ok = test(g, pdf[lon].values[idx], pdf[lat].values[idx])
+                if not ok.any():
+                    continue
+                sub = pdf.iloc[idx[ok]].reset_index(drop=True)
+                for c_ in attrs:
+                    sub[c_] = [row[c_]] * len(sub)
+                frames.append(sub)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return points.mapInPandas(_run, schema=out_schema)
+
+
+# ------------------------------------------------------------------ generic geometry-geometry join
+
+def sjoin(left: DataFrame, right: DataFrame, *,
+          left_wkb: str = "geometry_wkb", right_wkb: str = "geometry_wkb",
+          left_id: str = "lid", right_id: str = "gid",
+          predicate: str = "intersects", how: str = "inner",
+          res_min: int = C.RES_MIN, res_max: int = C.RES_MAX,
+          max_cells: int = 64) -> DataFrame:
+    """Geometry ⋈ geometry on `intersects` (reference sjoin/overlay filter
+    phase). Both sides exploded to cover cells at a common res band; the
+    pair candidates dedupe on (left_id, right_id); exact refine via
+    vectorized edge tests.
+    """
+    right = _dedupe_names(left, right)
+    if right_wkb not in right.columns:
+        right_wkb = f"{right_wkb}_right"
+    if right_id not in right.columns:
+        right_id = f"{right_id}_right"
+
+    # common fixed res for both sides (coarse enough for the bigger side)
+    lc = explode_cover(left.select(left_id, left_wkb), left_wkb, CELL_COL,
+                       res_min, res_min, max_cells)
+    rc = explode_cover(right.select(right_id, right_wkb), right_wkb, CELL_COL,
+                       res_min, res_min, max_cells)
+    pairs = (lc.select(left_id, CELL_COL)
+             .join(rc.select(right_id, CELL_COL), on=CELL_COL)
+             .select(left_id, right_id).distinct())
+    cand = pairs.join(left, on=left_id).join(right, on=right_id)
+
+    schema = cand.schema
+
+    def _refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            cache: dict[int, dict] = {}
+            for i in range(len(pdf)):
+                lb, rb = pdf[left_wkb].iloc[i], pdf[right_wkb].iloc[i]
+                if lb is None or rb is None:
+                    continue
+                g1 = cache.setdefault(id(lb), wkb.decode(lb))
+                g2 = wkb.decode(rb)
+                keep[i] = K.intersects(g1, g2)
+            out = pdf[keep]
+            if len(out):
+                yield out
+
+    refined = cand.mapInPandas(_refine, schema=schema)
+    if how == "inner":
+        return refined
+    if how == "left":
+        rcols = [c for c in refined.columns if c not in left.columns]
+        return left.join(refined.select(*left.columns, *rcols),
+                         on=list(left.columns), how="left")
+    raise ValueError(how)

@@ -1,0 +1,147 @@
+"""Image/raster codecs over stdlib only (no PIL/GDAL in sandbox).
+
+Formats:
+  'raw'     — uint8 RGB, w*h*3 bytes row-major (images)
+  'raw_f32' — float32 single band, w*h*4 bytes (rasters / DEM analog)
+  'png'     — real PNG (8-bit RGB, zlib stdlib) — lossless, so the
+              PSNR≥40dB gate in BASELINE.json degenerates to exactness
+
+phash: 64-bit stable perceptual-ish hash of decoded pixels (mean-split
+on an 8x8 downsample), stored int64.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+NO_DATA_F32 = -9999.0
+
+
+def encode_raw(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def decode_raw(buf: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_raw_f32(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr, dtype="<f4").tobytes()
+
+
+def decode_raw_f32(buf: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(bytes(buf), dtype="<f4").reshape(h, w)
+
+
+# ----------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """8-bit RGB PNG, filter type 0 rows."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate([np.zeros((h, 1), dtype=np.uint8), a.reshape(h, w * 3)], axis=1)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    buf = bytes(buf)
+    assert buf[:8] == _PNG_SIG, "not a PNG"
+    pos = 8
+    idat = b""
+    w = h = None
+    while pos < len(buf):
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, bit, ctype = struct.unpack_from(">IIBB", data)
+            assert bit == 8 and ctype == 2, "only 8-bit RGB supported"
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
+    filters = raw[:, 0]
+    out = raw[:, 1:].astype(np.int32).reshape(h, w, 3)
+    # undo per-row filters (we emit 0; accept 0/1/2 for robustness)
+    for y in range(h):
+        f = filters[y]
+        if f == 0:
+            continue
+        if f == 1:
+            for x in range(1, w):
+                out[y, x] = (out[y, x] + out[y, x - 1]) % 256
+        elif f == 2 and y > 0:
+            out[y] = (out[y] + out[y - 1]) % 256
+        else:
+            raise ValueError(f"unsupported PNG filter {f}")
+    return out.astype(np.uint8)
+
+
+# ----------------------------------------------------------------- dispatch
+
+def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt == "raw":
+        return decode_raw(buf, w, h)
+    if fmt == "raw_f32":
+        return decode_raw_f32(buf, w, h)
+    if fmt == "png":
+        return decode_png(buf)
+    if fmt in ("jpeg", "jpg", "webp"):
+        # lossy codecs unavailable in sandbox (no PIL) — plumbing is real,
+        # decode is stubbed per round-1 instructions.
+        raise NotImplementedError(f"lossy codec '{fmt}' requires PIL (absent in sandbox)")
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def encode(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return encode_raw(arr)
+    if fmt == "raw_f32":
+        return encode_raw_f32(arr)
+    if fmt == "png":
+        return encode_png(arr)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def phash64(arr: np.ndarray) -> int:
+    """Stable 64-bit mean-split hash of an 8x8 average-downsample."""
+    a = arr.astype(np.float64)
+    if a.ndim == 3:
+        a = a.mean(axis=2)
+    h, w = a.shape
+    ys = (np.arange(8) * h // 8)
+    xs = (np.arange(8) * w // 8)
+    ye = np.append(ys[1:], h)
+    xe = np.append(xs[1:], w)
+    grid = np.array([[a[ys[i]:ye[i], xs[j]:xe[j]].mean() for j in range(8)] for i in range(8)])
+    bits = (grid > grid.mean()).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(peak * peak / mse)
