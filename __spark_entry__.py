@@ -1,38 +1,405 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs the REAL engine (WKB geometries, cell
+covers, Arrow-batched refine kernels); each ``oracle_sql()`` entry is
+the closed-form ANSI-SQL equivalent DuckDB can run on the same parquet.
+Geometry derivations are deterministic arithmetic over the driver
+tables (see gis_tools_spark/sources/driver_tables.py) so both sides see
+identical inputs. Every computed column is aliased identically on both
+sides; floats are rounded identically before comparison.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from gis_tools_spark import cells as C  # noqa: E402
+from gis_tools_spark.operators.knn import nearest_feature  # noqa: E402
+from gis_tools_spark.operators.overlay import dissolve, intersection_join  # noqa: E402
+from gis_tools_spark.operators.sjoin import pip_join  # noqa: E402
+from gis_tools_spark.operators.split import image_tile_assignment  # noqa: E402
+from gis_tools_spark.sources import driver_tables as DT  # noqa: E402
+
+CELL_RES = 14
+TILE_RES = 16
+
+
+def _tune(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ===================================================================== geo
+
+def q_pip_zone_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join (points ⋈ zone polygons) → per-zone counts. The flagship
+    operator: filter-refine join over real WKB rect zones."""
+    _tune(spark)
+    pts = DT.events_points(spark, sf_dir)
+    zones = DT.nation_zones(spark, sf_dir)
+    j = pip_join(pts, zones, strategy="broadcast")
+    return (j.groupBy("gid", "nom").agg(F.count("*").alias("n_points")))
+
+
+def q_pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw PIP join pairs (event_id, gid) via the cell-join strategy
+    (exercises cover UDF + equi-join + refine, not broadcast)."""
+    _tune(spark)
+    pts = DT.events_points(spark, sf_dir)
+    zones = DT.nation_zones(spark, sf_dir)
+    j = pip_join(pts, zones, strategy="cell")
+    return j.select("event_id", "gid")
+
+
+def q_pip_pairs_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join with explicit hot-cell salting enabled (skew path)."""
+    _tune(spark)
+    pts = DT.events_points(spark, sf_dir)
+    zones = DT.nation_zones(spark, sf_dir)
+    j = pip_join(pts, zones, strategy="cell", salt_threshold=200)
+    return j.select("event_id", "gid")
+
+
+def q_cell_index_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-analog cell indexing at res 14 — pure column arithmetic."""
+    _tune(spark)
+    pts = DT.events_points(spark, sf_dir)
+    return (pts.withColumn("cell", C.cell_column(F.col("lon"), F.col("lat"), CELL_RES))
+            .groupBy("cell").agg(F.count("*").alias("n")))
+
+
+def q_tile_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image tile assignment from footprint bbox (geotile splitting):
+    distinct cover cells at res 16 per footprint."""
+    _tune(spark)
+    fp = DT.events_footprints(spark, sf_dir)
+    return image_tile_assignment(fp, res=TILE_RES).select("event_id", "cell")
+
+
+def q_knn_nearest_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN nearest-feature with the reference tie-break semantics
+    (gistools geometry.py:682-705: intersecting → centroid pick, dist 0)."""
+    _tune(spark)
+    pts = DT.events_points(spark, sf_dir)
+    zones = DT.nation_zones(spark, sf_dir)
+    out = nearest_feature(pts, zones, point_id="event_id", strategy="broadcast")
+    return out.select("event_id", "nearest_gid",
+                      F.round(F.col("nearest_dist"), 9).alias("dist_r"))
+
+
+def q_zonal_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics semantics over point measures: PIP join then
+    per-zone mean/std/min/max/sum/count (gistools stats.py:60-151)."""
+    _tune(spark)
+    pts = DT.events_points(spark, sf_dir)
+    zones = DT.nation_zones(spark, sf_dir)
+    j = pip_join(pts, zones, strategy="broadcast")
+    return j.groupBy("gid").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.round(F.stddev_pop("value"), 6).alias("std_value"),
+    )
+
+
+def q_shared_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlay intersection areas: zones ⋈ query rects (gistools
+    intersecting_area layer.py:1728-1747) — real clip kernel vs SQL
+    closed-form rect∩rect."""
+    _tune(spark)
+    zones = DT.nation_zones(spark, sf_dir)
+    re = spark.read.parquet(f"{sf_dir}/region.parquet")
+    from gis_tools_spark.geom import wkb as W
+    rows = [(int(r["r_regionkey"]),
+             bytearray(W.box(5.0 + r["r_regionkey"] * 0.9, 40.3,
+                             5.0 + r["r_regionkey"] * 0.9 + 1.1, 43.4)))
+            for r in re.collect()]
+    rects = spark.createDataFrame(rows, "rid int, geometry_wkb binary")
+    out = intersection_join(zones, rects, left_id="gid", right_id="rid",
+                            keep_geometry=False)
+    return out.select("gid", "rid", F.round(F.col("inter_area"), 9).alias("area_r"))
+
+
+def q_dissolve_region_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve zones by region key; union area (zones disjoint → exact;
+    gistools dissolve layer.py:501-516)."""
+    _tune(spark)
+    zones = DT.nation_zones(spark, sf_dir)
+    d = dissolve(zones.select("regionkey", "geometry_wkb"), "regionkey")
+    return d.select("regionkey", F.round(F.col("union_area"), 9).alias("area_r"))
+
+
+# ============================================================ training-data ops
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup removal: hash-groupBy on document text."""
+    _tune(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.groupBy(F.md5(F.col("text")).alias("h"))
+            .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n")))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: token count, char stats, punctuation ratio."""
+    _tune(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +"))
+    n_chars = F.length("text")
+    n_nospace = F.length(F.regexp_replace("text", r"\s", ""))
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_q"),
+        F.round(n_nospace / n_tokens, 6).alias("avg_token_len"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID (en/fr/de scores + argmax)."""
+    _tune(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def score(word: str):
+        return ((F.length("text")
+                 - F.length(F.expr(f"replace(text, ' {word} ', '')")))
+                / (len(word) + 2)).cast("long")
+
+    en, fr, de = score("the"), score("le"), score("der")
+    pred = (F.when((en >= fr) & (en >= de), F.lit("en"))
+            .when(fr >= de, F.lit("fr")).otherwise(F.lit("de")))
+    return docs.select("doc_id", en.alias("en_s"), fr.alias("fr_s"),
+                       de.alias("de_s"), pred.alias("pred_lang"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text."""
+    _tune(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def q_embed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine nearest neighbor per embedding (ANN baseline)."""
+    _tune(spark)
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    pairs = (a.crossJoin(b).where(F.col("id_a") != F.col("id_b"))
+             .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cos_r")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("id_a").orderBy(F.col("cos_r").desc(), F.col("id_b"))
+    return (pairs.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+            .select("id_a", "id_b", "cos_r"))
+
+
+# ============================================================ relational sanity
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+        F.count("*").alias("count_order")))
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+                       "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+# ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PIP join + per-zone counts on sf0.001."""
+    return q_pip_zone_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pip_zone_counts": q_pip_zone_counts,
+        "pip_pairs": q_pip_pairs,
+        "pip_pairs_salted": q_pip_pairs_salted,
+        "cell_index_counts": q_cell_index_counts,
+        "tile_assignment": q_tile_assignment,
+        "knn_nearest_zone": q_knn_nearest_zone,
+        "zonal_event_stats": q_zonal_event_stats,
+        "shared_area": q_shared_area,
+        "dissolve_region_area": q_dissolve_region_area,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embed_top1": q_embed_top1,
+        "pricing_summary": q_pricing_summary,
+        "events_hourly": q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_PIP_PAIRS_SQL = f"""
+SELECT p.event_id, z.gid
+FROM ({DT.POINTS_SQL.strip()}) p
+JOIN ({DT.ZONES_SQL.strip()}) z
+  ON p.lon >= z.zminx AND p.lon <= z.zmaxx
+ AND p.lat >= z.zminy AND p.lat <= z.zmaxy
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cell14 = C.cell_sql("p.lon", "p.lat", CELL_RES)
+    corner = lambda xe, ye: C.cell_sql(xe, ye, TILE_RES)  # noqa: E731
+    return {
+        "pip_zone_counts": f"""
+            SELECT z.gid, z.nom, count(*) AS n_points
+            FROM ({DT.POINTS_SQL.strip()}) p
+            JOIN ({DT.ZONES_SQL.strip()}) z
+              ON p.lon >= z.zminx AND p.lon <= z.zmaxx
+             AND p.lat >= z.zminy AND p.lat <= z.zmaxy
+            GROUP BY z.gid, z.nom
+        """,
+        "pip_pairs": _PIP_PAIRS_SQL,
+        "pip_pairs_salted": _PIP_PAIRS_SQL,
+        "cell_index_counts": f"""
+            SELECT {cell14} AS cell, count(*) AS n
+            FROM ({DT.POINTS_SQL.strip()}) p
+            GROUP BY 1
+        """,
+        "tile_assignment": f"""
+            SELECT DISTINCT event_id, cell FROM (
+              SELECT event_id, {corner('minx', 'miny')} AS cell FROM ({DT.FOOTPRINTS_SQL.strip()})
+              UNION ALL
+              SELECT event_id, {corner('maxx', 'miny')} FROM ({DT.FOOTPRINTS_SQL.strip()})
+              UNION ALL
+              SELECT event_id, {corner('minx', 'maxy')} FROM ({DT.FOOTPRINTS_SQL.strip()})
+              UNION ALL
+              SELECT event_id, {corner('maxx', 'maxy')} FROM ({DT.FOOTPRINTS_SQL.strip()})
+            ) t
+        """,
+        "knn_nearest_zone": f"""
+            WITH d AS (
+              SELECT p.event_id, z.gid,
+                sqrt(pow(greatest(z.zminx - p.lon, p.lon - z.zmaxx, 0), 2)
+                   + pow(greatest(z.zminy - p.lat, p.lat - z.zmaxy, 0), 2)) AS dist,
+                sqrt(pow(p.lon - (z.zminx + 0.4), 2)
+                   + pow(p.lat - (z.zminy + 0.4), 2)) AS cdist
+              FROM ({DT.POINTS_SQL.strip()}) p CROSS JOIN ({DT.ZONES_SQL.strip()}) z
+            ), ranked AS (
+              SELECT event_id, gid, dist,
+                row_number() OVER (PARTITION BY event_id
+                  ORDER BY CASE WHEN dist = 0 THEN cdist - 1e9 ELSE dist END, gid) AS rn
+              FROM d
+            )
+            SELECT event_id, gid AS nearest_gid, round(dist, 9) AS dist_r
+            FROM ranked WHERE rn = 1
+        """,
+        "zonal_event_stats": f"""
+            SELECT z.gid, count(*) AS n,
+                   round(sum(p.value), 6) AS sum_value,
+                   round(avg(p.value), 6) AS avg_value,
+                   round(min(p.value), 6) AS min_value,
+                   round(max(p.value), 6) AS max_value,
+                   round(stddev_pop(p.value), 6) AS std_value
+            FROM ({DT.POINTS_SQL.strip()}) p
+            JOIN ({DT.ZONES_SQL.strip()}) z
+              ON p.lon >= z.zminx AND p.lon <= z.zmaxx
+             AND p.lat >= z.zminy AND p.lat <= z.zmaxy
+            GROUP BY z.gid
+        """,
+        "shared_area": f"""
+            WITH r AS (
+              SELECT r_regionkey AS rid,
+                     5.0 + r_regionkey * 0.9 AS rminx, 40.3 AS rminy,
+                     5.0 + r_regionkey * 0.9 + 1.1 AS rmaxx, 43.4 AS rmaxy
+              FROM region
+            ), x AS (
+              SELECT z.gid, r.rid,
+                greatest(0, least(z.zmaxx, r.rmaxx) - greatest(z.zminx, r.rminx))
+                * greatest(0, least(z.zmaxy, r.rmaxy) - greatest(z.zminy, r.rminy)) AS a
+              FROM ({DT.ZONES_SQL.strip()}) z CROSS JOIN r
+            )
+            SELECT gid, rid, round(a, 9) AS area_r FROM x WHERE a > 1e-12
+        """,
+        "dissolve_region_area": f"""
+            SELECT z.regionkey,
+                   round(sum((z.zmaxx - z.zminx) * (z.zmaxy - z.zminy)), 9) AS area_r
+            FROM ({DT.ZONES_SQL.strip()}) z
+            GROUP BY z.regionkey
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+              length(string_split_regex(trim(text), ' +')) AS n_tokens,
+              length(text) AS n_chars_q,
+              round(length(regexp_replace(text, '\s', '', 'g'))
+                    / length(string_split_regex(trim(text), ' +')), 6) AS avg_token_len,
+              round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                    / length(text), 6) AS punct_ratio
+            FROM documents
+        """,
+        "lang_id": """
+            WITH s AS (
+              SELECT doc_id,
+                CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS en_s,
+                CAST((length(text) - length(replace(text, ' le ', ''))) / 4 AS BIGINT) AS fr_s,
+                CAST((length(text) - length(replace(text, ' der ', ''))) / 5 AS BIGINT) AS de_s
+              FROM documents
+            )
+            SELECT doc_id, en_s, fr_s, de_s,
+              CASE WHEN en_s >= fr_s AND en_s >= de_s THEN 'en'
+                   WHEN fr_s >= de_s THEN 'fr' ELSE 'de' END AS pred_lang
+            FROM s
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "embed_top1": """
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])) AS DOUBLE), 6) AS cos_r
+              FROM embeddings a CROSS JOIN embeddings b
+              WHERE a.vec_id <> b.vec_id
+            ), ranked AS (
+              SELECT id_a, id_b, cos_r,
+                row_number() OVER (PARTITION BY id_a ORDER BY cos_r DESC, id_b) AS rn
+              FROM p
+            )
+            SELECT id_a, id_b, cos_r FROM ranked WHERE rn = 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+                   event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

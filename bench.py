@@ -1,0 +1,115 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], PLUS the image-table
+workload from BASELINE.json (synthetic geotagged image+caption table,
+generated distributed & deterministically): tiling, PIP join, zonal
+stats, decode+phash. Reports per-query wall seconds and derived
+throughputs (images/sec, PIP rows/sec).
+
+Scaling-efficiency evidence (north rule, two cluster sizes): run
+`python tools/scale_bench.py` which executes the same image workload at
+local[8] and local[32] and writes BENCH/BASELINE.md.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "60000"))
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def main() -> None:
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from gis_tools_spark import fixtures, get_spark
+    from gis_tools_spark.operators.sjoin import pip_join
+    from gis_tools_spark.raster.zonal import zonal_statistics
+
+    spark = get_spark(app_name="gis_tools_spark_bench", cpus=CPUS)
+    sf = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
+
+    timings: dict[str, float] = {}
+    meta: dict[str, float] = {}
+
+    # -------- driver-table headline queries
+    headline = ["pip_zone_counts", "pip_pairs", "pip_pairs_salted",
+                "knn_nearest_zone", "tile_assignment", "zonal_event_stats",
+                "shared_area", "dedup_exact", "text_stats", "embed_top1",
+                "pricing_summary"]
+    qs = E.queries()
+    for name in headline:
+        t0 = time.perf_counter()
+        n = _count(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        meta[f"{name}_rows"] = n
+
+    # -------- image-table workload (BASELINE.json metric)
+    images = fixtures.gen_images_spark(spark, N_IMAGES, with_pixels=True)
+    images = images.persist()
+    n_img = images.count()  # materialize once; generation excluded from op timings
+
+    zones_pd = fixtures.gen_zones(64)
+    zones = spark.createDataFrame(zones_pd[["gid", "nom", "secteur", "surf", "geometry_wkb"]])
+
+    from gis_tools_spark.operators.split import image_tile_assignment
+
+    t0 = time.perf_counter()
+    n_tiles = _count(image_tile_assignment(
+        images.select("image_id", "minx", "miny", "maxx", "maxy"), res=16))
+    timings["img_tiling"] = round(time.perf_counter() - t0, 3)
+    meta["img_tiling_rows"] = n_tiles
+
+    t0 = time.perf_counter()
+    n_pip = _count(pip_join(images.select("image_id", "lon", "lat"), zones,
+                            strategy="cell", salt_threshold=50_000))
+    timings["img_pip_join"] = round(time.perf_counter() - t0, 3)
+    meta["img_pip_rows"] = n_pip
+
+    from gis_tools_spark.raster.kernels import decode_phash_udf
+
+    t0 = time.perf_counter()
+    n_ok = _count(images.select((decode_phash_udf()("bytes", "w", "h", "fmt")
+                                 == F.col("phash")).alias("ok")).where("ok"))
+    timings["img_decode_phash"] = round(time.perf_counter() - t0, 3)
+    meta["img_decode_ok"] = n_ok
+
+    rasters = spark.createDataFrame(fixtures.gen_rasters(8, 8, 128))
+    t0 = time.perf_counter()
+    nz = _count(zonal_statistics(rasters, zones))
+    timings["img_zonal_stats"] = round(time.perf_counter() - t0, 3)
+    meta["zonal_zones"] = nz
+
+    images.unpersist()
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "spatial-join+tiling throughput (gis_tools_spark)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "n_images": n_img,
+        "images_per_sec": round(n_img / max(timings["img_pip_join"]
+                                            + timings["img_tiling"]
+                                            + timings["img_decode_phash"], 1e-9), 1),
+        "pip_rows_per_sec": round(meta["img_pip_rows"] / max(timings["img_pip_join"], 1e-9), 1),
+        "detail": meta,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -241,6 +241,66 @@ def gen_rasters(nx: int = 4, ny: int = 4, tile: int = 64, seed: int = SEED,
                                        "caption", "phash", "gt_x0", "gt_rx", "gt_y0", "gt_ry"])
 
 
+# ------------------------------------------------------------------ distributed generator
+
+IMAGES_SPARK_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "phash long, gt_x0 double, gt_rx double, gt_y0 double, gt_ry double, "
+    "minx double, miny double, maxx double, maxy double, lon double, lat double"
+)
+
+
+def gen_images_spark(spark, n: int, seed: int = SEED, with_pixels: bool = True,
+                     partitions: int | None = None):
+    """Distributed deterministic image-table generator (for benches): every
+    column is a pure function of (seed, i), so any partitioning yields the
+    same table. Same skew model as gen_images (80% on 12 hotspots)."""
+    import pandas as pd  # noqa: F811
+
+    minx_a, miny_a, maxx_a, maxy_a = AOI
+    r0 = np.random.default_rng(seed)
+    hot = np.stack([r0.uniform(minx_a, maxx_a, N_HOTSPOTS),
+                    r0.uniform(miny_a, maxy_a, N_HOTSPOTS)], axis=1)
+
+    def _gen(it):
+        for pdf in it:
+            ids = pdf["id"].values
+            rows = []
+            for i in ids:
+                i = int(i)
+                prng = np.random.default_rng(seed * 1_000_003 + i)
+                if prng.random() < 0.8:
+                    hx, hy = hot[int(prng.integers(0, N_HOTSPOTS))]
+                    lon = float(np.clip(hx + prng.normal(0, 0.03), minx_a, maxx_a))
+                    lat = float(np.clip(hy + prng.normal(0, 0.03), miny_a, maxy_a))
+                else:
+                    lon = float(prng.uniform(minx_a, maxx_a))
+                    lat = float(prng.uniform(miny_a, maxy_a))
+                w = int(prng.choice([16, 32, 64]))
+                h = int(prng.choice([16, 32, 64]))
+                fmt = str(prng.choice(["raw", "png"]))
+                span = float(prng.uniform(0.001, 0.01))
+                if with_pixels:
+                    arr = prng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    buf = codec.encode(arr, fmt)
+                    ph = codec.phash64(arr)
+                else:
+                    buf, ph = b"", 0
+                x0, y0 = lon - span / 2, lat + span / 2
+                rows.append((f"img{i:09d}", buf, w, h, fmt,
+                             f"caption for img{i} at ({lon:.4f},{lat:.4f})", ph,
+                             x0, span / w, y0, span / h,
+                             x0, y0 - span, x0 + span, y0, lon, lat))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                "gt_x0", "gt_rx", "gt_y0", "gt_ry",
+                "minx", "miny", "maxx", "maxy", "lon", "lat"])
+
+    partitions = partitions or max(32, spark.sparkContext.defaultParallelism)
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(
+        _gen, schema=IMAGES_SPARK_SCHEMA)
+
+
 # ------------------------------------------------------------------ writers
 
 def write_parquet(out_dir: str, n_images: int = 2000, n_zones: int = 64,

@@ -1,0 +1,188 @@
+"""Deduplication operators for training-data pipelines (round-1 core
+per driver instructions): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hash math is deterministic (xxhash64 via Spark or blake2b via
+Python) so results are stable across runs/partitionings. Scale design:
+every variant reduces to groupBy/join on small fixed-width keys —
+shuffle volume is O(rows × bands), never O(rows²); only within-bucket
+candidate pairs are scored.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+TOKEN_PATTERN = r"[a-z0-9]+"
+
+
+def normalize_text(col):
+    return F.lower(F.regexp_replace(col, r"\s+", " "))
+
+
+# ------------------------------------------------------------------ exact
+
+def dedup_exact(df: DataFrame, *, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep min-id row per exact (md5) text hash."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1").drop("__rn"))
+
+
+# ------------------------------------------------------------------ minhash
+
+def _hash64(data: bytes, seed: int) -> int:
+    h = hashlib.blake2b(data, digest_size=8, key=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little", signed=True)
+
+
+def minhash_signatures(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       shingle_size: int = 3) -> DataFrame:
+    """Word-shingle MinHash signature per document (array<long>)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = [w for w in (t or "").lower().split() if w]
+            if len(words) < shingle_size:
+                shingles = {" ".join(words)} if words else {""}
+            else:
+                shingles = {" ".join(words[i:i + shingle_size])
+                            for i in range(len(words) - shingle_size + 1)}
+            enc = [s.encode() for s in shingles]
+            sig = [min(_hash64(e, seed) for e in enc) for seed in range(num_hashes)]
+            out.append(sig)
+        return pd.Series(out)
+
+    return df.select(id_col, _sig(F.col(text_col)).alias("minhash"))
+
+
+def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 64,
+                      bands: int = 16, shingle_size: int = 3,
+                      threshold: float = 0.7) -> DataFrame:
+    """Near-dup candidate pairs via banded LSH, verified by signature-
+    estimated Jaccard ≥ threshold. Returns (id_a, id_b, jaccard_est),
+    id_a < id_b.
+
+    shingle→minhash→band→bucket-join: each doc emits `bands` bucket keys
+    (hash of one band of the signature); equal keys equi-join; estimated
+    Jaccard = fraction of agreeing signature positions.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col,
+                              num_hashes=num_hashes, shingle_size=shingle_size)
+    sigs = sigs.persist()
+    banded = sigs.select(
+        id_col, "minhash",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(",", *[
+                F.col("minhash")[b * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)]))
+            for b in range(bands)])).alias("band", "bucket"))
+    a = banded.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a"),
+                      "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b"),
+                      "band", "bucket")
+    cand = (a.join(b, on=["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    jacc = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
+    return (cand.withColumn("jaccard_est", jacc)
+            .where(F.col("jaccard_est") >= threshold)
+            .select("id_a", "id_b", "jaccard_est"))
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(df: DataFrame, *, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens: per-bit majority of token hashes."""
+
+    @F.pandas_udf(T.LongType())
+    def _sim(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = (t or "").lower().split()
+            acc = np.zeros(64, dtype=np.int64)
+            for wd in words:
+                hv = _hash64(wd.encode(), 0)
+                bits = (hv >> np.arange(64)) & 1
+                acc += np.where(bits == 1, 1, -1)
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out, dtype=np.int64)
+
+    return df.select(id_col, _sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming via 4-block bucketing
+    (pigeonhole: ≤3 differing bits → at least one 16-bit block equal)."""
+    sh = simhash64(df, text_col=text_col, id_col=id_col)
+    blocks = F.array(*[
+        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
+        for i in range(4)])
+    e = sh.select(id_col, "simhash", F.posexplode(blocks).alias("blk", "key"))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "blk", "key")
+    b = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "blk", "key")
+    cand = (a.join(b, on=["blk", "key"]).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "h_a", "h_b").distinct())
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (cand.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ------------------------------------------------------------------ n-gram jaccard
+
+def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        prefilter_bands: int = 8) -> DataFrame:
+    """EXACT word n-gram Jaccard between candidate pairs, candidates from
+    a cheap MinHash LSH prefilter (so we never score all O(rows²))."""
+    cand = minhash_lsh_pairs(df, text_col=text_col, id_col=id_col,
+                             num_hashes=32, bands=prefilter_bands,
+                             shingle_size=n, threshold=0.0)
+    shingles = df.select(
+        F.col(id_col),
+        F.col(text_col)).withColumn(
+        "sh", _shingle_set_udf(n)(F.col(text_col))).drop(text_col)
+    a = shingles.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = shingles.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cand.select("id_a", "id_b").join(a, on="id_a").join(b, on="id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (joined.withColumn("jaccard", inter / union)
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def _shingle_set_udf(n: int):
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            words = [w for w in (t or "").lower().split() if w]
+            if len(words) < n:
+                out.append([" ".join(words)] if words else [])
+            else:
+                out.append(sorted({" ".join(words[i:i + n])
+                                   for i in range(len(words) - n + 1)}))
+        return pd.Series(out)
+
+    return _sh

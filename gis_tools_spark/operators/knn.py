@@ -1,0 +1,227 @@
+"""kNN nearest-feature lookup (SURVEY.md §2.5; reference
+/root/reference/gistools/geometry.py:682-705 `nearest_feature`).
+
+Reference semantics reproduced exactly:
+1. if the query geometry INTERSECTS any candidates, the winner is the
+   intersecting candidate with the minimum CENTROID-to-centroid
+   distance, and the reported distance is 0;
+2. otherwise the winner is the candidate with minimum exact geometry
+   distance (the reference shortlists by bbox via r_tree.nearest; we
+   compute the true argmin, which is the same answer whenever the
+   reference's bbox shortlist contains the true nearest).
+Ties broken by smallest candidate id (deterministic; the reference's
+np.argmin keeps the first index).
+
+Physical strategy (scale path): driver-side ring expansion over cell
+keys — join points' grid-disk cells at a coarse res against candidate
+cover cells, doubling k until every point has a hit, then one extra
+expansion to ceil(best_dist / cell_width) so a closer candidate in an
+outer ring can't be missed (exactness guard). Each round is a Catalyst
+sort-merge/broadcast equi-join. Small candidate side short-circuits to
+a broadcast all-pairs pass.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .. import cells as C
+from ..geom import kernels as K, wkb
+
+
+def nearest_feature(points: DataFrame, features: DataFrame, *,
+                    lon: str = "lon", lat: str = "lat",
+                    point_id: str = "pid",
+                    feat_wkb: str = "geometry_wkb", feat_id: str = "gid",
+                    res: int = C.RES_MIN,
+                    broadcast_max_rows: int = 200_000,
+                    strategy: str = "auto") -> DataFrame:
+    """Returns one row per point: point cols + (feat_id, nearest_dist)."""
+    if strategy == "auto":
+        strategy = "broadcast" if features.count() <= broadcast_max_rows else "rings"
+    if strategy == "broadcast":
+        return _nearest_broadcast(points, features, lon=lon, lat=lat,
+                                  point_id=point_id, feat_wkb=feat_wkb,
+                                  feat_id=feat_id)
+    return _nearest_rings(points, features, lon=lon, lat=lat,
+                          point_id=point_id, feat_wkb=feat_wkb,
+                          feat_id=feat_id, res=res)
+
+
+def _decode_features(rows, feat_wkb, feat_id):
+    feats = []
+    for r in rows:
+        g = wkb.decode(r[feat_wkb])
+        cx, cy = K.centroid(g)
+        feats.append((r[feat_id], g, cx, cy, K.bounds(g)))
+    return feats
+
+
+def _nearest_broadcast(points, features, *, lon, lat, point_id, feat_wkb, feat_id):
+    """All-pairs vectorized pass with the features broadcast (no shuffle)."""
+    rows = features.select(feat_id, feat_wkb).collect()
+    sc = points.sparkSession.sparkContext
+    bc = sc.broadcast(_decode_features(rows, feat_wkb, feat_id))
+
+    from pyspark.sql import types as T
+    id_field = features.schema[feat_id]
+    out_schema = T.StructType(list(points.schema.fields)
+                              + [T.StructField("nearest_" + feat_id, id_field.dataType),
+                                 T.StructField("nearest_dist", T.DoubleType())])
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        feats = bc.value
+        ids = [f[0] for f in feats]
+        cents = np.array([[f[2], f[3]] for f in feats])
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            xs = pdf[lon].values.astype(np.float64)
+            ys = pdf[lat].values.astype(np.float64)
+            n, m = len(pdf), len(feats)
+            dist = np.empty((n, m))
+            for j, (fid, g, cx, cy, bb) in enumerate(feats):
+                dist[:, j] = K.point_to_geom_distance(g, xs, ys)
+            cdist = np.sqrt((xs[:, None] - cents[None, :, 0]) ** 2
+                            + (ys[:, None] - cents[None, :, 1]) ** 2)
+            inter = dist == 0.0
+            any_inter = inter.any(axis=1)
+            # intersecting rows: argmin centroid distance among intersecting
+            pick_c = np.where(inter, cdist, np.inf).argmin(axis=1)
+            pick_d = dist.argmin(axis=1)
+            pick = np.where(any_inter, pick_c, pick_d)
+            best = np.where(any_inter, 0.0, dist[np.arange(n), pick_d])
+            out = pdf.copy()
+            out["nearest_" + feat_id] = [ids[int(k)] for k in pick]
+            out["nearest_dist"] = best
+            yield out
+
+    return points.mapInPandas(_run, schema=out_schema)
+
+
+def _nearest_rings(points, features, *, lon, lat, point_id, feat_wkb, feat_id, res):
+    """Distributed ring-expansion kNN.
+
+    Round k: points emit their grid-disk(k) cells (pure arithmetic via
+    neighbor offsets), features their cover cells at `res`; equi-join,
+    exact distance refine, per-point min. Points without a hit roll to
+    the next round with doubled k. Exactness: after the first hit at
+    radius k with winner distance d, one final round at radius
+    ceil(d/cell_w)+1 confirms no closer candidate in an outer ring.
+    """
+    from .core import CELL_COL, explode_cover
+
+    # cells are 360/2^res wide but 180/2^res tall — the exactness radius
+    # must use the smaller extent
+    cell_w = 180.0 / (1 << res)
+    cover = explode_cover(features.select(feat_id, feat_wkb), feat_wkb,
+                          CELL_COL, res, res, max_cells=4096).drop(feat_wkb)
+
+    feats = features.select(feat_id, feat_wkb)
+    w = Window.partitionBy(point_id).orderBy(F.col("__order"), F.col(feat_id))
+
+    def _round_best(pts, radius):
+        cand = _ring_join(pts, cover, lon, lat, res, radius, CELL_COL)
+        scored = _score(cand.join(feats, on=feat_id), lon=lon, lat=lat,
+                        feat_wkb=feat_wkb)
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                .where("__rn = 1").drop("__rn", feat_wkb, "__order")
+                .withColumnRenamed(feat_id, "nearest_" + feat_id))
+
+    # localCheckpoint each iteration: the loop otherwise stacks windows,
+    # anti-joins and UDF stages into one deep lazy plan that Catalyst
+    # re-executes per action.
+    remaining = points.localCheckpoint(eager=True)
+    winners = None
+    k = 0
+    max_k = 1 << 12
+    while k <= max_k:
+        best = _round_best(remaining, k).localCheckpoint(eager=True)
+        if best.limit(1).count():
+            kconf = best.agg(F.max(F.ceil(F.col("nearest_dist") / F.lit(cell_w)))).collect()[0][0]
+            kconf = int(kconf or 0) + 1
+            if kconf > k:
+                # exactness re-check at the wider radius — ONLY for points
+                # that hit at this radius (a point first appearing in the
+                # confirm round is itself unconfirmed and waits for its
+                # own round)
+                hit_pts = best.select(point_id)
+                confirm_pts = remaining.join(hit_pts, on=point_id, how="left_semi")
+                best = _round_best(confirm_pts, kconf).localCheckpoint(eager=True)
+            winners = best if winners is None else winners.unionByName(best)
+            remaining = remaining.join(best.select(point_id), on=point_id,
+                                       how="left_anti").localCheckpoint(eager=True)
+            if remaining.limit(1).count() == 0:
+                break
+        k = 1 if k == 0 else k * 2
+    return winners
+
+
+def _ring_join(points, cover, lon, lat, res, k, cell_col):
+    """Join points to cover via all cells within Chebyshev distance k.
+
+    The point side explodes into (2k+1)^2 offsets only for small k; this
+    is only used on the shrinking 'remaining' set.
+    """
+    base = C.cell_column(F.col(lon), F.col(lat), res)
+    n = 1 << res
+    pts = points.withColumn("__c", base)
+    offs = F.expr(f"explode(flatten(transform(sequence(-{k},{k}), dx -> "
+                  f"transform(sequence(-{k},{k}), dy -> struct(dx, dy)))))")
+    pts = pts.withColumn("__o", offs)
+    ix0 = ((F.col("__c") - F.lit(res) * F.lit(1 << C.RES_SHIFT)) / F.lit(1 << C.IX_SHIFT)).cast("long")
+    iy0 = F.col("__c") % F.lit(1 << C.IX_SHIFT)
+    nix = ix0 + F.col("__o.dx")
+    niy = iy0 + F.col("__o.dy")
+    valid = (nix >= 0) & (nix < n) & (niy >= 0) & (niy < n)
+    cell = (F.lit(res).cast("long") * F.lit(1 << C.RES_SHIFT)
+            + nix * F.lit(1 << C.IX_SHIFT) + niy)
+    pts = pts.where(valid).withColumn(cell_col, cell).drop("__c", "__o")
+    joined = pts.join(cover, on=cell_col).drop(cell_col)
+    return joined.dropDuplicates([c for c in points.columns] + [cover.columns[0]])
+
+
+def _score(pairs: DataFrame, *, lon, lat, feat_wkb) -> DataFrame:
+    """Exact distance with the reference tie-break: intersecting → dist 0
+    but ordered by centroid distance (we fold both into one sort key:
+    nearest_dist for ordering = (0, centroid_dist) when intersecting)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(list(pairs.schema.fields)
+                          + [T.StructField("nearest_dist", T.DoubleType()),
+                             T.StructField("__order", T.DoubleType())])
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            dist = np.empty(len(pdf))
+            order = np.empty(len(pdf))
+            for buf, idx in pdf.groupby(feat_wkb, sort=False).indices.items():
+                g = wkb.decode(buf)
+                cx, cy = K.centroid(g)
+                xs = pdf[lon].values[idx]
+                ys = pdf[lat].values[idx]
+                d = K.point_to_geom_distance(g, xs, ys)
+                cd = np.sqrt((xs - cx) ** 2 + (ys - cy) ** 2)
+                dist[idx] = d
+                # intersecting rows sort by centroid distance but report 0;
+                # order key keeps them ahead of any non-intersecting row
+                order[idx] = np.where(d == 0.0, cd - 1e9, d)
+            out = pdf.copy()
+            out["nearest_dist"] = dist
+            out["__order"] = order
+            yield out
+
+    scored = pairs.mapInPandas(_run, schema=schema)
+    return scored
+
+
+def nearest_feature_sql_order(df: DataFrame, point_id: str, feat_id: str) -> DataFrame:
+    """Window pick used by tests: row_number over (__order, feat_id)."""
+    w = Window.partitionBy(point_id).orderBy(F.col("__order"), F.col(feat_id))
+    return df.withColumn("__rn", F.row_number().over(w)).where("__rn=1").drop("__rn", "__order")

@@ -1,0 +1,169 @@
+"""Overlay operators: intersection join, shared/attr area, dissolve,
+dedup (SURVEY.md §2.5/§2.6; reference layer.py:965-1005 `overlay`,
+geometry.py:925-961 `shared_area`, layer.py:1555-1582 `attr_area`,
+layer.py:501-516 `dissolve`, layer.py:584-620 dedup).
+
+Round-1 scope note: geometric intersection is exact when the *clipping*
+side is convex (rect tiles, convex zones — Sutherland–Hodgman). The
+general concave∩concave / difference cases need a full clipping
+algorithm (Greiner–Hormann) — planned, see kernels.clip_polygon_convex.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from .. import cells as C
+from ..geom import kernels as K, wkb
+from .core import CELL_COL, explode_cover
+from .sjoin import _dedupe_names
+
+
+def intersection_join(left: DataFrame, right: DataFrame, *,
+                      left_wkb: str = "geometry_wkb",
+                      right_wkb: str = "geometry_wkb",
+                      left_id: str = "lid", right_id: str = "gid",
+                      res: int = C.RES_MIN, max_cells: int = 256,
+                      keep_geometry: bool = True) -> DataFrame:
+    """Pairwise geometric intersection (overlay 'intersection',
+    reference layer.py:103-131): inner cell-join candidates → exact clip
+    → rows with `inter_wkb` + `inter_area` (empty results dropped, as the
+    reference keeps only non-empty consistent-type geometries).
+
+    The RIGHT side is the clipper and must be convex per-part (rect
+    tiles / convex zones); each part of a right MultiPolygon clips
+    independently and results merge as a MultiPolygon.
+    """
+    right = _dedupe_names(left, right)
+    if right_wkb not in right.columns:
+        right_wkb = f"{right_wkb}_right"
+    if right_id not in right.columns:
+        right_id = f"{right_id}_right"
+
+    lc = explode_cover(left.select(left_id, left_wkb), left_wkb, CELL_COL,
+                       res, res, max_cells).drop(left_wkb)
+    rc = explode_cover(right.select(right_id, right_wkb), right_wkb, CELL_COL,
+                       res, res, max_cells).drop(right_wkb)
+    pairs = lc.join(rc, on=CELL_COL).select(left_id, right_id).distinct()
+    cand = pairs.join(left, on=left_id).join(right, on=right_id)
+
+    out_fields = [f for f in cand.schema.fields]
+    out_schema = T.StructType(out_fields + [
+        T.StructField("inter_wkb", T.BinaryType()),
+        T.StructField("inter_area", T.DoubleType()),
+    ])
+
+    def _clip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            inter_wkbs, inter_areas, keep = [], [], []
+            for i in range(len(pdf)):
+                lb, rb = pdf[left_wkb].iloc[i], pdf[right_wkb].iloc[i]
+                if lb is None or rb is None:
+                    keep.append(False); inter_wkbs.append(None); inter_areas.append(0.0)
+                    continue
+                g = wkb.decode(lb)
+                clipper = wkb.decode(rb)
+                pieces = []
+                for rings in K.polygons_of(clipper):
+                    res_g = K.clip_polygon_convex(g, rings[0])
+                    if res_g is not None:
+                        pieces.extend(K.polygons_of(res_g))
+                if not pieces:
+                    keep.append(False); inter_wkbs.append(None); inter_areas.append(0.0)
+                    continue
+                merged = ({"type": "Polygon", "rings": pieces[0]} if len(pieces) == 1
+                          else {"type": "MultiPolygon", "polygons": pieces})
+                a = K.area(merged)
+                if a <= K.EPS:
+                    keep.append(False); inter_wkbs.append(None); inter_areas.append(0.0)
+                    continue
+                keep.append(True)
+                inter_wkbs.append(wkb.encode(merged))
+                inter_areas.append(a)
+            out = pdf.copy()
+            out["inter_wkb"] = pd.Series(inter_wkbs, index=pdf.index, dtype=object)
+            out["inter_area"] = inter_areas
+            out = out[np.asarray(keep, dtype=bool)]
+            if len(out):
+                yield out
+
+    result = cand.mapInPandas(_clip, schema=out_schema)
+    if not keep_geometry:
+        result = result.drop("inter_wkb")
+    return result
+
+
+def shared_area(left: DataFrame, right: DataFrame, *, normalized: bool = False,
+                **kw) -> DataFrame:
+    """(left_id, right_id, shared_area) long-form matrix (reference
+    intersecting_area layer.py:1728-1747 / shared_area geometry.py:925)."""
+    left_wkb = kw.get("left_wkb", "geometry_wkb")
+    if normalized:
+        @F.pandas_udf(T.DoubleType())
+        def _area(s: pd.Series) -> pd.Series:
+            return pd.Series([K.area(wkb.decode(b)) if b is not None else 0.0 for b in s])
+
+        left = left.withColumn("__larea", _area(F.col(left_wkb)))
+        out = intersection_join(left, right, keep_geometry=False, **kw)
+        return (out.withColumn("shared_area", F.col("inter_area") / F.col("__larea"))
+                .drop("inter_area", "__larea"))
+    out = intersection_join(left, right, keep_geometry=False, **kw)
+    return out.withColumnRenamed("inter_area", "shared_area")
+
+
+def attr_area(left: DataFrame, right: DataFrame, *, pivot_attr: str,
+              left_id: str = "lid", **kw) -> DataFrame:
+    """Per-left-row intersection-area sums pivoted by a right attribute
+    (reference attr_area layer.py:1555-1582)."""
+    inter = intersection_join(left, right, left_id=left_id,
+                              keep_geometry=False, **kw)
+    return (inter.groupBy(left_id).pivot(pivot_attr).sum("inter_area"))
+
+
+def dissolve(df: DataFrame, by: str, *, wkb_col: str = "geometry_wkb",
+             agg: dict[str, str] | None = None,
+             assume_disjoint: bool = True) -> DataFrame:
+    """Group by attribute, union geometries, aggregate attrs
+    (reference dissolve layer.py:501-516, aggfunc='first').
+
+    assume_disjoint=True returns the collection-union (MultiPolygon of
+    all parts) — exact union when group members don't overlap, which is
+    the reference's dominant fixture case. Overlapping unions need the
+    full clipping kernel (later round); area is then an over-count.
+    """
+    agg = agg or {}
+
+    def _union(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        polys = []
+        for b in pdf[wkb_col]:
+            g = wkb.decode(b)
+            polys.extend(K.polygons_of(g))
+        merged = ({"type": "Polygon", "rings": polys[0]} if len(polys) == 1
+                  else {"type": "MultiPolygon", "polygons": polys})
+        row = {by: key[0], wkb_col: wkb.encode(merged),
+               "union_area": K.area(merged)}
+        for col, how in agg.items():
+            row[col] = pdf[col].iloc[0] if how == "first" else getattr(pdf[col], how)()
+        return pd.DataFrame([row])
+
+    fields = [df.schema[by], T.StructField(wkb_col, T.BinaryType()),
+              T.StructField("union_area", T.DoubleType())]
+    for col in agg:
+        fields.append(df.schema[col])
+    return df.groupBy(by).applyInPandas(_union, schema=T.StructType(fields))
+
+
+def drop_duplicate_geometries(df: DataFrame, *, wkb_col: str = "geometry_wkb",
+                              id_col: str = "gid") -> DataFrame:
+    """Keep first (min id) row per exactly-equal geometry — WKB is the
+    canonical hashable form (reference layer.py:584-620 keeps the first
+    occurrence in index order)."""
+    w = Window.partitionBy(F.sha2(F.col(wkb_col), 256)).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1").drop("__rn"))

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k (baseline; crossJoin — keep for
+  small query sets or verification).
+- lsh_topk: random-hyperplane LSH bucketing → candidate join → exact
+  rescoring (the scale path: shuffle is O(rows × tables), candidates per
+  query bounded by bucket sizes, never a full cross product).
+- ivf_topk: IVF-style coarse quantizer (k-means-lite centroids trained
+  on a sample) → probe nearest `nprobe` centroid buckets.
+
+All vector math runs vectorized in numpy inside Arrow-batched UDFs; the
+bucket joins are plain Catalyst equi-joins (sort-merge / broadcast).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def _cosine_expr(a: str, b: str):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k per query via a vectorized numpy pass with the
+    corpus broadcast (matrix-matrix product per Arrow batch)."""
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows])
+    M = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    bc = queries.sparkSession.sparkContext.broadcast((ids, M))
+
+    out_schema = T.StructType([
+        queries.schema[id_col],
+        T.StructField("neighbor_id", queries.schema[id_col].dataType),
+        T.StructField("cosine", T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_, M_ = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+            S = Q @ M_.T                       # (nq, nc)
+            qids = pdf[id_col].values
+            recs = []
+            for i in range(len(pdf)):
+                s = S[i]
+                # exclude self-match
+                order = np.argsort(-s, kind="stable")
+                rank = 0
+                for j in order:
+                    if ids_[j] == qids[i]:
+                        continue
+                    recs.append((qids[i], ids_[j], float(s[j]), rank))
+                    rank += 1
+                    if rank >= k:
+                        break
+            yield pd.DataFrame(recs, columns=[id_col, "neighbor_id", "cosine", "rank"])
+
+    return queries.select(id_col, vec_col).mapInPandas(_run, schema=out_schema)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.default_rng(seed).normal(0, 1, (n_planes, dim))
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 16, n_tables: int = 4, seed: int = 42):
+    """array<vector> → array<long> of n_tables bucket keys (sign pattern
+    of n_planes random hyperplanes per table)."""
+    planes = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        V = np.array(list(vecs), dtype=np.float64)
+        out = np.empty((len(V), len(planes)), dtype=np.int64)
+        for t, P in enumerate(planes):
+            signs = (V @ P.T) > 0                      # (n, n_planes)
+            keys = np.zeros(len(V), dtype=np.int64)
+            for b in range(P.shape[0]):
+                keys |= signs[:, b].astype(np.int64) << b
+            out[:, t] = (np.int64(t) << 48) | keys
+        return pd.Series(list(out))
+
+    return _buckets
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 10, dim: int,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_planes: int = 14, n_tables: int = 6, seed: int = 42) -> DataFrame:
+    """Approximate top-k: bucket-join on LSH keys then exact cosine rescore
+    + window pick. Recall grows with n_tables; cost stays linear."""
+    bud = lsh_bucket_udf(dim, n_planes, n_tables, seed)
+    qb = (queries.select(id_col, F.col(vec_col).cast("array<double>").alias("vq"))
+          .withColumn("bucket", F.explode(bud(F.col("vq")))))
+    cb = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).cast("array<double>").alias("vc"))
+          .withColumn("bucket", F.explode(bud(F.col("vc")))))
+    cand = (qb.join(cb, on="bucket")
+            .where(F.col(id_col) != F.col("neighbor_id"))
+            .dropDuplicates([id_col, "neighbor_id"]))
+    scored = cand.withColumn("cosine", _cosine_expr("vq", "vc"))
+    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w) - 1)
+            .where(F.col("rank") < k)
+            .select(id_col, "neighbor_id", "cosine", "rank"))
+
+
+def train_centroids(corpus: DataFrame, *, n_centroids: int = 16,
+                    vec_col: str = "embedding", sample: int = 10_000,
+                    iters: int = 10, seed: int = 42) -> np.ndarray:
+    """k-means-lite on a driver-side sample (IVF coarse quantizer)."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[c] = v / np.linalg.norm(v)
+    return C
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_centroids: int = 16, nprobe: int = 3, seed: int = 42) -> DataFrame:
+    """IVF: assign corpus rows to their nearest centroid bucket; queries
+    probe their `nprobe` nearest centroids; exact rescore within buckets."""
+    C = train_centroids(corpus, n_centroids=n_centroids, vec_col=vec_col, seed=seed)
+    bc = queries.sparkSession.sparkContext.broadcast(C)
+
+    def assign_udf(nprobe_: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def _assign(vecs: pd.Series) -> pd.Series:
+            C_ = bc.value
+            V = np.array(list(vecs), dtype=np.float64)
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            S = V @ C_.T
+            order = np.argsort(-S, axis=1)[:, :nprobe_]
+            return pd.Series([row.astype(int).tolist() for row in order])
+
+        return _assign
+
+    qb = (queries.select(id_col, F.col(vec_col).cast("array<double>").alias("vq"))
+          .withColumn("bucket", F.explode(assign_udf(nprobe)(F.col("vq")))))
+    cb = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).cast("array<double>").alias("vc"))
+          .withColumn("bucket", F.explode(assign_udf(1)(F.col("vc")))))
+    cand = (qb.join(cb, on="bucket")
+            .where(F.col(id_col) != F.col("neighbor_id"))
+            .dropDuplicates([id_col, "neighbor_id"]))
+    scored = cand.withColumn("cosine", _cosine_expr("vq", "vc"))
+    w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w) - 1)
+            .where(F.col("rank") < k)
+            .select(id_col, "neighbor_id", "cosine", "rank"))

@@ -1,0 +1,270 @@
+"""Tiling / splitting operators (SURVEY.md §2.4 — the reference's
+"geotile splitting" surface: katana geometry.py:489-543, fishnet/mesh
+geometry.py:311-318+646-679, hexana geometry.py:321-425, line cuts
+geometry.py:136-249, split dispatch layer.py:1116-1137).
+
+All fan-out operators are Arrow-batched UDFs producing array columns,
+exploded by Catalyst — the distributed version of the reference's
+`iterate_over_geometry` row-replication (layer.py:197-274).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from .. import cells as C
+from ..geom import kernels as K, wkb
+
+
+def _emit_multi(pieces: list[dict]) -> list[bytes]:
+    return [wkb.encode(p) for p in pieces]
+
+
+# ------------------------------------------------------------------ fishnet
+
+def fishnet(df: DataFrame, *, wkb_col: str = "geometry_wkb",
+            res: int | None = None, threshold: float | None = None,
+            keep_piece_geom: bool = True) -> DataFrame:
+    """Clip each polygon to the regular cell grid (reference mesh/fishnet:
+    clip polygon to square grid of given cell area, geometry.py:311-318).
+
+    `res` picks the grid; alternatively `threshold` (max piece bbox area
+    in deg²) chooses the finest res whose cells are ≥ threshold.
+    Output: input row × piece → (cell, piece_wkb, piece_area).
+    """
+    if res is None:
+        if threshold is None:
+            raise ValueError("need res or threshold")
+        res = 0
+        while res < C.MAX_RES:
+            w = 360.0 / (1 << (res + 1))
+            h = 180.0 / (1 << (res + 1))
+            if w * h < threshold:
+                break
+            res += 1
+
+    fields = list(df.schema.fields) + [
+        T.StructField("cell", T.LongType()),
+        T.StructField("piece_wkb", T.BinaryType()),
+        T.StructField("piece_area", T.DoubleType()),
+    ]
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for i in range(len(pdf)):
+                buf = pdf[wkb_col].iloc[i]
+                if buf is None:
+                    continue
+                g = wkb.decode(buf)
+                mnx, mny, mxx, mxy = K.bounds(g)
+                for c in C.bbox_to_cells(mnx, mny, mxx, mxy, res).tolist():
+                    cb = C.cell_to_bounds(np.int64(c))
+                    clipped = K.clip_rect(g, *cb)
+                    if clipped is None:
+                        continue
+                    a = K.area(clipped)
+                    if a <= K.EPS:
+                        continue
+                    row = pdf.iloc[i].to_dict()
+                    row["cell"] = int(c)
+                    row["piece_wkb"] = wkb.encode(clipped)
+                    row["piece_area"] = a
+                    out_rows.append(row)
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+
+    out = df.mapInPandas(_run, schema=T.StructType(fields))
+    return out if keep_piece_geom else out.drop("piece_wkb")
+
+
+# ------------------------------------------------------------------ katana
+
+def katana_split(g: dict, threshold: float, centroid_mode: bool = False,
+                 max_depth: int = 250) -> list[dict]:
+    """Recursive bbox-halving split until piece bbox area ≤ threshold
+    (reference katana geometry.py:489-543; katana_centroid 546-582;
+    same max recursion depth 250)."""
+    out = []
+    stack = [(g, 0)]
+    while stack:
+        geom, depth = stack.pop()
+        mnx, mny, mxx, mxy = K.bounds(geom)
+        w, h = mxx - mnx, mxy - mny
+        if w * h <= threshold or depth >= max_depth:
+            out.extend({"type": "Polygon", "rings": rings}
+                       for rings in K.polygons_of(geom))
+            continue
+        if centroid_mode:
+            cx, cy = K.centroid(geom)
+        else:
+            cx, cy = mnx + w / 2, mny + h / 2
+        if h >= w:  # split horizontally
+            parts = [K.clip_rect(geom, mnx, mny, mxx, cy),
+                     K.clip_rect(geom, mnx, cy, mxx, mxy)]
+        else:
+            parts = [K.clip_rect(geom, mnx, mny, cx, mxy),
+                     K.clip_rect(geom, cx, mny, mxx, mxy)]
+        for p in parts:
+            if p is not None and K.area(p) > K.EPS:
+                stack.append((p, depth + 1))
+    return out
+
+
+def split_polygons(df: DataFrame, *, wkb_col: str = "geometry_wkb",
+                   threshold: float, method: str = "katana") -> DataFrame:
+    """Layer-level split dispatch (reference layer.py:1116-1137):
+    method ∈ {katana, katana_centroid, fishnet(hexana→cell grid)}.
+    Adds (part_index, piece_wkb, piece_area); attributes replicated."""
+    if method == "fishnet":
+        out = fishnet(df, wkb_col=wkb_col, threshold=threshold)
+        w = Window.partitionBy(*df.columns).orderBy("cell")
+        return (out.withColumn("part_index", F.row_number().over(w) - 1)
+                .withColumnRenamed("cell", "__cell").drop("__cell"))
+
+    centroid_mode = method == "katana_centroid"
+    fields = list(df.schema.fields) + [
+        T.StructField("part_index", T.IntegerType()),
+        T.StructField("piece_wkb", T.BinaryType()),
+        T.StructField("piece_area", T.DoubleType()),
+    ]
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_rows = []
+            for i in range(len(pdf)):
+                buf = pdf[wkb_col].iloc[i]
+                if buf is None:
+                    continue
+                pieces = katana_split(wkb.decode(buf), threshold, centroid_mode)
+                # deterministic part order: by (minx, miny) of each piece
+                pieces.sort(key=lambda p: K.bounds(p)[:2])
+                for j, p in enumerate(pieces):
+                    row = pdf.iloc[i].to_dict()
+                    row["part_index"] = j
+                    row["piece_wkb"] = wkb.encode(p)
+                    row["piece_area"] = K.area(p)
+                    out_rows.append(row)
+            if out_rows:
+                yield pd.DataFrame(out_rows)
+
+    return df.mapInPandas(_run, schema=T.StructType(fields))
+
+
+# ------------------------------------------------------------------ explode multiparts
+
+def explode_multiparts(df: DataFrame, *, wkb_col: str = "geometry_wkb") -> DataFrame:
+    """multi→single, attributes replicated (reference explode
+    layer.py:376-379; geometry.py:292-308)."""
+
+    @F.pandas_udf(T.ArrayType(T.BinaryType()))
+    def _parts(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            if b is None:
+                out.append([])
+                continue
+            g = wkb.decode(b)
+            t = g["type"]
+            if t == "MultiPolygon":
+                out.append([wkb.encode({"type": "Polygon", "rings": r}) for r in g["polygons"]])
+            elif t == "MultiLineString":
+                out.append([wkb.encode({"type": "LineString", "coords": l}) for l in g["lines"]])
+            elif t == "MultiPoint":
+                out.append([wkb.point(*p) for p in g["points"]])
+            else:
+                out.append([b])
+        return pd.Series(out)
+
+    return (df.withColumn("__parts", _parts(F.col(wkb_col)))
+            .select("*", F.posexplode("__parts").alias("part_index", "part_wkb"))
+            .drop("__parts", wkb_col)
+            .withColumnRenamed("part_wkb", wkb_col))
+
+
+# ------------------------------------------------------------------ line cuts
+
+def cut_lines_fixed_length(df: DataFrame, *, wkb_col: str = "geometry_wkb",
+                           piece_len: float) -> DataFrame:
+    """Cut lines into fixed-length pieces (reference cut_
+    geometry.py:161-187)."""
+    fields = list(df.schema.fields) + [
+        T.StructField("part_index", T.IntegerType()),
+        T.StructField("piece_wkb", T.BinaryType()),
+        T.StructField("piece_len", T.DoubleType()),
+    ]
+
+    def _cut_one(coords: np.ndarray) -> list[np.ndarray]:
+        pts = coords[:, :2]
+        seg = np.sqrt((np.diff(pts, axis=0) ** 2).sum(axis=1))
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        total = cum[-1]
+        if total <= piece_len:
+            return [pts]
+        cuts = np.arange(piece_len, total, piece_len)
+        pieces, cur, d0 = [], [pts[0]], 0.0
+        ci = 0
+        for i in range(len(seg)):
+            a, b, L = pts[i], pts[i + 1], seg[i]
+            start = cum[i]
+            while ci < len(cuts) and cuts[ci] <= start + L + K.EPS:
+                t = (cuts[ci] - start) / L if L > 0 else 0.0
+                p = a + t * (b - a)
+                cur.append(p)
+                pieces.append(np.asarray(cur))
+                cur = [p]
+                ci += 1
+            cur.append(b)
+        if len(cur) >= 2:
+            pieces.append(np.asarray(cur))
+        return pieces
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in range(len(pdf)):
+                buf = pdf[wkb_col].iloc[i]
+                if buf is None:
+                    continue
+                g = wkb.decode(buf)
+                lines = [g["coords"]] if g["type"] == "LineString" else g.get("lines", [])
+                j = 0
+                for l in lines:
+                    for piece in _cut_one(l):
+                        row = pdf.iloc[i].to_dict()
+                        row["part_index"] = j
+                        row["piece_wkb"] = wkb.linestring(piece)
+                        d = np.diff(piece, axis=0)
+                        row["piece_len"] = float(np.sqrt((d * d).sum(axis=1)).sum())
+                        rows.append(row)
+                        j += 1
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_run, schema=T.StructType(fields))
+
+
+# ------------------------------------------------------------------ image tile assignment
+
+def image_tile_assignment(images: DataFrame, *, res: int = C.RES_MAX,
+                          minx: str = "minx", miny: str = "miny",
+                          maxx: str = "maxx", maxy: str = "maxy") -> DataFrame:
+    """Per-image tile (cell) assignment from its footprint bbox — the
+    'tile assignment derived from its pixel grid' of the north star.
+
+    PURE column arithmetic (no UDF): when a footprint is smaller than a
+    cell, its cover is exactly the distinct cells of its 4 bbox corners;
+    we emit those via array+explode+distinct. For bigger footprints use
+    `gis_tools_spark.operators.core.explode_cover`.
+    """
+    corners = F.array(
+        C.cell_column(F.col(minx), F.col(miny), res),
+        C.cell_column(F.col(maxx), F.col(miny), res),
+        C.cell_column(F.col(minx), F.col(maxy), res),
+        C.cell_column(F.col(maxx), F.col(maxy), res),
+    )
+    return (images.withColumn("cell", F.explode(F.array_distinct(corners))))

@@ -1,0 +1,85 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting. All pure Spark column
+expressions (JVM-side, whole-stage codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny per-language stopword lists for the n-gram heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "los", "que", "es"],
+}
+
+
+def lang_scores(df: DataFrame, *, text_col: str = "text",
+                langs=("en", "fr", "de")) -> DataFrame:
+    """Per-language stopword-occurrence scores + argmax prediction."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    out = df
+    score_cols = []
+    for lg in langs:
+        total = None
+        for wd in STOPWORDS[lg]:
+            c = ((F.length(padded) - F.length(F.regexp_replace(padded, f" {wd} ", "")))
+                 / (len(wd) + 2)).cast("long")
+            total = c if total is None else total + c
+        out = out.withColumn(f"{lg}_score", total)
+        score_cols.append(f"{lg}_score")
+    pred = F.lit(langs[0])
+    best = F.col(score_cols[0])
+    for lg, sc in zip(langs[1:], score_cols[1:]):
+        pred = F.when(F.col(sc) > best, F.lit(lg)).otherwise(pred)
+        best = F.greatest(best, F.col(sc))
+    return out.withColumn("pred_lang", pred)
+
+
+def quality_scores(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features."""
+    txt = F.col(text_col)
+    n_chars = F.length(txt)
+    n_tokens = F.size(F.split(F.trim(txt), r"\s+"))
+    n_alpha = F.length(F.regexp_replace(txt, r"[^A-Za-z]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(txt, r"[.,;:!?'\"()\[\]]", ""))
+    n_digit = F.length(F.regexp_replace(txt, r"[^0-9]", ""))
+    padded = F.concat(F.lit(" "), F.lower(txt), F.lit(" "))
+    stop = None
+    for wd in STOPWORDS["en"]:
+        c = ((F.length(padded) - F.length(F.regexp_replace(padded, f" {wd} ", "")))
+             / (len(wd) + 2)).cast("long")
+        stop = c if stop is None else stop + c
+    return df.select(
+        "*",
+        n_chars.alias("n_chars_q"),
+        n_tokens.alias("n_tokens"),
+        (n_chars / n_tokens).alias("mean_token_len"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (n_digit / n_chars).alias("digit_ratio"),
+        (n_alpha / n_chars).alias("alpha_ratio"),
+        (stop / n_tokens).alias("stopword_ratio"),
+    )
+
+
+def token_count_bpeish(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Token count under a BPE-ish regex (word pieces + punctuation +
+    digit runs), plus plain whitespace count."""
+    txt = F.col(text_col)
+    # BPE-ish: alpha runs (≤4 chars per piece approximated by counting
+    # ceil(len/4) over alpha runs), digits, punctuation as single tokens
+    ws_tokens = F.size(F.split(F.trim(txt), r"\s+"))
+    pieces = F.expr(
+        f"size(regexp_extract_all({text_col}, '[A-Za-z]{{1,4}}|[0-9]+|[^A-Za-z0-9\\\\s]', 0))")
+    return df.select("*", ws_tokens.alias("ws_tokens"), pieces.alias("bpe_tokens"))
+
+
+def fingerprint(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Normalized md5 fingerprint + 64-bit rolling-style hash (xxhash64
+    of the normalized text — same spirit as a rolling hash fingerprint,
+    deterministic and JVM-side)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.select("*", F.md5(norm).alias("fp_md5"),
+                     F.xxhash64(norm).alias("fp64"))

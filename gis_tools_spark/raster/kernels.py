@@ -1,0 +1,259 @@
+"""Per-image raster kernels as Arrow-batched UDFs (SURVEY.md §2.10).
+
+The reference operates on one global in-RAM array with GDAL round-trips
+(/root/reference/gistools/raster.py:65-78 gdal_decorator, 576-662
+arithmetic); here every kernel is decode → numpy → encode inside one
+mapInPandas/pandas_udf stage over image rows — no temp files, streaming
+through Arrow batches, embarrassingly parallel across tiles.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from . import codec
+
+
+def decode_phash_udf():
+    """(bytes, w, h, fmt) → phash64 of decoded pixels."""
+
+    @F.pandas_udf(T.LongType())
+    def _udf(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        out = []
+        for buf, ww, hh, ff in zip(b, w, h, fmt):
+            arr = codec.decode(buf, int(ww), int(hh), ff)
+            out.append(codec.phash64(arr))
+        return pd.Series(out, dtype=np.int64)
+
+    return _udf
+
+
+def map_pixels(df: DataFrame, fn: Callable[[np.ndarray], np.ndarray], *,
+               bytes_col: str = "bytes", out_fmt: str | None = None) -> DataFrame:
+    """Elementwise raster op (reference raster.py:576-662 arithmetic /
+    compare): decode → fn(array) → re-encode, schema preserved.
+    NaN no-data convention preserved inside fn."""
+    schema = df.schema
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            bufs = []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                arr = codec.decode(r[bytes_col], int(r["w"]), int(r["h"]), r["fmt"])
+                res = fn(arr)
+                bufs.append(codec.encode(res, out_fmt or r["fmt"]))
+            out = pdf.copy()
+            out[bytes_col] = pd.Series(bufs, index=pdf.index, dtype=object)
+            yield out
+
+    return df.mapInPandas(_run, schema=schema)
+
+
+def raster_global_stats(df: DataFrame, *, no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """NaN-aware global min/max/mean/sum across all tiles (reference
+    raster.py:356-376): per-tile partials + final combine."""
+    fields = T.StructType([
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("mn", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ])
+
+    def _partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                arr = codec.decode(r["bytes"], int(r["w"]), int(r["h"]), r["fmt"]).astype(np.float64)
+                good = arr[arr != no_data]
+                rows.append((int(good.size), float(good.sum()) if good.size else 0.0,
+                             float(good.min()) if good.size else np.inf,
+                             float(good.max()) if good.size else -np.inf))
+            yield pd.DataFrame(rows, columns=["n", "s", "mn", "mx"])
+
+    p = df.mapInPandas(_partial, schema=fields)
+    return p.agg(
+        F.sum("n").alias("count"),
+        (F.sum("s") / F.sum("n")).alias("mean"),
+        F.sum("s").alias("sum"),
+        F.min("mn").alias("min"),
+        F.max("mx").alias("max"),
+    )
+
+
+def contour_bins(df: DataFrame, interval: float, *, pmin: float = 2.0,
+                 pmax: float = 98.0, no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """Percentile-clamped binning → per-bin mean fill (reference contour,
+    raster.py:223-248). Two-pass: global percentiles via approx quantiles
+    on sampled pixel values, then a binning map kernel."""
+    # pass 1: sample pixel values for percentile estimation
+    sample_schema = T.StructType([T.StructField("v", T.DoubleType())])
+
+    def _sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vals = []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                arr = codec.decode(r["bytes"], int(r["w"]), int(r["h"]), r["fmt"]).astype(np.float64)
+                good = arr[arr != no_data]
+                if good.size:
+                    rng = np.random.default_rng(hash(r["image_id"]) % (2 ** 32))
+                    take = min(good.size, 4096)
+                    vals.append(rng.choice(good, take, replace=False))
+            if vals:
+                yield pd.DataFrame({"v": np.concatenate(vals)})
+
+    sampled = df.mapInPandas(_sample, schema=sample_schema)
+    lo, hi = sampled.approxQuantile("v", [pmin / 100.0, pmax / 100.0], 0.001)
+
+    def _bin(arr: np.ndarray) -> np.ndarray:
+        a = arr.astype(np.float64)
+        mask = a != no_data
+        clipped = np.clip(a, lo, hi)
+        binned = np.floor((clipped - lo) / interval) * interval + lo + interval / 2
+        out = np.where(mask, binned, no_data)
+        return out.astype(np.float32)
+
+    return map_pixels(df, _bin)
+
+
+def resample_block(df: DataFrame, factor: int, *, method: str = "mean") -> DataFrame:
+    """Block resample by integer factor (reference gdal_resample
+    raster.py:301-310 'mode'; disaggregate 253-278 for upsample).
+    method ∈ {mean, mode, nearest}; factor>0 downsamples by block,
+    factor<0 upsamples by repetition (nearest)."""
+    schema = df.schema
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            bufs, ws, hs = [], [], []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                arr = codec.decode(r["bytes"], int(r["w"]), int(r["h"]), r["fmt"])
+                if factor > 0:
+                    h2, w2 = arr.shape[0] // factor, arr.shape[1] // factor
+                    a = arr[: h2 * factor, : w2 * factor]
+                    blocks = a.reshape(h2, factor, w2, factor, *a.shape[2:])
+                    if method == "mean":
+                        res = blocks.mean(axis=(1, 3))
+                    elif method == "nearest":
+                        res = a[::factor, ::factor]
+                    else:  # mode
+                        res = _block_mode(blocks)
+                    res = res.astype(arr.dtype)
+                else:
+                    k = -factor
+                    res = np.repeat(np.repeat(arr, k, axis=0), k, axis=1)
+                bufs.append(codec.encode(res, r["fmt"]))
+                hs.append(res.shape[0]); ws.append(res.shape[1])
+            out = pdf.copy()
+            out["bytes"] = pd.Series(bufs, index=pdf.index, dtype=object)
+            out["w"] = np.asarray(ws, dtype=np.int32)
+            out["h"] = np.asarray(hs, dtype=np.int32)
+            yield out
+
+    return df.mapInPandas(_run, schema=schema)
+
+
+def _block_mode(blocks: np.ndarray) -> np.ndarray:
+    h2, f1, w2, f2 = blocks.shape[:4]
+    flat = blocks.reshape(h2, f1, w2, f2).transpose(0, 2, 1, 3).reshape(h2, w2, f1 * f2)
+    out = np.empty((h2, w2), dtype=blocks.dtype)
+    for i in range(h2):
+        for j in range(w2):
+            v, c = np.unique(flat[i, j], return_counts=True)
+            out[i, j] = v[np.argmax(c)]
+    return out
+
+
+def slope_aspect(df: DataFrame, *, mode: str = "slope",
+                 no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """Horn 3×3 slope/aspect per tile (reference raster.py:794-824 via
+    gdal.DEMProcessing). Interior-exact; tile borders use edge-replicate
+    (cross-tile halo exchange is the stitching pass, SURVEY §7.3)."""
+    def _kernel(arr: np.ndarray) -> np.ndarray:
+        a = arr.astype(np.float64)
+        a = np.where(a == no_data, np.nan, a)
+        p = np.pad(a, 1, mode="edge")
+        dzdx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+                - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])) / 8.0
+        dzdy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+                - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])) / 8.0
+        if mode == "slope":
+            out = np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+        else:
+            out = np.degrees(np.arctan2(dzdy, -dzdx))
+        out = np.where(np.isnan(out), no_data, out)
+        return out.astype(np.float32)
+
+    return map_pixels(df, _kernel)
+
+
+def sieve(df: DataFrame, min_size: int, *, no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """GDAL-sieve analog: absorb 4-connected same-value regions smaller
+    than min_size into their largest neighbor (reference raster.py:193-202,
+    724-738)."""
+    def _kernel(arr: np.ndarray) -> np.ndarray:
+        a = arr.copy()
+        labels, sizes, vals = _label_regions(a)
+        h, w = a.shape
+        for lbl in np.nonzero(sizes < min_size)[0]:
+            if sizes[lbl] == 0:
+                continue
+            mask = labels == lbl
+            # neighbor values along the region border
+            border_vals = {}
+            ys, xs = np.nonzero(mask)
+            for y, x in zip(ys, xs):
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    ny, nx = y + dy, x + dx
+                    if 0 <= ny < h and 0 <= nx < w and not mask[ny, nx]:
+                        v = a[ny, nx]
+                        border_vals[v] = border_vals.get(v, 0) + 1
+            if border_vals:
+                a[mask] = max(border_vals, key=border_vals.get)
+        return a
+
+    return map_pixels(df, _kernel)
+
+
+def _label_regions(a: np.ndarray):
+    """4-connected same-value region labeling (two-pass union-find)."""
+    h, w = a.shape
+    labels = -np.ones((h, w), dtype=np.int64)
+    parent = []
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nxt = 0
+    for y in range(h):
+        for x in range(w):
+            up = labels[y - 1, x] if y > 0 and a[y - 1, x] == a[y, x] else -1
+            left = labels[y, x - 1] if x > 0 and a[y, x - 1] == a[y, x] else -1
+            if up < 0 and left < 0:
+                labels[y, x] = nxt
+                parent.append(nxt)
+                nxt += 1
+            elif up >= 0 and left >= 0:
+                ru, rl = find(up), find(left)
+                labels[y, x] = rl
+                if ru != rl:
+                    parent[ru] = rl
+            else:
+                labels[y, x] = max(up, left)
+    flat = np.array([find(i) for i in range(nxt)]) if nxt else np.empty(0, dtype=int)
+    labels = flat[labels] if nxt else labels
+    sizes = np.bincount(labels.ravel(), minlength=nxt)
+    vals = np.empty(nxt, dtype=a.dtype)
+    ys, xs = np.nonzero(labels >= 0)
+    vals[labels[ys, xs]] = a[ys, xs]
+    return labels, sizes, vals

@@ -1,0 +1,75 @@
+"""Network operators vs networkx oracle on the fixture road grid."""
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from gis_tools_spark import fixtures
+from gis_tools_spark.geom import wkb
+from gis_tools_spark.operators.network import (
+    connected_components,
+    edges_from_lines,
+    end_nodes,
+    multi_edges,
+    self_loops,
+    shortest_paths,
+)
+
+
+@pytest.fixture(scope="module")
+def road_edges(spark):
+    lines = fixtures.gen_lines(24)  # 4 random + grid + island + loop
+    df = spark.createDataFrame(lines)
+    return edges_from_lines(df), lines
+
+
+def _nx_graph(lines):
+    g = nx.Graph()
+    for _, r in lines.iterrows():
+        geom = wkb.decode(r["geometry_wkb"])
+        coords = geom["coords"] if geom["type"] == "LineString" else geom["lines"][0]
+        p, q = coords[0], coords[-1]
+        key = lambda c: f"{round(float(c[0]),9)},{round(float(c[1]),9)}"  # noqa: E731
+        d = np.diff(coords[:, :2], axis=0)
+        ln = float(np.sqrt((d * d).sum(axis=1)).sum())
+        u, v = key(p), key(q)
+        if u != v:
+            if g.has_edge(u, v):
+                g[u][v]["weight"] = min(g[u][v]["weight"], ln)
+            else:
+                g.add_edge(u, v, weight=ln)
+        else:
+            g.add_node(u)
+    return g
+
+
+def test_self_loops_and_degrees(road_edges):
+    edges, lines = road_edges
+    assert self_loops(edges).count() == 1  # fixture self-loop
+    g = _nx_graph(lines)
+    deg1 = {n for n, d in g.degree() if d == 1}
+    got = {r["node"] for r in end_nodes(edges.where("src_key != dst_key")).collect()}
+    assert got == deg1
+
+
+def test_connected_components_match_networkx(road_edges):
+    edges, lines = road_edges
+    g = _nx_graph(lines)
+    want = {frozenset(c) for c in nx.connected_components(g) if len(c) > 1}
+    comp = connected_components(edges.where("src_key != dst_key")).toPandas()
+    groups = comp.groupby("component")["node"].apply(frozenset)
+    got = {grp for grp in groups if len(grp) > 1}
+    assert got == want
+
+
+def test_shortest_paths_match_networkx(road_edges):
+    edges, lines = road_edges
+    g = _nx_graph(lines)
+    src = "7.0,42.0"  # grid corner node
+    assert src in g
+    want = nx.single_source_dijkstra_path_length(g, src, weight="weight")
+    got = {r["node"]: r["dist"] for r in
+           shortest_paths(edges.where("src_key != dst_key"), [src]).collect()}
+    assert set(got) == set(want)
+    for n, d in want.items():
+        assert got[n] == pytest.approx(d, abs=1e-9)

@@ -1,0 +1,148 @@
+"""Dedup / similarity-search / text-analysis operators vs pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gis_tools_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from gis_tools_spark.operators.simsearch import brute_force_topk, ivf_topk, lsh_topk
+from gis_tools_spark.operators.textstats import fingerprint, lang_scores, quality_scores
+
+
+@pytest.fixture(scope="module")
+def docs_pd():
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "le chat est sur la table et le chien est dans le jardin",
+        "der hund ist im garten und die katze ist auf dem tisch",
+        "completely unrelated text about spark dataframes and shuffles",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        for rep in range(3):
+            # rep 0: exact dup; rep 1: near dup (one word changed); rep 2: distinct tail
+            if rep == 0:
+                t = b
+            elif rep == 1:
+                t = b.replace(b.split()[-1], "variant")
+            else:
+                t = b + f" extra tail {i} with unique tokens {i*7}"
+            rows.append((i, t))
+            i += 1
+    # one exact duplicate of doc 0
+    rows.append((i, base[0]))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def docs(spark, docs_pd):
+    return spark.createDataFrame(docs_pd)
+
+
+def test_dedup_exact(docs, docs_pd):
+    kept = dedup_exact(docs).toPandas()
+    # exactly one row per distinct text, min doc_id kept
+    want = docs_pd.groupby("text")["doc_id"].min()
+    assert sorted(kept["doc_id"]) == sorted(want.values)
+
+
+def test_minhash_estimates_jaccard(docs, docs_pd):
+    def jacc(a, b, n=3):
+        sa = {" ".join(a.split()[i:i+n]) for i in range(len(a.split())-n+1)}
+        sb = {" ".join(b.split()[i:i+n]) for i in range(len(b.split())-n+1)}
+        return len(sa & sb) / len(sa | sb)
+
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=16, threshold=0.3).toPandas()
+    texts = dict(zip(docs_pd.doc_id, docs_pd.text))
+    # exact duplicate pair must be found with est ≈ 1
+    dup = pairs[(pairs.id_a == 0) & (pairs.id_b == 12)]
+    assert len(dup) == 1 and dup["jaccard_est"].iloc[0] == 1.0
+    # estimates within 0.35 of true jaccard for reported pairs
+    for _, r in pairs.iterrows():
+        true_j = jacc(texts[r.id_a], texts[r.id_b])
+        assert abs(r.jaccard_est - true_j) < 0.35, (r.id_a, r.id_b, r.jaccard_est, true_j)
+
+
+def test_simhash_finds_exact_and_near(docs):
+    pairs = simhash_near_dups(docs, max_hamming=8).toPandas()
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (0, 12) in got  # exact dup → hamming 0
+    assert pairs[(pairs.id_a == 0) & (pairs.id_b == 12)]["hamming"].iloc[0] == 0
+
+
+def test_ngram_jaccard_exact_values(docs, docs_pd):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2).toPandas()
+    texts = dict(zip(docs_pd.doc_id, docs_pd.text))
+
+    def jacc(a, b, n=3):
+        wa, wb = a.split(), b.split()
+        sa = {" ".join(wa[i:i+n]) for i in range(max(1, len(wa)-n+1))}
+        sb = {" ".join(wb[i:i+n]) for i in range(max(1, len(wb)-n+1))}
+        return len(sa & sb) / len(sa | sb)
+
+    assert len(pairs) > 0
+    for _, r in pairs.iterrows():
+        assert r.jaccard == pytest.approx(jacc(texts[r.id_a], texts[r.id_b]), abs=1e-9)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(5)
+    # 3 well-separated clusters so ANN recall is reliable
+    centers = rng.normal(0, 1, (3, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        v = c + rng.normal(0, 0.05, 16)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), rows
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    df, rows = emb
+    got = brute_force_topk(df, df, k=3).toPandas()
+    M = np.array([r[1] for r in rows])
+    S = M @ M.T
+    for qid in (0, 7, 33):
+        s = S[qid].copy()
+        s[qid] = -np.inf
+        want = list(np.argsort(-s, kind="stable")[:3])
+        have = list(got[got.vec_id == qid].sort_values("rank")["neighbor_id"])
+        assert have == want, qid
+
+
+@pytest.mark.parametrize("fn", [lsh_topk, ivf_topk])
+def test_ann_recall(emb, fn):
+    df, rows = emb
+    kw = {"dim": 16} if fn is lsh_topk else {}
+    approx = fn(df, df, k=3, **kw).toPandas()
+    exact = brute_force_topk(df, df, k=3).toPandas()
+    # recall@3 ≥ 0.8 on well-separated clusters
+    hits = tot = 0
+    for qid, grp in exact.groupby("vec_id"):
+        want = set(grp["neighbor_id"])
+        have = set(approx[approx.vec_id == qid]["neighbor_id"])
+        hits += len(want & have)
+        tot += len(want)
+    assert hits / tot >= 0.8, hits / tot
+
+
+def test_lang_and_quality_and_fingerprint(docs, docs_pd):
+    ls = lang_scores(docs).toPandas()
+    assert ls[ls.doc_id == 0]["pred_lang"].iloc[0] == "en"
+    assert ls[ls.doc_id == 3]["pred_lang"].iloc[0] == "fr"
+    assert ls[ls.doc_id == 6]["pred_lang"].iloc[0] == "de"
+    q = quality_scores(docs).toPandas()
+    row = q[q.doc_id == 0].iloc[0]
+    assert row["n_tokens"] == len(docs_pd[docs_pd.doc_id == 0]["text"].iloc[0].split())
+    assert 0 <= row["punct_ratio"] <= 1 and 0 <= row["alpha_ratio"] <= 1
+    fp = fingerprint(docs).toPandas()
+    assert fp[fp.doc_id == 0]["fp_md5"].iloc[0] == fp[fp.doc_id == 12]["fp_md5"].iloc[0]
