@@ -189,22 +189,52 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine nearest neighbor per embedding (ANN baseline)."""
+    """Brute-force cosine nearest neighbor per embedding (ANN baseline).
+
+    Physical plan: the corpus is broadcast as one numpy matrix; each
+    Arrow batch of queries does a single BLAS matmul — no crossJoin
+    shuffle, no per-element lambda chains. Top-1 picked on the 6-dp
+    rounded cosine with id tie-break (byte-identical to the SQL oracle's
+    ORDER BY round(cos,6) DESC, id_b)."""
     _tune(spark)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
-    pairs = (a.crossJoin(b).where(F.col("id_a") != F.col("id_b"))
-             .select("id_a", "id_b", F.round(dot / (na * nb), 6).alias("cos_r")))
-    from pyspark.sql import Window
-    w = Window.partitionBy("id_a").orderBy(F.col("cos_r").desc(), F.col("id_b"))
-    return (pairs.withColumn("rn", F.row_number().over(w)).where("rn = 1")
-            .select("id_a", "id_b", "cos_r"))
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["v"] for r in rows], dtype=np.float64)
+    Mn = np.linalg.norm(M, axis=1)
+    bc = spark.sparkContext.broadcast((ids, M, Mn))
+
+    schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos_r", T.DoubleType()),
+    ])
+
+    def _run(it):
+        ids_, M_, Mn_ = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Q = np.array(list(pdf["v"]), dtype=np.float64)
+            Qn = np.linalg.norm(Q, axis=1)
+            S = np.round((Q @ M_.T) / (Qn[:, None] * Mn_[None, :]), 6)
+            qids = pdf["vec_id"].values
+            recs = []
+            for i in range(len(pdf)):
+                s = S[i]
+                # top-1 by (cos desc, id asc), excluding self
+                mask = ids_ != qids[i]
+                order = np.lexsort((ids_[mask], -s[mask]))
+                j = np.nonzero(mask)[0][order[0]]
+                recs.append((int(qids[i]), int(ids_[j]), float(s[j])))
+            yield pd.DataFrame(recs, columns=["id_a", "id_b", "cos_r"])
+
+    return emb.mapInPandas(_run, schema=schema)
 
 
 # ============================================================ relational sanity

@@ -1,0 +1,159 @@
+"""Per-geometry scalar functions as vectorized Arrow UDF factories
+(SURVEY.md §2.3 — each maps to one reference method: buffer
+layer.py:469-488, centroid 490-499, convex_hull 1610-1621, envelope
+622-633, simplify 1082-1097 + douglas_peucker 1954-1972, to_2d
+1139-1153, add_points_to_line 389-403, shape_factor 1888-1900,
+area/length/bounds props 1356-1366).
+
+Usage: ``df.withColumn("area", geom_area()(F.col("geometry_wkb")))``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F, types as T
+
+from ..geom import kernels as K, wkb
+
+
+def _wkb_to_wkb(fn):
+    @F.pandas_udf(T.BinaryType())
+    def _udf(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            out.append(None if b is None else fn(wkb.decode(b)))
+        return pd.Series(out, dtype=object)
+
+    return _udf
+
+
+def _wkb_to_double(fn):
+    @F.pandas_udf(T.DoubleType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series([np.nan if b is None else fn(wkb.decode(b)) for b in s],
+                         dtype=np.float64)
+
+    return _udf
+
+
+def geom_area():
+    return _wkb_to_double(K.area)
+
+
+def geom_length():
+    return _wkb_to_double(K.length)
+
+
+def geom_shape_factor():
+    """Circularity 4πA/L² (reference layer.py:1888-1900)."""
+    return _wkb_to_double(
+        lambda g: 4 * np.pi * K.area(g) / max(K.length(g) ** 2, K.EPS))
+
+
+def geom_centroid_xy():
+    @F.pandas_udf(T.StructType([T.StructField("cx", T.DoubleType()),
+                                T.StructField("cy", T.DoubleType())]))
+    def _udf(s: pd.Series) -> pd.DataFrame:
+        rows = [(np.nan, np.nan) if b is None else K.centroid(wkb.decode(b)) for b in s]
+        return pd.DataFrame(rows, columns=["cx", "cy"])
+
+    return _udf
+
+
+def geom_bounds_struct():
+    @F.pandas_udf(T.StructType([T.StructField(n, T.DoubleType())
+                                for n in ("minx", "miny", "maxx", "maxy")]))
+    def _udf(s: pd.Series) -> pd.DataFrame:
+        rows = [(np.nan,) * 4 if b is None else K.bounds(wkb.decode(b)) for b in s]
+        return pd.DataFrame(rows, columns=["minx", "miny", "maxx", "maxy"])
+
+    return _udf
+
+
+def geom_envelope():
+    def _env(g):
+        return wkb.box(*K.bounds(g))
+
+    return _wkb_to_wkb(_env)
+
+
+def geom_convex_hull():
+    def _hull(g):
+        pts = np.vstack([r[:, :2] for r in K.ring_list(g)])
+        return wkb.polygon([K.convex_hull(pts)])
+
+    return _wkb_to_wkb(_hull)
+
+
+def geom_simplify(tolerance: float):
+    def _simp(g):
+        t = g["type"]
+        if t == "LineString":
+            return wkb.linestring(K.simplify_dp(g["coords"], tolerance))
+        if t == "Polygon":
+            return wkb.polygon([K.simplify_dp(r, tolerance) for r in g["rings"]])
+        if t == "MultiPolygon":
+            return wkb.multipolygon(
+                [[K.simplify_dp(r, tolerance) for r in rings] for rings in g["polygons"]])
+        if t == "MultiLineString":
+            return wkb.multilinestring([K.simplify_dp(l, tolerance) for l in g["lines"]])
+        return wkb.encode(g)
+
+    return _wkb_to_wkb(_simp)
+
+
+def geom_force_2d():
+    def _f2(g):
+        t = g["type"]
+        if t == "Point":
+            return wkb.point(g["coords"][0], g["coords"][1])
+        if t == "LineString":
+            return wkb.linestring(g["coords"][:, :2])
+        if t == "Polygon":
+            return wkb.polygon([r[:, :2] for r in g["rings"]])
+        if t == "MultiLineString":
+            return wkb.multilinestring([l[:, :2] for l in g["lines"]])
+        if t == "MultiPolygon":
+            return wkb.multipolygon([[r[:, :2] for r in rings] for rings in g["polygons"]])
+        if t == "MultiPoint":
+            return wkb.multipoint(g["points"][:, :2])
+        return wkb.encode(g)
+
+    return _wkb_to_wkb(_f2)
+
+
+def geom_segmentize(max_len: float):
+    def _seg(g):
+        if g["type"] == "LineString":
+            return wkb.linestring(K.segmentize(g["coords"], max_len))
+        if g["type"] == "MultiLineString":
+            return wkb.multilinestring([K.segmentize(l, max_len) for l in g["lines"]])
+        return wkb.encode(g)
+
+    return _wkb_to_wkb(_seg)
+
+
+def geom_buffer(distance: float, resolution: int = 16):
+    """Buffer. Exact for points (regular 4×resolution-gon circle, like
+    shapely's default discretization); polygons/lines use the convex-hull
+    -of-vertex-circles approximation (exact for convex inputs up to the
+    circle discretization; concave inputs get their convex buffer —
+    documented limitation until the full offset kernel lands)."""
+    def _buf(g):
+        pts = np.vstack([r[:, :2] for r in K.ring_list(g)])
+        if g["type"] == "Point":
+            return wkb.polygon([K.buffer_point(pts[0, 0], pts[0, 1], distance, resolution)])
+        rings = [K.buffer_point(x, y, distance, resolution) for x, y in pts]
+        allpts = np.vstack(rings)
+        return wkb.polygon([K.convex_hull(allpts)])
+
+    return _wkb_to_wkb(_buf)
+
+
+def geom_type_of():
+    @F.pandas_udf(T.StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None else wkb.geom_type(b) for b in s])
+
+    return _udf

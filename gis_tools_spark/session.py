@@ -13,10 +13,20 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Task parallelism comes from Spark; numpy/BLAS inside each Python worker
+# must stay single-threaded or N workers × M BLAS threads oversubscribes
+# the box (measured: decode kernel 6.8s@local[8] → 10.9s@local[32] before
+# this pin). Set before the JVM forks workers so they inherit it.
+_THREAD_PINS = {"OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
+                "MKL_NUM_THREADS": "1", "NUMEXPR_NUM_THREADS": "1",
+                "VECLIB_MAXIMUM_THREADS": "1"}
+
 
 def get_spark(app_name: str = "gis_tools_spark", cpus: int | None = None,
               shuffle_partitions: int | None = None, **extra) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
+    for k, v in _THREAD_PINS.items():
+        os.environ.setdefault(k, v)
     shuffle_partitions = shuffle_partitions or max(32, cpus)
     b = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -33,6 +43,8 @@ def get_spark(app_name: str = "gis_tools_spark", cpus: int | None = None,
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in _THREAD_PINS.items():
+        b = b.config(f"spark.executorEnv.{k}", v)
     for k, v in extra.items():
         b = b.config(k, v)
     return b.getOrCreate()
