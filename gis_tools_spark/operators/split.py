@@ -248,6 +248,169 @@ def cut_lines_fixed_length(df: DataFrame, *, wkb_col: str = "geometry_wkb",
     return df.mapInPandas(_run, schema=T.StructType(fields))
 
 
+# ------------------------------------------------------------------ split at points
+
+def split_lines_at_points(lines: DataFrame, points: DataFrame, *,
+                          line_wkb: str = "geometry_wkb", line_id: str = "lid",
+                          lon: str = "lon", lat: str = "lat",
+                          tol: float = 1e-9,
+                          res: int | None = None) -> DataFrame:
+    """Split lines at intersecting points (reference split_at_points
+    layer.py:2123-2155 + cut_at_points geometry.py:190-249): join lines
+    to points within tol (cell filter), then cut each line at the sorted
+    line-distances of its points."""
+    from .. import cells as CC
+    from .core import CELL_COL
+
+    if res is None:
+        res = CC.RES_MAX
+    # line cover cells (bbox-based) ⋈ point cells
+    from .core import explode_cover
+
+    lc = explode_cover(lines, line_wkb, CELL_COL, res, res, max_cells=4096)
+    pc = points.withColumn(CELL_COL, CC.cell_column(F.col(lon), F.col(lat), res))
+    cand = lc.join(pc.select(CELL_COL, lon, lat), on=CELL_COL).drop(CELL_COL)
+    # group candidate points per line
+    grouped = (cand.groupBy(*lines.columns)
+               .agg(F.collect_list(F.struct(F.col(lon).alias("x"),
+                                            F.col(lat).alias("y"))).alias("__pts")))
+    # lines with no candidate point pass through whole
+    no_pts = lines.join(grouped.select(line_id), on=line_id, how="left_anti") \
+                  .withColumn("__pts", F.array().cast("array<struct<x:double,y:double>>"))
+    allrows = grouped.unionByName(no_pts)
+
+    fields = list(lines.schema.fields) + [
+        T.StructField("part_index", T.IntegerType()),
+        T.StructField("piece_wkb", T.BinaryType()),
+    ]
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                g = wkb.decode(r[line_wkb])
+                coords = g["coords"] if g["type"] == "LineString" else g["lines"][0]
+                dists = []
+                plist = r["__pts"] if r["__pts"] is not None else []
+                for p in plist:
+                    d = K.point_to_geom_distance(
+                        {"type": "LineString", "coords": coords},
+                        np.array([p["x"]]), np.array([p["y"]]))[0]
+                    if d <= tol:
+                        dists.append(K.project_on_line(coords, p["x"], p["y"]))
+                pieces = _cut_at_distances(coords, sorted(set(dists)))
+                base = {c: r[c] for c in pdf.columns if c != "__pts"}
+                for j, piece in enumerate(pieces):
+                    row = dict(base)
+                    row["part_index"] = j
+                    row["piece_wkb"] = wkb.linestring(piece)
+                    rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return allrows.mapInPandas(_run, schema=T.StructType(fields))
+
+
+def _cut_at_distances(coords: np.ndarray, dists: list[float]) -> list[np.ndarray]:
+    """Cut a line at the given sorted arc-length distances (reference
+    cut_at_distance geometry.py:190-213)."""
+    pts = coords[:, :2]
+    seg = np.sqrt((np.diff(pts, axis=0) ** 2).sum(axis=1))
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    total = cum[-1]
+    dists = [d for d in dists if K.EPS < d < total - K.EPS]
+    if not dists:
+        return [pts]
+    pieces, cur = [], [pts[0]]
+    ci = 0
+    for i in range(len(seg)):
+        a, b, L, start = pts[i], pts[i + 1], seg[i], cum[i]
+        while ci < len(dists) and dists[ci] <= start + L + K.EPS:
+            t = 0.0 if L <= 0 else (dists[ci] - start) / L
+            p = a + np.clip(t, 0, 1) * (b - a)
+            if not np.allclose(p, cur[-1]):
+                cur.append(p)
+            pieces.append(np.asarray(cur))
+            cur = [p]
+            ci += 1
+        if not np.allclose(b, cur[-1]):
+            cur.append(b)
+    if len(cur) >= 2:
+        pieces.append(np.asarray(cur))
+    return pieces
+
+
+# ------------------------------------------------------------------ linemerge
+
+def linemerge(df: DataFrame, by: str, *, wkb_col: str = "geometry_wkb") -> DataFrame:
+    """Group lines by attribute and merge contiguous pieces into maximal
+    paths (reference linemerge layer.py:1974-2027 / shapely line_merge):
+    per group, chain segments that share endpoints; output one row per
+    merged path with part_index."""
+
+    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        segs = []
+        for b in pdf[wkb_col]:
+            g = wkb.decode(b)
+            if g["type"] == "LineString":
+                segs.append(g["coords"][:, :2])
+            else:
+                segs.extend(l[:, :2] for l in g.get("lines", []))
+        merged = _line_merge(segs)
+        rows = []
+        for j, path in enumerate(merged):
+            rows.append({by: key[0], "part_index": j,
+                         wkb_col: wkb.linestring(path)})
+        return pd.DataFrame(rows)
+
+    schema = T.StructType([df.schema[by],
+                           T.StructField("part_index", T.IntegerType()),
+                           T.StructField(wkb_col, T.BinaryType())])
+    return df.groupBy(by).applyInPandas(lambda k, p: _merge(k, p), schema=schema)
+
+
+def _line_merge(segs: list[np.ndarray]) -> list[np.ndarray]:
+    """Greedy chaining of segments at shared degree-2 endpoints (shapely
+    line_merge semantics: only merge where exactly two lines meet)."""
+    def key(p):
+        return (round(float(p[0]), 9), round(float(p[1]), 9))
+
+    endpoints: dict[tuple, list[int]] = {}
+    for i, s in enumerate(segs):
+        for p in (s[0], s[-1]):
+            endpoints.setdefault(key(p), []).append(i)
+    used = [False] * len(segs)
+    out = []
+    for i in range(len(segs)):
+        if used[i]:
+            continue
+        used[i] = True
+        path = [segs[i]]
+        # extend forward from tail, backward from head at degree-2 nodes
+        for direction in (1, 0):
+            while True:
+                cur = path[-1] if direction else path[0]
+                p = cur[-1] if direction else cur[0]
+                cands = [j for j in endpoints.get(key(p), []) if not used[j]]
+                if len(endpoints.get(key(p), [])) != 2 or not cands:
+                    break
+                j = cands[0]
+                s = segs[j]
+                used[j] = True
+                if direction:  # need segment STARTING at p
+                    nxt = s if key(s[0]) == key(p) else s[::-1]
+                    path.append(nxt)
+                else:          # need segment ENDING at p
+                    nxt = s if key(s[-1]) == key(p) else s[::-1]
+                    path.insert(0, nxt)
+        coords = [path[0]]
+        for s in path[1:]:
+            coords.append(s[1:])
+        out.append(np.vstack(coords))
+    return out
+
+
 # ------------------------------------------------------------------ image tile assignment
 
 def image_tile_assignment(images: DataFrame, *, res: int = C.RES_MAX,

@@ -40,7 +40,13 @@ def get_spark(app_name: str = "gis_tools_spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # image rows are CPU-heavy per byte (decode kernels): small splits
+        # keep every core busy; 128m packs a whole 100k-image table into
+        # ~5 tasks and caps scaling (measured). At 100TB the task count is
+        # huge either way; 32m only adds scheduler overhead that AQE
+        # coalescing absorbs.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
     for k, v in _THREAD_PINS.items():
