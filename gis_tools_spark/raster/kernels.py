@@ -32,6 +32,30 @@ def decode_phash_udf():
     return _udf
 
 
+def verify_images_udf(min_psnr: float = 40.0):
+    """(bytes, w, h, fmt, phash, caption, image_id) → bool: the BASELINE
+    per-row invariant — decoded pixels phash-match, lossless roundtrip
+    (or PSNR ≥ min_psnr for lossy fmts), caption matches its image_id."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _udf(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
+             phash: pd.Series, caption: pd.Series, image_id: pd.Series) -> pd.Series:
+        out = []
+        for buf, ww, hh, ff, ph, cap, iid in zip(b, w, h, fmt, phash, caption, image_id):
+            try:
+                arr = codec.decode(buf, int(ww), int(hh), ff)
+                ok = codec.phash64(arr) == ph
+                rt = codec.decode(codec.encode(arr, ff), int(ww), int(hh), ff)
+                ok &= codec.psnr(arr, rt) >= min_psnr
+                ok &= cap.startswith("caption for img") and iid.lstrip("img").lstrip("0") in cap
+            except NotImplementedError:
+                ok = False
+            out.append(bool(ok))
+        return pd.Series(out)
+
+    return _udf
+
+
 def map_pixels(df: DataFrame, fn: Callable[[np.ndarray], np.ndarray], *,
                bytes_col: str = "bytes", out_fmt: str | None = None) -> DataFrame:
     """Elementwise raster op (reference raster.py:576-662 arithmetic /

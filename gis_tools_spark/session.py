@@ -45,7 +45,7 @@ def get_spark(app_name: str = "gis_tools_spark", cpus: int | None = None,
         # ~5 tasks and caps scaling (measured). At 100TB the task count is
         # huge either way; 32m only adds scheduler overhead that AQE
         # coalescing absorbs.
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
     )
