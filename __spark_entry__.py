@@ -136,6 +136,58 @@ def q_dissolve_region_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("regionkey", F.round(F.col("union_area"), 9).alias("area_r"))
 
 
+def q_dwithin_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-range join (ST_DWithin analog; gistools nearest_neighbors
+    layer.py:896-929): points within 0.05° of each zone rect."""
+    _tune(spark)
+    from gis_tools_spark.operators.proximity import dwithin_join
+
+    pts = DT.events_points(spark, sf_dir)
+    zones = DT.nation_zones(spark, sf_dir)
+    j = dwithin_join(pts, zones, 0.05)
+    return j.groupBy("gid").agg(F.count("*").alias("n_within"))
+
+
+def q_knn_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via the distributed ring-expansion strategy (same oracle as
+    knn_nearest_zone — gates the shuffle path, not just broadcast)."""
+    _tune(spark)
+    pts = DT.events_points(spark, sf_dir)
+    zones = DT.nation_zones(spark, sf_dir)
+    out = nearest_feature(pts, zones, point_id="event_id", strategy="rings")
+    return out.select("event_id", "nearest_gid",
+                      F.round(F.col("nearest_dist"), 9).alias("dist_r"))
+
+
+def q_fishnet_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fishnet tiling of the zone rects at res 12: per (zone, cell) piece
+    areas — the geotile-splitting fixture op vs a closed-form oracle."""
+    _tune(spark)
+    from gis_tools_spark.operators.split import fishnet
+
+    zones = DT.nation_zones(spark, sf_dir)
+    fn = fishnet(zones, res=12, keep_piece_geom=False)
+    # the clip kernel's shoelace area is validated in pytest
+    # (area-preservation); for the bit-exact oracle hash we recompute the
+    # rect∩cell area with the SAME closed-form column arithmetic as the
+    # SQL side (the kernel's value differs in the last ulp, which flips
+    # the half-up rounding on dyadic cell edges)
+    k = F.col("gid")
+    zminx = F.lit(5.0) + (k % 5).cast("double") * 1.0
+    zminy = F.lit(40.0) + F.floor(k / 5).cast("double") * 1.0
+    zmaxx, zmaxy = zminx + 0.8, zminy + 0.8
+    ix = F.floor((F.col("cell") - F.lit(12) * F.lit(1 << C.RES_SHIFT)) / F.lit(1 << C.IX_SHIFT))
+    iy = F.col("cell") % F.lit(1 << C.IX_SHIFT)
+    cminx = F.lit(-180.0) + ix * (360.0 / 4096)
+    cmaxx = F.lit(-180.0) + (ix + 1) * (360.0 / 4096)
+    cminy = F.lit(-90.0) + iy * (180.0 / 4096)
+    cmaxy = F.lit(-90.0) + (iy + 1) * (180.0 / 4096)
+    a = (F.greatest(F.lit(0.0), F.least(zmaxx, cmaxx) - F.greatest(zminx, cminx))
+         * F.greatest(F.lit(0.0), F.least(zmaxy, cmaxy) - F.greatest(zminy, cminy)))
+    area_r = F.floor(a * 1e9 + F.lit(0.5)).cast("long")
+    return fn.select("gid", "cell", area_r.alias("area_r"))
+
+
 # ============================================================ training-data ops
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,6 +324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_index_counts": q_cell_index_counts,
         "tile_assignment": q_tile_assignment,
         "knn_nearest_zone": q_knn_nearest_zone,
+        "knn_rings": q_knn_rings,
+        "dwithin_count": q_dwithin_count,
+        "fishnet_tiles": q_fishnet_tiles,
         "zonal_event_stats": q_zonal_event_stats,
         "shared_area": q_shared_area,
         "dissolve_region_area": q_dissolve_region_area,
@@ -373,6 +428,53 @@ def oracle_sql() -> dict[str, str]:
                    round(sum((z.zmaxx - z.zminx) * (z.zmaxy - z.zminy)), 9) AS area_r
             FROM ({DT.ZONES_SQL.strip()}) z
             GROUP BY z.regionkey
+        """,
+        "dwithin_count": f"""
+            SELECT z.gid, count(*) AS n_within
+            FROM ({DT.POINTS_SQL.strip()}) p CROSS JOIN ({DT.ZONES_SQL.strip()}) z
+            WHERE sqrt(pow(greatest(z.zminx - p.lon, p.lon - z.zmaxx, 0), 2)
+                     + pow(greatest(z.zminy - p.lat, p.lat - z.zmaxy, 0), 2)) <= 0.05
+            GROUP BY z.gid
+        """,
+        "knn_rings": f"""
+            WITH d AS (
+              SELECT p.event_id, z.gid,
+                sqrt(pow(greatest(z.zminx - p.lon, p.lon - z.zmaxx, 0), 2)
+                   + pow(greatest(z.zminy - p.lat, p.lat - z.zmaxy, 0), 2)) AS dist,
+                sqrt(pow(p.lon - (z.zminx + 0.4), 2)
+                   + pow(p.lat - (z.zminy + 0.4), 2)) AS cdist
+              FROM ({DT.POINTS_SQL.strip()}) p CROSS JOIN ({DT.ZONES_SQL.strip()}) z
+            ), ranked AS (
+              SELECT event_id, gid, dist,
+                row_number() OVER (PARTITION BY event_id
+                  ORDER BY CASE WHEN dist = 0 THEN cdist - 1e9 ELSE dist END, gid) AS rn
+              FROM d
+            )
+            SELECT event_id, gid AS nearest_gid, round(dist, 9) AS dist_r
+            FROM ranked WHERE rn = 1
+        """,
+        "fishnet_tiles": f"""
+            WITH z AS ({DT.ZONES_SQL.strip()}),
+            xs AS (
+              SELECT z.*, UNNEST(generate_series(
+                CAST(floor((zminx + 180.0) / 360.0 * 4096) AS BIGINT),
+                CAST(floor((zmaxx + 180.0) / 360.0 * 4096) AS BIGINT))) AS ix
+              FROM z),
+            ys AS (
+              SELECT xs.*, UNNEST(generate_series(
+                CAST(floor((zminy + 90.0) / 180.0 * 4096) AS BIGINT),
+                CAST(floor((zmaxy + 90.0) / 180.0 * 4096) AS BIGINT))) AS iy
+              FROM xs),
+            p AS (
+              SELECT gid,
+                CAST(12 AS BIGINT) * {1 << 58} + ix * {1 << 29} + iy AS cell,
+                greatest(0, least(zmaxx, -180.0 + (ix + 1) * 360.0 / 4096)
+                          - greatest(zminx, -180.0 + ix * 360.0 / 4096))
+              * greatest(0, least(zmaxy, -90.0 + (iy + 1) * 180.0 / 4096)
+                          - greatest(zminy, -90.0 + iy * 180.0 / 4096)) AS a
+              FROM ys)
+            SELECT gid, cell, CAST(floor(a * 1e9 + 0.5) AS BIGINT) AS area_r
+            FROM p WHERE a > 1e-12
         """,
         "dedup_exact": """
             SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n

@@ -45,7 +45,8 @@ def main() -> None:
 
     # -------- driver-table headline queries
     headline = ["pip_zone_counts", "pip_pairs", "pip_pairs_salted",
-                "knn_nearest_zone", "tile_assignment", "zonal_event_stats",
+                "knn_nearest_zone", "tile_assignment", "fishnet_tiles",
+                "dwithin_count", "zonal_event_stats",
                 "shared_area", "dedup_exact", "text_stats", "embed_top1",
                 "pricing_summary"]
     qs = E.queries()

@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from .. import cells as C
 from ..geom import kernels as K, wkb
-from ..operators.core import CELL_COL, explode_cover
 from . import codec
 from .zonal import pixel_centers
 
@@ -41,6 +40,8 @@ def burn_zones_to_tiles(tiles: DataFrame, zones: DataFrame, *,
     otherwise `burn_value`. Tiles intersecting no zone are filled with
     `background` (kept — the grid stays complete).
     """
+    from ..operators.core import CELL_COL, explode_cover  # deferred: circular
+
     if res is None:
         from .zonal import auto_res
 

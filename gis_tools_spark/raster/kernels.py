@@ -56,6 +56,62 @@ def verify_images_udf(min_psnr: float = 40.0):
     return _udf
 
 
+def verify_images_arrow(df: DataFrame, min_psnr: float = 40.0,
+                        passthrough: list[str] | None = None) -> DataFrame:
+    """Zero-copy variant of the verify kernel via mapInArrow: the bytes
+    column is sliced as memoryviews straight out of the Arrow buffers —
+    no per-row PyBytes materialization (measurably less allocator
+    pressure at high worker counts). Returns (image_id, ok,
+    *passthrough) — passthrough columns ride along Arrow-native so no
+    join-back shuffle is needed downstream."""
+    import pyarrow as pa
+
+    passthrough = passthrough or []
+    cols = ["image_id", "bytes", "w", "h", "fmt", "phash", "caption"] + passthrough
+
+    def _run(batches):
+        for batch in batches:
+            names = batch.schema.names
+            col = batch.column(names.index("bytes"))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            buffers = col.buffers()
+            width = 8 if pa.types.is_large_binary(col.type) else 4
+            odt = np.int64 if width == 8 else np.int32
+            offs = np.frombuffer(buffers[1], dtype=odt, count=len(col) + 1,
+                                 offset=col.offset * width)
+            data = memoryview(buffers[2])
+            ws = batch.column(names.index("w")).to_numpy()
+            hs = batch.column(names.index("h")).to_numpy()
+            fmts = batch.column(names.index("fmt")).to_pylist()
+            phs = batch.column(names.index("phash")).to_numpy()
+            caps = batch.column(names.index("caption")).to_pylist()
+            iids = batch.column(names.index("image_id")).to_pylist()
+            ok = np.zeros(len(col), dtype=bool)
+            for i in range(len(col)):
+                try:
+                    buf = data[offs[i]:offs[i + 1]]
+                    arr = codec.decode(buf, int(ws[i]), int(hs[i]), fmts[i])
+                    good = codec.phash64(arr) == phs[i]
+                    rt = codec.decode(codec.encode(arr, fmts[i]), int(ws[i]), int(hs[i]), fmts[i])
+                    good &= codec.psnr(arr, rt) >= min_psnr
+                    good &= caps[i].startswith("caption for img")
+                except NotImplementedError:
+                    good = False
+                ok[i] = good
+            arrays = [pa.array(iids), pa.array(ok)]
+            names_out = ["image_id", "ok"]
+            for c in passthrough:
+                arrays.append(batch.column(names.index(c)))
+                names_out.append(c)
+            yield pa.RecordBatch.from_arrays(arrays, names=names_out)
+
+    out_schema = "image_id string, ok boolean"
+    for c in passthrough:
+        out_schema += f", {c} {df.schema[c].dataType.simpleString()}"
+    return df.select(*cols).mapInArrow(_run, schema=out_schema)
+
+
 def map_pixels(df: DataFrame, fn: Callable[[np.ndarray], np.ndarray], *,
                bytes_col: str = "bytes", out_fmt: str | None = None) -> DataFrame:
     """Elementwise raster op (reference raster.py:576-662 arithmetic /

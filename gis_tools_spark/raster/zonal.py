@@ -24,7 +24,6 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from .. import cells as C
 from ..geom import kernels as K, wkb
-from ..operators.core import CELL_COL, explode_cover
 from . import codec
 
 PARTIAL_SCHEMA = [
@@ -93,6 +92,10 @@ def zonal_partials(rasters: DataFrame, zones: DataFrame, *,
     """(tile, zone) partial aggregates. rasters needs columns
     (image_id, bytes, w, h, fmt, gt_x0, gt_rx, gt_y0, gt_ry).
     res=None → auto-pick so tile covers stay bounded."""
+    # deferred import: operators package pulls topography which needs this
+    # module (circular otherwise)
+    from ..operators.core import CELL_COL, explode_cover
+
     if res is None:
         res = auto_res(rasters)
     # candidate pairs: tile bbox cover ⋈ zone cover

@@ -54,3 +54,26 @@ def test_fixture_images_decode_and_captions():
 
 def test_fixture_determinism():
     assert fixtures.gen_images(20).equals(fixtures.gen_images(20))
+
+
+def test_verify_kernels_agree(spark):
+    from pyspark.sql import functions as F
+
+    from gis_tools_spark.raster.kernels import verify_images_arrow, verify_images_udf
+
+    images = fixtures.gen_images_spark(spark, 400)
+    n_arrow = verify_images_arrow(images).where("ok").count()
+    n_pandas = images.select(verify_images_udf()(
+        "bytes", "w", "h", "fmt", "phash", "caption", "image_id").alias("ok")
+    ).where("ok").count()
+    assert n_arrow == n_pandas == 400
+
+
+def test_verify_arrow_detects_corruption(spark):
+    from pyspark.sql import functions as F
+
+    from gis_tools_spark.raster.kernels import verify_images_arrow
+
+    images = fixtures.gen_images_spark(spark, 50).withColumn(
+        "phash", F.col("phash") + 1)  # corrupt the stored hash
+    assert verify_images_arrow(images).where("ok").count() == 0
