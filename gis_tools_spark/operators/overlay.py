@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from .. import cells as C
-from ..geom import kernels as K, wkb
+from ..geom import boolean, kernels as K, wkb
 from .core import CELL_COL, explode_cover
 from .sjoin import _dedupe_names
 
@@ -34,9 +34,9 @@ def intersection_join(left: DataFrame, right: DataFrame, *,
     → rows with `inter_wkb` + `inter_area` (empty results dropped, as the
     reference keeps only non-empty consistent-type geometries).
 
-    The RIGHT side is the clipper and must be convex per-part (rect
-    tiles / convex zones); each part of a right MultiPolygon clips
-    independently and results merge as a MultiPolygon.
+    General polygons supported (concave, holes, multiparts) via the
+    Greiner–Hormann kernel (geom.boolean); the Sutherland–Hodgman fast
+    path is used when the clipper part is convex.
     """
     right = _dedupe_names(left, right)
     if right_wkb not in right.columns:
@@ -69,11 +69,8 @@ def intersection_join(left: DataFrame, right: DataFrame, *,
                     continue
                 g = wkb.decode(lb)
                 clipper = wkb.decode(rb)
-                pieces = []
-                for rings in K.polygons_of(clipper):
-                    res_g = K.clip_polygon_convex(g, rings[0])
-                    if res_g is not None:
-                        pieces.extend(K.polygons_of(res_g))
+                res_g = boolean.intersection(g, clipper)
+                pieces = K.polygons_of(res_g) if res_g is not None else []
                 if not pieces:
                     keep.append(False); inter_wkbs.append(None); inter_areas.append(0.0)
                     continue
@@ -97,6 +94,80 @@ def intersection_join(left: DataFrame, right: DataFrame, *,
     if not keep_geometry:
         result = result.drop("inter_wkb")
     return result
+
+
+def difference_join(left: DataFrame, right: DataFrame, *,
+                    left_wkb: str = "geometry_wkb",
+                    right_wkb: str = "geometry_wkb",
+                    left_id: str = "lid", right_id: str = "gid",
+                    res: int = C.RES_MIN, max_cells: int = 256,
+                    explode_parts: bool = True) -> DataFrame:
+    """Overlay 'difference' (reference layer.py:72-100): subtract the
+    union of all intersecting right geometries from each left geometry
+    (implemented as the sequential pairwise fold, which is equal), then
+    explode multi-part results; left rows with no intersecting partner
+    pass through unchanged.
+
+    Output: left columns with geometry replaced by the difference part
+    (+ part_index, diff_area).
+    """
+    right = _dedupe_names(left, right)
+    if right_wkb not in right.columns:
+        right_wkb = f"{right_wkb}_right"
+    if right_id not in right.columns:
+        right_id = f"{right_id}_right"
+
+    lc = explode_cover(left.select(left_id, left_wkb), left_wkb, CELL_COL,
+                       res, res, max_cells).drop(left_wkb)
+    rc = explode_cover(right.select(right_id, right_wkb), right_wkb, CELL_COL,
+                       res, res, max_cells).drop(right_wkb)
+    pairs = lc.join(rc, on=CELL_COL).select(left_id, right_id).distinct()
+    cand = (pairs.join(left, on=left_id)
+            .join(right.select(right_id, right_wkb), on=right_id))
+
+    out_fields = [f for f in left.schema.fields] + [
+        T.StructField("part_index", T.IntegerType()),
+        T.StructField("diff_area", T.DoubleType()),
+    ]
+    lcols = list(left.columns)
+
+    def _diff(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g = wkb.decode(pdf[left_wkb].iloc[0])
+        for rb in pdf[right_wkb]:
+            if rb is None:
+                continue
+            if g is None:
+                break
+            g = boolean.difference(g, wkb.decode(rb))
+        rows = []
+        base = {c: pdf[c].iloc[0] for c in lcols}
+        if g is not None:
+            parts = (K.polygons_of(g) if explode_parts
+                     else [None])
+            if explode_parts:
+                for j, rings in enumerate(sorted(parts, key=lambda r: K.bounds(
+                        {"type": "Polygon", "rings": r})[:2])):
+                    pg = {"type": "Polygon", "rings": rings}
+                    row = dict(base)
+                    row[left_wkb] = wkb.encode(pg)
+                    row["part_index"] = j
+                    row["diff_area"] = K.area(pg)
+                    rows.append(row)
+            else:
+                row = dict(base)
+                row[left_wkb] = wkb.encode(g)
+                row["part_index"] = 0
+                row["diff_area"] = K.area(g)
+                rows.append(row)
+        return pd.DataFrame(rows, columns=lcols + ["part_index", "diff_area"])
+
+    diffed = cand.groupBy(left_id).applyInPandas(
+        lambda k, p: _diff(k, p), schema=T.StructType(out_fields))
+    # pass-through: left rows with no candidate partner
+    untouched = (left.join(pairs.select(left_id).distinct(), on=left_id, how="left_anti")
+                 .withColumn("part_index", F.lit(0))
+                 .withColumn("diff_area", F.lit(None).cast("double")))
+    return diffed.unionByName(untouched)
 
 
 def shared_area(left: DataFrame, right: DataFrame, *, normalized: bool = False,
