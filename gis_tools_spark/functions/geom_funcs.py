@@ -151,6 +151,48 @@ def geom_buffer(distance: float, resolution: int = 16):
     return _wkb_to_wkb(_buf)
 
 
+def geom_length_xyz():
+    """3D length (XY length when no Z) — reference length_xyz
+    layer.py:813-868."""
+    def _len3(g):
+        t = g["type"]
+        lines = ([g["coords"]] if t == "LineString"
+                 else g["lines"] if t == "MultiLineString" else K.ring_list(g))
+        total = 0.0
+        for l in lines:
+            d = np.diff(l, axis=0)
+            total += float(np.sqrt((d * d).sum(axis=1)).sum())
+        return total
+
+    return _wkb_to_double(_len3)
+
+
+def geom_line_slope(mode: str = "percent"):
+    """Mean absolute slope of a 3D line (reference slope
+    layer.py:2044-2099): per-segment dz over horizontal run, length-
+    weighted; mode ∈ {percent, degrees}. 2D lines → 0."""
+    def _slope(g):
+        t = g["type"]
+        lines = ([g["coords"]] if t == "LineString"
+                 else g.get("lines", []))
+        num = den = 0.0
+        for l in lines:
+            if l.shape[1] < 3:
+                continue
+            dxy = np.sqrt((np.diff(l[:, :2], axis=0) ** 2).sum(axis=1))
+            dz = np.abs(np.diff(l[:, 2]))
+            ok = dxy > K.EPS
+            s = np.where(ok, dz / np.where(ok, dxy, 1.0), 0.0)
+            num += float((s * dxy).sum())
+            den += float(dxy.sum())
+        if den <= K.EPS:
+            return 0.0
+        mean = num / den
+        return mean * 100.0 if mode == "percent" else float(np.degrees(np.arctan(mean)))
+
+    return _wkb_to_double(_slope)
+
+
 def geom_type_of():
     @F.pandas_udf(T.StringType())
     def _udf(s: pd.Series) -> pd.Series:

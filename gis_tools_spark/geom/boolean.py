@@ -305,13 +305,43 @@ def _rings_to_polygons(rings: list[np.ndarray]) -> dict | None:
     return {"type": "MultiPolygon", "polygons": polys}
 
 
+def is_convex(ring: np.ndarray) -> bool:
+    pts = ring[:-1, :2] if np.array_equal(ring[0], ring[-1]) else ring[:, :2]
+    n = len(pts)
+    if n < 4:
+        return True
+    sign = 0
+    for i in range(n):
+        a, b, c = pts[i], pts[(i + 1) % n], pts[(i + 2) % n]
+        cr = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+        if abs(cr) < EPS:
+            continue
+        s = 1 if cr > 0 else -1
+        if sign == 0:
+            sign = s
+        elif s != sign:
+            return False
+    return True
+
+
 def intersection(g1: dict, g2: dict) -> dict | None:
     """Exact polygon∩polygon for arbitrary simple polygons (holes on
-    either side handled by ring arithmetic)."""
+    either side handled by ring arithmetic). Convex clip parts use the
+    Sutherland–Hodgman fast path — it is exact AND robust to shared
+    edges / touching vertices, which GH handles only via perturbation."""
     out: list[np.ndarray] = []
     for rings1 in K.polygons_of(g1):
         for rings2 in K.polygons_of(g2):
-            pieces = clip_rings(rings1[0], rings2[0], "intersection")
+            if is_convex(rings2[0]):
+                res_g = K.clip_polygon_convex(
+                    {"type": "Polygon", "rings": [rings1[0]]}, rings2[0])
+                pieces = [p[0] for p in K.polygons_of(res_g)] if res_g else []
+            elif is_convex(rings1[0]):
+                res_g = K.clip_polygon_convex(
+                    {"type": "Polygon", "rings": [rings2[0]]}, rings1[0])
+                pieces = [p[0] for p in K.polygons_of(res_g)] if res_g else []
+            else:
+                pieces = clip_rings(rings1[0], rings2[0], "intersection")
             # subtract holes of both operands from each piece
             for hole in rings1[1:] + rings2[1:]:
                 nxt = []

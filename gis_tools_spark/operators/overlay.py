@@ -197,6 +197,30 @@ def attr_area(left: DataFrame, right: DataFrame, *, pivot_attr: str,
     return (inter.groupBy(left_id).pivot(pivot_attr).sum("inter_area"))
 
 
+def mask(left: DataFrame, mask_layer: DataFrame, *,
+         left_wkb: str = "geometry_wkb", mask_wkb: str = "geometry_wkb",
+         left_id: str = "lid", mask_id: str = "gid",
+         split_threshold: float | None = None, **kw) -> DataFrame:
+    """Subtract the mask collection from each left geometry (reference
+    mask geometry.py:594-630: katana pre-split 'for faster intersection'
+    then difference + dissolve). The katana pre-split is the engine's
+    adaptive cell cover (bounded candidate pairs), so this reduces to
+    difference_join; optional split_threshold pre-splits very large
+    left geometries first (skew control)."""
+    if split_threshold is not None:
+        from .split import split_polygons
+
+        left = (split_polygons(left, threshold=split_threshold)
+                .drop(left_wkb)
+                .withColumnRenamed("piece_wkb", left_wkb)
+                .withColumn(left_id, F.concat_ws("#", F.col(left_id).cast("string"),
+                                                 F.col("part_index").cast("string")))
+                .drop("part_index", "piece_area"))
+    return difference_join(left, mask_layer, left_wkb=left_wkb,
+                           right_wkb=mask_wkb, left_id=left_id,
+                           right_id=mask_id, **kw)
+
+
 def dissolve(df: DataFrame, by: str, *, wkb_col: str = "geometry_wkb",
              agg: dict[str, str] | None = None,
              assume_disjoint: bool = True) -> DataFrame:
