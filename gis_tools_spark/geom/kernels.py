@@ -533,6 +533,22 @@ def segmentize(coords: np.ndarray, max_len: float) -> np.ndarray:
     return np.asarray(out)
 
 
+def radius_of_curvature(coords: np.ndarray) -> np.ndarray:
+    """Per-interior-vertex circumscribed-circle radius (reference
+    radius_of_curvature geometry.py:839-906): R of the circle through
+    each consecutive vertex triple; collinear → inf."""
+    p = coords[:, :2]
+    a = p[:-2]; b = p[1:-1]; c = p[2:]
+    ab = np.sqrt(((b - a) ** 2).sum(axis=1))
+    bc = np.sqrt(((c - b) ** 2).sum(axis=1))
+    ca = np.sqrt(((a - c) ** 2).sum(axis=1))
+    cross = (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+    area2 = np.abs(cross)
+    with np.errstate(divide="ignore"):
+        r = np.where(area2 < EPS, np.inf, ab * bc * ca / (2 * np.where(area2 < EPS, 1.0, area2)))
+    return r
+
+
 def buffer_point(x: float, y: float, dist: float, resolution: int = 16) -> np.ndarray:
     """Circle approximation ring, CCW, shapely-style 4*resolution segments."""
     n = 4 * resolution

@@ -105,6 +105,68 @@ def connected_components(edges: DataFrame, *, max_iter: int = 50) -> DataFrame:
     return labels
 
 
+def expand_directed(edges: DataFrame, *, direction_col: str = "direction") -> DataFrame:
+    """Expand per `direction` into directed arcs (reference build_graph
+    network.py:814-844): 'two-ways' → fwd+rev, 'one-way' → fwd,
+    'reverse' → rev. Adds `is_forward` boolean; rev arcs swap endpoints."""
+    fwd = (edges.where(F.col(direction_col).isin("two-ways", "one-way"))
+           .withColumn("is_forward", F.lit(True)))
+    rev = (edges.where(F.col(direction_col).isin("two-ways", "reverse"))
+           .withColumn("is_forward", F.lit(False))
+           .withColumnRenamed("src_key", "__t")
+           .withColumnRenamed("dst_key", "src_key")
+           .withColumnRenamed("__t", "dst_key"))
+    return fwd.unionByName(rev.select(*fwd.columns))
+
+
+def travel_times(lines: DataFrame, *, wkb_col: str = "geometry_wkb",
+                 speed_col: str = "max_speed",
+                 rollover_criterion: float = 3.0,
+                 min_speed: float = 1.0) -> DataFrame:
+    """Per-edge travel time (reference travel_time network.py:846-1047,
+    simplified kinematics): per-segment allowed speed =
+    min(max_speed, sqrt(rollover · R)) with R the curve radius at the
+    segment's vertices (rollover criterion network.py:521-522);
+    time = Σ seg_len / v. Adds `travel_time` and `mean_speed` columns.
+    Units follow the inputs (speed in length-units/hour → time in hours).
+    """
+    fields = T.StructType(list(lines.schema.fields) + [
+        T.StructField("travel_time", T.DoubleType()),
+        T.StructField("mean_speed", T.DoubleType()),
+    ])
+
+    def _run(it):
+        for pdf in it:
+            tt, ms = [], []
+            for i in range(len(pdf)):
+                g = wkb.decode(pdf[wkb_col].iloc[i])
+                coords = g["coords"] if g["type"] == "LineString" else g["lines"][0]
+                pts = coords[:, :2]
+                seg = np.sqrt((np.diff(pts, axis=0) ** 2).sum(axis=1))
+                vmax = float(pdf[speed_col].iloc[i])
+                v = np.full(len(seg), max(vmax, min_speed))
+                if len(pts) >= 3:
+                    from ..geom.kernels import radius_of_curvature
+
+                    r = radius_of_curvature(coords)
+                    vcurve = np.sqrt(rollover_criterion * r)
+                    # a curve radius at vertex k limits segments k and k+1
+                    lim = np.full(len(seg), np.inf)
+                    lim[:-1] = np.minimum(lim[:-1], vcurve)
+                    lim[1:] = np.minimum(lim[1:], vcurve)
+                    v = np.maximum(np.minimum(v, lim), min_speed)
+                total_len = float(seg.sum())
+                t = float((seg / v).sum()) if total_len > 0 else 0.0
+                tt.append(t)
+                ms.append(total_len / t if t > 0 else 0.0)
+            out = pdf.copy()
+            out["travel_time"] = tt
+            out["mean_speed"] = ms
+            yield out
+
+    return lines.mapInPandas(_run, schema=fields)
+
+
 def shortest_paths(edges: DataFrame, sources: list[str], *,
                    weight_col: str = "length", max_iter: int = 0) -> DataFrame:
     """Single-source shortest path lengths from each source node key to
