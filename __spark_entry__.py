@@ -289,6 +289,57 @@ def q_embed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(_run, schema=schema)
 
 
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs over documents (rows-only
+    check — hash choice isn't ANSI-SQL-expressible)."""
+    _tune(spark)
+    from gis_tools_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (Hamming ≤ 3) over documents (rows-only)."""
+    _tune(spark)
+    from gis_tools_spark.operators.dedup import simhash_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dups(docs, max_hamming=3)
+
+
+def q_zonal_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True raster zonal statistics (decode → mask → partial/final agg)
+    on deterministic synthetic tiles + zones (rows-only; raster decode
+    isn't SQL-expressible — pytest holds the mosaic-oracle check)."""
+    _tune(spark)
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster.zonal import zonal_statistics
+
+    ras = spark.createDataFrame(fixtures.gen_rasters(4, 4, 64))
+    zones = spark.createDataFrame(
+        fixtures.gen_zones(32)[["gid", "geometry_wkb"]])
+    out = zonal_statistics(ras, zones)
+    return out.select("gid", "zonal_count", "no_data_count",
+                      F.round(F.col("zonal_mean"), 6).alias("mean_r"))
+
+
+def q_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """360° horizon extraction from DEM tiles (rows-only; pytest holds
+    the brute-force-oracle check)."""
+    _tune(spark)
+    import pandas as pd
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.operators.topography import get_horizon
+
+    ras = spark.createDataFrame(fixtures.gen_rasters(2, 2, 32))
+    obs = spark.createDataFrame(pd.DataFrame(
+        {"pid": [1, 2, 3], "lon": [6.5, 7.5, 8.5], "lat": [41.5, 42.5, 43.5]}))
+    out = get_horizon(obs, ras, radius_deg=0.6, n_sectors=24)
+    return out.select("pid", "sector", F.round(F.col("horizon_deg"), 6).alias("h_r"))
+
+
 # ============================================================ relational sanity
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,6 +382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_area": q_shared_area,
         "dissolve_region_area": q_dissolve_region_area,
         "dedup_exact": q_dedup_exact,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_dups": q_simhash_dups,
+        "zonal_raster_stats": q_zonal_raster_stats,
+        "horizon": q_horizon,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
