@@ -287,15 +287,17 @@ def intersects(g1: dict, g2: dict) -> bool:
         for r2 in rl2:
             if _rings_cross(r1, r2):
                 return True
-    # containment: any vertex of one inside the other
+    # containment: one representative vertex per ring/part (a disjoint
+    # part of a multi-geometry can sit fully inside the other with no
+    # edge crossings — testing only the first ring misses it)
     if polygons_of(g2):
-        v = rl1[0]
-        if covers_xy(g2, v[:1, 0], v[:1, 1]).any():
-            return True
+        for v in rl1:
+            if covers_xy(g2, v[:1, 0], v[:1, 1]).any():
+                return True
     if polygons_of(g1):
-        v = rl2[0]
-        if covers_xy(g1, v[:1, 0], v[:1, 1]).any():
-            return True
+        for v in rl2:
+            if covers_xy(g1, v[:1, 0], v[:1, 1]).any():
+                return True
     return False
 
 

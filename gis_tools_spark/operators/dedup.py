@@ -36,29 +36,48 @@ def dedup_exact(df: DataFrame, *, text_col: str = "text",
 
 # ------------------------------------------------------------------ minhash
 
-def _hash64(data: bytes, seed: int) -> int:
+def _hash64(data: bytes, seed: int = 0) -> int:
     h = hashlib.blake2b(data, digest_size=8, key=seed.to_bytes(8, "little"))
-    return int.from_bytes(h.digest(), "little", signed=True)
+    return int.from_bytes(h.digest(), "little")
+
+
+def _perm_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic affine-permutation coefficients over Z_2^64
+    (multiply-shift family: odd `a` makes a*x+b a bijection mod 2^64)."""
+    rng = np.random.RandomState(0x5EED)
+    a = rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64) * 2 + 1
+    b = rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64)
+    return a, b
 
 
 def minhash_signatures(df: DataFrame, *, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        shingle_size: int = 3) -> DataFrame:
-    """Word-shingle MinHash signature per document (array<long>)."""
+    """Word-shingle MinHash signature per document (array<long>).
+
+    One blake2b per *shingle* (not per shingle×hash); the num_hashes
+    permutations are derived as vectorized affine maps (a_i*h + b_i mod
+    2^64) and reduced with a single numpy min along the shingle axis —
+    ~num_hashes× fewer interpreter-level hash calls than the naive
+    per-seed loop (round-1 finding)."""
+    pa, pb = _perm_params(num_hashes)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            words = [w for w in (t or "").lower().split() if w]
-            if len(words) < shingle_size:
-                shingles = {" ".join(words)} if words else {""}
-            else:
-                shingles = {" ".join(words[i:i + shingle_size])
-                            for i in range(len(words) - shingle_size + 1)}
-            enc = [s.encode() for s in shingles]
-            sig = [min(_hash64(e, seed) for e in enc) for seed in range(num_hashes)]
-            out.append(sig)
+        with np.errstate(over="ignore"):
+            for t in texts:
+                words = [w for w in (t or "").lower().split() if w]
+                if len(words) < shingle_size:
+                    shingles = {" ".join(words)} if words else {""}
+                else:
+                    shingles = {" ".join(words[i:i + shingle_size])
+                                for i in range(len(words) - shingle_size + 1)}
+                base = np.fromiter(
+                    (_hash64(s.encode()) for s in shingles),
+                    dtype=np.uint64, count=len(shingles))
+                vals = base[:, None] * pa[None, :] + pb[None, :]
+                out.append(vals.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.select(id_col, _sig(F.col(text_col)).alias("minhash"))
@@ -110,19 +129,22 @@ def simhash64(df: DataFrame, *, text_col: str = "text",
 
     @F.pandas_udf(T.LongType())
     def _sim(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for k, t in enumerate(texts):
             words = (t or "").lower().split()
-            acc = np.zeros(64, dtype=np.int64)
-            for wd in words:
-                hv = _hash64(wd.encode(), 0)
-                bits = (hv >> np.arange(64)) & 1
-                acc += np.where(bits == 1, 1, -1)
-            v = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    v |= 1 << i
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+            if not words:
+                continue
+            # hash each distinct token once, weight by occurrence count
+            uniq, counts = np.unique(np.array(words, dtype=object),
+                                     return_counts=True)
+            hv = np.fromiter((_hash64(w.encode()) for w in uniq),
+                             dtype=np.uint64, count=len(uniq))
+            bits = ((hv[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+            sel = acc > 0
+            if sel.any():
+                out[k] = (np.uint64(1) << shifts[sel]).sum(dtype=np.uint64).astype(np.int64)
         return pd.Series(out, dtype=np.int64)
 
     return df.select(id_col, _sim(F.col(text_col)).alias("simhash"))
@@ -130,12 +152,21 @@ def simhash64(df: DataFrame, *, text_col: str = "text",
 
 def simhash_near_dups(df: DataFrame, *, text_col: str = "text",
                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Pairs within Hamming distance ≤ max_hamming via 4-block bucketing
-    (pigeonhole: ≤3 differing bits → at least one 16-bit block equal)."""
+    """Pairs within Hamming distance ≤ max_hamming via block bucketing
+    (pigeonhole: d differing bits over n > d blocks → at least one block
+    equal). Block count is derived as max(4, max_hamming + 1) so the
+    bucketing stays complete for any max_hamming < 64 instead of
+    silently missing pairs at max_hamming ≥ 4."""
+    if not 0 <= max_hamming < 64:
+        raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
     sh = simhash64(df, text_col=text_col, id_col=id_col)
+    n_blocks = max(4, max_hamming + 1)
+    bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
     blocks = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
-        for i in range(4)])
+        F.shiftrightunsigned(F.col("simhash"), bounds[i])
+        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+        .alias(f"b{i}")
+        for i in range(n_blocks)])
     e = sh.select(id_col, "simhash", F.posexplode(blocks).alias("blk", "key"))
     a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "blk", "key")
     b = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "blk", "key")

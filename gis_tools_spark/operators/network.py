@@ -78,10 +78,15 @@ def end_nodes(edges: DataFrame) -> DataFrame:
     return node_degrees(edges).where("degree = 1")
 
 
-def connected_components(edges: DataFrame, *, max_iter: int = 50) -> DataFrame:
-    """(node, component) via label propagation: component id = min node
-    key reachable; converges in O(diameter) joins; AQE coalesces the
-    shrinking frontier. Returns all nodes incl. isolated endpoints."""
+def connected_components(edges: DataFrame, *, max_iter: int = 64) -> DataFrame:
+    """(node, component) via min-label propagation **with pointer
+    jumping**: each round does (1) neighbor-min propagation and (2) label
+    compression `component ← label(component)`, so convergence is
+    O(log diameter) rounds, not O(diameter) — a million-node road chain
+    converges in ~20 rounds instead of silently stopping partway.
+    Raises on non-convergence rather than returning split components
+    (which would feed Dijkstra wrong subgraphs downstream). Returns all
+    nodes incl. isolated endpoints."""
     und = (edges.select(F.col("src_key").alias("a"), F.col("dst_key").alias("b"))
            .unionAll(edges.select(F.col("dst_key").alias("a"), F.col("src_key").alias("b")))
            .distinct())
@@ -96,13 +101,23 @@ def connected_components(edges: DataFrame, *, max_iter: int = 50) -> DataFrame:
                .select("node",
                        F.least(F.col("component"), F.coalesce(F.col("min_nbr"), F.col("component")))
                        .alias("component")))
+        # pointer jumping: component ids are node keys, so compress one
+        # hop through the label table (large-star step)
+        root = (new.select(F.col("node").alias("component"),
+                           F.col("component").alias("root")))
+        new = (new.join(root, on="component", how="left")
+               .select("node",
+                       F.least(F.col("component"),
+                               F.coalesce(F.col("root"), F.col("component")))
+                       .alias("component")))
         new = new.localCheckpoint(eager=True)
         changed = (new.alias("n").join(labels.alias("o"), on="node")
                    .where(F.col("n.component") != F.col("o.component")).limit(1).count())
         labels = new
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds")
 
 
 def expand_directed(edges: DataFrame, *, direction_col: str = "direction") -> DataFrame:

@@ -60,6 +60,7 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
              salt_threshold: int | None = None,
              strategy: str = "auto",
              broadcast_max_rows: int = 100_000,
+             broadcast_max_bytes: int = 64 << 20,
              keep_poly_wkb: bool = False) -> DataFrame:
     """Join point rows to polygon rows where the point is covered.
 
@@ -72,9 +73,24 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
     if poly_id not in polygons.columns:
         poly_id = f"{poly_id}_right"
 
+    orig_points = points
+    if how == "left":
+        # surrogate row id: left-joining back on data columns breaks on
+        # nulls (null != null) and cross-multiplies duplicate rows
+        points = points.withColumn("__rid", F.monotonically_increasing_id())
+
     if strategy == "auto":
-        n_poly = polygons.count()
-        strategy = "broadcast" if n_poly <= broadcast_max_rows else "cell"
+        # gate on bytes, not row count: 100k polygons of 1 MB WKB each
+        # would be 100 GB on the driver. One column-pruned pass gives
+        # both count and payload size.
+        stat = polygons.select(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.length(F.col(poly_wkb))), F.lit(0)).alias("nbytes"),
+        ).collect()[0]
+        strategy = ("broadcast"
+                    if stat["n"] <= broadcast_max_rows
+                    and stat["nbytes"] <= broadcast_max_bytes
+                    else "cell")
 
     if strategy == "broadcast":
         matched = _pip_broadcast(points, polygons, lon=lon, lat=lat,
@@ -93,8 +109,10 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
         return matched
     if how == "left":
         right_cols = [c for c in matched.columns if c not in points.columns]
-        return points.join(matched.select(*points.columns, *right_cols),
-                           on=list(points.columns), how="left")
+        return (points.join(matched.select("__rid", *right_cols),
+                            on="__rid", how="left")
+                .drop("__rid")
+                .select(*orig_points.columns, *right_cols))
     raise ValueError(f"how={how!r}")
 
 
@@ -201,6 +219,10 @@ def sjoin(left: DataFrame, right: DataFrame, *,
     if right_id not in right.columns:
         right_id = f"{right_id}_right"
 
+    orig_left = left
+    if how == "left":
+        left = left.withColumn("__rid", F.monotonically_increasing_id())
+
     # common fixed res for both sides (coarse enough for the bigger side)
     lc = explode_cover(left.select(left_id, left_wkb), left_wkb, CELL_COL,
                        res_min, res_min, max_cells)
@@ -218,14 +240,22 @@ def sjoin(left: DataFrame, right: DataFrame, *,
             if len(pdf) == 0:
                 continue
             keep = np.zeros(len(pdf), dtype=bool)
-            cache: dict[int, dict] = {}
+            # decode each distinct WKB once, keyed by *content* (bytes
+            # hash) — id() is not a content key and never hit the right
+            # side; candidate batches repeat geometries heavily
+            cache: dict[bytes, dict] = {}
+
+            def _dec(b):
+                g = cache.get(b)
+                if g is None:
+                    g = cache[b] = wkb.decode(b)
+                return g
+
             for i in range(len(pdf)):
                 lb, rb = pdf[left_wkb].iloc[i], pdf[right_wkb].iloc[i]
                 if lb is None or rb is None:
                     continue
-                g1 = cache.setdefault(id(lb), wkb.decode(lb))
-                g2 = wkb.decode(rb)
-                keep[i] = K.intersects(g1, g2)
+                keep[i] = K.intersects(_dec(lb), _dec(rb))
             out = pdf[keep]
             if len(out):
                 yield out
@@ -235,6 +265,7 @@ def sjoin(left: DataFrame, right: DataFrame, *,
         return refined
     if how == "left":
         rcols = [c for c in refined.columns if c not in left.columns]
-        return left.join(refined.select(*left.columns, *rcols),
-                         on=list(left.columns), how="left")
+        return (left.join(refined.select("__rid", *rcols), on="__rid", how="left")
+                .drop("__rid")
+                .select(*orig_left.columns, *rcols))
     raise ValueError(how)

@@ -89,8 +89,10 @@ def decode_png(buf: bytes) -> np.ndarray:
         if f == 1:
             for x in range(1, w):
                 out[y, x] = (out[y, x] + out[y, x - 1]) % 256
-        elif f == 2 and y > 0:
-            out[y] = (out[y] + out[y - 1]) % 256
+        elif f == 2:
+            # Up filter: prior row of row 0 is defined as zeros (no-op)
+            if y > 0:
+                out[y] = (out[y] + out[y - 1]) % 256
         else:
             raise ValueError(f"unsupported PNG filter {f}")
     return out.astype(np.uint8)
