@@ -241,57 +241,51 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine nearest neighbor per embedding (ANN baseline).
-
-    Physical plan: the corpus is broadcast as one numpy matrix; each
-    Arrow batch of queries does a single BLAS matmul — no crossJoin
-    shuffle, no per-element lambda chains. Top-1 picked on the 6-dp
-    rounded cosine with id tie-break (byte-identical to the SQL oracle's
-    ORDER BY round(cos,6) DESC, id_b)."""
+    """Exact cosine nearest neighbor per embedding via the BLOCKED plan
+    (no driver-side corpus collect — round-1 review fix): corpus packed
+    into bounded matrix blocks, BNLJ over blocks, BLAS matmul per
+    (batch x block), global window pick on (round(cos,6) desc, id)."""
     _tune(spark)
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+    from gis_tools_spark.operators.simsearch import exact_topk_blocked
 
-    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-           .select("vec_id", F.col("embedding").cast("array<double>").alias("v")))
-    rows = emb.collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    M = np.array([r["v"] for r in rows], dtype=np.float64)
-    Mn = np.linalg.norm(M, axis=1)
-    bc = spark.sparkContext.broadcast((ids, M, Mn))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return exact_topk_blocked(emb, k=1)
 
-    schema = T.StructType([
-        T.StructField("id_a", T.LongType()),
-        T.StructField("id_b", T.LongType()),
-        T.StructField("cos_r", T.DoubleType()),
-    ])
 
-    def _run(it):
-        ids_, M_, Mn_ = bc.value
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            Q = np.array(list(pdf["v"]), dtype=np.float64)
-            Qn = np.linalg.norm(Q, axis=1)
-            S = np.round((Q @ M_.T) / (Qn[:, None] * Mn_[None, :]), 6)
-            qids = pdf["vec_id"].values
-            recs = []
-            for i in range(len(pdf)):
-                s = S[i]
-                # top-1 by (cos desc, id asc), excluding self
-                mask = ids_ != qids[i]
-                order = np.lexsort((ids_[mask], -s[mask]))
-                j = np.nonzero(mask)[0][order[0]]
-                recs.append((int(qids[i]), int(ids_[j]), float(s[j])))
-            yield pd.DataFrame(recs, columns=["id_a", "id_b", "cos_r"])
+ANN_PLANES = 6
+ANN_TABLES = 2
+ANN_SEED = 42
 
-    return emb.mapInPandas(_run, schema=schema)
+
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via hyperplane LSH (the 100 TB scale path): bucket
+    equi-join on sign-pattern keys, exact cosine rescore of candidates,
+    window pick. Gated against a full SQL mirror of the SAME hyperplanes
+    (deterministic seed), so the oracle checks the LSH op itself, not a
+    brute-force stand-in."""
+    _tune(spark)
+    from pyspark.sql import Window
+    from gis_tools_spark.operators.simsearch import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cand = lsh_topk(emb, emb, k=1 << 30, dim=64, n_planes=ANN_PLANES,
+                    n_tables=ANN_TABLES, seed=ANN_SEED)
+    # re-rank on the 6-dp rounded cosine with id tie-break so the pick is
+    # bit-stable against the SQL oracle
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id"))
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .select(F.col("vec_id").alias("id_a"),
+                    F.col("neighbor_id").alias("id_b"),
+                    F.round(F.col("cosine"), 6).alias("cos_r")))
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs over documents (rows-only
-    check — hash choice isn't ANSI-SQL-expressible)."""
+    """MinHash+LSH near-dup pairs over documents. The md5-based base
+    hash + affine permutations are exactly reproducible in DuckDB, so
+    the oracle recomputes the SAME signatures, band buckets, and
+    Jaccard estimates — a value-level gate of the real LSH op."""
     _tune(spark)
     from gis_tools_spark.operators.dedup import minhash_lsh_pairs
 
@@ -300,40 +294,48 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (Hamming ≤ 3) over documents (rows-only)."""
+    """SimHash near-dups (Hamming ≤ 3) over documents. md5-based word
+    hashes make the 64-bit simhash and Hamming filter SQL-expressible;
+    pigeonhole blocking is complete for d ≤ 3, so the oracle's
+    brute-force pair filter is the exact same set."""
     _tune(spark)
     from gis_tools_spark.operators.dedup import simhash_near_dups
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_dups(docs, max_hamming=3)
+    return (simhash_near_dups(docs, max_hamming=3)
+            .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")))
 
 
 def q_zonal_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True raster zonal statistics (decode → mask → partial/final agg)
-    on deterministic synthetic tiles + zones (rows-only; raster decode
-    isn't SQL-expressible — pytest holds the mosaic-oracle check)."""
+    """True raster zonal statistics (decode → rasterize mask →
+    partial/final agg) on closed-form tiles whose integer pixel values
+    and dyadic pixel centers a DuckDB oracle reproduces bit-for-bit with
+    generate_series. mean_r uses floor(x*1e6+0.5) on both sides (HALF_UP
+    vs half-even guard)."""
     _tune(spark)
     from gis_tools_spark import fixtures
     from gis_tools_spark.raster.zonal import zonal_statistics
 
-    ras = spark.createDataFrame(fixtures.gen_rasters(4, 4, 64))
-    zones = spark.createDataFrame(
-        fixtures.gen_zones(32)[["gid", "geometry_wkb"]])
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(4, 4, 64))
+    zones = DT.nation_zones(spark, sf_dir)
     out = zonal_statistics(ras, zones)
-    return out.select("gid", "zonal_count", "no_data_count",
-                      F.round(F.col("zonal_mean"), 6).alias("mean_r"))
+    return out.select(
+        "gid", "zonal_count", "no_data_count", "zonal_min", "zonal_max",
+        F.floor(F.col("zonal_mean") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").alias("mean_r"))
 
 
 def q_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """360° horizon extraction from DEM tiles (rows-only; pytest holds
-    the brute-force-oracle check)."""
+    """360° horizon extraction from DEM tiles, gated against a DuckDB
+    brute-force oracle over the same closed-form pixels (azimuth/
+    elevation/sector math mirrored op-for-op)."""
     _tune(spark)
     import pandas as pd
 
     from gis_tools_spark import fixtures
     from gis_tools_spark.operators.topography import get_horizon
 
-    ras = spark.createDataFrame(fixtures.gen_rasters(2, 2, 32))
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 32))
     obs = spark.createDataFrame(pd.DataFrame(
         {"pid": [1, 2, 3], "lon": [6.5, 7.5, 8.5], "lat": [41.5, 42.5, 43.5]}))
     out = get_horizon(obs, ras, radius_deg=0.6, n_sectors=24)
@@ -390,9 +392,252 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embed_top1": q_embed_top1,
+        "embed_ann_lsh": q_embed_ann_lsh,
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
     }
+
+
+# ---------------------------------------------------------- SQL oracle builders
+
+_DOCS_WORDS_SQL = r"""
+SELECT doc_id,
+       list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+FROM documents
+"""
+
+_MOD64 = "18446744073709551616::HUGEINT"
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
+                        threshold: float = 0.5) -> str:
+    """Recompute the engine's exact MinHash signatures in DuckDB: base
+    hash = first 8 bytes of md5 (big-endian), permutations = the same
+    affine maps mod 2^64 (coefficients inlined), banded candidates =
+    pairs equal on >= 1 full band."""
+    from gis_tools_spark.operators.dedup import _perm_params
+
+    pa, pb = _perm_params(num_hashes)
+    rpb = num_hashes // bands
+    perm_rows = ",\n    ".join(
+        f"({i}, {int(pa[i])}::UBIGINT, {int(pb[i])}::UBIGINT)"
+        for i in range(num_hashes))
+    return f"""
+WITH docs AS ({_DOCS_WORDS_SQL.strip()}),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, words,
+               unnest(generate_series(1, len(words) - 2)) AS i
+        FROM docs WHERE len(words) >= 3)
+  UNION
+  SELECT doc_id, array_to_string(words, ' ') FROM docs WHERE len(words) < 3
+),
+hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 16))::UBIGINT AS h FROM sh),
+perms(i, a, b) AS (VALUES
+    {perm_rows}),
+sigs AS (
+  SELECT doc_id, p.i,
+    min(CAST((p.a::HUGEINT * hs.h::HUGEINT + p.b::HUGEINT) % {_MOD64} AS UBIGINT)) AS sig
+  FROM hs CROSS JOIN perms p
+  GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // {rpb} AS band, list(sig ORDER BY i) AS bs
+  FROM sigs GROUP BY doc_id, i // {rpb}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b,
+         sum(CASE WHEN x.sig = y.sig THEN 1 ELSE 0 END) / {float(num_hashes)} AS jaccard_est
+  FROM cand c
+  JOIN sigs x ON x.doc_id = c.id_a
+  JOIN sigs y ON y.doc_id = c.id_b AND y.i = x.i
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= {threshold}
+"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """64-bit SimHash in SQL: md5-prefix word hashes, per-bit weighted
+    majority, two 32-bit halves assembled via HUGEINT, signed wrap to
+    BIGINT; pairs = brute-force Hamming filter (equals the engine's
+    pigeonhole-complete blocked join for d <= max_hamming)."""
+    return f"""
+WITH docs AS ({_DOCS_WORDS_SQL.strip()}),
+w AS (SELECT doc_id, unnest(words) AS word FROM docs),
+wh AS (SELECT doc_id, word, count(*) AS cnt,
+              ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h
+       FROM w GROUP BY doc_id, word),
+bits AS (
+  SELECT doc_id, bs.b,
+         sum(CASE WHEN (wh.h >> bs.b) & 1::UBIGINT = 1::UBIGINT
+                  THEN cnt ELSE -cnt END) AS acc
+  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+  GROUP BY doc_id, bs.b
+),
+sim AS (
+  SELECT doc_id,
+    CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+              THEN hv - {_MOD64} ELSE hv END AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id,
+      (sum(CASE WHEN acc > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0 END)::HUGEINT
+         * 4294967296::HUGEINT
+       + sum(CASE WHEN acc > 0 AND b < 32 THEN (1::BIGINT << b) ELSE 0 END)::HUGEINT) AS hv
+    FROM bits GROUP BY doc_id
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _zonal_oracle_sql() -> str:
+    """Enumerate the gen_rasters_exact(4,4,64) pixels (256x256 global
+    grid, exact dyadic centers, integer values, closed-form no-data) and
+    aggregate per rect zone — bit-identical to the engine's decode +
+    rasterize + partial/final path."""
+    from gis_tools_spark.sources.driver_tables import ZONES_SQL
+
+    return f"""
+WITH z AS ({ZONES_SQL.strip()}),
+px AS (
+  SELECT gix, giy,
+    5.0 + (gix + 0.5) * 0.01953125 AS lon,
+    45.0 - (giy + 0.5) * 0.01953125 AS lat,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+         ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+  FROM (SELECT unnest(generate_series(0, 255)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS giy) b
+)
+SELECT z.gid,
+  count(px.val) AS zonal_count,
+  CAST(count(*) - count(px.val) AS BIGINT) AS no_data_count,
+  min(px.val) AS zonal_min,
+  max(px.val) AS zonal_max,
+  CAST(floor(sum(px.val) / count(px.val) * 1000000.0 + 0.5) AS BIGINT) AS mean_r
+FROM px JOIN z
+  ON px.lon >= z.zminx AND px.lon <= z.zmaxx
+ AND px.lat >= z.zminy AND px.lat <= z.zmaxy
+GROUP BY z.gid
+"""
+
+
+def _horizon_oracle_sql() -> str:
+    """Brute-force horizon over the gen_rasters_exact(2,2,32) pixels:
+    same flat-earth azimuth/elevation math as the engine kernel
+    (operators/topography.py), op-order mirrored so doubles agree."""
+    return """
+WITH obs(pid, ox, oy) AS (VALUES (1, 6.5, 41.5), (2, 7.5, 42.5), (3, 8.5, 43.5)),
+tiles AS (
+  SELECT tx.tx, ty.ty, 'tile_' || tx.tx || '_' || ty.ty AS image_id,
+         5.0 + tx.tx * 2.5 AS x0, 45.0 - ty.ty * 2.5 AS y0
+  FROM (SELECT unnest(generate_series(0, 1)) AS tx) tx
+  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS ty) ty
+),
+own AS (
+  SELECT pid, ox, oy,
+         CAST(((tx*32 + ci)*7 + (ty*32 + ri)*13) % 997 AS DOUBLE) AS own
+  FROM (
+    SELECT o.pid, o.ox, o.oy, t.tx, t.ty,
+      least(greatest(CAST(trunc((o.ox - t.x0) / 0.078125) AS BIGINT), 0), 31) AS ci,
+      least(greatest(CAST(trunc((t.y0 - o.oy) / 0.078125) AS BIGINT), 0), 31) AS ri,
+      row_number() OVER (PARTITION BY o.pid ORDER BY t.image_id) AS rn
+    FROM obs o JOIN tiles t
+      ON o.ox >= t.x0 AND o.ox < t.x0 + 2.5
+     AND o.oy > t.y0 - 2.5 AND o.oy <= t.y0
+  ) s WHERE rn = 1
+),
+px AS (
+  SELECT 5.0 + (gix + 0.5) * 0.078125 AS lon,
+         45.0 - (giy + 0.5) * 0.078125 AS lat,
+         CAST((gix*7 + giy*13) % 997 AS DOUBLE) AS val
+  FROM (SELECT unnest(generate_series(0, 63)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS giy) b
+  WHERE (gix*31 + giy*17) % 101 >= 3
+),
+geom AS (
+  SELECT w.pid, p.val, w.own,
+    (p.lon - w.ox) * cos(radians(w.oy)) * pi() / 180 * 6371000.0 AS dx,
+    (p.lat - w.oy) * pi() / 180 * 6371000.0 AS dy
+  FROM own w CROSS JOIN px p
+),
+ang AS (
+  SELECT pid,
+    CAST(least(floor(((degrees(atan2(dx, dy)) + 360.0) % 360.0) / 15.0), 23) AS INTEGER) AS sector,
+    degrees(atan2(val - own, sqrt(dx*dx + dy*dy))) AS elev
+  FROM geom
+  WHERE sqrt(dx*dx + dy*dy) > 1.0
+    AND sqrt(dx*dx + dy*dy) <= 0.6 * pi() / 180 * 6371000.0
+)
+SELECT CAST(pid AS BIGINT) AS pid, sector, round(max(elev), 6) AS h_r
+FROM ang GROUP BY pid, sector
+"""
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """Full SQL mirror of the hyperplane-LSH ANN gate: the SAME
+    deterministic hyperplanes (inlined literals), sign-pattern bucket
+    keys, bucket-join candidates, exact cosine rescore, rounded-cosine
+    rank pick."""
+    import numpy as np
+
+    from gis_tools_spark.operators.simsearch import _hyperplanes
+
+    rows = []
+    for t in range(ANN_TABLES):
+        P = _hyperplanes(64, ANN_PLANES, ANN_SEED + t)
+        for p in range(ANN_PLANES):
+            for d in range(64):
+                rows.append(f"({t},{p},{d},{P[p, d]!r})")
+    plane_rows = ",".join(rows)
+    return f"""
+WITH planes(t, p, d, w) AS (VALUES {plane_rows}),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dots AS (
+  SELECT vec_id, planes.t, planes.p, sum(v[planes.d + 1] * planes.w) AS dot
+  FROM vecs CROSS JOIN planes
+  GROUP BY vec_id, planes.t, planes.p
+),
+keys AS (
+  SELECT vec_id,
+    CAST(t AS BIGINT) * 281474976710656
+    + sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+pairdim AS (
+  SELECT c.id_a, c.id_b,
+         va.v[dd.d] * vb.v[dd.d] AS xy,
+         va.v[dd.d] * va.v[dd.d] AS xx,
+         vb.v[dd.d] * vb.v[dd.d] AS yy
+  FROM cand c
+  JOIN vecs va ON va.vec_id = c.id_a
+  JOIN vecs vb ON vb.vec_id = c.id_b
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) dd
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(sum(xy) / (sqrt(sum(xx)) * sqrt(sum(yy))), 6) AS cos_r
+  FROM pairdim GROUP BY id_a, id_b
+),
+ranked AS (
+  SELECT id_a, id_b, cos_r,
+         row_number() OVER (PARTITION BY id_a ORDER BY cos_r DESC, id_b) AS rn
+  FROM scored
+)
+SELECT id_a, id_b, cos_r FROM ranked WHERE rn = 1
+"""
 
 
 _PIP_PAIRS_SQL = f"""
@@ -562,6 +807,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
             FROM documents
         """,
+        "minhash_pairs": _minhash_oracle_sql(),
+        "simhash_dups": _simhash_oracle_sql(),
+        "zonal_raster_stats": _zonal_oracle_sql(),
+        "horizon": _horizon_oracle_sql(),
+        "embed_ann_lsh": _ann_lsh_oracle_sql(),
         "embed_top1": """
             WITH p AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,

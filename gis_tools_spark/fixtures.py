@@ -213,6 +213,36 @@ def gen_lines(n: int = 64, seed: int = SEED) -> pd.DataFrame:
 
 # ------------------------------------------------------------------ rasters
 
+def gen_rasters_exact(nx: int = 4, ny: int = 4, tile: int = 64) -> pd.DataFrame:
+    """Closed-form integer tiles for SQL-oracle driver gates.
+
+    val(gix, giy) = (gix*7 + giy*13) mod 997 (global pixel indices);
+    no-data where (gix*31 + giy*17) mod 101 < 3. Every value is a small
+    integer (exact in float32) and every pixel-center coordinate is an
+    exact dyadic double (the AOI spans 5 deg over power-of-two pixel
+    grids), so a DuckDB oracle can enumerate the identical raster with
+    generate_series and match aggregates bit-for-bit."""
+    minx, miny, maxx, maxy = AOI
+    rx = (maxx - minx) / (nx * tile)
+    ry = (maxy - miny) / (ny * tile)
+    rows = []
+    for ty in range(ny):
+        for tx in range(nx):
+            x0 = minx + tx * tile * rx
+            y0 = maxy - ty * tile * ry
+            gx = tx * tile + np.arange(tile)[None, :]   # global col index
+            gy = ty * tile + np.arange(tile)[:, None]   # global row index
+            val = ((gx * 7 + gy * 13) % 997).astype(np.float32)  # (tile, tile)
+            nod = (gx * 31 + gy * 17) % 101 < 3
+            val[nod] = codec.NO_DATA_F32
+            iid = f"tile_{tx}_{ty}"
+            rows.append((iid, codec.encode_raw_f32(val), tile, tile, "raw_f32",
+                         f"exact tile ({tx},{ty})", codec.phash64(val),
+                         x0, rx, y0, ry))
+    return pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                       "caption", "phash", "gt_x0", "gt_rx", "gt_y0", "gt_ry"])
+
+
 def gen_rasters(nx: int = 4, ny: int = 4, tile: int = 64, seed: int = SEED,
                 no_data_frac: float = 0.03) -> pd.DataFrame:
     """Edge-to-edge float32 tiles of a smooth field over the AOI

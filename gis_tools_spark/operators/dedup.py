@@ -37,8 +37,13 @@ def dedup_exact(df: DataFrame, *, text_col: str = "text",
 # ------------------------------------------------------------------ minhash
 
 def _hash64(data: bytes, seed: int = 0) -> int:
-    h = hashlib.blake2b(data, digest_size=8, key=seed.to_bytes(8, "little"))
-    return int.from_bytes(h.digest(), "little")
+    """First 8 bytes of md5, big-endian unsigned — chosen because the
+    exact value is reproducible in ANSI SQL / DuckDB as
+    ``('0x' || substr(md5(x), 1, 16))::UBIGINT``, which lets the driver
+    gate minhash/simhash against a real value-level oracle."""
+    if seed:
+        data = seed.to_bytes(8, "little") + data
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
 
 
 def _perm_params(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:

@@ -58,8 +58,16 @@ def get_horizon(observers: DataFrame, dem_tiles: DataFrame, *,
          .withColumn("__maxx", F.col("gt_x0") + F.col("gt_rx") * F.col("w"))
          .withColumn("__miny", F.col("gt_y0") - F.col("gt_ry") * F.col("h")))
     n = 1 << res
-    ix0 = F.floor((F.col("gt_x0") - radius_deg + 180.0) / 360.0 * n).cast("long")
-    ix1 = F.floor((F.col("__maxx") + radius_deg + 180.0) / 360.0 * n).cast("long")
+    # lon pad must grow by 1/cos(lat): `radius_deg` of ground distance
+    # spans radius_deg/cos(lat) degrees of longitude, so a flat pad
+    # misses in-radius pixels at high latitude
+    lat_abs = (F.greatest(F.abs(F.col("__miny")), F.abs(F.col("gt_y0")))
+               + F.lit(radius_deg))
+    pad_x = (F.lit(radius_deg)
+             / F.greatest(F.cos(F.radians(F.least(lat_abs, F.lit(89.0)))),
+                          F.lit(1e-6)))
+    ix0 = F.floor((F.col("gt_x0") - pad_x + 180.0) / 360.0 * n).cast("long")
+    ix1 = F.floor((F.col("__maxx") + pad_x + 180.0) / 360.0 * n).cast("long")
     iy0 = F.floor((F.col("__miny") - radius_deg + 90.0) / 180.0 * n).cast("long")
     iy1 = F.floor((F.col("gt_y0") + radius_deg + 90.0) / 180.0 * n).cast("long")
     tc = (t.withColumn("__ix", F.explode(F.sequence(ix0, ix1)))
@@ -91,7 +99,9 @@ def get_horizon(observers: DataFrame, dem_tiles: DataFrame, *,
                 gx, gy = np.meshgrid(xs, ys)
                 dx = (gx - ox) * np.cos(np.deg2rad(oy)) * np.pi / 180 * EARTH_R
                 dy = (gy - oy) * np.pi / 180 * EARTH_R
-                dist = np.hypot(dx, dy)
+                # sqrt(dx²+dy²) rather than np.hypot: bit-identical to the
+                # SQL oracle's sqrt form (hypot rounds differently)
+                dist = np.sqrt(dx * dx + dy * dy)
                 good = (arr != no_data) & (dist > 1.0) & (dist <= radius_deg * np.pi / 180 * EARTH_R)
                 own = float(r[elev_col])
                 if not good.any():
