@@ -1,9 +1,13 @@
 """Column-level geometry/geodesy functions."""
 
 from .geom_funcs import (  # noqa: F401
+    buffer_geom,
+    clean_geometry,
     geom_area,
     geom_bounds_struct,
     geom_buffer,
+    geom_is_valid,
+    geom_make_valid,
     geom_centroid_xy,
     geom_convex_hull,
     geom_envelope,
@@ -14,4 +18,8 @@ from .geom_funcs import (  # noqa: F401
     geom_simplify,
     geom_type_of,
 )
-from .geodesy import great_circle_meters, euclidean  # noqa: F401
+from .geodesy import (  # noqa: F401
+    euclidean,
+    geodesic_meters,
+    great_circle_meters,
+)

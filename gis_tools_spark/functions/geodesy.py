@@ -21,3 +21,72 @@ def great_circle_meters(lon1: Column, lat1: Column, lon2: Column, lat2: Column,
 
 def euclidean(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     return F.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2)
+
+
+def geodesic_meters():
+    """Ellipsoidal (WGS84) geodesic distance — the engine's pyproj
+    Geod.inv analog (reference pyproj_distance distance.py:69-91),
+    computed with a vectorized Vincenty inverse iteration in numpy
+    inside one Arrow-batched pandas UDF. Accuracy ~0.5 mm against
+    Karney for non-antipodal pairs; near-antipodal pairs (where Vincenty
+    fails to converge) fall back to the great-circle value.
+
+    Usage: df.withColumn("d", geodesic_meters()(lon1, lat1, lon2, lat2))
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    A, FLAT = 6378137.0, 1 / 298.257223563
+    B = A * (1 - FLAT)
+
+    @F.pandas_udf(T.DoubleType())
+    def _udf(lon1: pd.Series, lat1: pd.Series,
+             lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+        p1 = np.radians(lat1.to_numpy(np.float64))
+        p2 = np.radians(lat2.to_numpy(np.float64))
+        dl = np.radians(lon2.to_numpy(np.float64) - lon1.to_numpy(np.float64))
+        u1, u2 = np.arctan((1 - FLAT) * np.tan(p1)), np.arctan((1 - FLAT) * np.tan(p2))
+        su1, cu1 = np.sin(u1), np.cos(u1)
+        su2, cu2 = np.sin(u2), np.cos(u2)
+        lam = dl.copy()
+        converged = np.zeros(len(lam), dtype=bool)
+        sig = np.zeros_like(lam)
+        ssig = np.zeros_like(lam)
+        csig = np.ones_like(lam)
+        cos2a = np.ones_like(lam)
+        c2sm = np.zeros_like(lam)
+        for _ in range(60):
+            sl, cl = np.sin(lam), np.cos(lam)
+            ssig = np.sqrt((cu2 * sl) ** 2 + (cu1 * su2 - su1 * cu2 * cl) ** 2)
+            csig = su1 * su2 + cu1 * cu2 * cl
+            sig = np.arctan2(ssig, csig)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sina = np.where(ssig != 0, cu1 * cu2 * sl / ssig, 0.0)
+                cos2a = 1 - sina ** 2
+                c2sm = np.where(cos2a != 0,
+                                csig - 2 * su1 * su2 / np.where(cos2a == 0, 1, cos2a),
+                                0.0)
+            cc = FLAT / 16 * cos2a * (4 + FLAT * (4 - 3 * cos2a))
+            new = dl + (1 - cc) * FLAT * sina * (
+                sig + cc * ssig * (c2sm + cc * csig * (-1 + 2 * c2sm ** 2)))
+            converged |= np.abs(new - lam) < 1e-12
+            lam = new
+            if converged.all():
+                break
+        usq = cos2a * (A * A - B * B) / (B * B)
+        ka = 1 + usq / 16384 * (4096 + usq * (-768 + usq * (320 - 175 * usq)))
+        kb = usq / 1024 * (256 + usq * (-128 + usq * (74 - 47 * usq)))
+        dsig = kb * ssig * (c2sm + kb / 4 * (
+            csig * (-1 + 2 * c2sm ** 2)
+            - kb / 6 * c2sm * (-3 + 4 * ssig ** 2) * (-3 + 4 * c2sm ** 2)))
+        d = B * ka * (sig - dsig)
+        # identical points → 0; non-converged (near-antipodal) → haversine
+        same = (p1 == p2) & (dl == 0)
+        hav = 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(
+            np.sin((p2 - p1) / 2) ** 2
+            + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2))
+        d = np.where(same, 0.0, np.where(converged, d, hav))
+        return pd.Series(d)
+
+    return _udf

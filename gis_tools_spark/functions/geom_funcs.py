@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F, types as T
 
-from ..geom import kernels as K, wkb
+from ..geom import boolean, kernels as K, wkb
 
 
 def _wkb_to_wkb(fn):
@@ -134,21 +134,107 @@ def geom_segmentize(max_len: float):
     return _wkb_to_wkb(_seg)
 
 
+def _segment_rect(p, q, d: float) -> np.ndarray | None:
+    v = q[:2] - p[:2]
+    ln = float(np.hypot(v[0], v[1]))
+    if ln < K.EPS:
+        return None
+    n = np.array([-v[1], v[0]]) / ln * d
+    return np.array([p[:2] + n, q[:2] + n, q[:2] - n, p[:2] - n, p[:2] + n])
+
+
+def buffer_geom(g: dict, distance: float, resolution: int = 16) -> dict | None:
+    """True positive buffer (Minkowski sum with a discretized disc) for
+    any geometry type — reference layer.py:469-488 buffer semantics.
+
+    P ⊕ D = P ∪ (∂P ⊕ D): the input polygon (if any) unioned with one
+    rectangle per boundary segment and one disc per vertex, folded with
+    the seam-decomposed region union (geom.boolean.union_parts). Exact
+    for concave inputs and holes up to the disc discretization."""
+    if distance <= 0:
+        raise ValueError("buffer: only positive distances supported")
+    parts: list[dict] = []
+    if K.polygons_of(g):
+        parts.append(g)
+    for line in K.ring_list(g):
+        pts = np.asarray(line, dtype=np.float64)[:, :2]
+        for a, b in zip(pts[:-1], pts[1:]):
+            r = _segment_rect(a, b, distance)
+            if r is not None:
+                parts.append({"type": "Polygon", "rings": [K.ensure_ccw(r)]})
+        for x, y in pts:
+            parts.append({"type": "Polygon",
+                          "rings": [K.buffer_point(x, y, distance, resolution)]})
+    # dedupe identical vertex discs (closed rings repeat the first point)
+    return boolean.union_parts(parts)
+
+
 def geom_buffer(distance: float, resolution: int = 16):
-    """Buffer. Exact for points (regular 4×resolution-gon circle, like
-    shapely's default discretization); polygons/lines use the convex-hull
-    -of-vertex-circles approximation (exact for convex inputs up to the
-    circle discretization; concave inputs get their convex buffer —
-    documented limitation until the full offset kernel lands)."""
+    """Buffer column fn. Points stay the exact regular 4×resolution-gon;
+    lines and (concave) polygons use the segment-rect ∪ vertex-disc
+    Minkowski construction (buffer_geom)."""
     def _buf(g):
-        pts = np.vstack([r[:, :2] for r in K.ring_list(g)])
         if g["type"] == "Point":
-            return wkb.polygon([K.buffer_point(pts[0, 0], pts[0, 1], distance, resolution)])
-        rings = [K.buffer_point(x, y, distance, resolution) for x, y in pts]
-        allpts = np.vstack(rings)
-        return wkb.polygon([K.convex_hull(allpts)])
+            c = g["coords"]
+            return wkb.polygon([K.buffer_point(c[0], c[1], distance, resolution)])
+        out = buffer_geom(g, distance, resolution)
+        return None if out is None else wkb.encode(out)
 
     return _wkb_to_wkb(_buf)
+
+
+def geom_make_valid():
+    """Repair column fn (reference buffer(0) at load, layer.py:1543;
+    clean_geometry layer.py:1584-1608): structural cleanup + bowtie
+    split + containment-parity reassembly. Null for unsalvageable."""
+    from ..geom import repair
+
+    @F.pandas_udf(T.BinaryType())
+    def _udf(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            if b is None:
+                out.append(None)
+                continue
+            try:
+                g = repair.make_valid(wkb.decode(b))
+            except Exception:
+                g = None
+            out.append(None if g is None else wkb.encode(g))
+        return pd.Series(out, dtype=object)
+
+    return _udf
+
+
+def geom_is_valid():
+    """Validity predicate column fn (reference is_valid layer.py:755)."""
+    from ..geom import repair
+
+    @F.pandas_udf(T.BooleanType())
+    def _udf(s: pd.Series) -> pd.Series:
+        out = []
+        for b in s:
+            if b is None:
+                out.append(False)
+                continue
+            try:
+                out.append(repair.is_valid_geom(wkb.decode(b)))
+            except Exception:
+                out.append(False)
+        return pd.Series(out)
+
+    return _udf
+
+
+def clean_geometry(df, wkb_col: str = "geometry_wkb", *,
+                   delete_invalid: bool = False):
+    """Layer-level repair (reference clean_geometry layer.py:1584-1608):
+    delete_invalid=True filters invalid rows; otherwise repairs in place
+    and drops only unsalvageable rows."""
+    if delete_invalid:
+        return df.where(geom_is_valid()(F.col(wkb_col)))
+    repaired = df.withColumn(wkb_col, geom_make_valid()(F.col(wkb_col)))
+    return repaired.where(F.col(wkb_col).isNotNull())
 
 
 def geom_length_xyz():

@@ -379,3 +379,39 @@ def difference(g1: dict, g2: dict) -> dict | None:
             cur = nxt
         pieces.extend(cur)
     return _rings_to_polygons(pieces)
+
+
+def _polys_to_geom(polys: list[list[np.ndarray]]) -> dict | None:
+    if not polys:
+        return None
+    if len(polys) == 1:
+        return {"type": "Polygon", "rings": polys[0]}
+    return {"type": "MultiPolygon", "polygons": polys}
+
+
+def union_parts(geoms: list) -> dict | None:
+    """Region union of many polygons as a seam-decomposed MultiPolygon.
+
+    Fold: each geometry contributes the part NOT already covered
+    (difference against the accumulated union), so pieces tile the union
+    region exactly — total area, covers/intersects predicates, and any
+    downstream clip are those of the true union; internal seam edges
+    between pieces are kept (no ring re-melting). This is the
+    no-shared-library analog of shapely.union_all for region semantics.
+    """
+    acc: list[list[np.ndarray]] = []
+    for g in geoms:
+        if g is None:
+            continue
+        if not acc:
+            acc.extend(K.polygons_of(g))
+            continue
+        d = difference(g, _polys_to_geom(acc))
+        if d is not None:
+            acc.extend(K.polygons_of(d))
+    return _polys_to_geom(acc)
+
+
+def union(g1: dict | None, g2: dict | None) -> dict | None:
+    """Binary region union (seam-decomposed; see union_parts)."""
+    return union_parts([g1, g2])

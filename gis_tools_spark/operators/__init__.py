@@ -7,19 +7,24 @@ from .sjoin import pip_join, sjoin  # noqa: F401
 from .knn import nearest_feature  # noqa: F401
 from .overlay import (  # noqa: F401
     attr_area,
+    difference_join,
     dissolve,
     drop_duplicate_geometries,
     intersection_join,
+    overlay,
     shared_area,
+    union_join,
 )
 from .split import (  # noqa: F401
     cut_lines_fixed_length,
+    cut_lines_recursive_midpoint,
     explode_multiparts,
     fishnet,
     image_tile_assignment,
     katana_split,
     linemerge,
     split_lines_at_points,
+    split_lines_at_underlying_points,
     split_polygons,
 )
 from .proximity import (  # noqa: F401
@@ -39,6 +44,11 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
-from .simsearch import brute_force_topk, ivf_topk, lsh_topk  # noqa: F401
+from .simsearch import (  # noqa: F401
+    brute_force_topk,
+    exact_topk_blocked,
+    ivf_topk,
+    lsh_topk,
+)
 from .textstats import fingerprint, lang_scores, quality_scores  # noqa: F401
 from . import network  # noqa: F401

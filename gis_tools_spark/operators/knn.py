@@ -103,15 +103,20 @@ def _nearest_broadcast(points, features, *, lon, lat, point_id, feat_wkb, feat_i
     return points.mapInPandas(_run, schema=out_schema)
 
 
-def _nearest_rings(points, features, *, lon, lat, point_id, feat_wkb, feat_id, res):
-    """Distributed ring-expansion kNN.
+def _nearest_rings(points, features, *, lon, lat, point_id, feat_wkb, feat_id,
+                   res, max_k: int = 64):
+    """Distributed ring-expansion kNN with bounded fan-out.
 
-    Round k: points emit their grid-disk(k) cells (pure arithmetic via
-    neighbor offsets), features their cover cells at `res`; equi-join,
-    exact distance refine, per-point min. Points without a hit roll to
-    the next round with doubled k. Exactness: after the first hit at
-    radius k with winner distance d, one final round at radius
-    ceil(d/cell_w)+1 confirms no closer candidate in an outer ring.
+    Round k: points emit only the ANNULUS of cells with Chebyshev
+    distance in (prev_k, k] — not the full disk, whose (2k+1)^2 explode
+    was the round-1 scale-killer for isolated points (a planetary-sparse
+    point at k=4096 fanned to ~67M cells). Features in the inner disk
+    were proven absent by earlier rounds, so the annulus is sufficient.
+    Exactness: after the first hit at radius k with winner distance d,
+    one extra annulus (k, ceil(d/cell_w)+1] is unioned in and the
+    per-point min re-picked. Points still dry at max_k — and hits whose
+    confirm radius exceeds 2*max_k — fall back to the broadcast
+    all-pairs pass (few stragglers by construction).
     """
     from .core import CELL_COL, explode_cover
 
@@ -123,55 +128,76 @@ def _nearest_rings(points, features, *, lon, lat, point_id, feat_wkb, feat_id, r
 
     feats = features.select(feat_id, feat_wkb)
     w = Window.partitionBy(point_id).orderBy(F.col("__order"), F.col(feat_id))
+    nf = "nearest_" + feat_id
+    w2 = Window.partitionBy(point_id).orderBy(F.col("__order"), F.col(nf))
 
-    def _round_best(pts, radius):
-        cand = _ring_join(pts, cover, lon, lat, res, radius, CELL_COL)
+    def _round_best(pts, lo, hi):
+        cand = _ring_join(pts, cover, lon, lat, res, lo, hi, CELL_COL)
         scored = _score(cand.join(feats, on=feat_id), lon=lon, lat=lat,
                         feat_wkb=feat_wkb)
         return (scored.withColumn("__rn", F.row_number().over(w))
-                .where("__rn = 1").drop("__rn", feat_wkb, "__order")
-                .withColumnRenamed(feat_id, "nearest_" + feat_id))
+                .where("__rn = 1").drop("__rn", feat_wkb)
+                .withColumnRenamed(feat_id, nf))
 
     # localCheckpoint each iteration: the loop otherwise stacks windows,
     # anti-joins and UDF stages into one deep lazy plan that Catalyst
     # re-executes per action.
     remaining = points.localCheckpoint(eager=True)
-    winners = None
-    k = 0
-    max_k = 1 << 12
+    winners = []
+    k, lo = 0, 0
     while k <= max_k:
-        best = _round_best(remaining, k).localCheckpoint(eager=True)
+        best = _round_best(remaining, lo, k).localCheckpoint(eager=True)
         if best.limit(1).count():
             kconf = best.agg(F.max(F.ceil(F.col("nearest_dist") / F.lit(cell_w)))).collect()[0][0]
             kconf = int(kconf or 0) + 1
+            if kconf > 2 * max_k:
+                # confirm annulus too wide to enumerate — defer the hit
+                # points to the broadcast fallback below
+                hit = best.select(point_id)
+                remaining = remaining.join(hit, on=point_id, how="left_anti") \
+                                     .localCheckpoint(eager=True)
+                lo = k + 1
+                k = 1 if k == 0 else k * 2
+                continue
             if kconf > k:
-                # exactness re-check at the wider radius — ONLY for points
-                # that hit at this radius (a point first appearing in the
-                # confirm round is itself unconfirmed and waits for its
-                # own round)
-                hit_pts = best.select(point_id)
-                confirm_pts = remaining.join(hit_pts, on=point_id, how="left_semi")
-                best = _round_best(confirm_pts, kconf).localCheckpoint(eager=True)
-            winners = best if winners is None else winners.unionByName(best)
+                # exactness re-check: only the OUTER annulus (k, kconf] —
+                # the inner disk is already reflected in `best`
+                hit_pts = remaining.join(best.select(point_id), on=point_id,
+                                         how="left_semi")
+                extra = _round_best(hit_pts, k + 1, kconf)
+                best = (best.unionByName(extra)
+                        .withColumn("__rn", F.row_number().over(w2))
+                        .where("__rn = 1").drop("__rn")
+                        .localCheckpoint(eager=True))
+            winners.append(best.drop("__order"))
             remaining = remaining.join(best.select(point_id), on=point_id,
                                        how="left_anti").localCheckpoint(eager=True)
             if remaining.limit(1).count() == 0:
+                remaining = None
                 break
+        lo = k + 1
         k = 1 if k == 0 else k * 2
-    return winners
+    if remaining is not None and remaining.limit(1).count():
+        winners.append(_nearest_broadcast(remaining, features, lon=lon, lat=lat,
+                                          point_id=point_id, feat_wkb=feat_wkb,
+                                          feat_id=feat_id))
+    out = winners[0]
+    for x in winners[1:]:
+        out = out.unionByName(x)
+    return out
 
 
-def _ring_join(points, cover, lon, lat, res, k, cell_col):
-    """Join points to cover via all cells within Chebyshev distance k.
-
-    The point side explodes into (2k+1)^2 offsets only for small k; this
-    is only used on the shrinking 'remaining' set.
-    """
+def _ring_join(points, cover, lon, lat, res, lo, hi, cell_col):
+    """Join points to cover via cells with Chebyshev distance in
+    [lo, hi] of the point's cell (annulus; lo=0 → full disk). The
+    explode materializes (2hi+1)^2 offsets then filters — bounded by the
+    max_k cap, and only on the shrinking 'remaining' set."""
     base = C.cell_column(F.col(lon), F.col(lat), res)
     n = 1 << res
     pts = points.withColumn("__c", base)
-    offs = F.expr(f"explode(flatten(transform(sequence(-{k},{k}), dx -> "
-                  f"transform(sequence(-{k},{k}), dy -> struct(dx, dy)))))")
+    offs = F.expr(f"explode(flatten(transform(sequence(-{hi},{hi}), dx -> "
+                  f"filter(transform(sequence(-{hi},{hi}), dy -> struct(dx, dy)), "
+                  f"o -> greatest(abs(o.dx), abs(o.dy)) >= {lo}))))")
     pts = pts.withColumn("__o", offs)
     ix0 = ((F.col("__c") - F.lit(res) * F.lit(1 << C.RES_SHIFT)) / F.lit(1 << C.IX_SHIFT)).cast("long")
     iy0 = F.col("__c") % F.lit(1 << C.IX_SHIFT)

@@ -229,18 +229,26 @@ def dissolve(df: DataFrame, by: str, *, wkb_col: str = "geometry_wkb",
 
     assume_disjoint=True returns the collection-union (MultiPolygon of
     all parts) — exact union when group members don't overlap, which is
-    the reference's dominant fixture case. Overlapping unions need the
-    full clipping kernel (later round); area is then an over-count.
+    the reference's dominant fixture case. assume_disjoint=False folds
+    the true region union (boolean.union_parts) so overlapping members
+    aren't double-counted (seam-decomposed pieces; exact area).
     """
     agg = agg or {}
 
     def _union(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        polys = []
-        for b in pdf[wkb_col]:
-            g = wkb.decode(b)
-            polys.extend(K.polygons_of(g))
-        merged = ({"type": "Polygon", "rings": polys[0]} if len(polys) == 1
-                  else {"type": "MultiPolygon", "polygons": polys})
+        if not assume_disjoint:
+            merged = boolean.union_parts([wkb.decode(b) for b in pdf[wkb_col]
+                                          if b is not None])
+            if merged is None:
+                return pd.DataFrame(
+                    columns=[by, wkb_col, "union_area", *agg.keys()])
+        else:
+            polys = []
+            for b in pdf[wkb_col]:
+                g = wkb.decode(b)
+                polys.extend(K.polygons_of(g))
+            merged = ({"type": "Polygon", "rings": polys[0]} if len(polys) == 1
+                      else {"type": "MultiPolygon", "polygons": polys})
         row = {by: key[0], wkb_col: wkb.encode(merged),
                "union_area": K.area(merged)}
         for col, how in agg.items():
@@ -262,3 +270,86 @@ def drop_duplicate_geometries(df: DataFrame, *, wkb_col: str = "geometry_wkb",
     w = Window.partitionBy(F.sha2(F.col(wkb_col), 256)).orderBy(F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .where("__rn = 1").drop("__rn"))
+
+
+def overlay(left: DataFrame, right: DataFrame, *, how: str = "union",
+            left_wkb: str = "geometry_wkb", right_wkb: str = "geometry_wkb",
+            left_id: str = "lid", right_id: str = "gid",
+            res: int = C.RES_MIN, max_cells: int = 256) -> DataFrame:
+    """Full overlay (reference PolygonLayer.overlay layer.py:1749-1763 →
+    gpd.overlay(how)): standard decomposition into
+
+      intersection pieces  — attrs of BOTH sides
+      left-difference      — left attrs, right attrs null
+      right-difference     — right attrs, left attrs null
+
+    how='union' emits all three, 'identity' = intersection + left-diff,
+    'symmetric_difference' = both diffs, 'intersection'/'difference'
+    delegate to the dedicated joins. Output columns: left attrs + right
+    attrs (collisions suffixed _right) + `geometry_wkb` piece + `origin`
+    ∈ {both,left,right} + `piece_area`. Each leg is the cell-join
+    filter-refine plan, so the whole overlay is 2-3 equi-joins — no
+    cross product at any scale.
+    """
+    if how == "intersection":
+        return intersection_join(left, right, left_wkb=left_wkb,
+                                 right_wkb=right_wkb, left_id=left_id,
+                                 right_id=right_id, res=res, max_cells=max_cells)
+    if how == "difference":
+        return difference_join(left, right, left_wkb=left_wkb,
+                               right_wkb=right_wkb, left_id=left_id,
+                               right_id=right_id, res=res, max_cells=max_cells)
+    if how not in ("union", "identity", "symmetric_difference"):
+        raise ValueError(f"how={how!r}")
+
+    rightd = _dedupe_names(left, right)
+    r_wkb = right_wkb if right_wkb in rightd.columns else f"{right_wkb}_right"
+    r_id = right_id if right_id in rightd.columns else f"{right_id}_right"
+    l_attrs = [c for c in left.columns if c != left_wkb]
+    r_attrs = [c for c in rightd.columns if c != r_wkb]
+    out_geom = "geometry_wkb"
+
+    def _nulls(df, cols, like):
+        for c in cols:
+            df = df.withColumn(c, F.lit(None).cast(like.schema[c].dataType))
+        return df
+
+    legs = []
+    if how in ("union", "identity"):
+        inter = intersection_join(left, rightd, left_wkb=left_wkb,
+                                  right_wkb=r_wkb, left_id=left_id,
+                                  right_id=r_id, res=res, max_cells=max_cells)
+        legs.append(inter.select(
+            *l_attrs, *r_attrs,
+            F.col("inter_wkb").alias(out_geom),
+            F.lit("both").alias("origin"),
+            F.col("inter_area").alias("piece_area")))
+    if how in ("union", "identity", "symmetric_difference"):
+        ld = difference_join(left, rightd, left_wkb=left_wkb, right_wkb=r_wkb,
+                             left_id=left_id, right_id=r_id,
+                             res=res, max_cells=max_cells)
+        ld = _nulls(ld, r_attrs, rightd).select(
+            *l_attrs, *r_attrs,
+            F.col(left_wkb).alias(out_geom),
+            F.lit("left").alias("origin"),
+            F.col("diff_area").alias("piece_area"))
+        legs.append(ld)
+    if how in ("union", "symmetric_difference"):
+        rd = difference_join(rightd, left, left_wkb=r_wkb, right_wkb=left_wkb,
+                             left_id=r_id, right_id=left_id,
+                             res=res, max_cells=max_cells)
+        rd = _nulls(rd, l_attrs, left).select(
+            *l_attrs, *r_attrs,
+            F.col(r_wkb).alias(out_geom),
+            F.lit("right").alias("origin"),
+            F.col("diff_area").alias("piece_area"))
+        legs.append(rd)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def union_join(left: DataFrame, right: DataFrame, **kw) -> DataFrame:
+    """overlay(how='union') — see overlay()."""
+    return overlay(left, right, how="union", **kw)

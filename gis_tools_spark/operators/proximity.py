@@ -165,3 +165,45 @@ def snap_to_lines(points: DataFrame, lines: DataFrame, *,
             yield out
 
     return j.mapInPandas(_run, schema=schema)
+
+
+def centroid_boundary_distance(df, *, wkb_col: str = "geometry_wkb"):
+    """Min and max distance from each polygon's centroid to its boundary
+    (reference distance_of_centroid_to_boundary layer.py:1623-1634:
+    min = boundary.distance(centroid), max = hausdorff — for a point vs
+    boundary, the hausdorff distance is the farthest boundary vertex/
+    segment distance). Adds columns (cb_min_dist, cb_max_dist)."""
+    from pyspark.sql import types as T
+
+    fields = T.StructType(list(df.schema.fields) + [
+        T.StructField("cb_min_dist", T.DoubleType()),
+        T.StructField("cb_max_dist", T.DoubleType()),
+    ])
+
+    def _run(it):
+        for pdf in it:
+            mins, maxs = [], []
+            for b in pdf[wkb_col]:
+                if b is None:
+                    mins.append(None); maxs.append(None)
+                    continue
+                g = wkb.decode(b)
+                cx, cy = K.centroid(g)
+                dmin, dmax = np.inf, 0.0
+                for ring in K.ring_list(g):
+                    pts = ring[:, :2]
+                    # min: exact point-to-segment; max: farthest vertex
+                    # (the hausdorff max over a segment is at an endpoint)
+                    d = K.point_to_geom_distance(
+                        {"type": "LineString", "coords": ring},
+                        np.array([cx]), np.array([cy]))[0]
+                    dmin = min(dmin, float(d))
+                    dv = np.sqrt((pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2)
+                    dmax = max(dmax, float(dv.max()))
+                mins.append(dmin); maxs.append(dmax)
+            out = pdf.copy()
+            out["cb_min_dist"] = mins
+            out["cb_max_dist"] = maxs
+            yield out
+
+    return df.mapInPandas(_run, schema=fields)

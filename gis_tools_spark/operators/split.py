@@ -431,3 +431,169 @@ def image_tile_assignment(images: DataFrame, *, res: int = C.RES_MAX,
         C.cell_column(F.col(maxx), F.col(maxy), res),
     )
     return (images.withColumn("cell", F.explode(F.array_distinct(corners))))
+
+
+def cut_lines_recursive_midpoint(df: DataFrame, *,
+                                 wkb_col: str = "geometry_wkb",
+                                 threshold: float) -> DataFrame:
+    """Recursive midpoint cut (reference `cut` geometry.py:136-158):
+    halve each line at its length midpoint until every piece is shorter
+    than `threshold` (recursion capped at 250 like the reference).
+    Output: input columns + (part_index, piece_wkb, piece_len)."""
+    fields = list(df.schema.fields) + [
+        T.StructField("part_index", T.IntegerType()),
+        T.StructField("piece_wkb", T.BinaryType()),
+        T.StructField("piece_len", T.DoubleType()),
+    ]
+
+    def _length(pts: np.ndarray) -> float:
+        d = np.diff(pts[:, :2], axis=0)
+        return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+    def _cut(pts: np.ndarray, count: int = 0) -> list[np.ndarray]:
+        total = _length(pts)
+        if threshold < 0 or threshold >= total or count == 250:
+            return [pts]
+        halves = _cut_at_distances(pts[:, :2], [total / 2.0])
+        if len(halves) < 2:
+            return [pts]
+        out = []
+        for h in halves:
+            out.extend(_cut(h, count + 1))
+        return out
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in range(len(pdf)):
+                buf = pdf[wkb_col].iloc[i]
+                if buf is None:
+                    continue
+                g = wkb.decode(buf)
+                lines = [g["coords"]] if g["type"] == "LineString" else g.get("lines", [])
+                j = 0
+                for l in lines:
+                    for piece in _cut(np.asarray(l, dtype=np.float64)):
+                        row = pdf.iloc[i].to_dict()
+                        row["part_index"] = j
+                        row["piece_wkb"] = wkb.linestring(piece)
+                        row["piece_len"] = _length(piece)
+                        rows.append(row)
+                        j += 1
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_run, schema=T.StructType(fields))
+
+
+def split_lines_at_underlying_points(lines: DataFrame, locations: DataFrame, *,
+                                     wkb_col: str = "geometry_wkb",
+                                     line_id: str = "lid",
+                                     idx_col: str = "vertex_index") -> DataFrame:
+    """Split lines at their OWN vertices (reference
+    split_at_underlying_points layer.py:2157-2186 + split_list_by_index
+    list.py:27-44, include=True): `locations` is a (line_id,
+    vertex_index) table; each valid interior index becomes a shared
+    pivot vertex of two pieces; rows without locations pass through.
+    Output: line columns + (part_index, piece_wkb)."""
+    locs = (locations.groupBy(line_id)
+            .agg(F.collect_set(F.col(idx_col)).alias("__breaks")))
+    src = lines.join(locs, on=line_id, how="left")
+
+    fields = list(lines.schema.fields) + [
+        T.StructField("part_index", T.IntegerType()),
+        T.StructField("piece_wkb", T.BinaryType()),
+    ]
+    lcols = list(lines.columns)
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in range(len(pdf)):
+                buf = pdf[wkb_col].iloc[i]
+                if buf is None:
+                    continue
+                g = wkb.decode(buf)
+                coords = np.asarray(
+                    g["coords"] if g["type"] == "LineString" else g["lines"][0],
+                    dtype=np.float64)
+                raw = pdf["__breaks"].iloc[i]
+                n = len(coords)
+                idx = sorted({int(b) for b in (raw if raw is not None else [])
+                              if 0 < int(b) < n - 1})
+                base = {c: pdf[c].iloc[i] for c in lcols}
+                if not idx:
+                    row = dict(base)
+                    row["part_index"] = 0
+                    row["piece_wkb"] = buf
+                    rows.append(row)
+                    continue
+                for j, (a, b) in enumerate(zip([0] + idx, idx + [n - 1])):
+                    row = dict(base)
+                    row["part_index"] = j
+                    row["piece_wkb"] = wkb.linestring(coords[a:b + 1])
+                    rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows, columns=lcols + ["part_index", "piece_wkb"])
+
+    return src.mapInPandas(_run, schema=T.StructType(fields))
+
+
+def honeycomb(df: DataFrame, *, wkb_col: str = "geometry_wkb",
+              hex_area: float, keep_piece_geom: bool = True) -> DataFrame:
+    """Clip each polygon to a TRUE hexagonal grid of the given cell area
+    (reference hexana/honeycomb geometry.py:321-425 — numba hex-grid
+    generation + intersection; round-1 used square cells as a stand-in).
+
+    Flat-top hexagons on a deterministic origin-(0,0) grid: side
+    s = sqrt(2A/(3*sqrt(3))), centers at (1.5*s*i, sqrt(3)*s*(j + (i&1)/2)).
+    Hexagons are convex, so each clip is the exact Sutherland–Hodgman
+    fast path. Output: input row × piece → (hex_i, hex_j, piece_wkb,
+    piece_area)."""
+    s = float(np.sqrt(hex_area * 2.0 / (3.0 * np.sqrt(3.0))))
+    dx, dy = 1.5 * s, np.sqrt(3.0) * s
+    ang = np.arange(7) * (np.pi / 3.0)
+    template = np.stack([s * np.cos(ang), s * np.sin(ang)], axis=1)
+
+    fields = list(df.schema.fields) + [
+        T.StructField("hex_i", T.LongType()),
+        T.StructField("hex_j", T.LongType()),
+        T.StructField("piece_wkb", T.BinaryType()),
+        T.StructField("piece_area", T.DoubleType()),
+    ]
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for k in range(len(pdf)):
+                buf = pdf[wkb_col].iloc[k]
+                if buf is None:
+                    continue
+                g = wkb.decode(buf)
+                mnx, mny, mxx, mxy = K.bounds(g)
+                i0 = int(np.floor((mnx - s) / dx))
+                i1 = int(np.ceil((mxx + s) / dx))
+                j0 = int(np.floor((mny - dy) / dy))
+                j1 = int(np.ceil((mxy + dy) / dy))
+                for i in range(i0, i1 + 1):
+                    yoff = 0.5 * dy if (i & 1) else 0.0
+                    for j in range(j0, j1 + 1):
+                        c = np.array([i * dx, j * dy + yoff])
+                        ring = template + c
+                        clipped = K.clip_polygon_convex(g, K.ensure_ccw(ring[:-1]))
+                        if clipped is None:
+                            continue
+                        a = K.area(clipped)
+                        if a <= K.EPS:
+                            continue
+                        row = pdf.iloc[k].to_dict()
+                        row["hex_i"] = i
+                        row["hex_j"] = j
+                        row["piece_wkb"] = wkb.encode(clipped)
+                        row["piece_area"] = a
+                        rows.append(row)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    out = df.mapInPandas(_run, schema=T.StructType(fields))
+    return out if keep_piece_geom else out.drop("piece_wkb")

@@ -1,0 +1,262 @@
+"""Cross-tile raster stitching (SURVEY.md §7 hard part 3).
+
+The reference operates on ONE global array (polygonize raster.py:683-702,
+slope via gdal.DEMProcessing raster.py:794-824), so it has no seams. The
+engine's rasters are tiled across rows; these passes restore mosaic-level
+semantics:
+
+- slope_aspect_stitched: 1-pixel halo EXCHANGE between grid neighbors
+  (shuffle = 4 edge strips + 4 corner pixels per tile, not whole tiles),
+  then the Horn kernel — border pixels now exact wherever a neighbor
+  tile exists; mosaic-outer borders keep edge-replicate.
+- polygonize_stitched: per-tile polygonize, then same-value regions that
+  touch across tile borders are merged via connected components + the
+  seam-decomposed region union. Interior regions pass through untouched.
+
+Tiles are assumed to sit on a regular grid (equal size, aligned origins
+— the SRTM/mosaic layout); the grid indices are derived from each
+tile's geotransform against the global origin (one scalar agg).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .. import cells as C
+from ..geom import boolean, kernels as K, wkb
+from . import codec
+
+
+def _grid_indexed(df: DataFrame):
+    """Add (col, row) grid indices from the geotransforms; returns
+    (indexed_df, tile_w_deg, tile_h_deg)."""
+    o = df.agg(F.min("gt_x0").alias("x0"), F.max("gt_y0").alias("y0"),
+               F.max(F.col("gt_rx") * F.col("w")).alias("tw"),
+               F.max(F.col("gt_ry") * F.col("h")).alias("th")).collect()[0]
+    tw, th = float(o["tw"]), float(o["th"])
+    out = (df.withColumn("__col", F.round((F.col("gt_x0") - F.lit(o["x0"])) / tw).cast("int"))
+             .withColumn("__row", F.round((F.lit(o["y0"]) - F.col("gt_y0")) / th).cast("int")))
+    return out, tw, th
+
+
+def slope_aspect_stitched(df: DataFrame, *, mode: str = "slope",
+                          no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """Horn slope/aspect with cross-tile halo exchange: exact at interior
+    tile borders (equals the single-global-array computation there)."""
+    t, _, _ = _grid_indexed(df)
+
+    strip_schema = T.StructType([
+        T.StructField("__col", T.IntegerType()),
+        T.StructField("__row", T.IntegerType()),
+        T.StructField("dc", T.IntegerType()),
+        T.StructField("dr", T.IntegerType()),
+        T.StructField("strip", T.BinaryType()),
+    ])
+
+    def _emit_strips(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                arr = codec.decode(r["bytes"], int(r["w"]), int(r["h"]), r["fmt"])
+                if arr.ndim == 3:
+                    arr = arr.mean(axis=2)
+                a = arr.astype(np.float32)
+                c, w_ = int(r["__col"]), int(r["__row"])
+                # (dc, dr) is the OFFSET of the neighbor that will consume
+                # the strip; the strip is this tile's edge facing it
+                pieces = {
+                    (1, 0): a[:, -1], (-1, 0): a[:, 0],
+                    (0, 1): a[-1, :], (0, -1): a[0, :],
+                    (1, 1): a[-1:, -1], (-1, 1): a[-1:, 0],
+                    (1, -1): a[:1, -1], (-1, -1): a[:1, 0],
+                }
+                for (dc, dr), s in pieces.items():
+                    rows.append((c + dc, w_ + dr, dc, dr,
+                                 np.ascontiguousarray(s, dtype="<f4").tobytes()))
+            if rows:
+                yield pd.DataFrame(rows, columns=["__col", "__row", "dc", "dr", "strip"])
+
+    strips = (t.mapInPandas(_emit_strips, schema=strip_schema)
+              .groupBy("__col", "__row")
+              .agg(F.collect_list(F.struct("dc", "dr", "strip")).alias("__halo")))
+    joined = t.join(strips, on=["__col", "__row"], how="left")
+
+    out_schema = df.schema
+
+    def _kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            bufs = []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                arr = codec.decode(r["bytes"], int(r["w"]), int(r["h"]), r["fmt"])
+                if arr.ndim == 3:
+                    arr = arr.mean(axis=2)
+                a = np.where(arr == no_data, np.nan, arr.astype(np.float64))
+                p = np.pad(a, 1, mode="edge")
+                halo = r["__halo"]
+                if halo is not None:
+                    for piece in halo:
+                        dc, dr = int(piece["dc"]), int(piece["dr"])
+                        s = np.frombuffer(piece["strip"], dtype="<f4").astype(np.float64)
+                        s = np.where(s == no_data, np.nan, s)
+                        # a strip emitted with offset (dc,dr) came FROM the
+                        # neighbor at (-dc,-dr) relative to this tile
+                        if (dc, dr) == (1, 0):
+                            p[1:-1, 0] = s          # west neighbor's right col
+                        elif (dc, dr) == (-1, 0):
+                            p[1:-1, -1] = s         # east neighbor's left col
+                        elif (dc, dr) == (0, 1):
+                            p[0, 1:-1] = s          # north neighbor's bottom row
+                        elif (dc, dr) == (0, -1):
+                            p[-1, 1:-1] = s         # south neighbor's top row
+                        elif (dc, dr) == (1, 1):
+                            p[0, 0] = s[0]
+                        elif (dc, dr) == (-1, 1):
+                            p[0, -1] = s[0]
+                        elif (dc, dr) == (1, -1):
+                            p[-1, 0] = s[0]
+                        elif (dc, dr) == (-1, -1):
+                            p[-1, -1] = s[0]
+                dzdx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+                        - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])) / 8.0
+                dzdy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+                        - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])) / 8.0
+                if mode == "slope":
+                    o = np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+                else:
+                    o = np.degrees(np.arctan2(dzdy, -dzdx))
+                o = np.where(np.isnan(o), no_data, o)
+                bufs.append(codec.encode(o.astype(np.float32), r["fmt"]))
+            out = pdf[list(df.columns)].copy()
+            out["bytes"] = pd.Series(bufs, index=pdf.index, dtype=object)
+            yield out
+
+    return joined.mapInPandas(_kernel, schema=out_schema)
+
+
+def polygonize_stitched(df: DataFrame, *, no_data: float = codec.NO_DATA_F32,
+                        res: int | None = None) -> DataFrame:
+    """Mosaic-level polygonize: per-tile regions, then same-value regions
+    touching across tile borders are merged (connected components over
+    the touch graph + region union). Output: (value, region_wkb,
+    region_area, px_count, n_tiles)."""
+    from ..operators.core import CELL_COL, explode_cover
+    from ..operators.network import connected_components
+    from .polygonize import polygonize
+    from .zonal import auto_res
+
+    if res is None:
+        res = auto_res(df)
+    regions = (polygonize(df, no_data=no_data)
+               .withColumn("__rid", F.monotonically_increasing_id().cast("string"))
+               .localCheckpoint(eager=True))
+
+    # border flag: region bbox within half a pixel of its tile's edge
+    tiles = df.select("image_id", "gt_x0", "gt_rx", "gt_y0", "gt_ry", "w", "h")
+    r2 = regions.join(tiles, on="image_id")
+
+    bbox_schema = T.StructType(list(r2.schema.fields)
+                               + [T.StructField("__border", T.BooleanType())])
+
+    def _flag(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            flags = []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                mnx, mny, mxx, mxy = K.bounds(wkb.decode(r["region_wkb"]))
+                ex0 = r["gt_x0"]
+                ex1 = r["gt_x0"] + r["gt_rx"] * int(r["w"])
+                ey1 = r["gt_y0"]
+                ey0 = r["gt_y0"] - r["gt_ry"] * int(r["h"])
+                tol = min(r["gt_rx"], r["gt_ry"]) * 0.5
+                flags.append(bool(mnx <= ex0 + tol or mxx >= ex1 - tol
+                                  or mny <= ey0 + tol or mxy >= ey1 - tol))
+            out = pdf.copy()
+            out["__border"] = flags
+            yield out
+
+    flagged = r2.mapInPandas(_flag, schema=bbox_schema)
+    interior = (flagged.where(~F.col("__border"))
+                .select("value", "region_wkb", "region_area", "px_count")
+                .withColumn("n_tiles", F.lit(1)))
+    border = flagged.where(F.col("__border")).localCheckpoint(eager=True)
+
+    # candidate touch pairs: cover-cell join, same value, different tiles
+    bc = explode_cover(border.select("__rid", "region_wkb"), "region_wkb",
+                       CELL_COL, res, res, max_cells=4096)
+    meta = border.select("__rid", "image_id", "value", "region_wkb")
+    a = bc.join(meta, on="__rid")
+    b = (a.select(F.col("__rid").alias("__rid_b"), F.col(CELL_COL),
+                  F.col("image_id").alias("img_b"), F.col("value").alias("val_b"),
+                  F.col("region_wkb").alias("wkb_b")))
+    cand = (a.join(b, on=CELL_COL)
+            .where((F.col("__rid") < F.col("__rid_b"))
+                   & (F.col("value") == F.col("val_b"))
+                   & (F.col("image_id") != F.col("img_b")))
+            .select("__rid", "__rid_b", "region_wkb", "wkb_b")
+            .dropDuplicates(["__rid", "__rid_b"]))
+
+    pair_schema = T.StructType([T.StructField("src_key", T.StringType()),
+                                T.StructField("dst_key", T.StringType())])
+
+    def _touch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            cache: dict[bytes, dict] = {}
+
+            def dec(bb):
+                g = cache.get(bb)
+                if g is None:
+                    g = cache[bb] = wkb.decode(bb)
+                return g
+
+            for i in range(len(pdf)):
+                if K.intersects(dec(pdf["region_wkb"].iloc[i]),
+                                dec(pdf["wkb_b"].iloc[i])):
+                    rows.append((pdf["__rid"].iloc[i], pdf["__rid_b"].iloc[i]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["src_key", "dst_key"])
+
+    edges = cand.mapInPandas(_touch, schema=pair_schema)
+    # self-loops keep isolated border regions in the component table
+    selfloops = border.select(F.col("__rid").alias("src_key"),
+                              F.col("__rid").alias("dst_key"))
+    comp = connected_components(edges.unionByName(selfloops))
+
+    merged_in = (border.select("__rid", "value", "region_wkb",
+                               "region_area", "px_count")
+                 .join(comp.withColumnRenamed("node", "__rid"), on="__rid"))
+
+    out_schema = T.StructType([
+        T.StructField("value", T.DoubleType()),
+        T.StructField("region_wkb", T.BinaryType()),
+        T.StructField("region_area", T.DoubleType()),
+        T.StructField("px_count", T.LongType()),
+        T.StructField("n_tiles", T.IntegerType()),
+    ])
+
+    def _merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        geoms = [wkb.decode(b) for b in pdf["region_wkb"]]
+        if len(geoms) == 1:
+            g = geoms[0]
+        else:
+            g = boolean.union_parts(geoms)
+        if g is None:
+            return pd.DataFrame(columns=["value", "region_wkb", "region_area",
+                                         "px_count", "n_tiles"])
+        return pd.DataFrame([{
+            "value": float(pdf["value"].iloc[0]),
+            "region_wkb": wkb.encode(g),
+            "region_area": float(pdf["region_area"].sum()),
+            "px_count": int(pdf["px_count"].sum()),
+            "n_tiles": int(len(pdf)),
+        }])
+
+    merged = merged_in.groupBy("component").applyInPandas(
+        lambda k, p: _merge(k, p), schema=out_schema)
+    return interior.unionByName(merged)

@@ -204,3 +204,51 @@ def zonal_statistics(rasters: DataFrame, zones: DataFrame, *,
         "no_data_count",
         (F.col("patch") / F.col("n")).alias("density"),
     )
+
+
+# ------------------------------------------------------------------ surface
+# WGS84 ellipsoid constants (reference Ellipsoid, coordinates.py:36-70)
+WGS84_A = 6378.137            # km (reference works in km for surfaces)
+WGS84_E2 = 0.00669437999014
+
+
+def compute_surface(lb, rb, ub, bb, geo_type: str = "latlon"):
+    """Pixel surface from border coordinates (reference
+    surface.py:15-53): 'latlon' uses the local-sphere approximation of
+    the WGS84 ellipsoid at the pixel's mid-latitude (km^2); 'equal'
+    returns the planar rectangle area. All inputs array-like."""
+    lb, rb = np.asarray(lb, dtype=np.float64), np.asarray(rb, dtype=np.float64)
+    ub, bb = np.asarray(ub, dtype=np.float64), np.asarray(bb, dtype=np.float64)
+    if geo_type == "equal":
+        return np.abs(ub - bb) * np.abs(rb - lb)
+    if geo_type != "latlon":
+        raise ValueError(f"geo_type {geo_type!r} not defined")
+    lat = np.radians((ub + bb) / 2)
+    s2 = np.sin(lat) ** 2
+    n = WGS84_A / np.sqrt(1 - WGS84_E2 * s2)                 # prime vertical
+    p = WGS84_A * (1 - WGS84_E2) / (1 - WGS84_E2 * s2) ** 1.5  # meridional
+    r = np.sqrt(n * p)                                        # local sphere, km
+    return (r ** 2) * (np.sin(np.radians(ub)) - np.sin(np.radians(bb))) \
+        * np.radians(rb - lb)
+
+
+def pixel_overlap_area(centroid1, centroid2, res1, res2,
+                       geo_type: str = "latlon"):
+    """Overlap surface between two pixel rectangles given their centroids
+    and resolutions (reference surface.py:56-89): rectangle-intersection
+    borders → compute_surface; zero where the rectangles don't overlap."""
+    c1 = np.asarray(centroid1, dtype=np.float64)
+    c2 = np.asarray(centroid2, dtype=np.float64)
+    lb1, rb1 = c1[..., 0] - res1 / 2, c1[..., 0] + res1 / 2
+    ub1, bb1 = c1[..., 1] + res1 / 2, c1[..., 1] - res1 / 2
+    lb2, rb2 = c2[..., 0] - res2 / 2, c2[..., 0] + res2 / 2
+    ub2, bb2 = c2[..., 1] + res2 / 2, c2[..., 1] - res2 / 2
+    lb = np.maximum(lb1, lb2)
+    rb = np.minimum(rb1, rb2)
+    ub = np.minimum(ub1, ub2)
+    bb = np.maximum(bb1, bb2)
+    xo = np.maximum(0.0, rb - lb)
+    yo = np.maximum(0.0, ub - bb)
+    area = np.asarray(compute_surface(lb, rb, ub, bb, geo_type), dtype=np.float64)
+    area = np.where(np.isclose(xo, 0) | np.isclose(yo, 0), 0.0, area)
+    return area

