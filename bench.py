@@ -46,8 +46,9 @@ def main() -> None:
     # -------- driver-table headline queries
     headline = ["pip_zone_counts", "pip_pairs", "pip_pairs_salted",
                 "knn_nearest_zone", "tile_assignment", "fishnet_tiles",
-                "dwithin_count", "zonal_event_stats",
-                "shared_area", "dedup_exact", "text_stats", "embed_top1",
+                "dwithin_count", "zonal_event_stats", "zonal_raster_stats",
+                "shared_area", "dedup_exact", "minhash_pairs", "simhash_dups",
+                "text_stats", "embed_top1", "embed_ann_lsh",
                 "pricing_summary"]
     qs = E.queries()
     for name in headline:

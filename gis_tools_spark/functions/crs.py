@@ -93,7 +93,9 @@ def _from_utm(x, y, zone: int):
 
 
 def transform_xy(x: np.ndarray, y: np.ndarray, src, dst):
-    """Transform coordinate arrays between supported CRS ids."""
+    """Transform coordinate arrays between supported CRS ids: 4326,
+    3857, utm:N, EPSG 326xx/327xx, and any code in EPSG_REGISTRY
+    (LCC/AEA/LAEA closed forms)."""
     src, dst = str(src), str(dst)
     if src == dst:
         return x, y
@@ -103,14 +105,24 @@ def transform_xy(x: np.ndarray, y: np.ndarray, src, dst):
     elif src.startswith("utm:"):
         x, y = _from_utm(x, y, int(src.split(":")[1]))
     elif src != "4326":
-        raise NotImplementedError(f"CRS {src} (pyproj unavailable in sandbox)")
+        r = _resolve(src)
+        if isinstance(r, tuple):
+            _, zone, south = r
+            x, y = _from_utm(x, y - (10_000_000.0 if south else 0.0), zone)
+        else:
+            x, y = r.inv(x, y)
     if dst == "4326":
         return x, y
     if dst == "3857":
         return _to_mercator(x, y)
     if dst.startswith("utm:"):
         return _to_utm(x, y, int(dst.split(":")[1]))
-    raise NotImplementedError(f"CRS {dst} (pyproj unavailable in sandbox)")
+    r = _resolve(dst)
+    if isinstance(r, tuple):
+        _, zone, south = r
+        x, y = _to_utm(x, y, zone)
+        return x, y + (10_000_000.0 if south else 0.0)
+    return r.fwd(x, y)
 
 
 def reproject_udf(src, dst):
@@ -146,3 +158,171 @@ def reproject_udf(src, dst):
                          dtype=object)
 
     return _udf
+
+
+# --- conic / azimuthal projections (Snyder closed forms) ----------------
+# The reference reprojects through pyproj (layer.py:1196-1229). Without
+# that wheel, the engine ships ellipsoidal Lambert Conformal Conic (2SP),
+# Albers Equal-Area (2SP) and Lambert Azimuthal Equal-Area as numpy
+# kernels plus a registry of common EPSG codes. GRS80 and WGS84 differ
+# by <1e-9 in flattening — treated as identical.
+
+_E = np.sqrt(E2)
+
+
+def _m(phi):
+    return np.cos(phi) / np.sqrt(1 - E2 * np.sin(phi) ** 2)
+
+
+def _t(phi):
+    s = np.sin(phi)
+    return (np.tan(np.pi / 4 - phi / 2)
+            / ((1 - _E * s) / (1 + _E * s)) ** (_E / 2))
+
+
+def _phi_from_t(t):
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2))
+    return phi
+
+
+def _q(phi):
+    s = np.sin(phi)
+    return (1 - E2) * (s / (1 - E2 * s * s)
+                       - (1 / (2 * _E)) * np.log((1 - _E * s) / (1 + _E * s)))
+
+
+class LCC:
+    """Lambert Conformal Conic, 2 standard parallels (Snyder 15)."""
+
+    def __init__(self, lat0, lon0, sp1, sp2, fe, fn):
+        p0, p1, p2 = map(np.deg2rad, (lat0, sp1, sp2))
+        self.lon0 = np.deg2rad(lon0)
+        self.n = ((np.log(_m(p1)) - np.log(_m(p2)))
+                  / (np.log(_t(p1)) - np.log(_t(p2))))
+        self.F = _m(p1) / (self.n * _t(p1) ** self.n)
+        self.rho0 = R * self.F * _t(p0) ** self.n
+        self.fe, self.fn = fe, fn
+
+    def fwd(self, lon, lat):
+        rho = R * self.F * _t(np.deg2rad(lat)) ** self.n
+        th = self.n * (np.deg2rad(lon) - self.lon0)
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inv(self, x, y):
+        xr, yr = x - self.fe, self.rho0 - (y - self.fn)
+        rho = np.sign(self.n) * np.hypot(xr, yr)
+        t = (rho / (R * self.F)) ** (1 / self.n)
+        th = np.arctan2(np.sign(self.n) * xr, np.sign(self.n) * yr)
+        return (np.rad2deg(th / self.n + self.lon0),
+                np.rad2deg(_phi_from_t(t)))
+
+
+class AEA:
+    """Albers Equal-Area Conic, 2 standard parallels (Snyder 14)."""
+
+    def __init__(self, lat0, lon0, sp1, sp2, fe, fn):
+        p0, p1, p2 = map(np.deg2rad, (lat0, sp1, sp2))
+        self.lon0 = np.deg2rad(lon0)
+        m1, m2 = _m(p1), _m(p2)
+        q0, q1, q2 = _q(p0), _q(p1), _q(p2)
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = R * np.sqrt(self.C - self.n * q0) / self.n
+        self.fe, self.fn = fe, fn
+
+    def fwd(self, lon, lat):
+        rho = R * np.sqrt(self.C - self.n * _q(np.deg2rad(lat))) / self.n
+        th = self.n * (np.deg2rad(lon) - self.lon0)
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inv(self, x, y):
+        xr, yr = x - self.fe, self.rho0 - (y - self.fn)
+        rho = np.hypot(xr, yr)
+        q = (self.C - (rho * self.n / R) ** 2) / self.n
+        th = np.arctan2(xr, yr)
+        phi = np.arcsin(np.clip(q / 2, -1, 1))
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + (1 - E2 * s * s) ** 2 / (2 * np.cos(phi)) * (
+                q / (1 - E2) - s / (1 - E2 * s * s)
+                + (1 / (2 * _E)) * np.log((1 - _E * s) / (1 + _E * s)))
+        return (np.rad2deg(th / self.n + self.lon0), np.rad2deg(phi))
+
+
+class LAEA:
+    """Lambert Azimuthal Equal-Area, ellipsoidal (Snyder 24)."""
+
+    def __init__(self, lat0, lon0, fe, fn):
+        self.lon0 = np.deg2rad(lon0)
+        p0 = np.deg2rad(lat0)
+        self.qp = _q(np.pi / 2)
+        self.rq = R * np.sqrt(self.qp / 2)
+        self.b1 = np.arcsin(_q(p0) / self.qp)
+        self.D = R * _m(p0) / (self.rq * np.cos(self.b1))
+        self.fe, self.fn = fe, fn
+
+    def fwd(self, lon, lat):
+        b = np.arcsin(np.clip(_q(np.deg2rad(lat)) / self.qp, -1, 1))
+        lp = np.deg2rad(lon) - self.lon0
+        B = self.rq * np.sqrt(np.maximum(
+            2 / (1 + np.sin(self.b1) * np.sin(b)
+                 + np.cos(self.b1) * np.cos(b) * np.cos(lp)), 0))
+        x = B * self.D * np.cos(b) * np.sin(lp)
+        y = (B / self.D) * (np.cos(self.b1) * np.sin(b)
+                            - np.sin(self.b1) * np.cos(b) * np.cos(lp))
+        return self.fe + x, self.fn + y
+
+    def inv(self, x, y):
+        xr, yr = (x - self.fe) / self.D, (y - self.fn) * self.D
+        rho = np.hypot(xr, yr)
+        ce = 2 * np.arcsin(np.clip(rho / (2 * self.rq), -1, 1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            b = np.where(rho == 0, self.b1, np.arcsin(np.clip(
+                np.cos(ce) * np.sin(self.b1)
+                + yr * np.sin(ce) * np.cos(self.b1) / np.where(rho == 0, 1, rho),
+                -1, 1)))
+            lp = np.arctan2(xr * np.sin(ce),
+                            rho * np.cos(self.b1) * np.cos(ce)
+                            - yr * np.sin(self.b1) * np.sin(ce))
+        # authalic → geodetic latitude: iterate on q (exact, like AEA)
+        q = self.qp * np.sin(b)
+        phi = b
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = phi + (1 - E2 * s * s) ** 2 / (2 * np.cos(phi)) * (
+                q / (1 - E2) - s / (1 - E2 * s * s)
+                + (1 / (2 * _E)) * np.log((1 - _E * s) / (1 + _E * s)))
+        return np.rad2deg(self.lon0 + lp), np.rad2deg(phi)
+
+
+# common EPSG codes → parameterized projections (extend freely)
+EPSG_REGISTRY: dict = {
+    "2154": LCC(46.5, 3.0, 49.0, 44.0, 700_000.0, 6_600_000.0),   # RGF93 / Lambert-93
+    "5070": AEA(23.0, -96.0, 29.5, 45.5, 0.0, 0.0),               # NAD83 / CONUS Albers
+    "3035": LAEA(52.0, 10.0, 4_321_000.0, 3_210_000.0),           # ETRS89-extended / LAEA Europe
+    "102039": AEA(23.0, -96.0, 29.5, 45.5, 0.0, 0.0),             # ESRI USA Albers (alias)
+}
+
+
+def _resolve(code: str):
+    """EPSG string → ('builtin', None) | ('utm', zone, south) | projection."""
+    if code in ("4326", "3857") or code.startswith("utm:"):
+        return None
+    if code in EPSG_REGISTRY:
+        return EPSG_REGISTRY[code]
+    if code.isdigit():
+        c = int(code)
+        if 32601 <= c <= 32660:
+            return ("utm", c - 32600, False)
+        if 32701 <= c <= 32760:
+            return ("utm", c - 32700, True)
+        if c == 2972:  # RGFG95 / UTM 22N (the reference's example CRS)
+            return ("utm", 22, False)
+    raise NotImplementedError(
+        f"CRS {code}: not in the built-in set (4326, 3857, utm:N, "
+        f"EPSG 326xx/327xx/2972/{'/'.join(EPSG_REGISTRY)}); extend "
+        f"EPSG_REGISTRY with LCC/AEA/LAEA parameters")

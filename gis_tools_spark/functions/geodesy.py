@@ -4,6 +4,8 @@ haversine × local-sphere radius, euclidean distance.py:56-66)."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, functions as F
 
 EARTH_RADIUS_M = 6_371_000.0
@@ -33,8 +35,6 @@ def geodesic_meters():
 
     Usage: df.withColumn("d", geodesic_meters()(lon1, lat1, lon2, lat2))
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     A, FLAT = 6378137.0, 1 / 298.257223563

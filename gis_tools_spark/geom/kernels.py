@@ -343,7 +343,13 @@ def clip_ring_convex(ring: np.ndarray, clip_ccw: np.ndarray) -> np.ndarray:
 
 
 def ensure_ccw(ring: np.ndarray) -> np.ndarray:
-    return ring if ring_area_signed(ring) >= 0 else ring[::-1]
+    """Orientation check tolerant of OPEN rings: the shoelace must run
+    over the closed ring or the truncated sum flips sign depending on
+    absolute position (round-2 honeycomb bug)."""
+    r = ring
+    if not np.array_equal(r[0, :2], r[-1, :2]):
+        r = np.vstack([r[:, :2], r[:1, :2]])
+    return ring if ring_area_signed(r) >= 0 else ring[::-1]
 
 
 def clip_polygon_convex(g: dict, clip_ring: np.ndarray) -> dict | None:

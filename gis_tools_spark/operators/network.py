@@ -470,3 +470,17 @@ def split_at_ending_edges(lines: DataFrame, *, wkb_col: str = "geometry_wkb",
         F.split(F.col("node"), ",")[1].cast("double").alias("lat"))
     return split_lines_at_points(lines, pts, line_wkb=wkb_col,
                                  line_id=line_id, tol=tol)
+
+
+def merge_degree2(lines: DataFrame, *, wkb_col: str = "geometry_wkb",
+                  line_id: str = "lid") -> DataFrame:
+    """Contract degree-2 chains network-wide (reference merge2 /
+    get_single_edges network.py:251-298): label connected components,
+    then chain-merge per component (split.linemerge already contracts
+    degree-2 nodes within each group)."""
+    from .split import linemerge
+
+    e = edges_from_lines(lines, wkb_col=wkb_col, id_col=line_id)
+    comp = connected_components(e)
+    grouped = e.join(comp.withColumnRenamed("node", "src_key"), on="src_key")
+    return linemerge(grouped, "component", wkb_col=wkb_col)

@@ -579,8 +579,11 @@ def honeycomb(df: DataFrame, *, wkb_col: str = "geometry_wkb",
                     yoff = 0.5 * dy if (i & 1) else 0.0
                     for j in range(j0, j1 + 1):
                         c = np.array([i * dx, j * dy + yoff])
+                        # template is CCW and CLOSED — pass as-is
+                        # (ensure_ccw on an OPEN ring mis-reads the
+                        # truncated shoelace and can flip orientation)
                         ring = template + c
-                        clipped = K.clip_polygon_convex(g, K.ensure_ccw(ring[:-1]))
+                        clipped = K.clip_polygon_convex(g, ring)
                         if clipped is None:
                             continue
                         a = K.area(clipped)

@@ -48,12 +48,57 @@ def verify_images_udf(min_psnr: float = 40.0):
                 rt = codec.decode(codec.encode(arr, ff), int(ww), int(hh), ff)
                 ok &= codec.psnr(arr, rt) >= min_psnr
                 ok &= cap.startswith("caption for img") and iid.lstrip("img").lstrip("0") in cap
-            except NotImplementedError:
+            except Exception:
+                # decode failure of ANY kind (unsupported fmt, corrupt
+                # zlib, bad header) marks the row, never kills the task
                 ok = False
             out.append(bool(ok))
         return pd.Series(out)
 
     return _udf
+
+
+def _verify_batch(batch, min_psnr: float, passthrough: list[str]):
+    """Shared zero-copy verify kernel over one Arrow RecordBatch: bytes
+    sliced as memoryviews straight from the Arrow buffers."""
+    import pyarrow as pa
+
+    names = batch.schema.names
+    col = batch.column(names.index("bytes"))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    buffers = col.buffers()
+    width = 8 if pa.types.is_large_binary(col.type) else 4
+    odt = np.int64 if width == 8 else np.int32
+    offs = np.frombuffer(buffers[1], dtype=odt, count=len(col) + 1,
+                         offset=col.offset * width)
+    data = memoryview(buffers[2])
+    ws = batch.column(names.index("w")).to_numpy()
+    hs = batch.column(names.index("h")).to_numpy()
+    fmts = batch.column(names.index("fmt")).to_pylist()
+    phs = batch.column(names.index("phash")).to_numpy()
+    caps = batch.column(names.index("caption")).to_pylist()
+    iids = batch.column(names.index("image_id")).to_pylist()
+    ok = np.zeros(len(col), dtype=bool)
+    for i in range(len(col)):
+        try:
+            buf = data[offs[i]:offs[i + 1]]
+            arr = codec.decode(buf, int(ws[i]), int(hs[i]), fmts[i])
+            good = codec.phash64(arr) == phs[i]
+            rt = codec.decode(codec.encode(arr, fmts[i]), int(ws[i]), int(hs[i]), fmts[i])
+            good &= codec.psnr(arr, rt) >= min_psnr
+            good &= caps[i].startswith("caption for img")
+        except Exception:
+            # decode failure of ANY kind (unsupported fmt, corrupt zlib,
+            # bad header) marks the row, never kills the task
+            good = False
+        ok[i] = good
+    arrays = [pa.array(iids), pa.array(ok)]
+    names_out = ["image_id", "ok"]
+    for c in passthrough:
+        arrays.append(batch.column(names.index(c)))
+        names_out.append(c)
+    return pa.RecordBatch.from_arrays(arrays, names=names_out)
 
 
 def verify_images_arrow(df: DataFrame, min_psnr: float = 40.0,
@@ -64,52 +109,75 @@ def verify_images_arrow(df: DataFrame, min_psnr: float = 40.0,
     pressure at high worker counts). Returns (image_id, ok,
     *passthrough) — passthrough columns ride along Arrow-native so no
     join-back shuffle is needed downstream."""
-    import pyarrow as pa
-
     passthrough = passthrough or []
     cols = ["image_id", "bytes", "w", "h", "fmt", "phash", "caption"] + passthrough
 
     def _run(batches):
         for batch in batches:
-            names = batch.schema.names
-            col = batch.column(names.index("bytes"))
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            buffers = col.buffers()
-            width = 8 if pa.types.is_large_binary(col.type) else 4
-            odt = np.int64 if width == 8 else np.int32
-            offs = np.frombuffer(buffers[1], dtype=odt, count=len(col) + 1,
-                                 offset=col.offset * width)
-            data = memoryview(buffers[2])
-            ws = batch.column(names.index("w")).to_numpy()
-            hs = batch.column(names.index("h")).to_numpy()
-            fmts = batch.column(names.index("fmt")).to_pylist()
-            phs = batch.column(names.index("phash")).to_numpy()
-            caps = batch.column(names.index("caption")).to_pylist()
-            iids = batch.column(names.index("image_id")).to_pylist()
-            ok = np.zeros(len(col), dtype=bool)
-            for i in range(len(col)):
-                try:
-                    buf = data[offs[i]:offs[i + 1]]
-                    arr = codec.decode(buf, int(ws[i]), int(hs[i]), fmts[i])
-                    good = codec.phash64(arr) == phs[i]
-                    rt = codec.decode(codec.encode(arr, fmts[i]), int(ws[i]), int(hs[i]), fmts[i])
-                    good &= codec.psnr(arr, rt) >= min_psnr
-                    good &= caps[i].startswith("caption for img")
-                except NotImplementedError:
-                    good = False
-                ok[i] = good
-            arrays = [pa.array(iids), pa.array(ok)]
-            names_out = ["image_id", "ok"]
-            for c in passthrough:
-                arrays.append(batch.column(names.index(c)))
-                names_out.append(c)
-            yield pa.RecordBatch.from_arrays(arrays, names=names_out)
+            yield _verify_batch(batch, min_psnr, passthrough)
 
     out_schema = "image_id string, ok boolean"
     for c in passthrough:
         out_schema += f", {c} {df.schema[c].dataType.simpleString()}"
     return df.select(*cols).mapInArrow(_run, schema=out_schema)
+
+
+def verify_images_files(spark, parquet_path: str, *, min_psnr: float = 40.0,
+                        passthrough: list[str] | None = None,
+                        batch_rows: int = 2048) -> DataFrame:
+    """FUSED python-native scan + verify: the python workers read the
+    parquet row-groups DIRECTLY with pyarrow; the JVM plan carries only
+    (file, row_group) task descriptors and the small verify output.
+
+    Rationale (measured, PERF.md round 2): when Python is both the
+    reader and the consumer of a heavy binary column, shipping the blobs
+    JVM→Python through Arrow serialization is the scaling ceiling — the
+    per-executor feed saturates and caps N→4N efficiency at ~0.53. With
+    direct reads the heavy bytes never touch the JVM, so the stage
+    scales like raw multiprocessing (the measured hardware roofline).
+    The same pattern holds on a real cluster: workers read their
+    row-groups straight from object storage (pyarrow/fsspec), which is
+    standard practice for binary-heavy ML ingest pipelines.
+
+    Returns the same schema as verify_images_arrow. Parallelism unit is
+    the parquet row-group (the same unit Spark's own scan uses)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    passthrough = passthrough or []
+    cols = ["image_id", "bytes", "w", "h", "fmt", "phash", "caption"] + passthrough
+
+    files = sorted(glob.glob(f"{parquet_path}/*.parquet"))
+    if not files:
+        files = [parquet_path]
+    tasks = []
+    for f in files:
+        for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
+            tasks.append((f, rg))
+    tdf = (spark.createDataFrame(tasks, "file string, rg int")
+           .repartition(len(tasks)))
+
+    # pin the output schema from one row-group's arrow schema
+    sample = pq.ParquetFile(files[0]).schema_arrow
+    out_schema = "image_id string, ok boolean"
+    for c in passthrough:
+        import pyarrow as pa
+        t = sample.field(c).type
+        m = {pa.float64(): "double", pa.int64(): "bigint", pa.int32(): "int",
+             pa.string(): "string", pa.large_string(): "string"}
+        out_schema += f", {c} {m.get(t, 'double')}"
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq  # noqa: F811
+        for pdf in it:
+            for f, rg in zip(pdf["file"], pdf["rg"]):
+                tbl = pq.ParquetFile(f).read_row_group(int(rg), columns=cols)
+                for batch in tbl.to_batches(max_chunksize=batch_rows):
+                    out = _verify_batch(batch, min_psnr, passthrough)
+                    yield out.to_pandas()
+
+    return tdf.mapInPandas(_run, schema=out_schema)
 
 
 def map_pixels(df: DataFrame, fn: Callable[[np.ndarray], np.ndarray], *,

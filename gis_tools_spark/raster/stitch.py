@@ -87,6 +87,7 @@ def slope_aspect_stitched(df: DataFrame, *, mode: str = "slope",
     joined = t.join(strips, on=["__col", "__row"], how="left")
 
     out_schema = df.schema
+    out_cols = list(df.columns)
 
     def _kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -99,29 +100,43 @@ def slope_aspect_stitched(df: DataFrame, *, mode: str = "slope",
                 a = np.where(arr == no_data, np.nan, arr.astype(np.float64))
                 p = np.pad(a, 1, mode="edge")
                 halo = r["__halo"]
+                strips = {}
                 if halo is not None:
                     for piece in halo:
-                        dc, dr = int(piece["dc"]), int(piece["dr"])
                         s = np.frombuffer(piece["strip"], dtype="<f4").astype(np.float64)
-                        s = np.where(s == no_data, np.nan, s)
-                        # a strip emitted with offset (dc,dr) came FROM the
-                        # neighbor at (-dc,-dr) relative to this tile
-                        if (dc, dr) == (1, 0):
-                            p[1:-1, 0] = s          # west neighbor's right col
-                        elif (dc, dr) == (-1, 0):
-                            p[1:-1, -1] = s         # east neighbor's left col
-                        elif (dc, dr) == (0, 1):
-                            p[0, 1:-1] = s          # north neighbor's bottom row
-                        elif (dc, dr) == (0, -1):
-                            p[-1, 1:-1] = s         # south neighbor's top row
-                        elif (dc, dr) == (1, 1):
-                            p[0, 0] = s[0]
-                        elif (dc, dr) == (-1, 1):
-                            p[0, -1] = s[0]
-                        elif (dc, dr) == (1, -1):
-                            p[-1, 0] = s[0]
-                        elif (dc, dr) == (-1, -1):
-                            p[-1, -1] = s[0]
+                        strips[(int(piece["dc"]), int(piece["dr"]))] = \
+                            np.where(s == no_data, np.nan, s)
+                # a strip emitted with offset (dc,dr) came FROM the
+                # neighbor at (-dc,-dr) relative to this tile
+                W, E = strips.get((1, 0)), strips.get((-1, 0))
+                N, S = strips.get((0, 1)), strips.get((0, -1))
+                if W is not None:
+                    p[1:-1, 0] = W
+                if E is not None:
+                    p[1:-1, -1] = E
+                if N is not None:
+                    p[0, 1:-1] = N
+                if S is not None:
+                    p[-1, 1:-1] = S
+                # halo corners replicate the GLOBAL array's clamped pad:
+                # diagonal neighbor if present, else the clamped element
+                # of whichever edge neighbor exists, else self-replicate
+                def _corner(diag, row_s, row_i, col_s, col_i):
+                    if diag is not None:
+                        return diag[0]
+                    if row_s is not None:          # N/S exists, E/W missing
+                        return row_s[row_i]
+                    if col_s is not None:          # E/W exists, N/S missing
+                        return col_s[col_i]
+                    return None
+                for (py, px), v in {
+                    (0, 0): _corner(strips.get((1, 1)), N, 0, W, 0),
+                    (0, -1): _corner(strips.get((-1, 1)), N, -1, E, 0),
+                    (-1, 0): _corner(strips.get((1, -1)), S, 0, W, -1),
+                    (-1, -1): _corner(strips.get((-1, -1)), S, -1, E, -1),
+                }.items():
+                    if v is not None:
+                        p[py, px] = v
                 dzdx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
                         - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])) / 8.0
                 dzdy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
@@ -132,7 +147,7 @@ def slope_aspect_stitched(df: DataFrame, *, mode: str = "slope",
                     o = np.degrees(np.arctan2(dzdy, -dzdx))
                 o = np.where(np.isnan(o), no_data, o)
                 bufs.append(codec.encode(o.astype(np.float32), r["fmt"]))
-            out = pdf[list(df.columns)].copy()
+            out = pdf[out_cols].copy()
             out["bytes"] = pd.Series(bufs, index=pdf.index, dtype=object)
             yield out
 
@@ -188,17 +203,20 @@ def polygonize_stitched(df: DataFrame, *, no_data: float = codec.NO_DATA_F32,
 
     # candidate touch pairs: cover-cell join, same value, different tiles
     bc = explode_cover(border.select("__rid", "region_wkb"), "region_wkb",
-                       CELL_COL, res, res, max_cells=4096)
+                       CELL_COL, res, res, max_cells=4096).drop("region_wkb")
     meta = border.select("__rid", "image_id", "value", "region_wkb")
     a = bc.join(meta, on="__rid")
-    b = (a.select(F.col("__rid").alias("__rid_b"), F.col(CELL_COL),
-                  F.col("image_id").alias("img_b"), F.col("value").alias("val_b"),
-                  F.col("region_wkb").alias("wkb_b")))
-    cand = (a.join(b, on=CELL_COL)
-            .where((F.col("__rid") < F.col("__rid_b"))
-                   & (F.col("value") == F.col("val_b"))
-                   & (F.col("image_id") != F.col("img_b")))
-            .select("__rid", "__rid_b", "region_wkb", "wkb_b")
+    # qualified aliases: a self-join on derived lineage otherwise makes
+    # `region_wkb` ambiguous at the projection
+    A, B = a.alias("A"), a.alias("B")
+    cand = (A.join(B, F.col(f"A.{CELL_COL}") == F.col(f"B.{CELL_COL}"))
+            .where((F.col("A.__rid") < F.col("B.__rid"))
+                   & (F.col("A.value") == F.col("B.value"))
+                   & (F.col("A.image_id") != F.col("B.image_id")))
+            .select(F.col("A.__rid").alias("__rid"),
+                    F.col("B.__rid").alias("__rid_b"),
+                    F.col("A.region_wkb").alias("region_wkb"),
+                    F.col("B.region_wkb").alias("wkb_b"))
             .dropDuplicates(["__rid", "__rid_b"]))
 
     pair_schema = T.StructType([T.StructField("src_key", T.StringType()),

@@ -77,3 +77,65 @@ def test_verify_arrow_detects_corruption(spark):
     images = fixtures.gen_images_spark(spark, 50).withColumn(
         "phash", F.col("phash") + 1)  # corrupt the stored hash
     assert verify_images_arrow(images).where("ok").count() == 0
+
+
+# --------------------------------------------------------- round-2: lossy DCT
+
+def test_dct_lossy_roundtrip_psnr():
+    import numpy as np
+    from gis_tools_spark.raster import codec
+
+    rng = np.random.default_rng(0)
+    x, y = np.meshgrid(np.arange(64), np.arange(48))
+    smooth = (127 + 80 * np.sin(x * 0.2) * np.cos(y * 0.15)
+              + rng.normal(0, 4, (48, 64))).clip(0, 255)
+    img = np.stack([smooth, smooth * 0.8, smooth * 0.6], axis=2).astype(np.uint8)
+    buf = codec.encode(img, "dct")
+    rt = codec.decode(buf, 64, 48, "dct")
+    assert rt.shape == img.shape
+    p = codec.psnr(img, rt)
+    assert p >= 40.0, p                  # the BASELINE.md lossy gate
+    assert p != float("inf")             # and it IS lossy
+    assert len(buf) < img.size           # and it compresses
+    # requantization is near-idempotent: second generation ≥ 55 dB
+    rt2 = codec.decode(codec.encode(rt, "dct"), 64, 48, "dct")
+    assert codec.psnr(rt, rt2) >= 55.0
+
+
+def test_dct_odd_sizes_pad():
+    import numpy as np
+    from gis_tools_spark.raster import codec
+
+    img = np.arange(13 * 11 * 3, dtype=np.uint8).reshape(13, 11, 3)
+    rt = codec.decode(codec.encode(img, "dct"), 11, 13, "dct")
+    assert rt.shape == (13, 11, 3)
+
+
+def test_verify_images_arrow_dct_lossy_gate(spark):
+    """End-to-end lossy path through the Arrow verify kernel: dct rows
+    pass the phash + PSNR>=40 roundtrip gate (BASELINE.md); a corrupted
+    row fails it."""
+    import numpy as np
+    import pandas as pd
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.kernels import verify_images_arrow
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(20):
+        x, yy = np.meshgrid(np.arange(32), np.arange(32))
+        base = (127 + 70 * np.sin(x * 0.2 + i) * np.cos(yy * 0.17)).clip(0, 255)
+        img = np.stack([base, base * 0.9, base * 0.7], 2).astype(np.uint8)
+        buf = codec.encode(img, "dct")
+        dec = codec.decode(buf, 32, 32, "dct")   # store phash of DECODED
+        rows.append((f"img{i:09d}", bytearray(buf), 32, 32, "dct",
+                     f"caption for img{i:09d}", codec.phash64(dec)))
+    # one corrupted payload
+    bad = bytearray(rows[0][1]); bad[-20:] = b"\x00" * 20
+    rows.append(("img_bad", bad, 32, 32, "dct", "caption for img_bad", 0))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    out = {r["image_id"]: r["ok"] for r in verify_images_arrow(df).collect()}
+    assert all(out[f"img{i:09d}"] for i in range(20))
+    assert not out["img_bad"]

@@ -76,7 +76,13 @@ def test_split_at_ending_edges(spark):
     out = split_at_ending_edges(lines).toPandas()
     l1 = out[out["lid"] == 1]
     assert len(l1) == 2  # split at the T junction
-    lens = sorted(round(float(x), 6) for x in l1["piece_len"])
+
+    def _len(b):
+        g = wkb.decode(bytes(b))
+        d = np.diff(g["coords"][:, :2], axis=0)
+        return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+    lens = sorted(round(_len(b), 6) for b in l1["piece_wkb"])
     assert lens == [2.0, 2.0]
 
 

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from gis_tools_spark import fixtures, get_spark
 from gis_tools_spark.operators.sjoin import pip_join
 from gis_tools_spark.operators.split import image_tile_assignment
-from gis_tools_spark.raster.kernels import verify_images_arrow
+from gis_tools_spark.raster.kernels import verify_images_files
 
 cpus = {cpus}
 n = {n}
@@ -71,11 +71,13 @@ zones = spark.createDataFrame(zones_pd[["gid","nom","secteur","surf","geometry_w
 
 def run():
     # ONE composite pipeline action (the production ingest shape):
-    # scan → verify images (decode/phash/PSNR/caption) → tile
-    # assignment fan-out → PIP join vs zones → per-zone tile counts.
+    # fused python-native scan+verify (the heavy bytes column never
+    # crosses the JVM — measured scaling ceiling, PERF.md round 2) →
+    # tile assignment fan-out → PIP join vs zones → per-zone counts.
     t0 = time.perf_counter()
-    ok = verify_images_arrow(
-        images, passthrough=["lon","lat","minx","miny","maxx","maxy"]).where("ok")
+    ok = verify_images_files(
+        spark, {pq!r},
+        passthrough=["lon","lat","minx","miny","maxx","maxy"]).where("ok")
     tiles = image_tile_assignment(
         ok.select("image_id","lon","lat","minx","miny","maxx","maxy"), res=16)
     joined = pip_join(tiles, zones, strategy="broadcast")
@@ -108,11 +110,15 @@ PQ_DIR = "/tmp/scale_bench_images"
 
 
 def gen_once(n: int) -> None:
+    marker = Path(PQ_DIR) / f"_GEN_{n}"
+    if marker.exists():
+        return
     code = GEN.format(repo=str(REPO), n=n, pq=PQ_DIR)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, cwd=str(REPO), timeout=3600)
     if "GENDONE" not in out.stdout:
         raise RuntimeError(f"generation failed:\n{out.stderr[-2000:]}")
+    marker.touch()
 
 
 def run_once(cpus: int, n: int, master: str | None = None) -> dict:
@@ -135,7 +141,16 @@ def main() -> None:
     reps = int(os.environ.get("SCALE_BENCH_REPS", "2"))
     n = int(args[0]) if args else int(os.environ.get("SCALE_BENCH_IMAGES", "300000"))
     gen_once(n)
-    if cluster4:
+    cluster_small = "--cluster-small" in sys.argv
+    if cluster_small:
+        # headline north-rule configuration (BENCH/BASELINE.md round 2):
+        # fixed 2-core executor shape, 1 → 4 executors. Keeps BOTH
+        # measurements far from the single-socket saturation ceiling
+        # (measured: the box itself collapses to 2.75x at 8→32 procs
+        # framework-free), so the ratio reflects plan quality — what
+        # transfers to a real cluster.
+        m8, m32 = "local-cluster[1,2,3072]", "local-cluster[4,2,3072]"
+    elif cluster4:
         # production-shaped executors (4 cores each — measured: the
         # per-JVM Arrow feed saturates ~6-8 python workers, so wider
         # executors understate real-cluster scaling). N = 2 executors
@@ -150,10 +165,11 @@ def main() -> None:
         m8 = m32 = None
     if m8:
         label8, label32 = f"{m8} (N)", f"{m32} (4N)"
+        cpus8, cpus32 = (2, 8) if cluster_small else (8, 32)
         runs8, runs32 = [], []
         for _ in range(reps):  # interleave A/B to average machine drift
-            runs8.append(run_once(8, n, master=m8))
-            runs32.append(run_once(32, n, master=m32))
+            runs8.append(run_once(cpus8, n, master=m8))
+            runs32.append(run_once(cpus32, n, master=m32))
         r8 = min(runs8, key=lambda r: r["wall"])
         r32 = min(runs32, key=lambda r: r["wall"])
     else:
