@@ -144,6 +144,8 @@ def _nearest_rings(points, features, *, lon, lat, point_id, feat_wkb, feat_id,
     # re-executes per action.
     remaining = points.localCheckpoint(eager=True)
     winners = []
+    deferred = []  # hit points whose confirm radius exceeded 2*max_k —
+                   # routed to the broadcast fallback, never dropped
     k, lo = 0, 0
     while k <= max_k:
         best = _round_best(remaining, lo, k).localCheckpoint(eager=True)
@@ -154,8 +156,13 @@ def _nearest_rings(points, features, *, lon, lat, point_id, feat_wkb, feat_id,
                 # confirm annulus too wide to enumerate — defer the hit
                 # points to the broadcast fallback below
                 hit = best.select(point_id)
+                deferred.append(remaining.join(hit, on=point_id, how="left_semi")
+                                .localCheckpoint(eager=True))
                 remaining = remaining.join(hit, on=point_id, how="left_anti") \
                                      .localCheckpoint(eager=True)
+                if remaining.limit(1).count() == 0:
+                    remaining = None
+                    break
                 lo = k + 1
                 k = 1 if k == 0 else k * 2
                 continue
@@ -177,10 +184,21 @@ def _nearest_rings(points, features, *, lon, lat, point_id, feat_wkb, feat_id,
                 break
         lo = k + 1
         k = 1 if k == 0 else k * 2
+    fallback = list(deferred)
     if remaining is not None and remaining.limit(1).count():
-        winners.append(_nearest_broadcast(remaining, features, lon=lon, lat=lat,
+        fallback.append(remaining)
+    if fallback:
+        fb = fallback[0]
+        for x in fallback[1:]:
+            fb = fb.unionByName(x)
+        winners.append(_nearest_broadcast(fb, features, lon=lon, lat=lat,
                                           point_id=point_id, feat_wkb=feat_wkb,
                                           feat_id=feat_id))
+    if not winners:
+        # empty points input: empty DataFrame with the output schema
+        return _nearest_broadcast(points.limit(0), features, lon=lon, lat=lat,
+                                  point_id=point_id, feat_wkb=feat_wkb,
+                                  feat_id=feat_id)
     out = winners[0]
     for x in winners[1:]:
         out = out.unionByName(x)

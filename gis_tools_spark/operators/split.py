@@ -495,7 +495,10 @@ def split_lines_at_underlying_points(lines: DataFrame, locations: DataFrame, *,
     list.py:27-44, include=True): `locations` is a (line_id,
     vertex_index) table; each valid interior index becomes a shared
     pivot vertex of two pieces; rows without locations pass through.
-    Output: line columns + (part_index, piece_wkb)."""
+    MultiLineString rows are split per part (indices are part-local, the
+    same interpretation as cut_lines_recursive_midpoint); part_index
+    numbers pieces across all parts. Output: line columns +
+    (part_index, piece_wkb)."""
     locs = (locations.groupBy(line_id)
             .agg(F.collect_set(F.col(idx_col)).alias("__breaks")))
     src = lines.join(locs, on=line_id, how="left")
@@ -514,25 +517,29 @@ def split_lines_at_underlying_points(lines: DataFrame, locations: DataFrame, *,
                 if buf is None:
                     continue
                 g = wkb.decode(buf)
-                coords = np.asarray(
-                    g["coords"] if g["type"] == "LineString" else g["lines"][0],
-                    dtype=np.float64)
+                parts = ([g["coords"]] if g["type"] == "LineString"
+                         else g.get("lines", []))
                 raw = pdf["__breaks"].iloc[i]
-                n = len(coords)
-                idx = sorted({int(b) for b in (raw if raw is not None else [])
-                              if 0 < int(b) < n - 1})
+                breaks = {int(b) for b in (raw if raw is not None else [])}
                 base = {c: pdf[c].iloc[i] for c in lcols}
-                if not idx:
-                    row = dict(base)
-                    row["part_index"] = 0
-                    row["piece_wkb"] = buf
-                    rows.append(row)
-                    continue
-                for j, (a, b) in enumerate(zip([0] + idx, idx + [n - 1])):
-                    row = dict(base)
-                    row["part_index"] = j
-                    row["piece_wkb"] = wkb.linestring(coords[a:b + 1])
-                    rows.append(row)
+                j = 0
+                for part in parts:
+                    coords = np.asarray(part, dtype=np.float64)
+                    n = len(coords)
+                    idx = sorted(b for b in breaks if 0 < b < n - 1)
+                    if not idx:
+                        row = dict(base)
+                        row["part_index"] = j
+                        row["piece_wkb"] = wkb.linestring(coords)
+                        rows.append(row)
+                        j += 1
+                        continue
+                    for a, b in zip([0] + idx, idx + [n - 1]):
+                        row = dict(base)
+                        row["part_index"] = j
+                        row["piece_wkb"] = wkb.linestring(coords[a:b + 1])
+                        rows.append(row)
+                        j += 1
             if rows:
                 yield pd.DataFrame(rows, columns=lcols + ["part_index", "piece_wkb"])
 
