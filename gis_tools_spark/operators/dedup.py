@@ -88,10 +88,42 @@ def minhash_signatures(df: DataFrame, *, text_col: str = "text",
     return df.select(id_col, _sig(F.col(text_col)).alias("minhash"))
 
 
+def minhash_signatures_fast(df: DataFrame, *, text_col: str = "text",
+                            id_col: str = "doc_id", num_hashes: int = 64,
+                            shingle_size: int = 3) -> DataFrame:
+    """Production MinHash signature path: 100% JVM whole-stage codegen,
+    zero Python and zero shuffle (round-2 verdict #4).
+
+    Shingling via higher-order array expressions (split → sliding
+    array_join windows → array_distinct) and per-permutation minima as
+    ``array_min(transform(shingles, s -> xxhash64(i, s)))`` — one
+    expression per hash, evaluated row-local. Same banded-LSH join works
+    on top (``minhash_lsh_pairs(..., hash_family='xxhash')``). The md5
+    kernel (`minhash_signatures`) is kept for the DuckDB value-level
+    oracle gate; this family is for throughput at 10^9-doc scale.
+    """
+    words = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                     lambda w: w != F.lit(""))
+    k = shingle_size
+    # sliding word windows; short docs -> the whole doc as one shingle
+    shingles = F.when(
+        F.size(words) < k,
+        F.array(F.array_join(words, " "))
+    ).otherwise(
+        F.transform(F.sequence(F.lit(0), F.size(words) - k),
+                    lambda i: F.array_join(F.slice(words, i + 1, k), " ")))
+    shingles = F.array_distinct(shingles)
+    sig = F.array(*[
+        F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)])
+    return df.select(id_col, sig.alias("minhash"))
+
+
 def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, shingle_size: int = 3,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      hash_family: str = "md5_oracle") -> DataFrame:
     """Near-dup candidate pairs via banded LSH, verified by signature-
     estimated Jaccard ≥ threshold. Returns (id_a, id_b, jaccard_est),
     id_a < id_b.
@@ -99,10 +131,16 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     shingle→minhash→band→bucket-join: each doc emits `bands` bucket keys
     (hash of one band of the signature); equal keys equi-join; estimated
     Jaccard = fraction of agreeing signature positions.
+
+    hash_family: 'md5_oracle' (python kernel, exactly reproducible in
+    DuckDB SQL — the correctness-gate family) or 'xxhash' (pure-JVM
+    codegen via minhash_signatures_fast — the production family).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col,
-                              num_hashes=num_hashes, shingle_size=shingle_size)
+    signer = (minhash_signatures_fast if hash_family == "xxhash"
+              else minhash_signatures)
+    sigs = signer(df, text_col=text_col, id_col=id_col,
+                  num_hashes=num_hashes, shingle_size=shingle_size)
     sigs = sigs.persist()
     banded = sigs.select(
         id_col, "minhash",
@@ -155,24 +193,61 @@ def simhash64(df: DataFrame, *, text_col: str = "text",
     return df.select(id_col, _sim(F.col(text_col)).alias("simhash"))
 
 
+def simhash_blocking(max_hamming: int, n_blocks: int | None = None
+                     ) -> tuple[list[int], list[tuple[int, ...]]]:
+    """Block boundaries + key subsets for Hamming-≤d bucketing.
+
+    Pigeonhole completeness: ≤ d differing bits flip at most d of the
+    n_blocks blocks, so at least (n_blocks − d) blocks AGREE — and every
+    (n_blocks − d)-subset of those agreeing blocks is a key both docs
+    emit. Emitting one key per (n_blocks − d)-subset therefore finds
+    every pair within distance d.
+
+    Scale (round-2 verdict #1): the old scheme joined on SINGLE
+    ~16-bit blocks, so bucket population grows as n/2^16 and in-bucket
+    candidate pairs as O(n²/2^16) — ~10^13 pairs at 10^9 docs. Subset
+    keys concatenate (n_blocks − d) blocks: with the default
+    n_blocks = d+3 (e.g. 6 blocks at d=3) each key carries
+    64·(n_blocks−d)/n_blocks ≈ 32+ bits, so expected bucket load is
+    n·C(n_blocks,d)/2^32 — candidates stay O(n) out to billions of
+    uniformly-distributed hashes. Cost: C(n_blocks, d) emissions per row
+    (20 at d=3) instead of d+1.
+    """
+    from itertools import combinations
+
+    d = max_hamming
+    if n_blocks is None:
+        n_blocks = d + 3 if d else 1
+    if n_blocks <= d:
+        raise ValueError(f"n_blocks ({n_blocks}) must exceed max_hamming ({d})")
+    bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
+    combos = list(combinations(range(n_blocks), n_blocks - d))
+    return bounds, combos
+
+
 def simhash_near_dups(df: DataFrame, *, text_col: str = "text",
-                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Pairs within Hamming distance ≤ max_hamming via block bucketing
-    (pigeonhole: d differing bits over n > d blocks → at least one block
-    equal). Block count is derived as max(4, max_hamming + 1) so the
-    bucketing stays complete for any max_hamming < 64 instead of
-    silently missing pairs at max_hamming ≥ 4."""
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      n_blocks: int | None = None) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming via pigeonhole
+    subset-key bucketing (see simhash_blocking): each doc emits one
+    64-bit xxhash key per (n_blocks − d)-subset of its blocks; equal
+    keys equi-join; exact popcount filter confirms. Hash collisions can
+    only ADD candidates (same blocks ⇒ same key), never lose pairs."""
     if not 0 <= max_hamming < 64:
         raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
     sh = simhash64(df, text_col=text_col, id_col=id_col)
-    n_blocks = max(4, max_hamming + 1)
-    bounds = [round(i * 64 / n_blocks) for i in range(n_blocks + 1)]
-    blocks = F.array(*[
-        F.shiftrightunsigned(F.col("simhash"), bounds[i])
-        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
-        .alias(f"b{i}")
-        for i in range(n_blocks)])
-    e = sh.select(id_col, "simhash", F.posexplode(blocks).alias("blk", "key"))
+    bounds, combos = simhash_blocking(max_hamming, n_blocks)
+    block_col = []
+    for i in range(len(bounds) - 1):
+        width = bounds[i + 1] - bounds[i]
+        c = F.shiftrightunsigned(F.col("simhash"), bounds[i])
+        if width < 64:  # width 64 = whole hash (d=0, single block)
+            c = c.bitwiseAND(F.lit((1 << width) - 1))
+        block_col.append(c)
+    keys = F.array(*[
+        F.xxhash64(F.lit(ci), *[block_col[j] for j in combo])
+        for ci, combo in enumerate(combos)])
+    e = sh.select(id_col, "simhash", F.posexplode(keys).alias("blk", "key"))
     a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "blk", "key")
     b = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "blk", "key")
     cand = (a.join(b, on=["blk", "key"]).where(F.col("id_a") < F.col("id_b"))

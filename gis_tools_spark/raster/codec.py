@@ -110,11 +110,14 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return decode_png(buf)
     if fmt == "dct":
         return decode_dct(buf)
-    if fmt in ("jpeg", "jpg", "webp"):
-        # PIL-backed codecs unavailable in sandbox — plumbing is real
-        # (and exercised by the 'dct' lossy codec); jpeg bytes themselves
-        # can't be decoded without the wheel.
-        raise NotImplementedError(f"lossy codec '{fmt}' requires PIL (absent in sandbox)")
+    if fmt in ("jpeg", "jpg"):
+        from . import jpeg
+
+        return jpeg.decode(buf)
+    if fmt == "webp":
+        # webp stays wheel-bound (no PIL/libwebp in sandbox); jpeg is a
+        # from-scratch baseline JFIF codec (raster/jpeg.py).
+        raise NotImplementedError("codec 'webp' requires PIL (absent in sandbox)")
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -127,6 +130,10 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return encode_png(arr)
     if fmt == "dct":
         return encode_dct(arr)
+    if fmt in ("jpeg", "jpg"):
+        from . import jpeg
+
+        return jpeg.encode(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -124,7 +124,8 @@ def verify_images_arrow(df: DataFrame, min_psnr: float = 40.0,
 
 def verify_images_files(spark, parquet_path: str, *, min_psnr: float = 40.0,
                         passthrough: list[str] | None = None,
-                        batch_rows: int = 2048) -> DataFrame:
+                        batch_rows: int = 2048,
+                        n_tasks: int | None = None) -> DataFrame:
     """FUSED python-native scan + verify: the python workers read the
     parquet row-groups DIRECTLY with pyarrow; the JVM plan carries only
     (file, row_group) task descriptors and the small verify output.
@@ -148,15 +149,39 @@ def verify_images_files(spark, parquet_path: str, *, min_psnr: float = 40.0,
     passthrough = passthrough or []
     cols = ["image_id", "bytes", "w", "h", "fmt", "phash", "caption"] + passthrough
 
+    import json as _json
+
     files = sorted(glob.glob(f"{parquet_path}/*.parquet"))
     if not files:
         files = [parquet_path]
-    tasks = []
+    groups = []
     for f in files:
-        for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
-            tasks.append((f, rg))
-    tdf = (spark.createDataFrame(tasks, "file string, rg int")
-           .repartition(len(tasks)))
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            groups.append((f, rg, meta.row_group(rg).num_rows))
+    # Bin-pack row-groups into ~4 tasks per core (LPT: largest first into
+    # the lightest bin). Two measured reasons (PERF.md round 3):
+    # (1) every python task carries ~30 ms of serial launch tax in this
+    #     pyspark build regardless of worker reuse — one task per tiny
+    #     row-group turns that into seconds of driver-serial wall;
+    # (2) uneven row-groups (276..31k rows observed) leave a straggler
+    #     tail at high core counts. Bins are near-uniform by construction.
+    # Bins are then ordered largest-first: Spark launches tasks in
+    # partition-index order as cores free, i.e. LPT scheduling.
+    sc = spark.sparkContext
+    if n_tasks is None:
+        n_tasks = max(1, min(len(groups), 4 * sc.defaultParallelism))
+    bins: list[list] = [[] for _ in range(n_tasks)]
+    loads = [0] * n_tasks
+    for f, rg, nr in sorted(groups, key=lambda t: -t[2]):
+        i = min(range(n_tasks), key=loads.__getitem__)
+        bins[i].append((f, rg))
+        loads[i] += nr
+    order = sorted((i for i in range(n_tasks) if bins[i]),
+                   key=lambda i: -loads[i])
+    payload = [(_json.dumps(bins[i]),) for i in order]
+    tdf = spark.createDataFrame(
+        sc.parallelize(payload, max(1, len(payload))), "bin string")
 
     # pin the output schema from one row-group's arrow schema
     sample = pq.ParquetFile(files[0]).schema_arrow
@@ -169,13 +194,15 @@ def verify_images_files(spark, parquet_path: str, *, min_psnr: float = 40.0,
         out_schema += f", {c} {m.get(t, 'double')}"
 
     def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json  # noqa: F811
         import pyarrow.parquet as pq  # noqa: F811
         for pdf in it:
-            for f, rg in zip(pdf["file"], pdf["rg"]):
-                tbl = pq.ParquetFile(f).read_row_group(int(rg), columns=cols)
-                for batch in tbl.to_batches(max_chunksize=batch_rows):
-                    out = _verify_batch(batch, min_psnr, passthrough)
-                    yield out.to_pandas()
+            for bin_json in pdf["bin"]:
+                for f, rg in _json.loads(bin_json):
+                    tbl = pq.ParquetFile(f).read_row_group(int(rg), columns=cols)
+                    for batch in tbl.to_batches(max_chunksize=batch_rows):
+                        out = _verify_batch(batch, min_psnr, passthrough)
+                        yield out.to_pandas()
 
     return tdf.mapInPandas(_run, schema=out_schema)
 

@@ -39,8 +39,11 @@ def test_phash_stability_and_sensitivity():
 
 
 def test_lossy_stub_raises():
+    # jpeg is REAL since round 3 (raster/jpeg.py); webp stays wheel-bound
     with pytest.raises(NotImplementedError):
-        codec.decode(b"x", 1, 1, "jpeg")
+        codec.decode(b"x", 1, 1, "webp")
+    with pytest.raises(ValueError):
+        codec.decode(b"x", 1, 1, "jpeg")  # real decoder: not a JPEG
 
 
 def test_fixture_images_decode_and_captions():

@@ -38,10 +38,10 @@ def test_utm_roundtrip_bulk():
 
 
 def test_unsupported_crs_raises():
-    # 2154 is supported since round 2 (LCC registry); use a code with no
-    # built-in parameterization
+    # 27700 is supported since round 3 (declarative register_crs); use a
+    # code with no built-in parameterization
     with pytest.raises(NotImplementedError):
-        transform_xy(np.array([0.0]), np.array([0.0]), "4326", "27700")
+        transform_xy(np.array([0.0]), np.array([0.0]), "4326", "29902")
 
 
 def test_reproject_udf_polygon(spark):

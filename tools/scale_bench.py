@@ -27,7 +27,13 @@ import sys
 sys.path.insert(0, {repo!r})
 from gis_tools_spark import fixtures, get_spark
 spark = get_spark(app_name="scale_bench_gen", cpus=32)
-fixtures.gen_images_spark(spark, {n}).write.mode("overwrite").parquet({pq!r})
+# fine uniform partitions -> uniform parquet row-groups (~8k rows each):
+# the default 32-file layout yields 64 groups of 276..31k rows, and that
+# imbalance costs ~5% straggler tail at the 8-core arm (one wave = 1/8
+# of the work). Generator columns are pure functions of (seed, i), so
+# the table is identical under any partitioning.
+fixtures.gen_images_spark(spark, {n}, partitions={gparts}) \
+    .write.mode("overwrite").parquet({pq!r})
 spark.stop()
 print("GENDONE")
 """
@@ -75,8 +81,13 @@ def run():
     # crosses the JVM — measured scaling ceiling, PERF.md round 2) →
     # tile assignment fan-out → PIP join vs zones → per-zone counts.
     t0 = time.perf_counter()
+    # n_tasks pinned to 128 so BOTH arms execute the IDENTICAL task
+    # graph (the default couples bin count to defaultParallelism, which
+    # differs between arms — an unfair structural difference: the lone
+    # single-rep 1.228 "superlinear" reading came from that coupling).
+    # 128 bins = 64 waves at 2 cores, 16 at 8 — fine-grained for both.
     ok = verify_images_files(
-        spark, {pq!r},
+        spark, {pq!r}, n_tasks=128,
         passthrough=["lon","lat","minx","miny","maxx","maxy"]).where("ok")
     tiles = image_tile_assignment(
         ok.select("image_id","lon","lat","minx","miny","maxx","maxy"), res=16)
@@ -94,11 +105,16 @@ wall_cold, n_tiles, n_pip, n_dec = run()
 wall_warm = min(run()[0] for _ in range(3))
 # the salted shuffle-path PIP join stays exercised (timed separately,
 # not the scaling headline — at 64 zones the engine's auto plan is
-# broadcast; the cell+salt path is for huge both-sides joins)
-t0 = time.perf_counter()
-pip_join(images.select("image_id","lon","lat"), zones, strategy="cell",
-         salt_threshold=50000).count()
-salted_sec = time.perf_counter() - t0
+# broadcast; the cell+salt path is for huge both-sides joins).
+# SCALE_BENCH_SALTED=0 skips it for median-of-N headline runs (the
+# salted path is independently gated in bench.py/CORRECTNESS).
+import os as _os
+salted_sec = -1.0
+if _os.environ.get("SCALE_BENCH_SALTED", "1") != "0":
+    t0 = time.perf_counter()
+    pip_join(images.select("image_id","lon","lat"), zones, strategy="cell",
+             salt_threshold=50000).count()
+    salted_sec = time.perf_counter() - t0
 print(json.dumps({{"cpus": cpus, "wall": wall_warm, "wall_cold": wall_cold,
                    "n_images": n, "throughput": n / wall_warm,
                    "tiles": n_tiles, "pip": n_pip, "decoded": n_dec,
@@ -110,14 +126,20 @@ PQ_DIR = "/tmp/scale_bench_images"
 
 
 def gen_once(n: int) -> None:
-    marker = Path(PQ_DIR) / f"_GEN_{n}"
+    # v3 layout: uniform ~8k-row row-groups (see GEN comment); the scan
+    # bin-packs them into ~4 tasks/core, so groups only need to be
+    # uniform and fine enough to pack evenly
+    marker = Path(PQ_DIR) / f"_GEN_{n}_v3"
     if marker.exists():
         return
-    code = GEN.format(repo=str(REPO), n=n, pq=PQ_DIR)
+    gparts = max(128, n // 8000)
+    code = GEN.format(repo=str(REPO), n=n, pq=PQ_DIR, gparts=gparts)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, cwd=str(REPO), timeout=3600)
     if "GENDONE" not in out.stdout:
         raise RuntimeError(f"generation failed:\n{out.stderr[-2000:]}")
+    for old in Path(PQ_DIR).glob("_GEN_*"):
+        old.unlink()
     marker.touch()
 
 
@@ -163,30 +185,48 @@ def main() -> None:
         m8, m32 = "local-cluster[1,8,4096]", "local-cluster[4,8,4096]"
     else:
         m8 = m32 = None
+    pair_effs: list[float] = []
+    runs8: list[dict] = []
+    runs32: list[dict] = []
     if m8:
         label8, label32 = f"{m8} (N)", f"{m32} (4N)"
         cpus8, cpus32 = (2, 8) if cluster_small else (8, 32)
-        runs8, runs32 = [], []
-        for _ in range(reps):  # interleave A/B to average machine drift
+        for i in range(reps):  # interleave A/B so each pair shares drift
             runs8.append(run_once(cpus8, n, master=m8))
             runs32.append(run_once(cpus32, n, master=m32))
+            pair_effs.append(
+                (runs32[-1]["throughput"] / runs8[-1]["throughput"]) / 4.0)
+            print(json.dumps({"rep": i + 1,
+                              "wall_N": round(runs8[-1]["wall"], 2),
+                              "wall_4N": round(runs32[-1]["wall"], 2),
+                              "pair_eff": round(pair_effs[-1], 3)}),
+                  flush=True)
         r8 = min(runs8, key=lambda r: r["wall"])
         r32 = min(runs32, key=lambda r: r["wall"])
     else:
         label8, label32 = "local[8] (N)", "local[32] (4N)"
         r8 = run_once(8, n)
         r32 = run_once(32, n)
-    eff = (r32["throughput"] / r8["throughput"]) / 4.0
+        runs8, runs32 = [r8], [r32]
+        pair_effs = [(r32["throughput"] / r8["throughput"]) / 4.0]
+    srt = sorted(pair_effs)
+    median_eff = srt[len(srt) // 2] if len(srt) % 2 else \
+        (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2.0
+    eff = (r32["throughput"] / r8["throughput"]) / 4.0  # best-pair (legacy)
     report = {
         "n_images": n,
+        "reps": len(pair_effs),
         "mode": label8 + " vs " + label32,
         "local8": {"wall_sec": round(r8["wall"], 2), "wall_cold_sec": round(r8["wall_cold"], 2),
                    "images_per_sec": round(r8["throughput"], 1)},
         "local32": {"wall_sec": round(r32["wall"], 2), "wall_cold_sec": round(r32["wall_cold"], 2),
                     "images_per_sec": round(r32["throughput"], 1)},
-        "scaling_efficiency": round(eff, 3),
-        "criterion": "≥ 0.8",
-        "pass": eff >= 0.8,
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "median_efficiency": round(median_eff, 3),
+        "scaling_efficiency": round(median_eff, 3),
+        "best_pair_efficiency": round(eff, 3),
+        "criterion": "median ≥ 0.8",
+        "pass": median_eff >= 0.8,
     }
     print(json.dumps(report))
 
@@ -194,15 +234,27 @@ def main() -> None:
     bench_dir.mkdir(exist_ok=True)
     md = bench_dir / "BASELINE.md"
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    rep_lines = "".join(
+        f"| {i + 1} | {round(a['wall'], 2)} | {round(b['wall'], 2)} | "
+        f"{round(e, 3)} |\n"
+        for i, (a, b, e) in enumerate(zip(runs8, runs32, pair_effs)))
     entry = (
         f"\n## Scaling run {stamp}\n\n"
-        f"Workload: tiling (res-16 cell assignment) + PIP join (64 zones, salted) + "
-        f"decode+phash over {n} synthetic geotagged images (seed 42, 80% on 12 hotspots).\n\n"
-        f"| parallelism | warm wall (s) | cold wall (s) | images/sec (warm) |\n|---|---|---|---|\n"
+        f"Workload: composite ingest (fused scan+verify → res-16 tiling → PIP "
+        f"join vs 64 zones → per-zone agg) over {n} synthetic geotagged images "
+        f"(seed 42, 80% on 12 hotspots), uniform ~8k-row row-groups "
+        f"bin-packed into 128 scan tasks (identical task graph both arms), "
+        f"{len(pair_effs)} interleaved rep pairs, min-of-3 warm runs per process.\n\n"
+        f"| parallelism | best warm wall (s) | cold wall (s) | images/sec (warm) |\n|---|---|---|---|\n"
         f"| {label8} | {report['local8']['wall_sec']} | {report['local8']['wall_cold_sec']} | {report['local8']['images_per_sec']} |\n"
         f"| {label32} | {report['local32']['wall_sec']} | {report['local32']['wall_cold_sec']} | {report['local32']['images_per_sec']} |\n\n"
-        f"**Scaling efficiency (T32/T8)/4 = {report['scaling_efficiency']}** "
-        f"(criterion ≥ 0.8 → {'PASS' if report['pass'] else 'FAIL'})\n"
+        f"Per-rep interleaved pairs:\n\n"
+        f"| rep | wall N (s) | wall 4N (s) | pair efficiency |\n|---|---|---|---|\n"
+        f"{rep_lines}\n"
+        f"**MEDIAN scaling efficiency = {report['median_efficiency']}** "
+        f"(all reps: {report['pair_efficiencies']}; best pair "
+        f"{report['best_pair_efficiency']}; criterion median ≥ 0.8 → "
+        f"{'PASS' if report['pass'] else 'FAIL'})\n"
     )
     if not md.exists():
         md.write_text(
