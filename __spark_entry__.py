@@ -256,6 +256,14 @@ ANN_PLANES = 6
 ANN_TABLES = 2
 ANN_SEED = 42
 
+# embedding near-dup gate config (fewer planes -> denser buckets so the
+# 500-row fixture yields a meaningful pair set; production default is
+# more planes scaled with log n)
+ND_PLANES = 5
+ND_TABLES = 3
+ND_SEED = 7
+ND_THRESH = 0.35
+
 
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via hyperplane LSH (the 100 TB scale path): bucket
@@ -279,6 +287,23 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("vec_id").alias("id_a"),
                     F.col("neighbor_id").alias("id_b"),
                     F.round(F.col("cosine"), 6).alias("cos_r")))
+
+
+def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS (dedup-family variant of ANN;
+    reference has no analog — LLM-pipeline op per the build brief):
+    LSH bucket equi-join + exact cosine rescore ≥ threshold. Gated
+    against a full SQL mirror of the SAME hyperplanes, so candidate
+    generation AND rescore are value-checked, not a brute-force
+    stand-in."""
+    _tune(spark)
+    from gis_tools_spark.operators.simsearch import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_dups(emb, threshold=ND_THRESH, dim=64,
+                              n_planes=ND_PLANES, n_tables=ND_TABLES,
+                              seed=ND_SEED)
+    return out.orderBy("id_a", "id_b")
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embed_top1": q_embed_top1,
         "embed_ann_lsh": q_embed_ann_lsh,
+        "embed_near_dups": q_embed_near_dups,
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
     }
@@ -579,6 +605,62 @@ ang AS (
 )
 SELECT CAST(pid AS BIGINT) AS pid, sector, round(max(elev), 6) AS h_r
 FROM ang GROUP BY pid, sector
+"""
+
+
+def _near_dup_oracle_sql() -> str:
+    """SQL mirror of embedding_near_dups: the SAME deterministic
+    hyperplanes (inlined), sign-pattern bucket keys with the table tag
+    in bits 48+, bucket-join candidates with id_a < id_b, exact cosine
+    rescore rounded to 6 dp, threshold filter on the rounded value
+    (both sides filter post-rounding, so no boundary flips)."""
+    import numpy as np
+
+    from gis_tools_spark.operators.simsearch import _hyperplanes
+
+    rows = []
+    for t in range(ND_TABLES):
+        P = _hyperplanes(64, ND_PLANES, ND_SEED + t)
+        for p in range(ND_PLANES):
+            for d in range(64):
+                rows.append(f"({t},{p},{d},{P[p, d]!r})")
+    plane_rows = ",".join(rows)
+    return f"""
+WITH planes(t, p, d, w) AS (VALUES {plane_rows}),
+vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dots AS (
+  SELECT vec_id, planes.t, planes.p, sum(v[planes.d + 1] * planes.w) AS dot
+  FROM vecs CROSS JOIN planes
+  GROUP BY vec_id, planes.t, planes.p
+),
+keys AS (
+  SELECT vec_id,
+    CAST(t AS BIGINT) * 281474976710656
+    + sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pairdim AS (
+  SELECT c.id_a, c.id_b,
+         va.v[dd.d] * vb.v[dd.d] AS xy,
+         va.v[dd.d] * va.v[dd.d] AS xx,
+         vb.v[dd.d] * vb.v[dd.d] AS yy
+  FROM cand c
+  JOIN vecs va ON va.vec_id = c.id_a
+  JOIN vecs vb ON vb.vec_id = c.id_b
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) dd
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(sum(xy) / (sqrt(sum(xx)) * sqrt(sum(yy))), 6) AS cos_r
+  FROM pairdim GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, cos_r FROM scored
+WHERE cos_r >= {ND_THRESH}
+ORDER BY id_a, id_b
 """
 
 
@@ -812,6 +894,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_raster_stats": _zonal_oracle_sql(),
         "horizon": _horizon_oracle_sql(),
         "embed_ann_lsh": _ann_lsh_oracle_sql(),
+        "embed_near_dups": _near_dup_oracle_sql(),
         "embed_top1": """
             WITH p AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,

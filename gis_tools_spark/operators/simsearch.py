@@ -192,6 +192,35 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 10, dim: int,
             .select(id_col, "neighbor_id", "cosine", "rank"))
 
 
+def embedding_near_dups(df: DataFrame, *, threshold: float = 0.95,
+                        dim: int, vec_col: str = "embedding",
+                        id_col: str = "vec_id", n_planes: int = 8,
+                        n_tables: int = 4, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the dedup-family variant
+    of ANN search): LSH bucket equi-join proposes candidates, exact
+    cosine rescore keeps pairs with cosine ≥ threshold. Returns
+    (id_a, id_b, cos_r) with id_a < id_b, cosine rounded to 6 dp.
+
+    Scale: O(rows × n_tables) bucket emissions + bucketed equi-join —
+    never all-pairs. Recall grows with n_tables and falls with
+    n_planes; near-dup pairs (cosine ≥ 0.9+) collide with high
+    probability since P[plane splits pair] = arccos(cos θ)/π is small.
+    Deterministic hyperplanes (seed) make the whole op reproducible in
+    SQL — gated value-level against a DuckDB mirror (embed_near_dups).
+    """
+    bud = lsh_bucket_udf(dim, n_planes, n_tables, seed)
+    b = (df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+         .withColumn("bucket", F.explode(bud(F.col("v")))))
+    a = b.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
+    c = b.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
+    cand = (a.join(c, on="bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    scored = cand.withColumn("cos_r", F.round(_cosine_expr("va", "vb"), 6))
+    return (scored.where(F.col("cos_r") >= threshold)
+            .select("id_a", "id_b", "cos_r"))
+
+
 def train_centroids(corpus: DataFrame, *, n_centroids: int = 16,
                     vec_col: str = "embedding", sample: int = 10_000,
                     iters: int = 10, seed: int = 42) -> np.ndarray:

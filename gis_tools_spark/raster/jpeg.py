@@ -232,8 +232,14 @@ def _extend(bits: int, size: int) -> int:
 
 # ------------------------------------------------------------ encoder
 
-def encode(arr: np.ndarray, quality: int = 85) -> bytes:
-    """Baseline sequential JFIF. arr: (h,w) or (h,w,3) uint8."""
+def encode(arr: np.ndarray, quality: int = 85,
+           subsampling: str = "444") -> bytes:
+    """Baseline sequential JFIF. arr: (h,w) or (h,w,3) uint8.
+
+    subsampling: '444' (one 8×8 block per component per MCU) or '420'
+    (2×2 Y blocks + 2×-downsampled chroma per 16×16 MCU — the dominant
+    layout in real-world JPEG corpora; exercises the decoder's
+    sampling-factor path against our own bytes)."""
     arr = np.asarray(arr)
     if arr.ndim == 2:
         arr = arr[:, :, None]
@@ -257,47 +263,69 @@ def encode(arr: np.ndarray, quality: int = 85) -> bytes:
 
     bw = _BitWriter()
     prev_dc = [0] * len(comps)
-    bh = (h + 7) // 8
-    bwid = (w + 7) // 8
-    # pad components by edge replication
-    padded = []
-    for c in comps:
-        p = np.pad(c, ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge")
-        padded.append(p)
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci, comp in enumerate(padded):
-                ti = 0 if ci == 0 else 1
-                block = comp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-                coef = np.round(_dct2(block) / qts[ti]).astype(np.int64)
-                zz = coef.ravel()[_ZZ]
-                diff = int(zz[0]) - prev_dc[ci]
-                prev_dc[ci] = int(zz[0])
-                size, bits = _magnitude(diff)
-                l, c_ = enc_dc[ti][size]
+
+    def emit_block(block: np.ndarray, ci: int) -> None:
+        ti = 0 if ci == 0 else 1
+        coef = np.round(_dct2(block) / qts[ti]).astype(np.int64)
+        zz = coef.ravel()[_ZZ]
+        diff = int(zz[0]) - prev_dc[ci]
+        prev_dc[ci] = int(zz[0])
+        size, bits = _magnitude(diff)
+        l, c_ = enc_dc[ti][size]
+        bw.write(l, c_)
+        if size:
+            bw.write(size, bits)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                l, c_ = enc_ac[ti][0xF0]  # ZRL
                 bw.write(l, c_)
-                if size:
-                    bw.write(size, bits)
-                run = 0
-                nz = np.nonzero(zz[1:])[0]
-                last = nz[-1] + 1 if len(nz) else 0
-                for k in range(1, last + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        l, c_ = enc_ac[ti][0xF0]  # ZRL
-                        bw.write(l, c_)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    l, c_ = enc_ac[ti][(run << 4) | size]
-                    bw.write(l, c_)
-                    bw.write(size, bits)
-                    run = 0
-                if last < 63:
-                    l, c_ = enc_ac[ti][0x00]  # EOB
-                    bw.write(l, c_)
+                run -= 16
+            size, bits = _magnitude(v)
+            l, c_ = enc_ac[ti][(run << 4) | size]
+            bw.write(l, c_)
+            bw.write(size, bits)
+            run = 0
+        if last < 63:
+            l, c_ = enc_ac[ti][0x00]  # EOB
+            bw.write(l, c_)
+
+    sub420 = subsampling == "420" and nc == 3
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling {subsampling!r}: use '444' or '420'")
+    if sub420:
+        mh = (h + 15) // 16
+        mw = (w + 15) // 16
+        Y = np.pad(comps[0], ((0, mh * 16 - h), (0, mw * 16 - w)), mode="edge")
+        chroma = []
+        for c in comps[1:]:
+            p = np.pad(c, ((0, mh * 16 - h), (0, mw * 16 - w)), mode="edge")
+            chroma.append((p[0::2, 0::2] + p[1::2, 0::2]
+                           + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0)
+        for my in range(mh):
+            for mx in range(mw):
+                for by in range(2):
+                    for bx in range(2):
+                        y0 = my * 16 + by * 8
+                        x0 = mx * 16 + bx * 8
+                        emit_block(Y[y0:y0 + 8, x0:x0 + 8], 0)
+                for ci, cp in enumerate(chroma, start=1):
+                    emit_block(cp[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8], ci)
+    else:
+        bh = (h + 7) // 8
+        bwid = (w + 7) // 8
+        padded = [np.pad(c, ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge")
+                  for c in comps]
+        for by in range(bh):
+            for bx in range(bwid):
+                for ci, comp in enumerate(padded):
+                    emit_block(comp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], ci)
     scan = bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -311,7 +339,8 @@ def encode(arr: np.ndarray, quality: int = 85) -> bytes:
     ncomp = 1 if nc == 1 else 3
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])  # 1x1 sampling
+        samp = (0x22 if sub420 else 0x11) if ci == 0 else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
     out += seg(0xC0, sof)
     # DHT
     for cls, (bits, vals), tid in ((0, _HT_DC_LUM, 0), (1, _HT_AC_LUM, 0),

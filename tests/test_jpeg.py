@@ -91,3 +91,17 @@ def test_verify_images_arrow_jpeg_lossy_gate(spark):
     out = {r["image_id"]: r["ok"] for r in verify_images_arrow(df).collect()}
     assert all(out[f"img{i:09d}"] for i in range(8))
     assert not out["img_bad"]
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 encode (2x2 Y + downsampled chroma MCUs) exercises the
+    decoder's sampling-factor path against our own bytes — real-world
+    JPEG corpora are predominantly 4:2:0."""
+    for (w, h) in ((64, 48), (37, 23), (16, 16)):
+        img = _smooth_rgb(w, h, seed=w)
+        b420 = jpeg.encode(img, quality=92, subsampling="420")
+        d420 = jpeg.decode(b420)
+        assert d420.shape == img.shape
+        assert codec.psnr(img, d420) >= 38.0   # ~0.3 dB under 4:4:4
+    with pytest.raises(ValueError):
+        jpeg.encode(img, subsampling="422")

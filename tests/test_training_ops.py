@@ -146,3 +146,38 @@ def test_lang_and_quality_and_fingerprint(docs, docs_pd):
     assert 0 <= row["punct_ratio"] <= 1 and 0 <= row["alpha_ratio"] <= 1
     fp = fingerprint(docs).toPandas()
     assert fp[fp.doc_id == 0]["fp_md5"].iloc[0] == fp[fp.doc_id == 12]["fp_md5"].iloc[0]
+
+
+def test_embedding_near_dups_vs_bruteforce(spark):
+    """LSH near-dup pairs must be a SUBSET of brute-force pairs at the
+    same threshold (no false positives after exact rescore) and catch
+    the planted near-duplicates (high-cosine pairs collide with high
+    probability)."""
+    import numpy as np
+    from gis_tools_spark.operators.simsearch import embedding_near_dups
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, (40, 16))
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    # planted near-dups: tiny perturbations of rows 0..4
+    for j in range(5):
+        v = base[j] + rng.normal(0, 0.02, 16)
+        rows.append((100 + j, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_dups(df, threshold=0.9, dim=16, n_planes=6,
+                              n_tables=8, seed=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    # brute force in numpy
+    V = np.array([r[1] for r in rows])
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    ids = [r[0] for r in rows]
+    C = V @ V.T
+    want = {(min(ids[i], ids[j]), max(ids[i], ids[j]))
+            for i in range(len(ids)) for j in range(i + 1, len(ids))
+            if round(C[i, j], 6) >= 0.9}
+    assert got <= want                       # exact rescore: no extras
+    planted = {(j, 100 + j) for j in range(5)}
+    assert planted <= want
+    assert len(got & planted) >= 4           # 8 tables: near-certain recall
+    for r in out:
+        assert r["cos_r"] >= 0.9
