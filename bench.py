@@ -40,6 +40,23 @@ def main() -> None:
     spark = get_spark(app_name="gis_tools_spark_bench", cpus=CPUS)
     sf = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else -1.0
 
+    # Warm the fleet once so query timings measure steady state, not
+    # first-touch costs (python worker spawn, package import, parquet
+    # footers, codegen JIT) — long-lived executors on a real cluster
+    # never pay these per query. Without this the FIRST timed query
+    # absorbs ~2-3 s of session cold-start regardless of which it is.
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    @F.pandas_udf(TT.LongType())
+    def _warm(x: pd.Series) -> pd.Series:
+        import numpy  # noqa: F401
+        import gis_tools_spark.operators.sjoin  # noqa: F401
+        import gis_tools_spark.raster.kernels  # noqa: F401
+        return x
+
+    spark.range(0, CPUS * 2, numPartitions=CPUS * 2).select(_warm("id")).count()
+
     timings: dict[str, float] = {}
     meta: dict[str, float] = {}
 

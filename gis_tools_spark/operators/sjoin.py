@@ -149,7 +149,18 @@ def _pip_cell_join(points: DataFrame, polygons: DataFrame, *, lon, lat,
 def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
                    poly_wkb, poly_id, predicate, res, keep_poly_wkb) -> DataFrame:
     """Zero-shuffle path: decode+bucket polygons once, broadcast, stream
-    points through a single mapInPandas."""
+    points through a single mapInPandas.
+
+    Parallelism guard: with no shuffle in the plan, the kernel inherits
+    the SCAN's partitioning — a small (or heavily filtered) point table
+    can arrive as 1-2 partitions and throttle the refine to 2 cores.
+    If the input has fewer partitions than the cluster's parallelism,
+    repartition first (cheap: only the narrow point columns move). At
+    production scale scans carry >> parallelism partitions, so this is
+    a no-op there — no extra shuffle on the 100 TB path."""
+    sc_ = points.sparkSession.sparkContext
+    if points.rdd.getNumPartitions() < sc_.defaultParallelism:
+        points = points.repartition(sc_.defaultParallelism)
     poly_rows = polygons.collect()
     attrs = [c for c in polygons.columns if c != poly_wkb or keep_poly_wkb]
     geoms = []
