@@ -79,14 +79,20 @@ def exact_topk_blocked(corpus: DataFrame, *, k: int = 1,
     """Exact cosine top-k of every corpus row vs the whole corpus with
     NO driver-side collect (fixes the round-1 embed_top1 scale-killer).
 
-    The corpus is packed into bounded row-blocks (deterministic id
-    hash), each block one (ids, matrix) row; queries cross-join the
-    blocks (Catalyst picks BNLJ/cartesian — one block in memory per
-    task), a BLAS matmul scores each Arrow batch x block, block-local
-    top-k survives, and a global window picks the final k. Shuffle is
-    O(n x n_blocks x k) rows; executor memory is bounded by one block
-    (block_rows x dim x 8B). Compute stays O(n^2) flops — inherent to
-    the exact baseline; the LSH/IVF paths are the approximate scale-out.
+    BOTH sides are packed into bounded row-blocks (deterministic id
+    hash), each block one (ids, matrix) row; the cross join is over
+    BLOCK PAIRS — n_blocks² rows, each carrying two matrices exactly
+    once. (Round 2 cross-joined raw query ROWS against packed blocks,
+    so every joined row duplicated the whole block blob through Arrow:
+    n x block_bytes of serialization — 2 GB at the 2000-row bench
+    corpus, and the same per-row duplication tax at any scale.) One
+    BLAS matmul scores each pair, per-query block-local top-k survives,
+    and a global window picks the final k. Shuffle = O(n_blocks² ×
+    block_bytes + n × n_blocks × k) — the same n²·dim·8/block_rows
+    matrix volume as before, but in n_blocks² rows instead of
+    n × n_blocks blob copies; executor memory is bounded by two blocks.
+    Compute stays O(n²) flops — inherent to the exact baseline; the
+    LSH/IVF paths are the approximate scale-out.
 
     Ties broken on (round(cos, round_dp) desc, neighbor_id) to match the
     SQL oracle exactly.
@@ -109,8 +115,16 @@ def exact_topk_blocked(corpus: DataFrame, *, k: int = 1,
                              "ids": [ids.tobytes()], "mat": [M.tobytes()]})
 
     packed = blk.groupBy("__blk").applyInPandas(_pack, schema=pack_schema)
+    # block-pair cross join; repartition spreads the n_blocks² pairs
+    # across the cluster (one pair per task up to 4 waves/core)
+    pairs = (packed.select(F.col("ids").alias("ids_q"),
+                           F.col("mat").alias("mat_q"))
+             .crossJoin(packed.select(F.col("ids").alias("ids_c"),
+                                      F.col("mat").alias("mat_c"))))
+    sc_ = corpus.sparkSession.sparkContext
+    pairs = pairs.repartition(
+        max(1, min(n_blocks * n_blocks, sc_.defaultParallelism * 4)))
 
-    cand = src.crossJoin(packed.select("ids", "mat"))
     out_schema = T.StructType([
         T.StructField("id_a", T.LongType()),
         T.StructField("id_b", T.LongType()),
@@ -119,29 +133,34 @@ def exact_topk_blocked(corpus: DataFrame, *, k: int = 1,
 
     def _score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if len(pdf) == 0:
-                continue
             recs = []
-            # decode each distinct block once per batch
-            for mat_bytes, grp in pdf.groupby("mat", sort=False):
-                ids_ = np.frombuffer(grp["ids"].iloc[0], dtype=np.int64)
-                M = np.frombuffer(mat_bytes, dtype=np.float64).reshape(len(ids_), -1)
-                Mn = np.linalg.norm(M, axis=1)
-                Q = np.array(list(grp["v"]), dtype=np.float64)
+            for r in range(len(pdf)):
+                qids = np.frombuffer(pdf["ids_q"].iloc[r], dtype=np.int64)
+                cids = np.frombuffer(pdf["ids_c"].iloc[r], dtype=np.int64)
+                Q = np.frombuffer(pdf["mat_q"].iloc[r], dtype=np.float64) \
+                    .reshape(len(qids), -1)
+                M = np.frombuffer(pdf["mat_c"].iloc[r], dtype=np.float64) \
+                    .reshape(len(cids), -1)
                 Qn = np.linalg.norm(Q, axis=1)
+                Mn = np.linalg.norm(M, axis=1)
                 S = np.round((Q @ M.T) / (Qn[:, None] * Mn[None, :]), round_dp)
-                qids = grp[id_col].to_numpy(dtype=np.int64)
-                for i in range(len(grp)):
+                S[qids[:, None] == cids[None, :]] = -np.inf  # self-pairs out
+                kk = min(k, S.shape[1])
+                for i in range(len(qids)):
                     s = S[i]
-                    mask = ids_ != qids[i]
-                    order = np.lexsort((ids_[mask], -s[mask]))[:k]
-                    sel = np.nonzero(mask)[0][order]
-                    recs.extend((int(qids[i]), int(ids_[j]), float(s[j]))
-                                for j in sel)
+                    if kk < S.shape[1]:
+                        top = np.argpartition(-s, kk - 1)[:kk]
+                    else:
+                        top = np.arange(S.shape[1])
+                    order = np.lexsort((cids[top], -s[top]))
+                    for j in top[order][:kk]:
+                        if np.isfinite(s[j]):
+                            recs.append((int(qids[i]), int(cids[j]),
+                                         float(s[j])))
             if recs:
                 yield pd.DataFrame(recs, columns=["id_a", "id_b", "cos_r"])
 
-    local = cand.mapInPandas(_score, schema=out_schema)
+    local = pairs.mapInPandas(_score, schema=out_schema)
     w = Window.partitionBy("id_a").orderBy(F.col("cos_r").desc(), F.col("id_b"))
     return (local.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k).drop("__rn"))

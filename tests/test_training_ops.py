@@ -181,3 +181,21 @@ def test_embedding_near_dups_vs_bruteforce(spark):
     assert len(got & planted) >= 4           # 8 tables: near-certain recall
     for r in out:
         assert r["cos_r"] >= 0.9
+
+
+def test_exact_topk_block_pair_parity(spark):
+    """Round-3 block-pair rewrite: splitting the corpus into 8 blocks
+    must give bit-identical top-k to the single-block path (block-local
+    top-k + global window is exact for any block count)."""
+    import numpy as np
+    from gis_tools_spark.operators.simsearch import exact_topk_blocked
+
+    rng = np.random.default_rng(4)
+    rows = [(i, rng.normal(0, 1, 16).tolist()) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one = exact_topk_blocked(df, k=3, vec_col="embedding").orderBy(
+        "id_a", "id_b").collect()
+    many = exact_topk_blocked(df, k=3, vec_col="embedding",
+                              block_rows=16).orderBy("id_a", "id_b").collect()
+    assert one == many
+    assert len(one) == 120 * 3
