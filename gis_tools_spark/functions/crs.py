@@ -299,6 +299,62 @@ class LAEA:
         return np.rad2deg(self.lon0 + lp), np.rad2deg(phi)
 
 
+class PolarStereo:
+    """Polar Stereographic variant B (Snyder 21-33..35 ellipsoidal):
+    lat_ts = standard parallel (true scale), projection centered on the
+    pole nearer lat_ts. Covers EPSG 3031/3976 (Antarctic) and 3413/3995
+    (Arctic) — the standard polar raster/sea-ice CRSes."""
+
+    def __init__(self, lat_ts, lon0, fe, fn, a: float = R,
+                 f_inv: float = F_INV):
+        f = 1.0 / f_inv
+        self.e = np.sqrt(1 - (1 - f) ** 2)
+        self.a = a
+        self.south = lat_ts < 0
+        self.lon0 = np.deg2rad(lon0)
+        self.fe, self.fn = fe, fn
+        e = self.e
+        phi_ts = np.deg2rad(abs(lat_ts))
+        s = np.sin(phi_ts)
+        t_ts = (np.tan(np.pi / 4 - phi_ts / 2)
+                / ((1 - e * s) / (1 + e * s)) ** (e / 2))
+        m_ts = np.cos(phi_ts) / np.sqrt(1 - e * e * s * s)
+        # k0 implied by the standard parallel (variant B)
+        self._rho_factor = a * m_ts / t_ts if phi_ts < np.pi / 2 - 1e-12 \
+            else 2 * a / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+
+    def _t(self, phi_abs):
+        s = np.sin(phi_abs)
+        return (np.tan(np.pi / 4 - phi_abs / 2)
+                / ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2))
+
+    def fwd(self, lon, lat):
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        sign = -1.0 if self.south else 1.0
+        phi = np.deg2rad(np.clip(sign * lat, -89.999999, 90.0))
+        lam = sign * (np.deg2rad(lon) - self.lon0)
+        rho = self._rho_factor * self._t(phi)
+        x = rho * np.sin(lam)
+        y = -rho * np.cos(lam)
+        return self.fe + sign * x, self.fn + sign * y
+
+    def inv(self, x, y):
+        sign = -1.0 if self.south else 1.0
+        xs = sign * (np.asarray(x, dtype=np.float64) - self.fe)
+        ys = sign * (np.asarray(y, dtype=np.float64) - self.fn)
+        rho = np.hypot(xs, ys)
+        t = rho / self._rho_factor
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                t * ((1 - self.e * s) / (1 + self.e * s)) ** (self.e / 2))
+        lam = np.arctan2(xs, -ys)          # = sign * (λ − lon0)
+        lon = np.rad2deg(self.lon0 + sign * lam)
+        return lon, np.rad2deg(sign * phi)
+
+
 class TMerc:
     """Transverse Mercator (Krüger series, 4th order) with arbitrary
     ellipsoid, natural origin, scale factor and false origin — the
@@ -440,6 +496,12 @@ def register_crs(code, params: dict):
             e = np.sqrt(1 - (1 - 1 / rf) ** 2)
             k0 = float(np.cos(phi) / np.sqrt(1 - e * e * np.sin(phi) ** 2))
         p = Merc(lon0, k0, x0, y0, a, rf)
+    elif proj == "stere":
+        if abs(lat0) != 90.0:
+            raise NotImplementedError(
+                "stere: only the polar aspect is implemented (lat_0=±90)")
+        lat_ts = float(params.get("lat_ts", lat0))
+        p = PolarStereo(lat_ts, lon0, x0, y0, a, rf)
     elif proj in ("lcc", "aea", "laea"):
         if not wgs_like:
             raise NotImplementedError(
@@ -479,6 +541,10 @@ register_crs(3310, dict(proj="aea", lat_0=0.0, lon_0=-120.0,            # NAD83 
                         ellps="GRS80"))
 register_crs(3395, dict(proj="merc", lon_0=0.0, k_0=1.0,                # WGS84 / World Mercator
                         x_0=0.0, y_0=0.0, ellps="WGS84"))
+register_crs(3031, dict(proj="stere", lat_0=-90.0, lat_ts=-71.0,        # WGS84 / Antarctic Polar Stereographic
+                        lon_0=0.0, x_0=0.0, y_0=0.0, ellps="WGS84"))
+register_crs(3413, dict(proj="stere", lat_0=90.0, lat_ts=70.0,          # WGS84 / NSIDC Sea Ice Polar Stereographic North
+                        lon_0=-45.0, x_0=0.0, y_0=0.0, ellps="WGS84"))
 
 
 def _resolve(code: str):

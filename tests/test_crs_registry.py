@@ -97,3 +97,65 @@ def test_register_crs_rejects_unknown_family():
     with pytest.raises(NotImplementedError):
         crs.register_crs(99998, dict(proj="lcc", lat_0=49, lon_0=-95,
                                      lat_1=49, lat_2=77, ellps="airy"))
+
+
+def test_polar_stereographic_3031_invariants():
+    """EPSG 3031 (Antarctic Polar Stereographic): pole at origin,
+    true scale at the 71S standard parallel, exact round-trips."""
+    import numpy as np
+    from gis_tools_spark.functions.crs import transform_xy
+
+    x, y = transform_xy(np.array([0.0]), np.array([-90.0]), "4326", "3031")
+    assert abs(float(x[0])) < 1e-6 and abs(float(y[0])) < 1e-6
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-89.9, -55, 500)
+    X, Y = transform_xy(lon, lat, "4326", "3031")
+    lo, la = transform_xy(X, Y, "3031", "4326")
+    assert np.abs((lo - lon + 180) % 360 - 180).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+    # scale factor = 1 at lat_ts (numeric derivative along the meridian)
+    eps = 1e-6
+    x1, y1 = transform_xy(np.array([10.0]), np.array([-71.0 - eps]), "4326", "3031")
+    x2, y2 = transform_xy(np.array([10.0]), np.array([-71.0 + eps]), "4326", "3031")
+    a, e2 = 6378137.0, 0.00669437999014
+    phi = np.radians(71.0)
+    M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    k = float(np.hypot(x2 - x1, y2 - y1)[0]) / (2 * eps * np.pi / 180 * M)
+    assert abs(k - 1.0) < 1e-6
+
+
+def test_polar_stereographic_published_sample():
+    """IOGP Guidance Note 7-2 variant-B worked example (WGS84 /
+    Australian Antarctic, EPSG 3032): 75S 120E -> E 7255380.79,
+    N 7053389.56 (FE=FN=6000000, lat_ts=-71, lon_0=70E)."""
+    import numpy as np
+    from gis_tools_spark.functions.crs import register_crs, transform_xy
+
+    register_crs(3032, dict(proj="stere", lat_0=-90.0, lat_ts=-71.0,
+                            lon_0=70.0, x_0=6_000_000.0, y_0=6_000_000.0,
+                            ellps="WGS84"))
+    x, y = transform_xy(np.array([120.0]), np.array([-75.0]), "4326", "3032")
+    assert abs(float(x[0]) - 7255380.79) < 0.01
+    assert abs(float(y[0]) - 7053389.56) < 0.01
+    lo, la = transform_xy(np.array([7255380.79]), np.array([7053389.56]),
+                          "3032", "4326")
+    assert abs(float(lo[0]) - 120.0) < 1e-6
+    assert abs(float(la[0]) + 75.0) < 1e-6
+
+
+def test_polar_stereographic_north_3413():
+    import numpy as np
+    import pytest
+    from gis_tools_spark.functions.crs import register_crs, transform_xy
+
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(55, 89.9, 500)
+    X, Y = transform_xy(lon, lat, "4326", "3413")
+    lo, la = transform_xy(X, Y, "3413", "4326")
+    assert np.abs((lo - lon + 180) % 360 - 180).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+    # non-polar stereographic aspects are explicitly unsupported
+    with pytest.raises(NotImplementedError):
+        register_crs(99999, dict(proj="stere", lat_0=52.0, lon_0=5.0))
