@@ -159,7 +159,8 @@ def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
     production scale scans carry >> parallelism partitions, so this is
     a no-op there — no extra shuffle on the 100 TB path."""
     sc_ = points.sparkSession.sparkContext
-    if points.rdd.getNumPartitions() < sc_.defaultParallelism:
+    if (not points.isStreaming
+            and points.rdd.getNumPartitions() < sc_.defaultParallelism):
         points = points.repartition(sc_.defaultParallelism)
     poly_rows = polygons.collect()
     attrs = [c for c in polygons.columns if c != poly_wkb or keep_poly_wkb]
