@@ -15,6 +15,8 @@ import sys
 from collections.abc import Callable
 from pathlib import Path
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -289,6 +291,38 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("cosine"), 6).alias("cos_r")))
 
 
+def q_sjoin_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic geometry×geometry sjoin gated value-level: two rect
+    layers derived from the deterministic event point grid (deltas 0.05
+    / 0.08 deg) run through the FULL generic pipeline — cover-cell
+    explode on both sides, cell equi-join candidates, vectorized
+    intersects_batch refine — while the DuckDB oracle is the trivially
+    correct closed bbox-overlap join on the same arithmetic. Exercises
+    the round-3 batched refine (operators/sjoin.py:sjoin) end-to-end."""
+    _tune(spark)
+    from gis_tools_spark.geom import wkb as WKB
+    from gis_tools_spark.operators.sjoin import sjoin as generic_sjoin
+
+    ev = DT.events_points(spark, sf_dir)
+
+    def _boxes(d):
+        @F.pandas_udf("binary")
+        def _b(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            return pd.Series(
+                [WKB.box(lo - d, la - d, lo + d, la + d)
+                 for lo, la in zip(lon, lat)], dtype=object)
+        return _b
+
+    left = (ev.where("event_id % 31 = 0")
+            .select(F.col("event_id").alias("lid"),
+                    _boxes(0.05)("lon", "lat").alias("geometry_wkb")))
+    right = (ev.where("event_id % 29 = 0")
+             .select(F.col("event_id").alias("gid"),
+                     _boxes(0.08)("lon", "lat").alias("geometry_wkb")))
+    out = generic_sjoin(left, right)
+    return out.select("lid", "gid")
+
+
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup PAIRS (dedup-family variant of ANN;
     reference has no analog — LLM-pipeline op per the build brief):
@@ -419,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_top1": q_embed_top1,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_near_dups": q_embed_near_dups,
+        "sjoin_rects": q_sjoin_rects,
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
     }
@@ -895,6 +930,24 @@ def oracle_sql() -> dict[str, str]:
         "horizon": _horizon_oracle_sql(),
         "embed_ann_lsh": _ann_lsh_oracle_sql(),
         "embed_near_dups": _near_dup_oracle_sql(),
+        "sjoin_rects": """
+            WITH p AS (
+              SELECT event_id,
+                     5.0 + (event_id * 37 % 100000) / 20000.0 AS lon,
+                     40.0 + (event_id * 7919 % 100000) / 20000.0 AS lat
+              FROM events
+            ),
+            a AS (SELECT event_id AS lid, lon - 0.05 AS mnx, lon + 0.05 AS mxx,
+                         lat - 0.05 AS mny, lat + 0.05 AS mxy
+                  FROM p WHERE event_id % 31 = 0),
+            b AS (SELECT event_id AS gid, lon - 0.08 AS mnx, lon + 0.08 AS mxx,
+                         lat - 0.08 AS mny, lat + 0.08 AS mxy
+                  FROM p WHERE event_id % 29 = 0)
+            SELECT a.lid, b.gid
+            FROM a JOIN b
+              ON a.mnx <= b.mxx AND b.mnx <= a.mxx
+             AND a.mny <= b.mxy AND b.mny <= a.mxy
+        """,
         "embed_top1": """
             WITH p AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
