@@ -323,6 +323,36 @@ def q_sjoin_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lid", "gid")
 
 
+def q_sjoin_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-sjoin gate (round-3 DE-9IM family, geom/relate.py):
+    same rect layers as sjoin_rects but refined on ``within`` — the
+    DuckDB oracle is the closed-form bbox-containment join. For
+    positive-area axis-aligned rects, within ⇔ bbox containment, so the
+    area-based DE-9IM refine is value-checked end-to-end."""
+    _tune(spark)
+    from gis_tools_spark.geom import wkb as WKB
+    from gis_tools_spark.operators.sjoin import sjoin as generic_sjoin
+
+    ev = DT.events_points(spark, sf_dir)
+
+    def _boxes(d):
+        @F.pandas_udf("binary")
+        def _b(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            return pd.Series(
+                [WKB.box(lo - d, la - d, lo + d, la + d)
+                 for lo, la in zip(lon, lat)], dtype=object)
+        return _b
+
+    left = (ev.where("event_id % 13 = 0")
+            .select(F.col("event_id").alias("lid"),
+                    _boxes(0.03)("lon", "lat").alias("geometry_wkb")))
+    right = (ev.where("event_id % 7 = 0")
+             .select(F.col("event_id").alias("gid"),
+                     _boxes(0.09)("lon", "lat").alias("geometry_wkb")))
+    out = generic_sjoin(left, right, predicate="within")
+    return out.select("lid", "gid")
+
+
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup PAIRS (dedup-family variant of ANN;
     reference has no analog — LLM-pipeline op per the build brief):
@@ -454,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_near_dups": q_embed_near_dups,
         "sjoin_rects": q_sjoin_rects,
+        "sjoin_within": q_sjoin_within,
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
     }
@@ -947,6 +978,24 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN b
               ON a.mnx <= b.mxx AND b.mnx <= a.mxx
              AND a.mny <= b.mxy AND b.mny <= a.mxy
+        """,
+        "sjoin_within": """
+            WITH p AS (
+              SELECT event_id,
+                     5.0 + (event_id * 37 % 100000) / 20000.0 AS lon,
+                     40.0 + (event_id * 7919 % 100000) / 20000.0 AS lat
+              FROM events
+            ),
+            a AS (SELECT event_id AS lid, lon - 0.03 AS mnx, lon + 0.03 AS mxx,
+                         lat - 0.03 AS mny, lat + 0.03 AS mxy
+                  FROM p WHERE event_id % 13 = 0),
+            b AS (SELECT event_id AS gid, lon - 0.09 AS mnx, lon + 0.09 AS mxx,
+                         lat - 0.09 AS mny, lat + 0.09 AS mxy
+                  FROM p WHERE event_id % 7 = 0)
+            SELECT a.lid, b.gid
+            FROM a JOIN b
+              ON b.mnx <= a.mnx AND a.mxx <= b.mxx
+             AND b.mny <= a.mny AND a.mxy <= b.mxy
         """,
         "embed_top1": """
             WITH p AS (

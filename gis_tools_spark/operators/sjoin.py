@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .. import cells as C
 from ..geom import kernels as K, wkb
+from ..geom.relate import relate_batch
 from .core import (
     CELL_COL,
     SALT_COL,
@@ -247,11 +248,19 @@ def sjoin(left: DataFrame, right: DataFrame, *,
           predicate: str = "intersects", how: str = "inner",
           res_min: int = C.RES_MIN, res_max: int = C.RES_MAX,
           max_cells: int = 64) -> DataFrame:
-    """Geometry ⋈ geometry on `intersects` (reference sjoin/overlay filter
-    phase). Both sides exploded to cover cells at a common res band; the
-    pair candidates dedupe on (left_id, right_id); exact refine via
-    vectorized edge tests.
+    """Geometry ⋈ geometry on a spatial predicate (reference sjoin /
+    overlay filter phase, layer.py:1099-1140). Both sides exploded to
+    cover cells at a common res band; the pair candidates dedupe on
+    (left_id, right_id); exact refine via vectorized edge tests for
+    ``intersects`` and the DE-9IM kernels in :mod:`geom.relate` for
+    ``within`` / ``contains`` / ``covers`` / ``covered_by`` /
+    ``touches`` / ``overlaps`` / ``equals`` / ``crosses``. Every
+    supported predicate implies bbox overlap, so the cell-join
+    candidate set is a superset for all of them.
     """
+    from ..geom.relate import PREDICATES
+    if predicate not in PREDICATES:
+        raise ValueError(f"unknown predicate {predicate!r}")
     right = _dedupe_names(left, right)
     if right_wkb not in right.columns:
         right_wkb = f"{right_wkb}_right"
@@ -298,7 +307,7 @@ def sjoin(left: DataFrame, right: DataFrame, *,
                 g2 = _dec(rb)
                 lbs = pdf[left_wkb].values[idx]
                 lefts = [None if lb is None else _dec(lb) for lb in lbs]
-                keep[idx] = K.intersects_batch(lefts, g2)
+                keep[idx] = relate_batch(lefts, g2, predicate)
             out = pdf[keep]
             if len(out):
                 yield out

