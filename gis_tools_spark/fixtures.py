@@ -211,6 +211,43 @@ def gen_lines(n: int = 64, seed: int = SEED) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["lid", "geometry_wkb", "direction", "max_speed"])
 
 
+# ------------------------------------------------------------------ video / audio
+
+def gen_videos(n: int = 8, n_frames: int = 24, w: int = 32, h: int = 24,
+               seed: int = SEED) -> pd.DataFrame:
+    """Deterministic ``rawvid`` fixtures: frame f of video i is a
+    gradient plus a moving bright dot, so any frame is reconstructable
+    closed-form for oracle tests."""
+    rows = []
+    for i in range(n):
+        frames = np.empty((n_frames, h, w), dtype=np.uint8)
+        for f in range(n_frames):
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = ((xx * 3 + yy * 5 + i * 17 + f * 11) % 256).astype(np.uint8)
+            base[f % h, (i + f) % w] = 255
+            frames[f] = base
+        rows.append((f"vid{i:06d}", frames.tobytes(), n_frames, w, h,
+                     "rawvid", 12.0))
+    return pd.DataFrame(rows, columns=["video_id", "bytes", "n_frames",
+                                       "w", "h", "fmt", "fps"])
+
+
+def gen_audio(n: int = 8, sr: int = 8000, dur_s: float = 0.5,
+              seed: int = SEED) -> pd.DataFrame:
+    """Deterministic PCM fixtures: pure sine at 110*(i+1) Hz with
+    amplitude 0.1*(i%9+1) — RMS/peak/zcr have closed forms."""
+    t = np.arange(int(sr * dur_s)) / sr
+    rows = []
+    for i in range(n):
+        amp = 0.1 * (i % 9 + 1)
+        x = (amp * np.sin(2 * np.pi * 110.0 * (i + 1) * t)).astype(np.float32)
+        fmt = "pcm_f32" if i % 2 == 0 else "pcm_s16"
+        buf = x.tobytes() if fmt == "pcm_f32" else \
+            (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        rows.append((f"aud{i:06d}", buf, sr, fmt))
+    return pd.DataFrame(rows, columns=["audio_id", "bytes", "sample_rate", "fmt"])
+
+
 # ------------------------------------------------------------------ rasters
 
 def gen_rasters_exact(nx: int = 4, ny: int = 4, tile: int = 64) -> pd.DataFrame:

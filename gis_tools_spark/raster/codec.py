@@ -104,6 +104,8 @@ def decode_png(buf: bytes) -> np.ndarray:
 def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     if fmt == "raw":
         return decode_raw(buf, w, h)
+    if fmt == "raw_gray":
+        return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w)
     if fmt == "raw_f32":
         return decode_raw_f32(buf, w, h)
     if fmt == "png":
@@ -122,7 +124,7 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
 
 def encode(arr: np.ndarray, fmt: str) -> bytes:
-    if fmt == "raw":
+    if fmt in ("raw", "raw_gray"):
         return encode_raw(arr)
     if fmt == "raw_f32":
         return encode_raw_f32(arr)

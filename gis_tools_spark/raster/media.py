@@ -1,0 +1,224 @@
+"""Multimodal media operators for large-scale training-data pipelines:
+image resize, video frame sampling, audio feature extraction.
+
+These go beyond the reference's raster surface (closest analog:
+``RasterMap.gdal_resample`` /root/reference/gistools/raster.py:303-327,
+which resizes geo-rasters) — the build brief asks for the media ops a
+100 TB multimodal pipeline needs. Design rules:
+
+* media payloads are opaque ``binary`` columns with typed metadata
+  (w/h/fmt, n_frames/fps, sample_rate) — one row per asset;
+* every kernel is an Arrow-batched ``mapInPandas`` with an explicit
+  output schema, so the plumbing (partitioning, batch shape, schema)
+  is exactly what a real cluster runs;
+* decode is REAL for the engine's own codecs (raw/raw_f32/png/dct/jpeg
+  images, ``rawvid`` concatenated-frame video, ``pcm_f32``/``pcm_s16``
+  audio) and raises a clearly-marked ``NotImplementedError`` for
+  wheel-bound codecs (h264/vp9/mp3/flac/webp) — the Spark-side
+  plumbing is identical either way.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from . import codec
+
+# ------------------------------------------------------------------ resize
+
+def resize_array(a: np.ndarray, out_w: int, out_h: int,
+                 method: str = "bilinear") -> np.ndarray:
+    """Resize a (h,w) or (h,w,c) array. ``nearest`` = pixel-center
+    nearest neighbor; ``bilinear`` = edge-clamped pixel-center bilinear
+    (the OpenCV/PIL convention: src = (dst+0.5)*scale - 0.5)."""
+    h, w = a.shape[:2]
+    if method == "nearest":
+        ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+        xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+        return a[ys][:, xs]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    wy = np.clip(ys - y0, 0.0, 1.0)
+    wx = np.clip(xs - x0, 0.0, 1.0)
+    y0c = np.clip(y0, 0, h - 1); y1c = np.clip(y0 + 1, 0, h - 1)
+    x0c = np.clip(x0, 0, w - 1); x1c = np.clip(x0 + 1, 0, w - 1)
+    f = a.astype(np.float64)
+    if a.ndim == 3:
+        wy = wy[:, None, None]
+        wx = wx[None, :, None]
+    else:
+        wy = wy[:, None]
+        wx = wx[None, :]
+    top = f[y0c][:, x0c] * (1 - wx) + f[y0c][:, x1c] * wx
+    bot = f[y1c][:, x0c] * (1 - wx) + f[y1c][:, x1c] * wx
+    out = top * (1 - wy) + bot * wy
+    if np.issubdtype(a.dtype, np.integer):
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(a.dtype)
+    return out.astype(a.dtype)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int, *,
+                  method: str = "bilinear", fmt_out: str | None = None) -> DataFrame:
+    """Decode → resize → re-encode each image row; w/h/phash refreshed.
+    Input schema must carry (bytes, w, h, fmt); all other columns pass
+    through. Rows whose payload fails to decode are DROPPED (marked by
+    absence, same policy as verify_images_*)."""
+    schema = df.schema
+    cols = [f.name for f in schema.fields]
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            nb, nw, nh, nf = [], [], [], []
+            keep = np.ones(len(pdf), dtype=bool)
+            has_ph = "phash" in pdf.columns
+            nph = []
+            for i, (buf, w0, h0, f0) in enumerate(
+                    zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
+                try:
+                    arr = codec.decode(buf, int(w0), int(h0), f0)
+                    r = resize_array(arr, out_w, out_h, method)
+                    fo = fmt_out or f0
+                    nb.append(codec.encode(r, fo))
+                    nw.append(out_w); nh.append(out_h); nf.append(fo)
+                    if has_ph:
+                        nph.append(codec.phash64(
+                            r if r.ndim == 2 else r.mean(axis=2)))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    keep[i] = False
+                    nb.append(None); nw.append(0); nh.append(0); nf.append(f0)
+                    if has_ph:
+                        nph.append(0)
+            out = pdf.copy()
+            out["bytes"] = pd.Series(nb, index=pdf.index, dtype=object)
+            out["w"] = nw
+            out["h"] = nh
+            out["fmt"] = nf
+            if has_ph:
+                out["phash"] = np.asarray(nph, dtype=np.int64).astype("int64")
+            out = out[keep]
+            if len(out):
+                yield out[cols]
+
+    return df.mapInPandas(_run, schema=schema)
+
+
+# ------------------------------------------------------------------ video
+
+_REAL_VIDEO_FMTS = ("rawvid",)
+
+VIDEO_FRAME_SCHEMA = ("video_id string, frame_index int, t double, "
+                      "bytes binary, w int, h int, fmt string")
+
+
+def decode_video(buf: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndarray:
+    """(n_frames, h, w) uint8 for the engine's ``rawvid`` container
+    (concatenated grayscale frames). Compressed codecs are wheel-bound."""
+    if fmt == "rawvid":
+        return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(n_frames, h, w)
+    raise NotImplementedError(
+        f"video codec {fmt!r} requires a decoder wheel (ffmpeg/pyav) absent "
+        "in this sandbox; supported here: {_REAL_VIDEO_FMTS}")
+
+
+def sample_video_frames(df: DataFrame, *, every_n: int | None = None,
+                        n_samples: int | None = None,
+                        fps_col: str = "fps") -> DataFrame:
+    """Explode video rows into sampled frame rows (one output row per
+    kept frame, payload re-encoded as a ``raw``-fmt grayscale image so
+    downstream image ops apply unchanged).
+
+    Sampling is deterministic: ``every_n`` keeps frames 0, n, 2n, …;
+    ``n_samples`` keeps k evenly-spaced frames (first frame always
+    included). Exactly one of the two must be given. Input schema:
+    (video_id, bytes, n_frames, w, h, fmt[, fps])."""
+    if (every_n is None) == (n_samples is None):
+        raise ValueError("pass exactly one of every_n / n_samples")
+    has_fps = fps_col in df.columns
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                nf = int(r.n_frames)
+                if nf <= 0:
+                    continue
+                frames = decode_video(r.bytes, int(r.w), int(r.h), nf, r.fmt)
+                if every_n is not None:
+                    idx = np.arange(0, nf, every_n)
+                else:
+                    k = min(n_samples, nf)
+                    idx = np.unique(np.linspace(0, nf - 1, k).astype(np.int64))
+                fps = float(getattr(r, fps_col)) if has_fps else 0.0
+                for fi in idx:
+                    t = (fi / fps) if fps > 0 else float(fi)
+                    rows.append((r.video_id, int(fi), float(t),
+                                 frames[fi].tobytes(), int(r.w), int(r.h),
+                                 "raw_gray"))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "video_id", "frame_index", "t", "bytes", "w", "h", "fmt"])
+
+    return df.mapInPandas(_run, schema=VIDEO_FRAME_SCHEMA)
+
+
+# ------------------------------------------------------------------ audio
+
+AUDIO_FEATURE_SCHEMA = ("audio_id string, duration_s double, rms double, "
+                        "peak double, zcr double, clip_ratio double")
+
+
+def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
+    """float64 mono samples in [-1, 1]. Real: pcm_f32 (little-endian
+    float32), pcm_s16 (little-endian int16). mp3/flac/ogg/wav-adpcm are
+    wheel-bound."""
+    if fmt == "pcm_f32":
+        return np.frombuffer(bytes(buf), dtype="<f4").astype(np.float64)
+    if fmt == "pcm_s16":
+        return np.frombuffer(bytes(buf), dtype="<i2").astype(np.float64) / 32768.0
+    raise NotImplementedError(
+        f"audio codec {fmt!r} requires a decoder wheel absent in this "
+        "sandbox; supported here: pcm_f32, pcm_s16")
+
+
+def audio_features(df: DataFrame, *, clip_level: float = 0.999) -> DataFrame:
+    """Per-asset scalar features (duration, RMS, peak, zero-crossing
+    rate, clipping ratio) — the quality-scoring columns an audio
+    training pipeline filters on. Input: (audio_id, bytes, sample_rate,
+    fmt)."""
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = decode_audio(r.bytes, r.fmt)
+                n = len(x)
+                sr = float(r.sample_rate)
+                if n == 0 or sr <= 0:
+                    rows.append((r.audio_id, 0.0, 0.0, 0.0, 0.0, 0.0))
+                    continue
+                zc = float(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                rows.append((
+                    r.audio_id,
+                    n / sr,
+                    float(np.sqrt(np.mean(x * x))),
+                    float(np.max(np.abs(x))),
+                    zc / max(n - 1, 1),
+                    float(np.count_nonzero(np.abs(x) >= clip_level)) / n,
+                ))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "audio_id", "duration_s", "rms", "peak", "zcr", "clip_ratio"])
+
+    return df.mapInPandas(_run, schema=AUDIO_FEATURE_SCHEMA)

@@ -1,0 +1,120 @@
+"""Multimodal media ops (raster/media.py): resize, video frame
+sampling, audio features — numeric kernels against closed forms, Spark
+plumbing end-to-end."""
+
+import numpy as np
+import pytest
+
+from gis_tools_spark import fixtures
+from gis_tools_spark.raster import codec
+from gis_tools_spark.raster.media import (
+    audio_features, decode_audio, decode_video, resize_array,
+    resize_images, sample_video_frames)
+
+
+# --------------------------------------------------------------- kernels
+
+def test_resize_nearest_integer_downscale_is_block_sampling():
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    r = resize_array(a, 4, 4, method="nearest")
+    # pixel-center nearest at 2x downscale picks src index 2i+1
+    assert (r == a[1::2, 1::2]).all()
+
+
+def test_resize_bilinear_exact_on_linear_ramp():
+    # bilinear reproduces any affine field exactly away from clamped edges
+    yy, xx = np.mgrid[0:16, 0:16].astype(np.float64)
+    a = 3.0 * xx + 5.0 * yy
+    r = resize_array(a, 31, 31, method="bilinear")
+    ys = (np.arange(31) + 0.5) * 16 / 31 - 0.5
+    xs = (np.arange(31) + 0.5) * 16 / 31 - 0.5
+    want = 3.0 * xs[None, :] + 5.0 * ys[:, None]
+    inner = np.s_[1:-1, 1:-1]
+    assert np.allclose(r[inner], want[inner], atol=1e-9)
+
+
+def test_resize_upscale_preserves_constant_and_range():
+    a = np.full((5, 7, 3), 200, dtype=np.uint8)
+    r = resize_array(a, 21, 15, method="bilinear")
+    assert r.shape == (15, 21, 3) and (r == 200).all()
+
+
+def test_video_decode_roundtrip():
+    vids = fixtures.gen_videos(n=2, n_frames=6, w=8, h=4)
+    r = vids.iloc[1]
+    frames = decode_video(r["bytes"], r["w"], r["h"], r["n_frames"], r["fmt"])
+    assert frames.shape == (6, 4, 8)
+    with pytest.raises(NotImplementedError):
+        decode_video(b"", 1, 1, 1, "h264")
+
+
+def test_audio_decode_families():
+    aud = fixtures.gen_audio(n=2)
+    x0 = decode_audio(aud.iloc[0]["bytes"], aud.iloc[0]["fmt"])
+    x1 = decode_audio(aud.iloc[1]["bytes"], aud.iloc[1]["fmt"])
+    assert x0.dtype == np.float64 and len(x0) == 4000 and np.abs(x0).max() <= 1.0
+    assert len(x1) == 4000
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"", "mp3")
+
+
+# --------------------------------------------------------------- spark
+
+def test_resize_images_spark(spark):
+    pdf = fixtures.gen_images(40, fmts=("raw", "png"))
+    df = spark.createDataFrame(pdf)
+    out = resize_images(df, 24, 24, method="bilinear").toPandas()
+    assert len(out) == 40
+    assert (out["w"] == 24).all() and (out["h"] == 24).all()
+    # value check one row against the local kernel
+    row = out[out.image_id == "img000000003"].iloc[0]
+    src = pdf[pdf.image_id == "img000000003"].iloc[0]
+    want = resize_array(
+        codec.decode(src["bytes"], src["w"], src["h"], src["fmt"]), 24, 24)
+    got = codec.decode(row["bytes"], 24, 24, row["fmt"])
+    assert (got == want).all()
+    # corrupt payload is dropped, not fatal
+    bad = pdf.copy()
+    bad.loc[0, "bytes"] = b"\x00\x01"
+    bad.loc[0, "fmt"] = "png"
+    out2 = resize_images(spark.createDataFrame(bad), 8, 8).toPandas()
+    assert len(out2) == 39
+
+
+def test_sample_video_frames_spark(spark):
+    vids = fixtures.gen_videos(n=3, n_frames=10, w=16, h=8)
+    df = spark.createDataFrame(vids)
+    out = sample_video_frames(df, every_n=4).toPandas()
+    # frames 0,4,8 per video
+    assert sorted(out["frame_index"].unique()) == [0, 4, 8]
+    assert len(out) == 9
+    # payload equals the exact frame slice; t = frame/fps
+    r = out[(out.video_id == "vid000001") & (out.frame_index == 4)].iloc[0]
+    src = vids[vids.video_id == "vid000001"].iloc[0]
+    frames = decode_video(src["bytes"], 16, 8, 10, "rawvid")
+    assert bytes(r["bytes"]) == frames[4].tobytes()
+    assert r["t"] == pytest.approx(4 / 12.0)
+    # n_samples variant: first + last always in, k distinct
+    out2 = sample_video_frames(df, n_samples=4).toPandas()
+    per = out2.groupby("video_id")["frame_index"].agg(list)
+    for idx in per:
+        assert idx[0] == 0 and idx[-1] == 9 and len(idx) == 4
+    # sampled frames feed straight back into the image ops
+    resized = resize_images(
+        spark.createDataFrame(out), 4, 4, method="nearest").toPandas()
+    assert len(resized) == 9 and (resized["w"] == 4).all()
+
+
+def test_audio_features_spark(spark):
+    aud = fixtures.gen_audio(n=6)
+    out = audio_features(spark.createDataFrame(aud)).toPandas().set_index("audio_id")
+    # sine closed forms: rms = amp/sqrt(2); peak ~ amp; zcr ~ 2f/sr
+    for i in range(6):
+        amp = 0.1 * (i % 9 + 1)
+        f = 110.0 * (i + 1)
+        r = out.loc[f"aud{i:06d}"]
+        assert r["duration_s"] == pytest.approx(0.5)
+        assert r["rms"] == pytest.approx(amp / np.sqrt(2), rel=5e-3)
+        assert r["peak"] == pytest.approx(amp, rel=5e-3)
+        assert r["zcr"] == pytest.approx(2 * f / 8000.0, rel=2e-2)
+        assert r["clip_ratio"] == 0.0
