@@ -353,6 +353,23 @@ def q_sjoin_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lid", "gid")
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-trigram Jaccard over MinHash-LSH-prefiltered candidate
+    pairs (operators/dedup.py:ngram_jaccard_pairs) — the dedup family's
+    exact-verifier op, now value-gated: DuckDB recomputes the same md5
+    MinHash bands for the candidate set and the exact shingle-set
+    intersection/union ratio. Rounding via the shared
+    floor(x*1e6+0.5)/1e6 closed form on both sides."""
+    _tune(spark)
+    from gis_tools_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.3, prefilter_bands=8)
+    return out.select(
+        "id_a", "id_b",
+        (F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)) / 1e6).alias("jacc_r"))
+
+
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup PAIRS (dedup-family variant of ANN;
     reference has no analog — LLM-pipeline op per the build brief):
@@ -485,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": q_embed_near_dups,
         "sjoin_rects": q_sjoin_rects,
         "sjoin_within": q_sjoin_within,
+        "ngram_jaccard": q_ngram_jaccard,
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
     }
@@ -551,6 +569,66 @@ est AS (
   GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= {threshold}
+"""
+
+
+def _ngram_oracle_sql(threshold: float = 0.3, num_hashes: int = 32,
+                      bands: int = 8) -> str:
+    """Exact trigram Jaccard over the SAME md5-MinHash band candidates
+    the engine prefilters with (threshold 0 ⇒ every banded pair), then
+    the exact distinct-shingle intersection/union ratio."""
+    from gis_tools_spark.operators.dedup import _perm_params
+
+    pa, pb = _perm_params(num_hashes)
+    rpb = num_hashes // bands
+    perm_rows = ",\n    ".join(
+        f"({i}, {int(pa[i])}::UBIGINT, {int(pb[i])}::UBIGINT)"
+        for i in range(num_hashes))
+    return f"""
+WITH docs AS ({_DOCS_WORDS_SQL.strip()}),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, words,
+               unnest(generate_series(1, len(words) - 2)) AS i
+        FROM docs WHERE len(words) >= 3)
+  UNION
+  SELECT doc_id, array_to_string(words, ' ') FROM docs WHERE len(words) < 3
+),
+hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 16))::UBIGINT AS h FROM sh),
+perms(i, a, b) AS (VALUES
+    {perm_rows}),
+sigs AS (
+  SELECT doc_id, p.i,
+    min(CAST((p.a::HUGEINT * hs.h::HUGEINT + p.b::HUGEINT) % {_MOD64} AS UBIGINT)) AS sig
+  FROM hs CROSS JOIN perms p
+  GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // {rpb} AS band, list(sig ORDER BY i) AS bs
+  FROM sigs GROUP BY doc_id, i // {rpb}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bs = b.bs AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS ni
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+j AS (
+  SELECT c.id_a, c.id_b,
+         CAST(coalesce(i.ni, 0) AS DOUBLE)
+           / (sa.ns + sb.ns - coalesce(i.ni, 0)) AS jac
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, floor(jac * 1e6 + 0.5) / 1e6 AS jacc_r
+FROM j WHERE jac >= {threshold}
 """
 
 
@@ -956,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_pairs": _minhash_oracle_sql(),
+        "ngram_jaccard": _ngram_oracle_sql(),
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "horizon": _horizon_oracle_sql(),
