@@ -117,9 +117,9 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 
         return jpeg.decode(buf)
     if fmt == "webp":
-        # webp stays wheel-bound (no PIL/libwebp in sandbox); jpeg is a
-        # from-scratch baseline JFIF codec (raster/jpeg.py).
-        raise NotImplementedError("codec 'webp' requires PIL (absent in sandbox)")
+        from . import webp
+
+        return webp.decode(buf)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -136,6 +136,10 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         from . import jpeg
 
         return jpeg.encode(arr)
+    if fmt == "webp":
+        from . import webp
+
+        return webp.encode(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -171,9 +175,10 @@ def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
 # ----------------------------------------------------------------- lossy DCT
 # A REAL lossy codec in stdlib+numpy ('dct' fmt): 8x8 block DCT-II,
 # JPEG-style quantization, int16 + zlib entropy stage. It exercises the
-# PSNR>=40dB lossy-roundtrip gate (BASELINE.md) for real — jpeg/webp
-# themselves still raise (no PIL wheel in the sandbox), but the engine's
-# lossy plumbing (fmt dispatch, re-encode sinks, verify kernels) runs an
+# PSNR>=40dB lossy-roundtrip gate (BASELINE.md) for real — jpeg and webp
+# are now ALSO real from-scratch codecs (raster/jpeg.py, raster/webp.py),
+# and the engine's lossy plumbing (fmt dispatch, re-encode sinks, verify
+# kernels) runs an
 # actual rate-distortion codec, not a stub.
 
 _DCT_C = np.array([[np.sqrt((1 if k == 0 else 2) / 8.0)

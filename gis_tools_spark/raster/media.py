@@ -11,11 +11,11 @@ which resizes geo-rasters) — the build brief asks for the media ops a
 * every kernel is an Arrow-batched ``mapInPandas`` with an explicit
   output schema, so the plumbing (partitioning, batch shape, schema)
   is exactly what a real cluster runs;
-* decode is REAL for the engine's own codecs (raw/raw_f32/png/dct/jpeg
-  images, ``rawvid`` concatenated-frame video, ``pcm_f32``/``pcm_s16``
-  audio) and raises a clearly-marked ``NotImplementedError`` for
-  wheel-bound codecs (h264/vp9/mp3/flac/webp) — the Spark-side
-  plumbing is identical either way.
+* decode is REAL for the engine's own codecs (raw/raw_f32/png/dct/
+  jpeg/webp images, ``rawvid`` concatenated-frame video,
+  ``pcm_f32``/``pcm_s16`` audio) and raises a clearly-marked
+  ``NotImplementedError`` for wheel-bound codecs (h264/vp9/mp3/flac) —
+  the Spark-side plumbing is identical either way.
 """
 
 from __future__ import annotations

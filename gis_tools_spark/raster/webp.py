@@ -1,0 +1,405 @@
+"""From-scratch WebP-lossless (VP8L) codec — pure numpy/stdlib.
+
+Closes the reference's webp surface (gistools rasters round-trip through
+PIL/GDAL drivers; /root/reference/gistools/raster.py:99-141) without the
+PIL/libwebp wheel, the same way ``raster/jpeg.py`` closed JPEG: a real
+implementation of the public bitstream spec (RFC 9649 / VP8L format).
+
+Encoder — spec-conformant subset chosen for simplicity, not ratio:
+  * RIFF/WEBP/VP8L container, 14-bit dims, version 0
+  * no transforms, no color cache, single prefix-code group
+  * literal-only coding: green/red/blue channels use a flat 8-bit
+    canonical prefix code (all 256 symbols length 8 — Kraft-complete),
+    emitted through the standard code-length code with repeat-16/18
+    runs; constant channels (e.g. alpha=255) use the 1-symbol "simple
+    code" form. Any conformant decoder reads these files.
+
+Decoder — the general entropy machinery plus the subset of features a
+conformant reader needs for such streams, and then some:
+  * simple and full code-length-coded prefix codes (incl. repeat codes
+    16/17/18 and the max_symbol early-stop), canonical reconstruction
+  * color cache (any size), LZ77 length codes, linear distances
+  * subtract-green transform
+  * NOT implemented (clearly raised): predictor / color / palette
+    transforms and the 120 neighbor-mapped short distances — none are
+    emitted by this encoder.
+
+Bit order: LSB-first within bytes (DEFLATE-style); prefix-code bits are
+consumed root→leaf, so canonical codes are written MSB-of-code first.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+# ------------------------------------------------------------------ bit io
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        """LSB-first: bit i of value becomes the next stream bit."""
+        self.acc |= (value & ((1 << nbits) - 1)) << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix-code bits, MSB of the canonical code first."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.n:
+            out.append(self.acc & 0xFF)
+        return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0          # bit position
+
+    def read(self, nbits: int) -> int:
+        v = 0
+        for i in range(nbits):
+            byte = self.data[(self.pos + i) >> 3]
+            v |= ((byte >> ((self.pos + i) & 7)) & 1) << i
+        self.pos += nbits
+        return v
+
+    def read_bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        b = (byte >> (self.pos & 7)) & 1
+        self.pos += 1
+        return b
+
+
+# ------------------------------------------------------------ prefix codes
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical (by length, then symbol)."""
+    syms = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for l, s in syms:
+        code <<= (l - prev_len)
+        codes[s] = (code, l)
+        code += 1
+        prev_len = l
+    return codes
+
+
+class _Decoder:
+    """Bit-at-a-time canonical prefix decoder; handles the 0-bit
+    single-symbol code."""
+
+    def __init__(self, lengths: list[int]):
+        nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if len(nz) == 0:
+            raise ValueError("empty prefix code")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            self.table = {}
+            return
+        self.single = None
+        self.table = {(l, c): s for s, (c, l) in _canonical_codes(lengths).items()}
+        self.max_len = max(l for l, _ in self.table)
+
+    def read(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for l in range(1, self.max_len + 1):
+            code = (code << 1) | br.read_bit()
+            s = self.table.get((l, code))
+            if s is not None:
+                return s
+        raise ValueError("invalid prefix code in stream")
+
+
+def _write_flat_code(bw: _BitWriter, alphabet_size: int) -> None:
+    """Emit the code-length code for 'first 256 symbols all length 8,
+    rest 0' through the standard machinery (repeat-16 runs + repeat-18
+    zero fill)."""
+    bw.write(0, 1)                       # not simple
+    # code-length-code: lengths for symbols {8:1, 16:2, 18:2}
+    # kOrder positions: 17@0 18@1 0@2 1@3 2@4 3@5 4@6 5@7 16@8 6@9 7@10 8@11
+    bw.write(12 - 4, 4)                  # num_code_lengths = 12
+    cl_len = {8: 1, 16: 2, 18: 2}
+    for sym in _ORDER[:12]:
+        bw.write(cl_len.get(sym, 0), 3)
+    cl_codes = _canonical_codes(
+        [cl_len.get(s, 0) for s in range(19)])
+    bw.write(0, 1)                       # no max_symbol early stop
+
+    def emit(sym: int, extra: tuple[int, int] | None = None):
+        c, l = cl_codes[sym]
+        bw.write_code(c, l)
+        if extra is not None:
+            bw.write(extra[0], extra[1])
+
+    emit(8)                              # symbol 0: length 8
+    remaining = 255                      # symbols 1..255: repeat prev
+    while remaining > 0:
+        r = min(6, remaining)
+        if remaining - r in (1, 2):      # keep final run >= 3
+            r = remaining - 3
+        emit(16, (r - 3, 2))
+        remaining -= r
+    zeros = alphabet_size - 256          # trailing zero lengths
+    while zeros > 0:
+        r = min(138, zeros)
+        if 0 < zeros - r < 11:
+            r = zeros - 11
+        emit(18, (r - 11, 7))
+        zeros -= r
+
+
+def _write_simple_code(bw: _BitWriter, symbol: int) -> None:
+    bw.write(1, 1)                       # simple
+    bw.write(0, 1)                       # 1 symbol
+    bw.write(1, 1)                       # 8-bit symbol
+    bw.write(symbol, 8)
+
+
+def _read_code(br: _BitReader, alphabet_size: int) -> _Decoder:
+    if br.read_bit():                    # simple
+        nsym = br.read_bit() + 1
+        if br.read_bit():
+            s0 = br.read(8)
+        else:
+            s0 = br.read(1)
+        lengths = [0] * alphabet_size
+        if nsym == 1:
+            lengths[s0] = 1               # single-symbol: 0-bit read path
+            d = _Decoder.__new__(_Decoder)
+            d.single = s0
+            d.table = {}
+            return d
+        s1 = br.read(8)
+        lengths[s0] = 1
+        lengths[s1] = 1
+        if s0 == s1:
+            raise ValueError("degenerate simple code")
+        return _Decoder(lengths)
+    # full: code-length code
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_ORDER[i]] = br.read(3)
+    cl_dec = _Decoder(cl_lengths)
+    if br.read_bit():                    # max_symbol early stop
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    sym = 0
+    while sym < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_dec.read(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            rep = min(3 + br.read(2), alphabet_size - sym)
+            lengths[sym:sym + rep] = [prev] * rep
+            sym += rep
+        elif cl == 17:
+            sym += 3 + br.read(3)
+        else:
+            sym += 11 + br.read(7)
+    return _Decoder(lengths)
+
+
+# ------------------------------------------------------------------ encode
+
+def encode(arr: np.ndarray) -> bytes:
+    """(h,w) or (h,w,3) uint8 → lossless WebP bytes."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        r = g = b = arr
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    else:
+        raise ValueError(f"unsupported shape {arr.shape}")
+    h, w = r.shape
+    if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError("dims out of VP8L 14-bit range")
+
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)                       # alpha hint
+    bw.write(0, 3)                       # version
+    bw.write(0, 1)                       # no transforms
+    bw.write(0, 1)                       # no color cache
+    bw.write(0, 1)                       # no meta prefix image
+
+    gr_f, rr_f, bb_f = g.ravel(), r.ravel(), b.ravel()
+    chans = []                           # (flat values, codes dict or None)
+    for vals, alphabet in ((gr_f, 280), (rr_f, 256), (bb_f, 256)):
+        uniq = np.unique(vals)
+        if len(uniq) == 1:
+            _write_simple_code(bw, int(uniq[0]))
+            chans.append((vals, None))
+        else:
+            _write_flat_code(bw, alphabet)
+            chans.append((vals, "flat"))
+    _write_simple_code(bw, 255)          # alpha: constant 255
+    _write_simple_code(bw, 0)            # distance: never used
+    chans.append((None, None))
+
+    gv, gk = chans[0]
+    rv, rk = chans[1]
+    bv, bk = chans[2]
+    for i in range(len(gv)):
+        if gk:
+            bw.write_code(int(gv[i]), 8)  # flat canonical: code == symbol
+        if rk:
+            bw.write_code(int(rv[i]), 8)
+        if bk:
+            bw.write_code(int(bv[i]), 8)
+        # alpha + distance are 0-bit simple codes
+
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# ------------------------------------------------------------------ decode
+
+def _lz77_value(code: int, br: _BitReader) -> int:
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def decode(buf: bytes) -> np.ndarray:
+    """WebP-lossless bytes → (h,w,3) uint8 RGB.
+
+    Supports the entropy-coded image with any prefix codes, color
+    cache, LZ77 with linear distances, and the subtract-green
+    transform; predictor/color/palette transforms and neighbor-mapped
+    distances raise NotImplementedError (never produced by
+    ``encode``)."""
+    buf = bytes(buf)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
+        raise ValueError("not a WebP file")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(buf):
+        tag = buf[pos:pos + 4]
+        size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        if tag == b"VP8L":
+            payload = buf[pos + 8:pos + 8 + size]
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                "lossy/extended WebP requires libwebp (absent in sandbox); "
+                "this codec implements VP8L lossless")
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise ValueError("no VP8L chunk")
+    if payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _BitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)                           # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    subtract_green = False
+    while br.read_bit():                 # transforms
+        ttype = br.read(2)
+        if ttype == 2:                   # subtract-green
+            subtract_green = True
+            continue
+        raise NotImplementedError(
+            f"VP8L transform type {ttype} (predictor/color/palette) not "
+            "implemented in this from-scratch decoder")
+
+    cache_bits = 0
+    cache = None
+    if br.read_bit():                    # color cache
+        cache_bits = br.read(4)
+        cache = np.zeros(1 << cache_bits, dtype=np.uint32)
+    if br.read_bit():
+        raise NotImplementedError("meta prefix-code image not implemented")
+
+    green_dec = _read_code(br, 256 + 24 + (1 << cache_bits if cache_bits else 0))
+    red_dec = _read_code(br, 256)
+    blue_dec = _read_code(br, 256)
+    alpha_dec = _read_code(br, 256)
+    dist_dec = _read_code(br, 40)
+
+    n = w * h
+    argb = np.zeros(n, dtype=np.uint32)
+    i = 0
+    while i < n:
+        s = green_dec.read(br)
+        if s < 256:                      # literal
+            g = s
+            r = red_dec.read(br)
+            b = blue_dec.read(br)
+            a = alpha_dec.read(br)
+            px = (a << 24) | (r << 16) | (g << 8) | b
+            argb[i] = px
+            i += 1
+        elif s < 280:                    # LZ77 backref
+            length = _lz77_value(s - 256, br)
+            dcode = dist_dec.read(br)
+            plane = _lz77_value(dcode, br)
+            if plane <= 120:
+                raise NotImplementedError(
+                    "neighbor-mapped short distances not implemented")
+            dist = plane - 120
+            for _ in range(length):
+                if i >= n:
+                    break
+                px = argb[i - dist]
+                argb[i] = px
+                if cache is not None:
+                    cache[(0x1E35A7BD * int(px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                i += 1
+            continue
+        else:                            # color cache
+            px = int(cache[s - 280])
+            argb[i] = px
+            i += 1
+            continue
+        if cache is not None:
+            cache[(0x1E35A7BD * int(px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+
+    argb = argb.reshape(h, w)
+    r = ((argb >> 16) & 0xFF).astype(np.int64)
+    g = ((argb >> 8) & 0xFF).astype(np.int64)
+    b = (argb & 0xFF).astype(np.int64)
+    if subtract_green:
+        r = (r + g) & 0xFF
+        b = (b + g) & 0xFF
+    return np.stack([r, g, b], axis=2).astype(np.uint8)

@@ -38,12 +38,13 @@ def test_phash_stability_and_sensitivity():
     assert codec.phash64(a) != codec.phash64(b)
 
 
-def test_lossy_stub_raises():
-    # jpeg is REAL since round 3 (raster/jpeg.py); webp stays wheel-bound
-    with pytest.raises(NotImplementedError):
+def test_real_codecs_reject_garbage():
+    # jpeg (raster/jpeg.py) and webp (raster/webp.py) are both REAL
+    # from-scratch codecs now; garbage payloads are parse errors
+    with pytest.raises(ValueError):
         codec.decode(b"x", 1, 1, "webp")
     with pytest.raises(ValueError):
-        codec.decode(b"x", 1, 1, "jpeg")  # real decoder: not a JPEG
+        codec.decode(b"x", 1, 1, "jpeg")
 
 
 def test_fixture_images_decode_and_captions():
