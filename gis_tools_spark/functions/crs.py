@@ -355,6 +355,73 @@ class PolarStereo:
         return lon, np.rad2deg(sign * phi)
 
 
+class SwissObliqueMercator:
+    """Swiss Oblique Mercator ('somerc', EPSG method 9815 in its Swiss
+    double-projection form): ellipsoid → Gauss conformal sphere →
+    rotation taking the projection center to the pseudo-equator →
+    equatorial Mercator. Rigorous swisstopo formulation (public
+    'Formulas and constants for the Swiss conformal cylindrical
+    projection'); covers EPSG 2056 (CH1903+/LV95) and 21781
+    (CH1903/LV03). Reference parity: the reference reprojects any CRS
+    via pyproj (layer.py:1196-1229); this is the no-wheel closed form."""
+
+    def __init__(self, lat0, lon0, k0, fe, fn, a: float = R,
+                 f_inv: float = F_INV):
+        f = 1.0 / f_inv
+        self.e = e = np.sqrt(1 - (1 - f) ** 2)
+        phi0 = np.deg2rad(lat0)
+        self.lam0 = np.deg2rad(lon0)
+        self.fe, self.fn = fe, fn
+        s0 = np.sin(phi0)
+        self.alpha = np.sqrt(1 + e * e / (1 - e * e) * np.cos(phi0) ** 4)
+        self.Rs = k0 * a * np.sqrt(1 - e * e) / (1 - e * e * s0 * s0)
+        self.b0 = np.arcsin(s0 / self.alpha)
+        self.K = (np.log(np.tan(np.pi / 4 + self.b0 / 2))
+                  - self.alpha * np.log(np.tan(np.pi / 4 + phi0 / 2))
+                  + self.alpha * e / 2 * np.log((1 + e * s0) / (1 - e * s0)))
+
+    def fwd(self, lon, lat):
+        e, al = self.e, self.alpha
+        phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+        lam = np.deg2rad(np.asarray(lon, dtype=np.float64))
+        s = np.sin(phi)
+        S = (al * np.log(np.tan(np.pi / 4 + phi / 2))
+             - al * e / 2 * np.log((1 + e * s) / (1 - e * s)) + self.K)
+        b = 2 * (np.arctan(np.exp(S)) - np.pi / 4)
+        l = al * (lam - self.lam0)
+        cb0, sb0 = np.cos(self.b0), np.sin(self.b0)
+        xv = cb0 * np.cos(b) * np.cos(l) + sb0 * np.sin(b)
+        yv = np.cos(b) * np.sin(l)
+        zv = -sb0 * np.cos(b) * np.cos(l) + cb0 * np.sin(b)
+        bbar = np.arcsin(np.clip(zv, -1.0, 1.0))
+        lbar = np.arctan2(yv, xv)
+        return (self.fe + self.Rs * lbar,
+                self.fn + self.Rs * np.log(np.tan(np.pi / 4 + bbar / 2)))
+
+    def inv(self, x, y):
+        e, al = self.e, self.alpha
+        lbar = (np.asarray(x, dtype=np.float64) - self.fe) / self.Rs
+        bbar = 2 * (np.arctan(np.exp(
+            (np.asarray(y, dtype=np.float64) - self.fn) / self.Rs)) - np.pi / 4)
+        cb0, sb0 = np.cos(self.b0), np.sin(self.b0)
+        xv = np.cos(bbar) * np.cos(lbar)
+        yv = np.cos(bbar) * np.sin(lbar)
+        zv = np.sin(bbar)
+        x2 = cb0 * xv - sb0 * zv
+        z2 = sb0 * xv + cb0 * zv
+        b = np.arcsin(np.clip(z2, -1.0, 1.0))
+        l = np.arctan2(yv, x2)
+        lam = self.lam0 + l / al
+        # invert the conformal latitude: ψ(φ) = (ln tan(π/4+b/2) − K)/α
+        C = (np.log(np.tan(np.pi / 4 + b / 2)) - self.K) / al
+        phi = 2 * np.arctan(np.exp(C)) - np.pi / 2
+        for _ in range(8):
+            s = np.sin(phi)
+            phi = 2 * np.arctan(np.exp(
+                C + e / 2 * np.log((1 + e * s) / (1 - e * s)))) - np.pi / 2
+        return np.rad2deg(lam), np.rad2deg(phi)
+
+
 class TMerc:
     """Transverse Mercator (Krüger series, 4th order) with arbitrary
     ellipsoid, natural origin, scale factor and false origin — the
@@ -466,7 +533,7 @@ def register_crs(code, params: dict):
     """Declaratively register an EPSG code from a pyproj-style parameter
     dict — the no-wheel analog of the reference's any-CRS reprojection
     (layer.py:1196-1229 via pyproj). Supported families:
-    proj ∈ {tmerc, lcc, aea, laea, merc}; keys lat_0/lat_1/lat_2/lon_0/
+    proj ∈ {tmerc, lcc, aea, laea, merc, stere, somerc}; keys lat_0/lat_1/lat_2/lon_0/
     x_0/y_0/k_0/lat_ts/ellps (named or (a, 1/f) tuple; tmerc and merc
     honor any ellipsoid, the conic/azimuthal forms are WGS84/GRS80-only
     — sub-µm apart — and raise otherwise). Datum shifts (towgs84/nadgrids)
@@ -502,6 +569,8 @@ def register_crs(code, params: dict):
                 "stere: only the polar aspect is implemented (lat_0=±90)")
         lat_ts = float(params.get("lat_ts", lat0))
         p = PolarStereo(lat_ts, lon0, x0, y0, a, rf)
+    elif proj == "somerc":
+        p = SwissObliqueMercator(lat0, lon0, k0, x0, y0, a, rf)
     elif proj in ("lcc", "aea", "laea"):
         if not wgs_like:
             raise NotImplementedError(
@@ -516,7 +585,8 @@ def register_crs(code, params: dict):
             p = LAEA(lat0, lon0, x0, y0)
     else:
         raise NotImplementedError(
-            f"proj={proj!r}: supported families are tmerc/lcc/aea/laea/merc")
+            f"proj={proj!r}: supported families are "
+            "tmerc/lcc/aea/laea/merc/stere/somerc")
     EPSG_REGISTRY[str(code)] = p
     return p
 
@@ -545,6 +615,14 @@ register_crs(3031, dict(proj="stere", lat_0=-90.0, lat_ts=-71.0,        # WGS84 
                         lon_0=0.0, x_0=0.0, y_0=0.0, ellps="WGS84"))
 register_crs(3413, dict(proj="stere", lat_0=90.0, lat_ts=70.0,          # WGS84 / NSIDC Sea Ice Polar Stereographic North
                         lon_0=-45.0, x_0=0.0, y_0=0.0, ellps="WGS84"))
+_BERN_LAT = 46 + 57 / 60 + 8.66 / 3600      # 46°57'08.66"
+_BERN_LON = 7 + 26 / 60 + 22.50 / 3600      # 7°26'22.50"
+register_crs(2056, dict(proj="somerc", lat_0=_BERN_LAT, lon_0=_BERN_LON,  # CH1903+ / LV95
+                        k_0=1.0, x_0=2_600_000.0, y_0=1_200_000.0,
+                        ellps="bessel"))
+register_crs(21781, dict(proj="somerc", lat_0=_BERN_LAT, lon_0=_BERN_LON,  # CH1903 / LV03
+                         k_0=1.0, x_0=600_000.0, y_0=200_000.0,
+                         ellps="bessel"))
 
 
 def _resolve(code: str):

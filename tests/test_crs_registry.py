@@ -159,3 +159,58 @@ def test_polar_stereographic_north_3413():
     # non-polar stereographic aspects are explicitly unsupported
     with pytest.raises(NotImplementedError):
         register_crs(99999, dict(proj="stere", lat_0=52.0, lon_0=5.0))
+
+
+def test_swiss_oblique_mercator_2056_21781():
+    import numpy as np
+    from gis_tools_spark.functions.crs import EPSG_REGISTRY, transform_xy
+
+    bern_lon = 7 + 26 / 60 + 22.50 / 3600
+    bern_lat = 46 + 57 / 60 + 8.66 / 3600
+    e95, n95 = transform_xy(np.array([bern_lon]), np.array([bern_lat]),
+                            "4326", "2056")
+    # projection center maps to the false origin exactly by construction
+    assert abs(float(e95[0]) - 2_600_000.0) < 1e-6
+    assert abs(float(n95[0]) - 1_200_000.0) < 1e-6
+    # LV03 is the same projection shifted by exactly (2_000_000, 1_000_000)
+    e03, n03 = transform_xy(np.array([bern_lon]), np.array([bern_lat]),
+                            "4326", "21781")
+    assert abs(float(e95[0] - e03[0]) - 2_000_000.0) < 1e-6
+    assert abs(float(n95[0] - n03[0]) - 1_000_000.0) < 1e-6
+
+    # roundtrip over a Switzerland-wide grid: sub-mm
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(5.9, 10.5, 400)
+    lat = rng.uniform(45.8, 47.8, 400)
+    X, Y = transform_xy(lon.copy(), lat.copy(), "4326", "2056")
+    lo, la = transform_xy(X, Y, "2056", "4326")
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+    # due north at the center moves only the northing (axis alignment)
+    p = EPSG_REGISTRY["2056"]
+    e2, n2 = p.fwd(bern_lon, bern_lat + 0.01)
+    assert abs(float(e2) - 2_600_000.0) < 0.02
+    assert float(n2) > 1_200_000.0 + 1000
+
+    # conformality: the numeric Jacobian is a similarity transform
+    # (equal singular values) everywhere on the grid — a strong
+    # independent invariant of the double-projection formulas
+    d = 1e-6
+    for lo0, la0 in [(6.5, 46.0), (9.9, 47.5), (8.2, 46.7)]:
+        ex, nx = p.fwd(lo0 + d, la0)
+        ey, ny = p.fwd(lo0, la0 + d)
+        e0, n0 = p.fwd(lo0, la0)
+        J = np.array([[float(ex - e0), float(ey - e0)],
+                      [float(nx - n0), float(ny - n0)]]) / d
+        # normalize the graticule by TRUE ground distances on the
+        # Bessel ellipsoid: dλ → ν·cosφ, dφ → ρ (meridional radius)
+        a_b, rf_b = 6_377_397.155, 299.1528128
+        e2b = 1 - (1 - 1 / rf_b) ** 2
+        s2 = np.sin(np.deg2rad(la0)) ** 2
+        nu = a_b / np.sqrt(1 - e2b * s2)
+        rho = a_b * (1 - e2b) / (1 - e2b * s2) ** 1.5
+        J[:, 0] /= nu * np.cos(np.deg2rad(la0))
+        J[:, 1] /= rho
+        sv = np.linalg.svd(J, compute_uv=False)
+        assert sv[0] / sv[1] < 1.00001
