@@ -65,7 +65,7 @@ def main() -> None:
                 "knn_nearest_zone", "tile_assignment", "fishnet_tiles",
                 "dwithin_count", "zonal_event_stats", "zonal_raster_stats",
                 "shared_area", "dedup_exact", "minhash_pairs", "simhash_dups",
-                "text_stats", "embed_top1", "embed_ann_lsh",
+                "ngram_jaccard", "text_stats", "embed_top1", "embed_ann_lsh",
                 "pricing_summary"]
     qs = E.queries()
     for name in headline:
