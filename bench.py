@@ -120,6 +120,14 @@ def main() -> None:
     timings["img_zonal_stats"] = round(time.perf_counter() - t0, 3)
     meta["zonal_zones"] = nz
 
+    from gis_tools_spark.operators.dedup import image_near_dups
+
+    t0 = time.perf_counter()
+    nd = _count(image_near_dups(images.select("image_id", "phash"),
+                                max_hamming=4))
+    timings["img_near_dups"] = round(time.perf_counter() - t0, 3)
+    meta["img_near_dup_pairs"] = nd
+
     # -------- generic polygon x polygon sjoin (vectorized batched refine;
     # round-3: the per-pair python refine was the round-2 verdict's #3)
     from gis_tools_spark.operators.sjoin import sjoin as generic_sjoin

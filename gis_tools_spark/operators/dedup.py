@@ -233,29 +233,56 @@ def simhash_near_dups(df: DataFrame, *, text_col: str = "text",
     64-bit xxhash key per (n_blocks − d)-subset of its blocks; equal
     keys equi-join; exact popcount filter confirms. Hash collisions can
     only ADD candidates (same blocks ⇒ same key), never lose pairs."""
+    sh = simhash64(df, text_col=text_col, id_col=id_col)
+    return hamming_near_dups(sh, hash_col="simhash", id_col=id_col,
+                             max_hamming=max_hamming, n_blocks=n_blocks)
+
+
+def hamming_near_dups(df: DataFrame, *, hash_col: str, id_col: str,
+                      max_hamming: int = 3,
+                      n_blocks: int | None = None) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming on ANY 64-bit hash
+    column, via the same pigeonhole subset-key blocking simhash uses —
+    works for simhash, perceptual image hashes, audio fingerprints…
+
+    Scale note: the OUTPUT (and hence the join) is inherently quadratic
+    in the size of any group of identical hashes — every pair of
+    hash-equal rows is within any distance. Collapse exact duplicates
+    first (groupBy(hash_col) / dedup_exact) when the corpus contains
+    mass-duplicated payloads; the blocking itself stays O(rows·C)."""
     if not 0 <= max_hamming < 64:
         raise ValueError(f"max_hamming must be in [0, 64), got {max_hamming}")
-    sh = simhash64(df, text_col=text_col, id_col=id_col)
     bounds, combos = simhash_blocking(max_hamming, n_blocks)
     block_col = []
     for i in range(len(bounds) - 1):
         width = bounds[i + 1] - bounds[i]
-        c = F.shiftrightunsigned(F.col("simhash"), bounds[i])
+        c = F.shiftrightunsigned(F.col(hash_col), bounds[i])
         if width < 64:  # width 64 = whole hash (d=0, single block)
             c = c.bitwiseAND(F.lit((1 << width) - 1))
         block_col.append(c)
     keys = F.array(*[
         F.xxhash64(F.lit(ci), *[block_col[j] for j in combo])
         for ci, combo in enumerate(combos)])
-    e = sh.select(id_col, "simhash", F.posexplode(keys).alias("blk", "key"))
-    a = e.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "blk", "key")
-    b = e.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "blk", "key")
+    e = df.select(id_col, hash_col, F.posexplode(keys).alias("blk", "key"))
+    a = e.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "blk", "key")
+    b = e.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "blk", "key")
     cand = (a.join(b, on=["blk", "key"]).where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "h_a", "h_b").distinct())
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return (cand.withColumn("hamming", ham)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def image_near_dups(df: DataFrame, *, phash_col: str = "phash",
+                    id_col: str = "image_id",
+                    max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate IMAGE pairs: Hamming blocking on the 64-bit
+    perceptual hash column every image table in the engine carries
+    (raster/codec.phash64 — DCT low-frequency signs). The image-side
+    analog of simhash_near_dups; same O(rows·C) shuffle, no O(rows²)."""
+    return hamming_near_dups(df, hash_col=phash_col, id_col=id_col,
+                             max_hamming=max_hamming)
 
 
 # ------------------------------------------------------------------ n-gram jaccard

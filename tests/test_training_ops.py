@@ -199,3 +199,44 @@ def test_exact_topk_block_pair_parity(spark):
                               block_rows=16).orderBy("id_a", "id_b").collect()
     assert one == many
     assert len(one) == 120 * 3
+
+
+def test_image_near_dups_phash(spark):
+    """Perceptual-hash image near-dup: derivative images (small noise)
+    pair with their source; unrelated images don't; results equal the
+    brute-force Hamming filter."""
+    import numpy as np
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.operators.dedup import image_near_dups
+    from gis_tools_spark.raster import codec
+
+    rng = np.random.default_rng(5)
+    rows = []
+    arrs = []
+    for i in range(30):
+        a = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        # smooth so phash is stable under mild noise
+        a = (a.astype(np.float64) + np.roll(a, 1, 0) + np.roll(a, 1, 1)) / 3
+        a = a.astype(np.uint8)
+        arrs.append(a)
+        rows.append((f"src{i:03d}", codec.phash64(a)))
+    for i in range(0, 30, 3):  # every 3rd image gets a near-duplicate
+        noisy = np.clip(arrs[i].astype(np.int64)
+                        + rng.integers(-2, 3, arrs[i].shape), 0, 255).astype(np.uint8)
+        rows.append((f"dup{i:03d}", codec.phash64(noisy)))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in image_near_dups(df, max_hamming=8).collect()}
+    # brute force oracle
+    want = {}
+    for i, (ida, ha) in enumerate(rows):
+        for idb, hb in rows[i + 1:]:
+            d = bin((ha ^ hb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if d <= 8:
+                k = (ida, idb) if ida < idb else (idb, ida)
+                want[k] = d
+    assert got == want
+    # the derivative images actually pair with their sources
+    paired = {a for a, _ in got} | {b for _, b in got}
+    assert sum(1 for i in range(0, 30, 3)
+               if f"dup{i:03d}" in paired and f"src{i:03d}" in paired) >= 8
