@@ -129,7 +129,7 @@ def decode_video(buf: bytes, w: int, h: int, n_frames: int, fmt: str) -> np.ndar
         return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(n_frames, h, w)
     raise NotImplementedError(
         f"video codec {fmt!r} requires a decoder wheel (ffmpeg/pyav) absent "
-        "in this sandbox; supported here: {_REAL_VIDEO_FMTS}")
+        f"in this sandbox; supported here: {_REAL_VIDEO_FMTS}")
 
 
 def sample_video_frames(df: DataFrame, *, every_n: int | None = None,
