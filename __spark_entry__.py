@@ -353,6 +353,39 @@ def q_sjoin_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lid", "gid")
 
 
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gates the GENERALIZED 64-bit Hamming blocking
+    (operators/dedup.hamming_near_dups — the machinery behind
+    image_near_dups): synthetic perceptual hashes derived from events
+    (md5 prefix, reproducible in DuckDB), one base row + one row with
+    ≤3 low bits flipped per event, pairs at max_hamming=3 vs a
+    brute-force SQL Hamming join."""
+    _tune(spark)
+    from gis_tools_spark.operators.dedup import hamming_near_dups
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where("event_id % 199 = 0").select("event_id"))
+
+    @F.pandas_udf("long")
+    def _h(ids: pd.Series) -> pd.Series:
+        import hashlib
+        out = []
+        for i in ids:
+            v = int.from_bytes(hashlib.md5(str(int(i)).encode()).digest()[:8],
+                               "big")
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out, dtype="int64")
+
+    base = ev.select(F.concat(F.lit("b"), F.col("event_id")).alias("image_id"),
+                     _h("event_id").alias("phash"))
+    dup = ev.select(F.concat(F.lit("d"), F.col("event_id")).alias("image_id"),
+                    _h("event_id").bitwiseXOR(F.col("event_id") % 8)
+                    .alias("phash"))
+    df = base.unionByName(dup)
+    return hamming_near_dups(df, hash_col="phash", id_col="image_id",
+                             max_hamming=3)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-trigram Jaccard over MinHash-LSH-prefiltered candidate
     pairs (operators/dedup.py:ngram_jaccard_pairs) — the dedup family's
@@ -503,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_rects": q_sjoin_rects,
         "sjoin_within": q_sjoin_within,
         "ngram_jaccard": q_ngram_jaccard,
+        "phash_near_dups": q_phash_near_dups,
         "pricing_summary": q_pricing_summary,
         "events_hourly": q_events_hourly,
     }
@@ -1035,6 +1069,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_oracle_sql(),
         "ngram_jaccard": _ngram_oracle_sql(),
+        "phash_near_dups": """
+            WITH ids AS (SELECT event_id FROM events WHERE event_id % 199 = 0),
+            h AS (SELECT event_id,
+                         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+                  FROM ids),
+            rows_ AS (
+              SELECT 'b' || event_id AS image_id, hv FROM h
+              UNION ALL
+              SELECT 'd' || event_id, xor(hv, (event_id % 8)::UBIGINT) FROM h
+            ),
+            pairs AS (
+              SELECT a.image_id AS id_a, b.image_id AS id_b,
+                     bit_count(xor(a.hv, b.hv)) AS hamming
+              FROM rows_ a JOIN rows_ b ON a.image_id < b.image_id
+            )
+            SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+            FROM pairs WHERE hamming <= 3
+        """,
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "horizon": _horizon_oracle_sql(),
