@@ -66,6 +66,15 @@ def main() -> None:
     DT.nation_zones(spark, SF_DIR).count()
     for tbl in ("documents", "embeddings", "lineitem"):
         spark.read.parquet(f"{SF_DIR}/{tbl}.parquet").count()
+    # ... and the join plan SHAPES once at toy size: the first
+    # pandas-UDF/mapInPandas plan of a session pays Arrow runner +
+    # codegen setup (~2.5 s measured) that every later identical shape
+    # reuses — steady state on a long-lived cluster.
+    wpts = spark.createDataFrame(fixtures.gen_points(200)[["pid", "lon", "lat"]])
+    wz = fixtures.gen_zones(4)
+    wzones = spark.createDataFrame(wz[["gid", "nom", "geometry_wkb"]])
+    pip_join(wpts, wzones, strategy="cell").count()
+    pip_join(wpts, wzones, strategy="broadcast").count()
 
     timings: dict[str, float] = {}
     meta: dict[str, float] = {}
