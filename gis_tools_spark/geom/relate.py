@@ -167,6 +167,39 @@ def _line_poly(gl: dict, gpoly: dict, predicate: str, *, line_is_left: bool) -> 
         return False
 
 
+def _point_line(gp: dict, gl: dict, predicate: str, *, point_is_left: bool) -> bool:
+    """Point/MultiPoint × (Multi)LineString. Line boundary = part
+    endpoints (DE-9IM): a point AT an endpoint touches; a point on the
+    interior is within."""
+    pts = _pts(gp)[:, :2]
+    parts = K.ring_list(gl)
+    on = np.zeros(len(pts), dtype=bool)
+    for r in parts:
+        on |= K._on_ring(r, pts[:, 0], pts[:, 1], 1e-9)
+    ends = np.array([r[i, :2] for r in parts for i in (0, -1)])
+    at_end = np.zeros(len(pts), dtype=bool)
+    for i, p in enumerate(pts):
+        at_end[i] = bool((np.abs(ends - p) < 1e-9).all(axis=1).any())
+    interior_hit = bool((on & ~at_end).any())
+    if predicate == "touches":
+        return bool((on & at_end).any()) and not interior_hit
+    if point_is_left:
+        if predicate == "covered_by":
+            return bool(on.all()) and bool(on.any())
+        if predicate == "within":
+            return bool(on.all()) and interior_hit
+        return False          # contains/covers/equals/overlaps/crosses
+    else:
+        if predicate == "covers":
+            return bool(on.all()) and bool(on.any())
+        if predicate == "contains":     # point(s) in the line INTERIOR
+            return bool(on.all()) and interior_hit
+        if predicate in ("within", "covered_by", "equals", "overlaps",
+                         "crosses"):
+            return False      # a line is never inside/equal to a point
+    raise ValueError(predicate)
+
+
 def _point_point(g1: dict, g2: dict, predicate: str) -> bool:
     p1, p2 = _pts(g1)[:, :2], _pts(g2)[:, :2]
     m = (np.abs(p1[:, None, :] - p2[None, :, :]) < K.EPS).all(axis=2)
@@ -219,6 +252,10 @@ def relate(g1: dict | None, g2: dict | None, predicate: str) -> bool:
         return _point_poly(g1, g2, predicate, point_is_left=True)
     if t1 in _POLY and t2 in _PT:
         return _point_poly(g2, g1, predicate, point_is_left=False)
+    if t1 in _PT and t2 in _LINE:
+        return _point_line(g1, g2, predicate, point_is_left=True)
+    if t1 in _LINE and t2 in _PT:
+        return _point_line(g2, g1, predicate, point_is_left=False)
     if t1 in _LINE and t2 in _POLY:
         return _line_poly(g1, g2, predicate, line_is_left=True)
     if t1 in _POLY and t2 in _LINE:

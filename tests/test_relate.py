@@ -113,7 +113,8 @@ def test_polygon_hole_within():
     in_meat = _rect(1, 1, 2, 2)
     assert not relate(in_hole, donut, "within")
     assert relate(in_meat, donut, "within")
-    assert relate(in_hole, donut, "touches") is False or True  # hole interior: disjoint
+    assert not relate(in_hole, donut, "intersects")  # hole interior: disjoint
+    assert not relate(in_hole, donut, "touches")
     assert not relate(donut, in_hole, "contains")
     assert relate(donut, in_meat, "contains")
 
@@ -164,3 +165,29 @@ def test_unknown_predicate_raises(spark):
                                "lid long, geometry_wkb binary")
     with pytest.raises(ValueError):
         sjoin(df, df.withColumnRenamed("lid", "gid"), predicate="nope")
+
+
+def test_point_line_predicates():
+    ln = WKB.decode(WKB.linestring([(0, 0), (2, 2), (4, 2)]))
+    mid = WKB.decode(WKB.point(1, 1))       # interior
+    end = WKB.decode(WKB.point(0, 0))       # boundary (endpoint)
+    off = WKB.decode(WKB.point(3, 3))
+    assert relate(mid, ln, "within")
+    assert relate(mid, ln, "covered_by")
+    assert not relate(mid, ln, "touches")
+    assert relate(end, ln, "touches")
+    assert not relate(end, ln, "within")
+    assert relate(end, ln, "covered_by")
+    assert not relate(off, ln, "within") and not relate(off, ln, "touches")
+    # line side: contains = interior presence, covers = on-line
+    assert relate(ln, mid, "contains") and relate(ln, mid, "covers")
+    assert not relate(ln, end, "contains")
+    assert relate(ln, end, "covers")
+    assert relate(ln, end, "touches")
+    # multipoint straddling interior+endpoint: covered but not within
+    mp = WKB.decode(WKB.multipoint([(1, 1), (0, 0)]))
+    assert relate(mp, ln, "covered_by") and relate(mp, ln, "within")
+    mp2 = WKB.decode(WKB.multipoint([(0, 0), (4, 2)]))  # endpoints only
+    assert not relate(mp2, ln, "within")
+    assert relate(mp2, ln, "covered_by")
+    assert relate(mp2, ln, "touches")
