@@ -113,10 +113,21 @@ def minhash_signatures_fast(df: DataFrame, *, text_col: str = "text",
         F.transform(F.sequence(F.lit(0), F.size(words) - k),
                     lambda i: F.array_join(F.slice(words, i + 1, k), " ")))
     shingles = F.array_distinct(shingles)
+    # CRITICAL: materialize the string shingling ONCE per row as a named
+    # column, and hash every shingle string ONCE to a long. Inlining the
+    # shingle expression into all num_hashes array_min(...) branches (the
+    # first version of this op) made Catalyst re-evaluate the whole
+    # split/slice/array_join/array_distinct tree per permutation — 64×
+    # the string work, measured 57× SLOWER than the python kernel at
+    # 500k docs. With the base hashes materialized, each permutation is
+    # one xxhash64 over a long.
+    base = df.withColumn(
+        "__hs", F.transform(shingles, lambda s: F.xxhash64(s)))
     sig = F.array(*[
-        F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(i), s)))
+        F.array_min(F.transform(F.col("__hs"),
+                                lambda h: F.xxhash64(F.lit(i), h)))
         for i in range(num_hashes)])
-    return df.select(id_col, sig.alias("minhash"))
+    return base.select(id_col, sig.alias("minhash"))
 
 
 def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
