@@ -191,3 +191,60 @@ def test_point_line_predicates():
     assert not relate(mp2, ln, "within")
     assert relate(mp2, ln, "covered_by")
     assert relate(mp2, ln, "touches")
+
+
+def test_relate_monte_carlo_convex_polys():
+    """Independent ground truth: Monte-Carlo area sampling on random
+    convex polygon pairs. Pairs whose MC verdict is within noise of a
+    decision boundary are skipped (seeded, so the skip set is stable);
+    decisive pairs must agree with relate() exactly."""
+    from gis_tools_spark.geom import kernels as K
+
+    rng = np.random.default_rng(17)
+    checked = 0
+    for trial in range(60):
+        pts1 = rng.uniform(0, 10, (8, 2))
+        scale = rng.uniform(0.2, 1.0)
+        off = rng.uniform(2, 8, 2)
+        pts2 = rng.uniform(0, 10, (8, 2)) * scale * 0.5 + off
+        h1 = K.convex_hull(pts1)
+        h2 = K.convex_hull(pts2)
+        g1 = WKB.decode(WKB.polygon([h1]))
+        g2 = WKB.decode(WKB.polygon([h2]))
+        a1, a2 = K.area(g1), K.area(g2)
+        # MC estimate of |g1 ∩ g2| by sampling inside g1
+        n = 4000
+        b = K.bounds(g1)
+        xs = rng.uniform(b[0], b[2], n)
+        ys = rng.uniform(b[1], b[3], n)
+        in1 = K.covers_xy(g1, xs, ys, boundary_tol=0)
+        if in1.sum() < 200:
+            continue
+        in_both = in1 & K.covers_xy(g2, xs, ys, boundary_tol=0)
+        frac = in_both.sum() / in1.sum()     # |∩| / |g1|
+        # decisive MC margins only (3-sigma ≈ 0.025 at n≈1000)
+        if frac > 0.9995:
+            assert relate(g1, g2, "within"), (trial, frac)
+            assert relate(g2, g1, "contains"), (trial, frac)
+            checked += 1
+        elif 0.05 < frac < 0.95:
+            assert relate(g1, g2, "intersects"), (trial, frac)
+            assert not relate(g1, g2, "within"), (trial, frac)
+            # overlaps requires BOTH interiors partially outside the
+            # other — sample inside g2 too, assert only with decisive
+            # margins on both fractions (MC noise ~7% at frac=0.05)
+            b2 = K.bounds(g2)
+            xs2 = rng.uniform(b2[0], b2[2], n)
+            ys2 = rng.uniform(b2[1], b2[3], n)
+            in2 = K.covers_xy(g2, xs2, ys2, boundary_tol=0)
+            if in2.sum() >= 200:
+                frac2 = (in2 & K.covers_xy(g1, xs2, ys2, boundary_tol=0)).sum() / in2.sum()
+                if 0.1 < frac < 0.9 and 0.1 < frac2 < 0.9:
+                    assert relate(g1, g2, "overlaps"), (trial, frac, frac2)
+            checked += 1
+        elif frac == 0.0:
+            # no interior overlap observed: relate may still see touches
+            # or a sliver below MC resolution — only assert NOT within
+            assert not relate(g1, g2, "within"), trial
+            checked += 1
+    assert checked >= 25, checked
