@@ -248,3 +248,19 @@ def test_relate_monte_carlo_convex_polys():
             assert not relate(g1, g2, "within"), trial
             checked += 1
     assert checked >= 25, checked
+
+
+def test_sjoin_predicate_left_join(spark):
+    """how='left' keeps non-matching left rows with null right attrs for
+    predicate joins too."""
+    from gis_tools_spark.operators.sjoin import sjoin
+    left = spark.createDataFrame(
+        [(0, WKB.box(0.1, 0.1, 0.2, 0.2)),    # within right 0
+         (1, WKB.box(5.0, 5.0, 5.1, 5.1))],   # matches nothing
+        "lid long, geometry_wkb binary")
+    right = spark.createDataFrame([(7, WKB.box(0, 0, 1, 1))],
+                                  "gid long, geometry_wkb binary")
+    out = sjoin(left, right, predicate="within", how="left") \
+        .select("lid", "gid").collect()
+    got = {(r.lid, r.gid) for r in out}
+    assert got == {(0, 7), (1, None)}

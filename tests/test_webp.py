@@ -187,3 +187,24 @@ def test_decoder_lz77_uses_distance_code_15():
     bw.write(57, 6)
     br = _BitReader(bw.bytes())
     assert webp._lz77_value(15, br) == 250
+
+
+def test_webp_roundtrip_fuzz():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1),
+           st.sampled_from(["rgb", "gray", "const"]))
+    def _case(w, h, seed, kind):
+        rng = np.random.default_rng(seed)
+        if kind == "rgb":
+            a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        elif kind == "gray":
+            a = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        else:
+            a = np.full((h, w, 3), int(rng.integers(0, 256)), dtype=np.uint8)
+        out = decode(encode(a))
+        want = a if a.ndim == 3 else np.stack([a, a, a], axis=2)
+        assert (out == want).all()
+
+    _case()
