@@ -137,6 +137,15 @@ def main() -> None:
     timings["img_near_dups"] = round(time.perf_counter() - t0, 3)
     meta["img_near_dup_pairs"] = nd
 
+    from gis_tools_spark.raster.media import resize_images
+
+    t0 = time.perf_counter()
+    nr = _count(resize_images(
+        images.select("image_id", "bytes", "w", "h", "fmt", "phash"),
+        24, 24, method="bilinear"))
+    timings["img_resize"] = round(time.perf_counter() - t0, 3)
+    meta["img_resize_rows"] = nr
+
     # -------- generic polygon x polygon sjoin (vectorized batched refine;
     # round-3: the per-pair python refine was the round-2 verdict's #3)
     from gis_tools_spark.operators.sjoin import sjoin as generic_sjoin
