@@ -420,6 +420,37 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id_a", "id_b")
 
 
+IVF_M = 8        # modulo-centroid count for the gate
+IVF_NPROBE = 2   # probed buckets per query
+
+
+def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-1 (the third similarity-search family, alongside
+    exact and LSH): coarse-quantizer bucket assignment → nprobe bucket
+    equi-join → exact cosine rescore → window pick. The gate injects the
+    deterministic modulo quantizer (centroid c = normalized mean of
+    normalized vectors with vec_id % m == c, components rounded to 6dp)
+    so the ENTIRE IVF plan — centroid construction, rounded-dot
+    assignment with centroid-id tie-break, probe join, rescore — is
+    mirrored value-level in the DuckDB oracle. Production path uses
+    train_centroids (k-means) instead; the plan shape is identical."""
+    _tune(spark)
+    from pyspark.sql import Window
+    from gis_tools_spark.operators.simsearch import ivf_topk, modulo_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    C = modulo_centroids(emb, n_centroids=IVF_M, round_dp=6)
+    cand = ivf_topk(emb, emb, k=1 << 30, n_centroids=IVF_M,
+                    nprobe=IVF_NPROBE, centroids=C, round_dp=6)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("neighbor_id"))
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .where("__rn = 1")
+            .select(F.col("vec_id").alias("id_a"),
+                    F.col("neighbor_id").alias("id_b"),
+                    F.round(F.col("cosine"), 6).alias("cos_r")))
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over documents. The md5-based base
     hash + affine permutations are exactly reproducible in DuckDB, so
@@ -533,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_top1": q_embed_top1,
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_near_dups": q_embed_near_dups,
+        "embed_ivf": q_embed_ivf,
         "sjoin_rects": q_sjoin_rects,
         "sjoin_within": q_sjoin_within,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1127,6 +1159,49 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN b
               ON b.mnx <= a.mnx AND a.mxx <= b.mxx
              AND b.mny <= a.mny AND a.mxy <= b.mxy
+        """,
+        "embed_ivf": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), n AS (
+              SELECT vec_id, CAST(vec_id % {IVF_M} AS INT) AS c,
+                     list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+              FROM e
+            ), dims AS (
+              SELECT unnest(generate_series(1, 64)) AS d
+            ), cm AS (            -- per-class per-dim mean of normalized vectors
+              SELECT c, d, avg(vn[d]) AS m
+              FROM n CROSS JOIN dims GROUP BY c, d
+            ), cn AS (            -- normalized + 6dp-rounded centroids
+              SELECT cm.c, cm.d, round(cm.m / sqrt(t.s2), 6) AS cmr
+              FROM cm JOIN (SELECT c, sum(m * m) AS s2 FROM cm GROUP BY c) t
+                ON cm.c = t.c
+            ), dots AS (          -- rounded dot(vec, centroid) for every pair
+              SELECT n.vec_id, cn.c, round(sum(n.vn[cn.d] * cn.cmr), 6) AS dot
+              FROM n CROSS JOIN cn GROUP BY n.vec_id, cn.c
+            ), ranked AS (
+              SELECT vec_id, c,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+              FROM dots
+            ), cb AS (
+              SELECT vec_id AS id_b, c FROM ranked WHERE rn = 1
+            ), qb AS (
+              SELECT vec_id AS id_a, c FROM ranked WHERE rn <= {IVF_NPROBE}
+            ), cand AS (
+              SELECT DISTINCT id_a, id_b
+              FROM qb JOIN cb USING (c) WHERE id_a <> id_b
+            ), scored AS (
+              SELECT id_a, id_b,
+                round(CAST(list_cosine_similarity(a.v, b.v) AS DOUBLE), 6) AS cos_r
+              FROM cand
+              JOIN e a ON a.vec_id = cand.id_a
+              JOIN e b ON b.vec_id = cand.id_b
+            ), pick AS (
+              SELECT id_a, id_b, cos_r,
+                row_number() OVER (PARTITION BY id_a ORDER BY cos_r DESC, id_b) AS rn
+              FROM scored
+            )
+            SELECT id_a, id_b, cos_r FROM pick WHERE rn = 1
         """,
         "embed_top1": """
             WITH p AS (

@@ -85,7 +85,7 @@ def main() -> None:
                 "dwithin_count", "zonal_event_stats", "zonal_raster_stats",
                 "shared_area", "dedup_exact", "minhash_pairs", "simhash_dups",
                 "ngram_jaccard", "text_stats", "embed_top1", "embed_ann_lsh",
-                "pricing_summary"]
+                "embed_ivf", "pricing_summary"]
     qs = E.queries()
     for name in headline:
         t0 = time.perf_counter()

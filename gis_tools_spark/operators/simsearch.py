@@ -259,12 +259,52 @@ def train_centroids(corpus: DataFrame, *, n_centroids: int = 16,
     return C
 
 
+def modulo_centroids(corpus: DataFrame, *, n_centroids: int,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     round_dp: int = 6) -> np.ndarray:
+    """Deterministic coarse quantizer: centroid c = normalized mean of the
+    L2-normalized vectors of rows with ``id % n_centroids == c``, each
+    component rounded to ``round_dp`` decimals.
+
+    Quantization quality is worse than k-means, but the construction is a
+    pure closed form over the table — exactly mirrorable in ANSI SQL — so
+    an IVF plan built on it can be value-level verified end-to-end by an
+    external oracle. Computed distributedly (posexplode → groupBy avg);
+    only the n_centroids×dim aggregate ever reaches the driver.
+    """
+    e = (corpus
+         .select((F.col(id_col) % n_centroids).cast("int").alias("c"),
+                 F.col(vec_col).cast("array<double>").alias("v"))
+         .withColumn("nrm", F.sqrt(F.aggregate("v", F.lit(0.0),
+                                               lambda a, x: a + x * x)))
+         .select("c", F.posexplode(F.expr("transform(v, x -> x / nrm)"))
+                 .alias("pos", "val")))
+    rows = (e.groupBy("c", "pos").agg(F.avg("val").alias("m"))
+            .collect())
+    n_dim = max(r["pos"] for r in rows) + 1
+    C = np.zeros((n_centroids, n_dim), dtype=np.float64)
+    for r in rows:
+        C[r["c"], r["pos"]] = r["m"]
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return np.round(C, round_dp)
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             n_centroids: int = 16, nprobe: int = 3, seed: int = 42) -> DataFrame:
+             n_centroids: int = 16, nprobe: int = 3, seed: int = 42,
+             centroids: np.ndarray | None = None,
+             round_dp: int | None = None) -> DataFrame:
     """IVF: assign corpus rows to their nearest centroid bucket; queries
-    probe their `nprobe` nearest centroids; exact rescore within buckets."""
-    C = train_centroids(corpus, n_centroids=n_centroids, vec_col=vec_col, seed=seed)
+    probe their `nprobe` nearest centroids; exact rescore within buckets.
+
+    ``centroids`` injects a precomputed quantizer (e.g. modulo_centroids
+    for SQL-verifiable plans) instead of training k-means on a sample.
+    ``round_dp`` ranks centroid dots on round(dot, dp) with centroid-id
+    tie-break, making the assignment bit-stable against an external SQL
+    mirror regardless of float summation order.
+    """
+    C = centroids if centroids is not None else train_centroids(
+        corpus, n_centroids=n_centroids, vec_col=vec_col, seed=seed)
     bc = queries.sparkSession.sparkContext.broadcast(C)
 
     def assign_udf(nprobe_: int):
@@ -274,7 +314,10 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 10,
             V = np.array(list(vecs), dtype=np.float64)
             V /= np.linalg.norm(V, axis=1, keepdims=True)
             S = V @ C_.T
-            order = np.argsort(-S, axis=1)[:, :nprobe_]
+            if round_dp is not None:
+                S = np.round(S, round_dp)
+            # stable sort: ties on the (rounded) dot break by centroid id asc
+            order = np.argsort(-S, axis=1, kind="stable")[:, :nprobe_]
             return pd.Series([row.astype(int).tolist() for row in order])
 
         return _assign

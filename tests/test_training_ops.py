@@ -135,6 +135,25 @@ def test_ann_recall(emb, fn):
     assert hits / tot >= 0.8, hits / tot
 
 
+def test_ivf_full_probe_is_exact(emb):
+    """With injected modulo centroids and nprobe == n_centroids the IVF
+    candidate set covers the whole corpus, so top-k must equal the exact
+    brute-force answer — verifies the injectable-quantizer path and the
+    rounded-dot deterministic assignment end-to-end."""
+    from gis_tools_spark.operators.simsearch import modulo_centroids
+
+    df, rows = emb
+    C = modulo_centroids(df, n_centroids=4, round_dp=6)
+    assert C.shape == (4, 16)
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0, atol=1e-5)
+    approx = ivf_topk(df, df, k=3, n_centroids=4, nprobe=4,
+                      centroids=C, round_dp=6).toPandas()
+    exact = brute_force_topk(df, df, k=3).toPandas()
+    a = approx.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    e = exact.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    assert list(a["neighbor_id"]) == list(e["neighbor_id"])
+
+
 def test_lang_and_quality_and_fingerprint(docs, docs_pd):
     ls = lang_scores(docs).toPandas()
     assert ls[ls.doc_id == 0]["pred_lang"].iloc[0] == "en"
