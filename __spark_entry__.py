@@ -495,6 +495,51 @@ def q_zonal_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("mean_r"))
 
 
+def q_raster_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector→raster burn (north-star core op: 'vector-to-raster tile
+    burning'): nation zone rects burned attr-wise onto 4 exact-dyadic
+    64×64 tiles via the full distributed pipeline (cell-cover equi-join
+    of zones to tiles → per-tile pixel-center rasterize), then the
+    burned arrays are decoded and aggregated per zone (pixel count +
+    position checksum). The DuckDB oracle enumerates the identical
+    global 128×128 pixel grid with generate_series and joins pixel
+    centers into the same closed-form rects — burn placement is checked
+    pixel-exact, not just counted."""
+    _tune(spark)
+    import pandas as pd
+    from typing import Iterator
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.burn import burn_zones_to_tiles
+
+    tiles = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+    zones = DT.nation_zones(spark, sf_dir)
+    burned = burn_zones_to_tiles(tiles, zones, burn_attr="gid",
+                                 zone_id="gid", background=-1.0)
+
+    def _pixels(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+                _, tx, ty = r.image_id.split("_")
+                rows_, cols_ = np.nonzero(arr >= 0)
+                gids = arr[rows_, cols_].astype(np.int64)
+                gix = int(tx) * int(r.w) + cols_
+                giy = int(ty) * int(r.h) + rows_
+                recs.append(pd.DataFrame(
+                    {"gid": gids, "px": gix * 131 + giy}))
+            if recs:
+                yield pd.concat(recs, ignore_index=True)
+
+    px = burned.mapInPandas(_pixels, schema="gid long, px long")
+    return px.groupBy("gid").agg(F.count("*").alias("n_px"),
+                                 F.sum("px").alias("chk"))
+
+
 def q_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """360° horizon extraction from DEM tiles, gated against a DuckDB
     brute-force oracle over the same closed-form pixels (azimuth/
@@ -557,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_dups": q_simhash_dups,
         "zonal_raster_stats": q_zonal_raster_stats,
+        "raster_burn": q_raster_burn,
         "horizon": q_horizon,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -759,6 +805,32 @@ SELECT z.gid,
   min(px.val) AS zonal_min,
   max(px.val) AS zonal_max,
   CAST(floor(sum(px.val) / count(px.val) * 1000000.0 + 0.5) AS BIGINT) AS mean_r
+FROM px JOIN z
+  ON px.lon >= z.zminx AND px.lon <= z.zmaxx
+ AND px.lat >= z.zminy AND px.lat <= z.zmaxy
+GROUP BY z.gid
+"""
+
+
+def _burn_oracle_sql() -> str:
+    """Enumerate the gen_rasters_exact(2,2,64) pixel grid (128x128
+    global, pixel 0.0390625 deg, exact dyadic centers) and join pixel
+    centers into the closed-form zone rects — the exact pixel set the
+    burn kernel must mark, aggregated as count + position checksum."""
+    from gis_tools_spark.sources.driver_tables import ZONES_SQL
+
+    return f"""
+WITH z AS ({ZONES_SQL.strip()}),
+px AS (
+  SELECT gix, giy,
+    5.0 + (gix + 0.5) * 0.0390625 AS lon,
+    45.0 - (giy + 0.5) * 0.0390625 AS lat
+  FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b
+)
+SELECT CAST(z.gid AS BIGINT) AS gid,
+  CAST(count(*) AS BIGINT) AS n_px,
+  CAST(sum(px.gix * 131 + px.giy) AS BIGINT) AS chk
 FROM px JOIN z
   ON px.lon >= z.zminx AND px.lon <= z.zmaxx
  AND px.lat >= z.zminy AND px.lat <= z.zmaxy
@@ -1121,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
+        "raster_burn": _burn_oracle_sql(),
         "horizon": _horizon_oracle_sql(),
         "embed_ann_lsh": _ann_lsh_oracle_sql(),
         "embed_near_dups": _near_dup_oracle_sql(),

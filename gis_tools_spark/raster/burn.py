@@ -61,7 +61,9 @@ def burn_zones_to_tiles(tiles: DataFrame, zones: DataFrame, *,
                      + F.col("__ix") * F.lit(1 << C.IX_SHIFT) + F.col("__iy"))
          .drop("__ix", "__iy", "__maxx", "__miny"))
 
-    burn_cols = [zone_id, zone_wkb] + ([burn_attr] if burn_attr else [])
+    burn_cols = [zone_id, zone_wkb]
+    if burn_attr and burn_attr not in burn_cols:
+        burn_cols.append(burn_attr)
     zc = explode_cover(zones.select(*burn_cols), zone_wkb, CELL_COL,
                        res, res, max_cells=4096)
     pairs = (t.join(zc, on=CELL_COL, how="left").drop(CELL_COL)

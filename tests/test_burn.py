@@ -57,3 +57,19 @@ def test_burn_value_and_empty_tiles(spark):
     # area 0.3x0.3 at 1/16 deg pixels → ~(0.3*16)^2 ≈ 23 px
     assert 15 <= tot <= 36
     assert set(out["n_zones"]) <= {0, 1}
+
+
+def test_burn_attr_same_as_zone_id(spark):
+    """burn_attr may name the zone-id column itself (burn the gid into
+    the pixels) — regression: this used to build a duplicate-label
+    select and crash in the per-tile kernel."""
+    tiles = _tiles_df(spark)
+    zones = spark.createDataFrame(pd.DataFrame({
+        "gid": [3], "geometry_wkb": [wkb.box(0.1, 1.6, 0.4, 1.9)]}))
+    out = burn_zones_to_tiles(tiles, zones, burn_attr="gid",
+                              background=-1.0).toPandas()
+    burned = set()
+    for _, r in out.iterrows():
+        a = codec.decode_raw_f32(r["bytes"], 16, 16)
+        burned |= set(np.unique(a).tolist())
+    assert 3.0 in burned and -1.0 in burned
