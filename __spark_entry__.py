@@ -208,12 +208,15 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length("text")
     n_nospace = F.length(F.regexp_replace("text", r"\s", ""))
     n_punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    bpe = F.expr(
+        r"size(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\\s]', 0))")
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars_q"),
         F.round(n_nospace / n_tokens, 6).alias("avg_token_len"),
         F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        bpe.alias("bpe_tokens"),
     )
 
 
@@ -1151,7 +1154,8 @@ def oracle_sql() -> dict[str, str]:
               round(length(regexp_replace(text, '\s', '', 'g'))
                     / length(string_split_regex(trim(text), ' +')), 6) AS avg_token_len,
               round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-                    / length(text), 6) AS punct_ratio
+                    / length(text), 6) AS punct_ratio,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens
             FROM documents
         """,
         "lang_id": """
