@@ -133,29 +133,29 @@ def refine_covers(pair_df: DataFrame, *, poly_wkb: str, poly_group: str,
                   lon: str, lat: str, predicate: str = "covers") -> DataFrame:
     """Exact PIP refine over candidate pairs.
 
-    mapInPandas; per Arrow batch, groups by `poly_group` so each polygon
-    decodes once and tests all candidate points vectorized
-    (K.covers_xy — the reference's exact `intersects` refine).
-    predicate: 'covers' (boundary in) or 'contains' (strict interior).
-    """
-    schema = pair_df.schema
+    Scalar pandas UDF boolean filter: ONLY (wkb, lon, lat) cross the
+    Arrow boundary — every other pair column stays JVM-side, so Catalyst
+    keeps column pruning and whole-stage codegen around the refine (the
+    previous mapInPandas pass-through shipped the full candidate row
+    through the Python worker both ways). Per batch, candidates group by
+    WKB value so each polygon decodes once and tests its points
+    vectorized (K.covers_xy — the reference's exact `intersects`
+    refine). predicate: 'covers' (boundary in) or 'contains' (strict
+    interior). ``poly_group`` is retained for API compatibility
+    (grouping is content-keyed on the WKB itself)."""
     test = K.covers_xy if predicate == "covers" else K.contains_xy
 
-    def _refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            for _, idx in pdf.groupby(poly_group, sort=False).indices.items():
-                buf = pdf[poly_wkb].iloc[idx[0]]
+    @F.pandas_udf(T.BooleanType())
+    def _flag(wkbs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+        keep = np.zeros(len(wkbs), dtype=bool)
+        if len(wkbs):
+            x = xs.to_numpy(dtype=np.float64)
+            y = ys.to_numpy(dtype=np.float64)
+            for buf, idx in wkbs.groupby(wkbs, sort=False).indices.items():
                 if buf is None:
                     continue
                 g = wkb.decode(buf)
-                xs = pdf[lon].values[idx]
-                ys = pdf[lat].values[idx]
-                keep[idx] = test(g, xs, ys)
-            out = pdf[keep]
-            if len(out):
-                yield out
+                keep[idx] = test(g, x[idx], y[idx])
+        return pd.Series(keep)
 
-    return pair_df.mapInPandas(_refine, schema=schema)
+    return pair_df.where(_flag(F.col(poly_wkb), F.col(lon), F.col(lat)))
