@@ -281,38 +281,34 @@ def sjoin(left: DataFrame, right: DataFrame, *,
              .select(left_id, right_id).distinct())
     cand = pairs.join(left, on=left_id).join(right, on=right_id)
 
-    schema = cand.schema
+    @F.pandas_udf("boolean")
+    def _pair_flag(lwkbs: pd.Series, rwkbs: pd.Series) -> pd.Series:
+        # Scalar boolean filter: only the two WKB columns cross the
+        # Arrow boundary; attribute columns stay JVM-side (pruning +
+        # codegen hold around the refine). Decode each distinct WKB once
+        # keyed by content, group the batch by RIGHT geometry, run ONE
+        # vectorized batched edge test per distinct right geometry
+        # (round-2 verdict #3 — the old per-pair python loop was
+        # interpreter-rate).
+        keep = np.zeros(len(lwkbs), dtype=bool)
+        cache: dict[bytes, dict] = {}
 
-    def _refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
+        def _dec(b):
+            g = cache.get(b)
+            if g is None:
+                g = cache[b] = wkb.decode(b)
+            return g
+
+        for rb, idx in rwkbs.groupby(rwkbs, sort=False).indices.items():
+            if rb is None:
                 continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            # decode each distinct WKB once, keyed by *content* (bytes
-            # hash); then group the batch by RIGHT geometry and run ONE
-            # vectorized batched edge test per distinct right geometry
-            # (round-2 verdict #3 — the old per-pair python loop was
-            # interpreter-rate)
-            cache: dict[bytes, dict] = {}
+            g2 = _dec(rb)
+            lbs = lwkbs.values[idx]
+            lefts = [None if lb is None else _dec(lb) for lb in lbs]
+            keep[idx] = relate_batch(lefts, g2, predicate)
+        return pd.Series(keep)
 
-            def _dec(b):
-                g = cache.get(b)
-                if g is None:
-                    g = cache[b] = wkb.decode(b)
-                return g
-
-            for rb, idx in pdf.groupby(right_wkb, sort=False).indices.items():
-                if rb is None:
-                    continue
-                g2 = _dec(rb)
-                lbs = pdf[left_wkb].values[idx]
-                lefts = [None if lb is None else _dec(lb) for lb in lbs]
-                keep[idx] = relate_batch(lefts, g2, predicate)
-            out = pdf[keep]
-            if len(out):
-                yield out
-
-    refined = cand.mapInPandas(_refine, schema=schema)
+    refined = cand.where(_pair_flag(F.col(left_wkb), F.col(right_wkb)))
     if how == "inner":
         return refined
     if how == "left":
