@@ -44,23 +44,24 @@ def dwithin_join(points: DataFrame, features: DataFrame, dist: float, *,
     pts = points.withColumn(CELL_COL, C.cell_column(F.col(lon), F.col(lat), res))
     cand = pts.join(fc, on=CELL_COL).drop(CELL_COL)
 
-    schema = T.StructType(list(cand.schema.fields) + [T.StructField("dist", T.DoubleType())])
-
-    def _refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            d = np.empty(len(pdf))
-            for buf, idx in pdf.groupby(feat_wkb, sort=False).indices.items():
+    # scalar UDF: only (wkb, lon, lat) cross Arrow; other candidate
+    # columns stay JVM-side (pruning/codegen hold around the refine)
+    @F.pandas_udf(T.DoubleType())
+    def _dist(wkbs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+        d = np.full(len(wkbs), np.inf)
+        if len(wkbs):
+            x = xs.to_numpy(dtype=np.float64)
+            y = ys.to_numpy(dtype=np.float64)
+            for buf, idx in wkbs.groupby(wkbs, sort=False).indices.items():
+                if buf is None:
+                    continue
                 g = wkb.decode(buf)
-                d[idx] = K.point_to_geom_distance(g, pdf[lon].values[idx], pdf[lat].values[idx])
-            out = pdf.copy()
-            out["dist"] = d
-            out = out[d <= dist]
-            if len(out):
-                yield out
+                d[idx] = K.point_to_geom_distance(g, x[idx], y[idx])
+        return pd.Series(d)
 
-    return cand.mapInPandas(_refine, schema=schema).drop(feat_wkb)
+    return (cand.withColumn("dist", _dist(F.col(feat_wkb), F.col(lon), F.col(lat)))
+            .where(F.col("dist") <= dist)
+            .drop(feat_wkb))
 
 
 def _padded_cover_udf(wkb_col: str, pad: float, res: int):
@@ -89,21 +90,22 @@ def pairwise_distance(left: DataFrame, right: DataFrame, *,
     if right_id not in right.columns:
         right_id = f"{right_id}_right"
     cand = left.select(left_id, left_wkb).crossJoin(right.select(right_id, right_wkb))
-    schema = T.StructType(list(cand.schema.fields) + [T.StructField("dist", T.DoubleType())])
 
-    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            cache: dict[bytes, dict] = {}
-            d = [K.geom_distance(cache.setdefault(a, wkb.decode(a)),
-                                 wkb.decode(b))
-                 for a, b in zip(pdf[left_wkb], pdf[right_wkb])]
-            out = pdf.copy()
-            out["dist"] = d
-            yield out
+    @F.pandas_udf(T.DoubleType())
+    def _dist(la: pd.Series, rb: pd.Series) -> pd.Series:
+        cache: dict[bytes, dict] = {}
 
-    return cand.mapInPandas(_run, schema=schema).drop(left_wkb, right_wkb)
+        def _dec(b):
+            g = cache.get(b)
+            if g is None:
+                g = cache[b] = wkb.decode(b)
+            return g
+
+        return pd.Series([K.geom_distance(_dec(a), _dec(b))
+                          for a, b in zip(la, rb)])
+
+    return (cand.withColumn("dist", _dist(F.col(left_wkb), F.col(right_wkb)))
+            .drop(left_wkb, right_wkb))
 
 
 def hausdorff_pairs(left: DataFrame, right: DataFrame, *,
@@ -113,19 +115,14 @@ def hausdorff_pairs(left: DataFrame, right: DataFrame, *,
     layer.py:676-689 zips rows by position; we zip by an explicit key)."""
     r = right.select(F.col(on), F.col(right_wkb).alias("__rwkb"))
     j = left.select(F.col(on), F.col(left_wkb).alias("__lwkb")).join(r, on=on)
-    schema = T.StructType(list(j.schema.fields) + [T.StructField("hausdorff", T.DoubleType())])
 
-    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            out = pdf.copy()
-            out["hausdorff"] = [
-                K.hausdorff_distance(wkb.decode(a), wkb.decode(b))
-                for a, b in zip(pdf["__lwkb"], pdf["__rwkb"])]
-            yield out
+    @F.pandas_udf(T.DoubleType())
+    def _hd(la: pd.Series, rb: pd.Series) -> pd.Series:
+        return pd.Series([K.hausdorff_distance(wkb.decode(a), wkb.decode(b))
+                          for a, b in zip(la, rb)])
 
-    return j.mapInPandas(_run, schema=schema).drop("__lwkb", "__rwkb")
+    return (j.withColumn("hausdorff", _hd(F.col("__lwkb"), F.col("__rwkb")))
+            .drop("__lwkb", "__rwkb"))
 
 
 def snap_to_lines(points: DataFrame, lines: DataFrame, *,
@@ -142,29 +139,25 @@ def snap_to_lines(points: DataFrame, lines: DataFrame, *,
     j = nearest.join(lines.select(F.col(line_id).alias("nearest_" + line_id),
                                   F.col(line_wkb).alias("__lwkb")),
                      on="nearest_" + line_id)
-    schema = T.StructType([f for f in j.schema.fields if f.name != "__lwkb"]
-                          + [T.StructField("snap_x", T.DoubleType()),
-                             T.StructField("snap_y", T.DoubleType()),
-                             T.StructField("line_pos", T.DoubleType())])
+    snap_t = T.StructType([T.StructField("snap_x", T.DoubleType()),
+                           T.StructField("snap_y", T.DoubleType()),
+                           T.StructField("line_pos", T.DoubleType())])
 
-    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            sx, sy, pos = [], [], []
-            for b, x, y in zip(pdf["__lwkb"], pdf[lon], pdf[lat]):
-                g = wkb.decode(b)
-                coords = g["coords"] if g["type"] == "LineString" else g["lines"][0]
-                t = K.project_on_line(coords, x, y)
-                p = K.interpolate_line(coords, t)
-                sx.append(float(p[0])); sy.append(float(p[1])); pos.append(t)
-            out = pdf.drop(columns=["__lwkb"])
-            out["snap_x"] = sx
-            out["snap_y"] = sy
-            out["line_pos"] = pos
-            yield out
+    @F.pandas_udf(snap_t)
+    def _snap(bs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        sx, sy, pos = [], [], []
+        for b, x, y in zip(bs, xs, ys):
+            g = wkb.decode(b)
+            coords = g["coords"] if g["type"] == "LineString" else g["lines"][0]
+            t = K.project_on_line(coords, x, y)
+            p = K.interpolate_line(coords, t)
+            sx.append(float(p[0])); sy.append(float(p[1])); pos.append(t)
+        return pd.DataFrame({"snap_x": sx, "snap_y": sy, "line_pos": pos})
 
-    return j.mapInPandas(_run, schema=schema)
+    return (j.withColumn("__s", _snap(F.col("__lwkb"), F.col(lon), F.col(lat)))
+            .drop("__lwkb")
+            .select("*", "__s.snap_x", "__s.snap_y", "__s.line_pos")
+            .drop("__s"))
 
 
 def centroid_boundary_distance(df, *, wkb_col: str = "geometry_wkb"):
@@ -175,35 +168,32 @@ def centroid_boundary_distance(df, *, wkb_col: str = "geometry_wkb"):
     segment distance). Adds columns (cb_min_dist, cb_max_dist)."""
     from pyspark.sql import types as T
 
-    fields = T.StructType(list(df.schema.fields) + [
-        T.StructField("cb_min_dist", T.DoubleType()),
-        T.StructField("cb_max_dist", T.DoubleType()),
-    ])
+    cb_t = T.StructType([T.StructField("cb_min_dist", T.DoubleType()),
+                         T.StructField("cb_max_dist", T.DoubleType())])
 
-    def _run(it):
-        for pdf in it:
-            mins, maxs = [], []
-            for b in pdf[wkb_col]:
-                if b is None:
-                    mins.append(None); maxs.append(None)
-                    continue
-                g = wkb.decode(b)
-                cx, cy = K.centroid(g)
-                dmin, dmax = np.inf, 0.0
-                for ring in K.ring_list(g):
-                    pts = ring[:, :2]
-                    # min: exact point-to-segment; max: farthest vertex
-                    # (the hausdorff max over a segment is at an endpoint)
-                    d = K.point_to_geom_distance(
-                        {"type": "LineString", "coords": ring},
-                        np.array([cx]), np.array([cy]))[0]
-                    dmin = min(dmin, float(d))
-                    dv = np.sqrt((pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2)
-                    dmax = max(dmax, float(dv.max()))
-                mins.append(dmin); maxs.append(dmax)
-            out = pdf.copy()
-            out["cb_min_dist"] = mins
-            out["cb_max_dist"] = maxs
-            yield out
+    @F.pandas_udf(cb_t)
+    def _cb(bs: pd.Series) -> pd.DataFrame:
+        mins, maxs = [], []
+        for b in bs:
+            if b is None:
+                mins.append(None); maxs.append(None)
+                continue
+            g = wkb.decode(b)
+            cx, cy = K.centroid(g)
+            dmin, dmax = np.inf, 0.0
+            for ring in K.ring_list(g):
+                pts = ring[:, :2]
+                # min: exact point-to-segment; max: farthest vertex
+                # (the hausdorff max over a segment is at an endpoint)
+                d = K.point_to_geom_distance(
+                    {"type": "LineString", "coords": ring},
+                    np.array([cx]), np.array([cy]))[0]
+                dmin = min(dmin, float(d))
+                dv = np.sqrt((pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2)
+                dmax = max(dmax, float(dv.max()))
+            mins.append(dmin); maxs.append(dmax)
+        return pd.DataFrame({"cb_min_dist": mins, "cb_max_dist": maxs})
 
-    return df.mapInPandas(_run, schema=fields)
+    return (df.withColumn("__cb", _cb(F.col(wkb_col)))
+            .select("*", "__cb.cb_min_dist", "__cb.cb_max_dist")
+            .drop("__cb"))
