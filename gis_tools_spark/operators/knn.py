@@ -235,34 +235,33 @@ def _score(pairs: DataFrame, *, lon, lat, feat_wkb) -> DataFrame:
     nearest_dist for ordering = (0, centroid_dist) when intersecting)."""
     from pyspark.sql import types as T
 
-    schema = T.StructType(list(pairs.schema.fields)
-                          + [T.StructField("nearest_dist", T.DoubleType()),
-                             T.StructField("__order", T.DoubleType())])
+    # struct-returning scalar UDF: only (wkb, lon, lat) cross Arrow; the
+    # pair's attribute columns stay JVM-side (pruning holds around it)
+    sc_t = T.StructType([T.StructField("nearest_dist", T.DoubleType()),
+                         T.StructField("__order", T.DoubleType())])
 
-    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            dist = np.empty(len(pdf))
-            order = np.empty(len(pdf))
-            for buf, idx in pdf.groupby(feat_wkb, sort=False).indices.items():
+    @F.pandas_udf(sc_t)
+    def _run(bs: pd.Series, lons: pd.Series, lats: pd.Series) -> pd.DataFrame:
+        dist = np.empty(len(bs))
+        order = np.empty(len(bs))
+        if len(bs):
+            x = lons.to_numpy(dtype=np.float64)
+            y = lats.to_numpy(dtype=np.float64)
+            for buf, idx in bs.groupby(bs, sort=False).indices.items():
                 g = wkb.decode(buf)
                 cx, cy = K.centroid(g)
-                xs = pdf[lon].values[idx]
-                ys = pdf[lat].values[idx]
+                xs, ys = x[idx], y[idx]
                 d = K.point_to_geom_distance(g, xs, ys)
                 cd = np.sqrt((xs - cx) ** 2 + (ys - cy) ** 2)
                 dist[idx] = d
                 # intersecting rows sort by centroid distance but report 0;
                 # order key keeps them ahead of any non-intersecting row
                 order[idx] = np.where(d == 0.0, cd - 1e9, d)
-            out = pdf.copy()
-            out["nearest_dist"] = dist
-            out["__order"] = order
-            yield out
+        return pd.DataFrame({"nearest_dist": dist, "__order": order})
 
-    scored = pairs.mapInPandas(_run, schema=schema)
-    return scored
+    return (pairs.withColumn("__sc", _run(F.col(feat_wkb), F.col(lon), F.col(lat)))
+            .select("*", "__sc.nearest_dist", "__sc.__order")
+            .drop("__sc"))
 
 
 def nearest_feature_sql_order(df: DataFrame, point_id: str, feat_id: str) -> DataFrame:
