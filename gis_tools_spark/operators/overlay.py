@@ -51,46 +51,47 @@ def intersection_join(left: DataFrame, right: DataFrame, *,
     pairs = lc.join(rc, on=CELL_COL).select(left_id, right_id).distinct()
     cand = pairs.join(left, on=left_id).join(right, on=right_id)
 
-    out_fields = [f for f in cand.schema.fields]
-    out_schema = T.StructType(out_fields + [
-        T.StructField("inter_wkb", T.BinaryType()),
-        T.StructField("inter_area", T.DoubleType()),
-    ])
+    # struct scalar UDF: only the two WKB columns cross Arrow; empty
+    # intersections yield a null struct and are filtered JVM-side, so
+    # attribute columns never round-trip through Python
+    clip_t = T.StructType([T.StructField("inter_wkb", T.BinaryType()),
+                           T.StructField("inter_area", T.DoubleType())])
 
-    def _clip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
+    @F.pandas_udf(clip_t)
+    def _clip(lbs: pd.Series, rbs: pd.Series) -> pd.DataFrame:
+        cache: dict[bytes, dict] = {}
+
+        def _dec(b):
+            g = cache.get(b)
+            if g is None:
+                g = cache[b] = wkb.decode(b)
+            return g
+
+        inter_wkbs, inter_areas = [], []
+        for lb, rb in zip(lbs, rbs):
+            if lb is None or rb is None:
+                inter_wkbs.append(None); inter_areas.append(None)
                 continue
-            inter_wkbs, inter_areas, keep = [], [], []
-            for i in range(len(pdf)):
-                lb, rb = pdf[left_wkb].iloc[i], pdf[right_wkb].iloc[i]
-                if lb is None or rb is None:
-                    keep.append(False); inter_wkbs.append(None); inter_areas.append(0.0)
-                    continue
-                g = wkb.decode(lb)
-                clipper = wkb.decode(rb)
-                res_g = boolean.intersection(g, clipper)
-                pieces = K.polygons_of(res_g) if res_g is not None else []
-                if not pieces:
-                    keep.append(False); inter_wkbs.append(None); inter_areas.append(0.0)
-                    continue
-                merged = ({"type": "Polygon", "rings": pieces[0]} if len(pieces) == 1
-                          else {"type": "MultiPolygon", "polygons": pieces})
-                a = K.area(merged)
-                if a <= K.EPS:
-                    keep.append(False); inter_wkbs.append(None); inter_areas.append(0.0)
-                    continue
-                keep.append(True)
-                inter_wkbs.append(wkb.encode(merged))
-                inter_areas.append(a)
-            out = pdf.copy()
-            out["inter_wkb"] = pd.Series(inter_wkbs, index=pdf.index, dtype=object)
-            out["inter_area"] = inter_areas
-            out = out[np.asarray(keep, dtype=bool)]
-            if len(out):
-                yield out
+            res_g = boolean.intersection(_dec(lb), _dec(rb))
+            pieces = K.polygons_of(res_g) if res_g is not None else []
+            if not pieces:
+                inter_wkbs.append(None); inter_areas.append(None)
+                continue
+            merged = ({"type": "Polygon", "rings": pieces[0]} if len(pieces) == 1
+                      else {"type": "MultiPolygon", "polygons": pieces})
+            a = K.area(merged)
+            if a <= K.EPS:
+                inter_wkbs.append(None); inter_areas.append(None)
+                continue
+            inter_wkbs.append(wkb.encode(merged))
+            inter_areas.append(a)
+        return pd.DataFrame({"inter_wkb": pd.Series(inter_wkbs, dtype=object),
+                             "inter_area": inter_areas})
 
-    result = cand.mapInPandas(_clip, schema=out_schema)
+    result = (cand.withColumn("__cl", _clip(F.col(left_wkb), F.col(right_wkb)))
+              .where(F.col("__cl.inter_wkb").isNotNull())
+              .select("*", "__cl.inter_wkb", "__cl.inter_area")
+              .drop("__cl"))
     if not keep_geometry:
         result = result.drop("inter_wkb")
     return result
