@@ -194,7 +194,13 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 10, dim: int,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_planes: int = 14, n_tables: int = 6, seed: int = 42) -> DataFrame:
     """Approximate top-k: bucket-join on LSH keys then exact cosine rescore
-    + window pick. Recall grows with n_tables; cost stays linear."""
+    + window pick. Recall grows with n_tables; cost stays linear.
+
+    Physical-shape note: LSH yields MANY SMALL buckets (2^n_planes per
+    table), so the pair equi-join is the right plan here; the cogrouped
+    per-bucket matmul used by ivf_topk wins only for few-large-bucket
+    quantizers (per-group pandas overhead would dominate at 2^14+
+    groups)."""
     bud = lsh_bucket_udf(dim, n_planes, n_tables, seed)
     qb = (queries.select(id_col, F.col(vec_col).cast("array<double>").alias("vq"))
           .withColumn("bucket", F.explode(bud(F.col("vq")))))
