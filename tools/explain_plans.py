@@ -67,11 +67,16 @@ def main() -> None:
     j = pip_join(pts, zones, strategy="cell")
     p4 = plan_of(j)
     ok4a = "BroadcastHashJoin" in p4 or "BroadcastExchange" in p4
+    # the tree prints top-down, so "above the join" = EARLIER in the
+    # text; the refine is a scalar pandas UDF (ArrowEvalPython+Filter)
+    # since the scalar-refine rewrite — the FIRST ArrowEvalPython must
+    # sit above (print before) the join, the SECOND is the cover UDF
+    # feeding the join from below
     pos_join = max(p4.find("BroadcastHashJoin"), p4.find("SortMergeJoin"))
-    pos_refine = p4.rfind("MapInPandas")
-    ok4b = pos_refine > pos_join > -1 or "MapInPandas" in p4
+    pos_refine = p4.find("ArrowEvalPython")
+    ok4b = -1 < pos_refine < pos_join
     checks.append(("small cover side broadcasts (AQE/threshold)", ok4a))
-    checks.append(("exact refine (MapInPandas) sits above the join", ok4b))
+    checks.append(("exact refine (scalar UDF filter) sits above the join", ok4b))
     out.append("## 3. PIP cell join (filter-refine)\n```\n" + p4[:3000] + "\n```\n")
 
     out.append("## Checks\n")
