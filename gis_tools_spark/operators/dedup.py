@@ -274,7 +274,10 @@ def hamming_near_dups(df: DataFrame, *, hash_col: str, id_col: str,
     keys = F.array(*[
         F.xxhash64(F.lit(ci), *[block_col[j] for j in combo])
         for ci, combo in enumerate(combos)])
-    e = df.select(id_col, hash_col, F.posexplode(keys).alias("blk", "key"))
+    # persist: both sides of the self-join share this lineage — without
+    # it the upstream signature kernel (e.g. simhash64's md5 pass) runs
+    # twice, once per join side (same reason minhash persists its sigs)
+    e = df.select(id_col, hash_col, F.posexplode(keys).alias("blk", "key")).persist()
     a = e.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "blk", "key")
     b = e.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "blk", "key")
     cand = (a.join(b, on=["blk", "key"]).where(F.col("id_a") < F.col("id_b"))
