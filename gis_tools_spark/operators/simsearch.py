@@ -202,11 +202,21 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 10, dim: int,
     quantizers (per-group pandas overhead would dominate at 2^14+
     groups)."""
     bud = lsh_bucket_udf(dim, n_planes, n_tables, seed)
-    qb = (queries.select(id_col, F.col(vec_col).cast("array<double>").alias("vq"))
-          .withColumn("bucket", F.explode(bud(F.col("vq")))))
-    cb = (corpus.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).cast("array<double>").alias("vc"))
-          .withColumn("bucket", F.explode(bud(F.col("vc")))))
+    if queries is corpus:
+        # self-search: bucket the table ONCE (persisted) and derive both
+        # join sides from it instead of running the hyperplane UDF twice
+        shared = (queries.select(id_col,
+                                 F.col(vec_col).cast("array<double>").alias("vq"))
+                  .withColumn("bucket", F.explode(bud(F.col("vq")))).persist())
+        qb = shared
+        cb = shared.select(F.col(id_col).alias("neighbor_id"),
+                           F.col("vq").alias("vc"), "bucket")
+    else:
+        qb = (queries.select(id_col, F.col(vec_col).cast("array<double>").alias("vq"))
+              .withColumn("bucket", F.explode(bud(F.col("vq")))))
+        cb = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).cast("array<double>").alias("vc"))
+              .withColumn("bucket", F.explode(bud(F.col("vc")))))
     cand = (qb.join(cb, on="bucket")
             .where(F.col(id_col) != F.col("neighbor_id"))
             .dropDuplicates([id_col, "neighbor_id"]))
@@ -234,8 +244,10 @@ def embedding_near_dups(df: DataFrame, *, threshold: float = 0.95,
     SQL — gated value-level against a DuckDB mirror (embed_near_dups).
     """
     bud = lsh_bucket_udf(dim, n_planes, n_tables, seed)
+    # persist: both join sides share this lineage — without it the
+    # hyperplane bucket UDF runs twice, once per side
     b = (df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
-         .withColumn("bucket", F.explode(bud(F.col("v")))))
+         .withColumn("bucket", F.explode(bud(F.col("v")))).persist())
     a = b.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket")
     c = b.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket")
     cand = (a.join(c, on="bucket")
