@@ -114,7 +114,9 @@ def exact_topk_blocked(corpus: DataFrame, *, k: int = 1,
         return pd.DataFrame({"__blk": [int(pdf["__blk"].iloc[0])],
                              "ids": [ids.tobytes()], "mat": [M.tobytes()]})
 
-    packed = blk.groupBy("__blk").applyInPandas(_pack, schema=pack_schema)
+    # persist: both sides of the block-pair cross join share this
+    # lineage — without it the pack kernel (and its shuffle) runs twice
+    packed = blk.groupBy("__blk").applyInPandas(_pack, schema=pack_schema).persist()
     # block-pair cross join; repartition spreads the n_blocks² pairs
     # across the cluster (one pair per task up to 4 waves/core)
     pairs = (packed.select(F.col("ids").alias("ids_q"),
