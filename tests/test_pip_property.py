@@ -50,3 +50,38 @@ def test_pip_join_random_concave_matches_bruteforce(spark, strategy):
            for r in pip_join(pts, zs, strategy=strategy)
            .select("pid", "gid").collect()}
     assert got == want, (len(got - want), len(want - got))
+
+
+def test_dwithin_join_random_concave_matches_bruteforce(spark):
+    """dwithin_join (padded-cover filter + scalar distance refine) must
+    reproduce the exact pair set and distances of a local brute force
+    over random concave polygons."""
+    from gis_tools_spark.operators.proximity import dwithin_join
+
+    rng = np.random.default_rng(41)
+    dist = 0.35
+    polys = []
+    for gid in range(8):
+        ring = star_polygon(rng, rng.uniform(1, 9), rng.uniform(1, 9))
+        polys.append((gid, bytearray(WKB.polygon([ring]))))
+    n_pts = 500
+    px = rng.uniform(0, 10, n_pts)
+    py = rng.uniform(0, 10, n_pts)
+
+    want = {}
+    for gid, b in polys:
+        g = WKB.decode(bytes(b))
+        d = K.point_to_geom_distance(g, px, py)
+        for i in np.nonzero(d <= dist)[0]:
+            want[(int(i), gid)] = float(d[i])
+
+    pts = spark.createDataFrame(pd.DataFrame(
+        {"pid": np.arange(n_pts), "lon": px, "lat": py}))
+    zs = spark.createDataFrame(pd.DataFrame(
+        {"gid": [g for g, _ in polys],
+         "geometry_wkb": [b for _, b in polys]}))
+    got = {(int(r["pid"]), int(r["gid"])): float(r["dist"])
+           for r in dwithin_join(pts, zs, dist).select("pid", "gid", "dist").collect()}
+    assert set(got) == set(want), (len(set(got) - set(want)), len(set(want) - set(got)))
+    for k_ in want:
+        assert abs(got[k_] - want[k_]) < 1e-12, k_
