@@ -69,38 +69,41 @@ def _nearest_broadcast(points, features, *, lon, lat, point_id, feat_wkb, feat_i
 
     from pyspark.sql import types as T
     id_field = features.schema[feat_id]
-    out_schema = T.StructType(list(points.schema.fields)
-                              + [T.StructField("nearest_" + feat_id, id_field.dataType),
-                                 T.StructField("nearest_dist", T.DoubleType())])
+    # 1:1 per point → struct scalar UDF over (lon, lat) only; point
+    # attribute columns stay JVM-side (pruning holds around the stage)
+    nn_t = T.StructType([T.StructField("nid", id_field.dataType),
+                         T.StructField("ndist", T.DoubleType())])
 
-    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    @F.pandas_udf(nn_t)
+    def _nn(lons: pd.Series, lats: pd.Series) -> pd.DataFrame:
         feats = bc.value
         ids = [f[0] for f in feats]
         cents = np.array([[f[2], f[3]] for f in feats])
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            xs = pdf[lon].values.astype(np.float64)
-            ys = pdf[lat].values.astype(np.float64)
-            n, m = len(pdf), len(feats)
-            dist = np.empty((n, m))
-            for j, (fid, g, cx, cy, bb) in enumerate(feats):
-                dist[:, j] = K.point_to_geom_distance(g, xs, ys)
-            cdist = np.sqrt((xs[:, None] - cents[None, :, 0]) ** 2
-                            + (ys[:, None] - cents[None, :, 1]) ** 2)
-            inter = dist == 0.0
-            any_inter = inter.any(axis=1)
-            # intersecting rows: argmin centroid distance among intersecting
-            pick_c = np.where(inter, cdist, np.inf).argmin(axis=1)
-            pick_d = dist.argmin(axis=1)
-            pick = np.where(any_inter, pick_c, pick_d)
-            best = np.where(any_inter, 0.0, dist[np.arange(n), pick_d])
-            out = pdf.copy()
-            out["nearest_" + feat_id] = [ids[int(k)] for k in pick]
-            out["nearest_dist"] = best
-            yield out
+        xs = lons.to_numpy(dtype=np.float64)
+        ys = lats.to_numpy(dtype=np.float64)
+        n, m = len(xs), len(feats)
+        if n == 0 or m == 0:
+            return pd.DataFrame({"nid": [None] * n, "ndist": [np.nan] * n})
+        dist = np.empty((n, m))
+        for j, (fid, g, cx, cy, bb) in enumerate(feats):
+            dist[:, j] = K.point_to_geom_distance(g, xs, ys)
+        cdist = np.sqrt((xs[:, None] - cents[None, :, 0]) ** 2
+                        + (ys[:, None] - cents[None, :, 1]) ** 2)
+        inter = dist == 0.0
+        any_inter = inter.any(axis=1)
+        # intersecting rows: argmin centroid distance among intersecting
+        pick_c = np.where(inter, cdist, np.inf).argmin(axis=1)
+        pick_d = dist.argmin(axis=1)
+        pick = np.where(any_inter, pick_c, pick_d)
+        best = np.where(any_inter, 0.0, dist[np.arange(n), pick_d])
+        return pd.DataFrame({"nid": [ids[int(k)] for k in pick],
+                             "ndist": best})
 
-    return points.mapInPandas(_run, schema=out_schema)
+    return (points.withColumn("__nn", _nn(F.col(lon), F.col(lat)))
+            .select("*",
+                    F.col("__nn.nid").alias("nearest_" + feat_id),
+                    F.col("__nn.ndist").alias("nearest_dist"))
+            .drop("__nn"))
 
 
 def _nearest_rings(points, features, *, lon, lat, point_id, feat_wkb, feat_id,
