@@ -190,54 +190,69 @@ def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
     from pyspark.sql import types as T
 
     poly_schema = polygons.schema
-    out_schema = T.StructType(list(points.schema.fields)
-                              + [poly_schema[c] for c in attrs])
-
     test = K.covers_xy if predicate == "covers" else K.contains_xy
 
-    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # scalar UDF emits, per point, the ARRAY of matching polygon indices
+    # (only lon/lat cross Arrow); explode + a broadcast equi-join attach
+    # the polygon attributes JVM-side, so point attribute columns never
+    # round-trip through the Python worker
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _hits(lons: pd.Series, lats: pd.Series) -> pd.Series:
         geoms_, ucells_, starts_, counts_, flat_, res_ = bc.value
+        n = len(lons)
+        res_lists: list[list[int]] = [[] for _ in range(n)]
         nu = len(ucells_)
-        for pdf in it:
-            if len(pdf) == 0 or nu == 0:
-                continue
-            xs = pdf[lon].values.astype(np.float64)
-            ys = pdf[lat].values.astype(np.float64)
-            cell = C.latlng_to_cell(xs, ys, res_)
-            pos = np.searchsorted(ucells_, cell)
-            pos_c = np.minimum(pos, nu - 1)
-            hit = ucells_[pos_c] == cell
-            pts_idx = np.nonzero(hit)[0]
-            if len(pts_idx) == 0:
-                continue
-            # expand (point, candidate-polygon) pairs without a python loop
-            s = starts_[pos_c[pts_idx]]
-            c = counts_[pos_c[pts_idx]]
-            rep_pts = np.repeat(pts_idx, c)
-            csum = np.concatenate(([0], np.cumsum(c)))
-            within = np.arange(csum[-1], dtype=np.int64) - np.repeat(csum[:-1], c)
-            rep_poly = flat_[np.repeat(s, c) + within]
-            # group pairs by polygon: one vectorized exact test per
-            # distinct candidate polygon in the batch
-            po = np.argsort(rep_poly, kind="stable")
-            rep_pts, rep_poly = rep_pts[po], rep_poly[po]
-            upoly, pstarts = np.unique(rep_poly, return_index=True)
-            bounds_ = np.append(pstarts, len(rep_poly))
-            frames = []
-            for k, pi in enumerate(upoly):
-                idx = rep_pts[bounds_[k]:bounds_[k + 1]]
-                g, row = geoms_[int(pi)]
-                ok = test(g, xs[idx], ys[idx])
-                if not ok.any():
-                    continue
-                sub = pdf.iloc[idx[ok]].reset_index(drop=True)
-                for c_ in attrs:
-                    sub[c_] = [row[c_]] * len(sub)
-                frames.append(sub)
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+        if n == 0 or nu == 0:
+            return pd.Series(res_lists)
+        xs = lons.to_numpy(dtype=np.float64)
+        ys = lats.to_numpy(dtype=np.float64)
+        cell = C.latlng_to_cell(xs, ys, res_)
+        pos = np.searchsorted(ucells_, cell)
+        pos_c = np.minimum(pos, nu - 1)
+        hit = ucells_[pos_c] == cell
+        pts_idx = np.nonzero(hit)[0]
+        if len(pts_idx) == 0:
+            return pd.Series(res_lists)
+        # expand (point, candidate-polygon) pairs without a python loop
+        s = starts_[pos_c[pts_idx]]
+        c = counts_[pos_c[pts_idx]]
+        rep_pts = np.repeat(pts_idx, c)
+        csum = np.concatenate(([0], np.cumsum(c)))
+        within = np.arange(csum[-1], dtype=np.int64) - np.repeat(csum[:-1], c)
+        rep_poly = flat_[np.repeat(s, c) + within]
+        # group pairs by polygon: one vectorized exact test per
+        # distinct candidate polygon in the batch
+        po = np.argsort(rep_poly, kind="stable")
+        rep_pts, rep_poly = rep_pts[po], rep_poly[po]
+        upoly, pstarts = np.unique(rep_poly, return_index=True)
+        bounds_ = np.append(pstarts, len(rep_poly))
+        kp_pts, kp_poly = [], []
+        for k, pi in enumerate(upoly):
+            idx = rep_pts[bounds_[k]:bounds_[k + 1]]
+            g, _row = geoms_[int(pi)]
+            ok = test(g, xs[idx], ys[idx])
+            if ok.any():
+                kp_pts.append(idx[ok])
+                kp_poly.append(np.full(int(ok.sum()), pi, dtype=np.int64))
+        if kp_pts:
+            P = np.concatenate(kp_pts)
+            G = np.concatenate(kp_poly)
+            o2 = np.argsort(P, kind="stable")
+            P, G = P[o2], G[o2]
+            upts, ustarts = np.unique(P, return_index=True)
+            b2 = np.append(ustarts, len(P))
+            for j, p in enumerate(upts):
+                res_lists[int(p)] = G[b2[j]:b2[j + 1]].astype(int).tolist()
+        return pd.Series(res_lists)
 
-    return points.mapInPandas(_run, schema=out_schema)
+    attr_schema = T.StructType([T.StructField("__pi", T.IntegerType())]
+                               + [poly_schema[c] for c in attrs])
+    attr_df = points.sparkSession.createDataFrame(
+        [tuple([i] + [row[c] for c in attrs]) for i, row in enumerate(poly_rows)],
+        schema=attr_schema)
+    return (points.withColumn("__pi", F.explode(_hits(F.col(lon), F.col(lat))))
+            .join(F.broadcast(attr_df), on="__pi")
+            .drop("__pi"))
 
 
 # ------------------------------------------------------------------ generic geometry-geometry join
