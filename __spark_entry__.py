@@ -572,6 +572,28 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("count_order")))
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event sessionization (gap > 1h starts a new session per
+    event_type; lag + running-sum window plan, JVM codegen end-to-end).
+    Epochs emitted as HALF_UP millis (floor(x*1e3+0.5) both sides —
+    Spark round is HALF_UP, DuckDB is half-even)."""
+    _tune(spark)
+    from gis_tools_spark.operators.sessions import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_stats(ev, ts_col="ts", gap_s=3600,
+                        key_cols=("event_type",), value_col="value",
+                        order_tiebreak="event_id")
+    ms = lambda c: F.floor(F.col(c) * 1000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    return out.select(
+        "event_type",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        ms("start_s").alias("start_ms"),
+        ms("end_s").alias("end_ms"),
+        F.floor(F.col("sum_value") * 1000000.0 + F.lit(0.5)).cast("long").alias("sum_v"))
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -619,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "phash_near_dups": q_phash_near_dups,
         "pricing_summary": q_pricing_summary,
+        "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
     }
 
@@ -1301,6 +1324,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "events_sessionize": """
+            WITH o AS (
+              SELECT event_type, event_id, epoch(ts) AS t, value,
+                lag(epoch(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS pt
+              FROM events
+            ), s AS (
+              SELECT *, CASE WHEN pt IS NULL OR t - pt > 3600 THEN 1 ELSE 0 END AS ns
+              FROM o
+            ), x AS (
+              SELECT *, sum(ns) OVER (PARTITION BY event_type ORDER BY t, event_id
+                                      ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+              FROM s
+            )
+            SELECT event_type,
+                   CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   CAST(floor(min(t) * 1000.0 + 0.5) AS BIGINT) AS start_ms,
+                   CAST(floor(max(t) * 1000.0 + 0.5) AS BIGINT) AS end_ms,
+                   CAST(floor(sum(value) * 1000000.0 + 0.5) AS BIGINT) AS sum_v
+            FROM x GROUP BY event_type, session_idx
         """,
         "events_hourly": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,

@@ -86,7 +86,7 @@ def main() -> None:
                 "raster_burn",
                 "shared_area", "dedup_exact", "minhash_pairs", "simhash_dups",
                 "ngram_jaccard", "text_stats", "embed_top1", "embed_ann_lsh",
-                "pricing_summary"]
+                "events_sessionize", "pricing_summary"]
     qs = E.queries()
     for name in headline:
         t0 = time.perf_counter()
