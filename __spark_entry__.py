@@ -572,6 +572,27 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("count_order")))
 
 
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components (min-label propagation WITH
+    pointer jumping, O(log diameter) rounds — operators/network.py) on a
+    deterministic graph derived from the events table (nodes = ids mod
+    2000, edges from the affine map u → 7u+13). The DuckDB oracle
+    computes the same components by recursive-CTE reachability closure +
+    per-node min label — an independent algorithm, so the gate checks
+    the RESULT, not a mirrored procedure."""
+    _tune(spark)
+    from gis_tools_spark.operators.network import connected_components
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = (ev.where(F.col("event_id") % 5 == 0)
+             .select((F.col("event_id") % 2000).alias("src_key"),
+                     ((F.col("event_id") * 7 + 13) % 2000).alias("dst_key"))
+             .distinct())
+    cc = connected_components(edges)
+    return cc.select(F.col("node").cast("long").alias("node"),
+                     F.col("component").cast("long").alias("component"))
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event sessionization (gap > 1h starts a new session per
     event_type; lag + running-sum window plan, JVM codegen end-to-end).
@@ -641,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "phash_near_dups": q_phash_near_dups,
         "pricing_summary": q_pricing_summary,
+        "graph_components": q_graph_components,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
     }
@@ -1324,6 +1346,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "graph_components": """
+            WITH RECURSIVE base AS (
+              SELECT event_id % 2000 AS u, (event_id * 7 + 13) % 2000 AS v
+              FROM events WHERE event_id % 5 = 0
+            ), e0 AS (
+              SELECT DISTINCT u, v FROM base
+            ), e AS (
+              SELECT u AS a, v AS b FROM e0
+              UNION
+              SELECT v AS a, u AS b FROM e0
+            ), nodes AS (
+              SELECT DISTINCT a AS node FROM e
+            ), reach AS (
+              SELECT node, node AS comp FROM nodes
+              UNION
+              SELECT e.a AS node, r.comp FROM e JOIN reach r ON e.b = r.node
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(min(comp) AS BIGINT) AS component
+            FROM reach GROUP BY node
         """,
         "events_sessionize": """
             WITH o AS (
