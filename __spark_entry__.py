@@ -543,6 +543,48 @@ def q_raster_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.sum("px").alias("chk"))
 
 
+def q_raster_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour binning (reference contour raster.py:223-248): two-pass
+    percentile-clamped binning over the exact-dyadic tiles, gated with
+    pmin=0/pmax=100 so the thresholds are the exact global min/max (the
+    per-tile 'sample' covers every pixel at 64×64, and the GK sketch is
+    exact at p∈{0,1}) — the full two-pass plan runs, and the oracle
+    reproduces thresholds + bin arithmetic + per-band pixel counts and
+    position checksums in SQL."""
+    _tune(spark)
+    import pandas as pd
+    from typing import Iterator
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.kernels import contour_bins
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+    binned = contour_bins(ras, interval=100.0, pmin=0.0, pmax=100.0)
+
+    def _pixels(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+                _, tx, ty = r.image_id.split("_")
+                rows_, cols_ = np.nonzero(arr != codec.NO_DATA_F32)
+                band = arr[rows_, cols_].astype(np.float64)
+                gix = int(tx) * int(r.w) + cols_
+                giy = int(ty) * int(r.h) + rows_
+                recs.append(pd.DataFrame(
+                    {"band_c": np.floor(band * 10.0 + 0.5).astype(np.int64),
+                     "px": gix * 131 + giy}))
+            if recs:
+                yield pd.concat(recs, ignore_index=True)
+
+    px = binned.mapInPandas(_pixels, schema="band_c long, px long")
+    return px.groupBy("band_c").agg(F.count("*").alias("n_px"),
+                                    F.sum("px").alias("chk"))
+
+
 def q_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """360° horizon extraction from DEM tiles, gated against a DuckDB
     brute-force oracle over the same closed-form pixels (azimuth/
@@ -649,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "zonal_raster_stats": q_zonal_raster_stats,
         "raster_burn": q_raster_burn,
+        "raster_contour": q_raster_contour,
         "horizon": q_horizon,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -857,6 +900,31 @@ FROM px JOIN z
   ON px.lon >= z.zminx AND px.lon <= z.zmaxx
  AND px.lat >= z.zminy AND px.lat <= z.zmaxy
 GROUP BY z.gid
+"""
+
+
+def _contour_oracle_sql() -> str:
+    """Mirror contour_bins(interval=100, pmin=0, pmax=100) over the
+    gen_rasters_exact(2,2,64) pixels: thresholds = exact global min/max,
+    band = floor((clip(v,lo,hi)-lo)/100)*100 + lo + 50; bands emitted as
+    HALF_UP deci-units (floor(band*10+0.5))."""
+    return """
+WITH px AS (
+  SELECT gix, giy,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+         ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+  FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b
+), th AS (
+  SELECT min(val) AS lo, max(val) AS hi FROM px
+)
+SELECT CAST(floor((floor((least(greatest(px.val, th.lo), th.hi) - th.lo) / 100.0)
+                   * 100.0 + th.lo + 50.0) * 10.0 + 0.5) AS BIGINT) AS band_c,
+       count(*) AS n_px,
+       CAST(sum(px.gix * 131 + px.giy) AS BIGINT) AS chk
+FROM px CROSS JOIN th
+WHERE px.val IS NOT NULL
+GROUP BY 1
 """
 
 
@@ -1243,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "raster_burn": _burn_oracle_sql(),
+        "raster_contour": _contour_oracle_sql(),
         "horizon": _horizon_oracle_sql(),
         "embed_ann_lsh": _ann_lsh_oracle_sql(),
         "embed_near_dups": _near_dup_oracle_sql(),

@@ -83,7 +83,7 @@ def main() -> None:
     headline = ["pip_zone_counts", "pip_pairs", "pip_pairs_salted",
                 "knn_nearest_zone", "tile_assignment", "fishnet_tiles",
                 "dwithin_count", "zonal_event_stats", "zonal_raster_stats",
-                "raster_burn",
+                "raster_burn", "raster_contour",
                 "shared_area", "dedup_exact", "minhash_pairs", "simhash_dups",
                 "ngram_jaccard", "text_stats", "embed_top1", "embed_ann_lsh",
                 "events_sessionize", "pricing_summary"]
