@@ -585,6 +585,44 @@ def q_raster_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     F.sum("px").alias("chk"))
 
 
+def q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-mean resample by factor 2 (reference gdal_resample): every
+    output pixel's value is the mean of its 2×2 block, checked
+    per-pixel. Values ≤ 996 keep block sums < 2^24 so float32 kernel
+    arithmetic equals the oracle's double (mean = sum/4 is an exponent
+    shift); emitted as HALF_UP centi-units."""
+    _tune(spark)
+    import pandas as pd
+    from typing import Iterator
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.kernels import resample_block
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+    out = resample_block(ras, 2, method="mean")
+
+    def _pixels(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+                _, tx, ty = r.image_id.split("_")
+                h, w = arr.shape
+                giy, gix = np.mgrid[0:h, 0:w]
+                recs.append(pd.DataFrame(
+                    {"ogix": (int(tx) * w + gix).ravel(),
+                     "ogiy": (int(ty) * h + giy).ravel(),
+                     "val_c": np.floor(arr.astype(np.float64) * 100.0
+                                       + 0.5).astype(np.int64).ravel()}))
+            if recs:
+                yield pd.concat(recs, ignore_index=True)
+
+    return out.mapInPandas(_pixels, schema="ogix long, ogiy long, val_c long")
+
+
 def q_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """360° horizon extraction from DEM tiles, gated against a DuckDB
     brute-force oracle over the same closed-form pixels (azimuth/
@@ -692,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_raster_stats": q_zonal_raster_stats,
         "raster_burn": q_raster_burn,
         "raster_contour": q_raster_contour,
+        "raster_resample": q_raster_resample,
         "horizon": q_horizon,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1312,6 +1351,19 @@ def oracle_sql() -> dict[str, str]:
         "zonal_raster_stats": _zonal_oracle_sql(),
         "raster_burn": _burn_oracle_sql(),
         "raster_contour": _contour_oracle_sql(),
+        "raster_resample": """
+WITH px AS (
+  SELECT gix, giy,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN -9999.0
+         ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+  FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b
+)
+SELECT CAST(floor(gix / 2) AS BIGINT) AS ogix,
+       CAST(floor(giy / 2) AS BIGINT) AS ogiy,
+       CAST(floor(avg(val) * 100.0 + 0.5) AS BIGINT) AS val_c
+FROM px GROUP BY 1, 2
+""",
         "horizon": _horizon_oracle_sql(),
         "embed_ann_lsh": _ann_lsh_oracle_sql(),
         "embed_near_dups": _near_dup_oracle_sql(),
