@@ -623,6 +623,45 @@ def q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(_pixels, schema="ogix long, ogiy long, val_c long")
 
 
+def q_raster_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn slope WITH cross-tile halo exchange (raster/stitch.py) on the
+    2×2 exact mosaic — interior tile borders are computed from true
+    neighbor strips, so this gates the 100 TB-critical EXCHANGE path
+    value-level, not just the per-tile kernel. The oracle recomputes the
+    8-neighbor Horn formula over the global grid with edge-clamped
+    lookups; both sides round through float32 (the kernel's output
+    dtype), which absorbs libm ulp differences between numpy and DuckDB
+    (atan/hypot agree to well under a float32 ulp)."""
+    _tune(spark)
+    import pandas as pd
+    from typing import Iterator
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.stitch import slope_aspect_stitched
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+    out = slope_aspect_stitched(ras, mode="slope")
+
+    def _pixels(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+                _, tx, ty = r.image_id.split("_")
+                rows_, cols_ = np.nonzero(arr != codec.NO_DATA_F32)
+                recs.append(pd.DataFrame(
+                    {"gix": int(tx) * int(r.w) + cols_,
+                     "giy": int(ty) * int(r.h) + rows_,
+                     "slope_v": arr[rows_, cols_].astype(np.float64)}))
+            if recs:
+                yield pd.concat(recs, ignore_index=True)
+
+    return out.mapInPandas(_pixels, schema="gix long, giy long, slope_v double")
+
+
 def q_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """360° horizon extraction from DEM tiles, gated against a DuckDB
     brute-force oracle over the same closed-form pixels (azimuth/
@@ -731,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_burn": q_raster_burn,
         "raster_contour": q_raster_contour,
         "raster_resample": q_raster_resample,
+        "raster_slope": q_raster_slope,
         "horizon": q_horizon,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -939,6 +979,52 @@ FROM px JOIN z
   ON px.lon >= z.zminx AND px.lon <= z.zmaxx
  AND px.lat >= z.zminy AND px.lat <= z.zmaxy
 GROUP BY z.gid
+"""
+
+
+def _slope_oracle_sql() -> str:
+    """8-neighbor Horn slope over the 128x128 exact grid with
+    edge-clamped lookups (= the stitched halo-exchange result: interior
+    borders true neighbors, global borders replicated). A slot is NULL
+    iff that (clamped) neighbor is no-data; any NULL slot excludes the
+    pixel, matching the kernel's NaN propagation. Result cast through
+    REAL like the kernel's float32 output."""
+    return """
+WITH px AS (
+  SELECT gix, giy,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+         ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+  FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b
+), n AS (
+  SELECT c.gix, c.giy,
+    max(CASE WHEN d.dx=-1 AND d.dy=-1 THEN p2.val END) AS zmm,
+    max(CASE WHEN d.dx= 0 AND d.dy=-1 THEN p2.val END) AS z0m,
+    max(CASE WHEN d.dx= 1 AND d.dy=-1 THEN p2.val END) AS zpm,
+    max(CASE WHEN d.dx=-1 AND d.dy= 0 THEN p2.val END) AS zm0,
+    max(CASE WHEN d.dx= 1 AND d.dy= 0 THEN p2.val END) AS zp0,
+    max(CASE WHEN d.dx=-1 AND d.dy= 1 THEN p2.val END) AS zmp,
+    max(CASE WHEN d.dx= 0 AND d.dy= 1 THEN p2.val END) AS z0p,
+    max(CASE WHEN d.dx= 1 AND d.dy= 1 THEN p2.val END) AS zpp
+  FROM px c
+  CROSS JOIN (SELECT * FROM (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(1,0),
+                                    (-1,1),(0,1),(1,1)) t(dx, dy)) d
+  JOIN px p2
+    ON p2.gix = least(greatest(c.gix + d.dx, 0), 127)
+   AND p2.giy = least(greatest(c.giy + d.dy, 0), 127)
+  GROUP BY c.gix, c.giy
+), s AS (
+  SELECT gix, giy,
+    ((zpm + 2*zp0 + zpp) - (zmm + 2*zm0 + zmp)) / 8.0 AS dzdx,
+    ((zmp + 2*z0p + zpp) - (zmm + 2*z0m + zpm)) / 8.0 AS dzdy
+  FROM n
+  WHERE zmm IS NOT NULL AND z0m IS NOT NULL AND zpm IS NOT NULL
+    AND zm0 IS NOT NULL AND zp0 IS NOT NULL
+    AND zmp IS NOT NULL AND z0p IS NOT NULL AND zpp IS NOT NULL
+)
+SELECT CAST(gix AS BIGINT) AS gix, CAST(giy AS BIGINT) AS giy,
+       CAST(CAST(degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy))) AS REAL) AS DOUBLE) AS slope_v
+FROM s
 """
 
 
@@ -1351,6 +1437,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_raster_stats": _zonal_oracle_sql(),
         "raster_burn": _burn_oracle_sql(),
         "raster_contour": _contour_oracle_sql(),
+        "raster_slope": _slope_oracle_sql(),
         "raster_resample": """
 WITH px AS (
   SELECT gix, giy,
