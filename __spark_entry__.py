@@ -662,6 +662,41 @@ def q_raster_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(_pixels, schema="gix long, giy long, slope_v double")
 
 
+def q_raster_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect variant of q_raster_slope (same halo-exchange plumbing,
+    atan2 formula). dzdx/dzdy are exact multiples of 0.125 here (integer
+    field), so the atan2 branch cut has no ulp sign-flip risk and the
+    float32 round-trip absorbs libm differences."""
+    _tune(spark)
+    import pandas as pd
+    from typing import Iterator
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.stitch import slope_aspect_stitched
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+    out = slope_aspect_stitched(ras, mode="aspect")
+
+    def _pixels(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+                _, tx, ty = r.image_id.split("_")
+                rows_, cols_ = np.nonzero(arr != codec.NO_DATA_F32)
+                recs.append(pd.DataFrame(
+                    {"gix": int(tx) * int(r.w) + cols_,
+                     "giy": int(ty) * int(r.h) + rows_,
+                     "aspect_v": arr[rows_, cols_].astype(np.float64)}))
+            if recs:
+                yield pd.concat(recs, ignore_index=True)
+
+    return out.mapInPandas(_pixels, schema="gix long, giy long, aspect_v double")
+
+
 def q_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """360° horizon extraction from DEM tiles, gated against a DuckDB
     brute-force oracle over the same closed-form pixels (azimuth/
@@ -771,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_contour": q_raster_contour,
         "raster_resample": q_raster_resample,
         "raster_slope": q_raster_slope,
+        "raster_aspect": q_raster_aspect,
         "horizon": q_horizon,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1438,6 +1474,9 @@ def oracle_sql() -> dict[str, str]:
         "raster_burn": _burn_oracle_sql(),
         "raster_contour": _contour_oracle_sql(),
         "raster_slope": _slope_oracle_sql(),
+        "raster_aspect": _slope_oracle_sql().replace(
+            "degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))",
+            "degrees(atan2(dzdy, -dzdx))").replace("AS slope_v", "AS aspect_v"),
         "raster_resample": """
 WITH px AS (
   SELECT gix, giy,
