@@ -623,6 +623,50 @@ def q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(_pixels, schema="ogix long, ogiy long, val_c long")
 
 
+def q_raster_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mosaic polygonize WITH cross-tile region stitching
+    (raster/stitch.polygonize_stitched): blocky 4-valued field whose
+    5×7 blocks straddle the 2×2 tile borders, so border regions must be
+    MERGED across tiles to match the oracle — which computes the same
+    connected regions by recursive-CTE closure over the 4-adjacent
+    same-value pixel graph (an independent algorithm). Compared per
+    value: region count, total pixels, sum of squared region sizes
+    (multiset fingerprint) and max region size."""
+    _tune(spark)
+    import numpy as np
+    import pandas as pd
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.stitch import polygonize_stitched
+
+    minx, miny, maxx, maxy = fixtures.AOI
+    nx = ny = 2
+    tile = 64
+    rx = (maxx - minx) / (nx * tile)
+    ry = (maxy - miny) / (ny * tile)
+    rows = []
+    for ty in range(ny):
+        for tx in range(nx):
+            gx = tx * tile + np.arange(tile)[None, :]
+            gy = ty * tile + np.arange(tile)[:, None]
+            val = (((gx // 5) * 3 + (gy // 7) * 5) % 4).astype(np.float32)
+            nod = (gx * 31 + gy * 17) % 101 < 3
+            val[np.broadcast_to(nod, val.shape)] = codec.NO_DATA_F32
+            rows.append((f"tile_{tx}_{ty}", codec.encode_raw_f32(val),
+                         tile, tile, "raw_f32",
+                         minx + tx * tile * rx, rx, maxy - ty * tile * ry, ry))
+    tiles = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["image_id", "bytes", "w", "h", "fmt",
+                       "gt_x0", "gt_rx", "gt_y0", "gt_ry"]))
+    regions = polygonize_stitched(tiles)
+    return (regions.groupBy(F.col("value").cast("long").alias("value"))
+            .agg(F.count("*").alias("n_regions"),
+                 F.sum("px_count").alias("total_px"),
+                 F.sum(F.col("px_count") * F.col("px_count")).alias("px_sq"),
+                 F.max("px_count").alias("max_px")))
+
+
 def q_raster_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horn slope WITH cross-tile halo exchange (raster/stitch.py) on the
     2×2 exact mosaic — interior tile borders are computed from true
@@ -807,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_resample": q_raster_resample,
         "raster_slope": q_raster_slope,
         "raster_aspect": q_raster_aspect,
+        "raster_polygonize": q_raster_polygonize,
         "horizon": q_horizon,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1474,6 +1519,32 @@ def oracle_sql() -> dict[str, str]:
         "raster_burn": _burn_oracle_sql(),
         "raster_contour": _contour_oracle_sql(),
         "raster_slope": _slope_oracle_sql(),
+        "raster_polygonize": """
+WITH RECURSIVE px AS (
+  SELECT gix, giy, gix*128 + giy AS node,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+         ELSE (CAST(floor(gix/5) AS BIGINT)*3 + CAST(floor(giy/7) AS BIGINT)*5) % 4 END AS v
+  FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b
+), e0 AS (
+  SELECT a.node s, b.node t FROM px a JOIN px b ON b.gix=a.gix+1 AND b.giy=a.giy AND a.v=b.v
+  UNION ALL
+  SELECT a.node, b.node FROM px a JOIN px b ON b.gix=a.gix AND b.giy=a.giy+1 AND a.v=b.v
+), e AS (SELECT s, t FROM e0 UNION SELECT t AS s, s AS t FROM e0),
+nodes AS (SELECT node, v FROM px WHERE v IS NOT NULL),
+reach AS (
+  SELECT node, node AS comp FROM nodes
+  UNION
+  SELECT e.s AS node, r.comp FROM e JOIN reach r ON e.t = r.node
+), comp AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+regions AS (SELECT n.v, c.comp, count(*) AS px
+            FROM nodes n JOIN comp c USING(node) GROUP BY n.v, c.comp)
+SELECT CAST(v AS BIGINT) AS value, count(*) AS n_regions,
+       CAST(sum(px) AS BIGINT) AS total_px,
+       CAST(sum(px*px) AS BIGINT) AS px_sq,
+       CAST(max(px) AS BIGINT) AS max_px
+FROM regions GROUP BY v
+""",
         "raster_aspect": _slope_oracle_sql().replace(
             "degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))",
             "degrees(atan2(dzdy, -dzdx))").replace("AS slope_v", "AS aspect_v"),
