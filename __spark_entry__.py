@@ -770,6 +770,30 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("count_order")))
 
 
+def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-component Dijkstra (operators/network.shortest_paths:
+    components → groupBy(component) → in-process solver) on a
+    deterministic weighted graph derived from the events table, gated
+    against an INDEPENDENT DuckDB oracle: capped recursive-CTE walk
+    enumeration + per-node min (cap 60 ≥ 3× the true eccentricity of
+    this graph, so min(walk ≤ cap) = true shortest distance)."""
+    _tune(spark)
+    from gis_tools_spark.operators.network import shortest_paths
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    u = F.col("event_id") % 60
+    v = (F.col("event_id") * 13 + 7) % 60
+    edges = (ev.where(F.col("event_id") % 11 == 0)
+             .select(F.least(u, v).alias("__u"), F.greatest(u, v).alias("__v"))
+             .where(F.col("__u") != F.col("__v")).distinct()
+             .select(F.concat(F.lit("n"), F.col("__u").cast("string")).alias("src_key"),
+                     F.concat(F.lit("n"), F.col("__v").cast("string")).alias("dst_key"),
+                     (1 + (F.col("__u") * 31 + F.col("__v") * 17) % 5)
+                     .cast("double").alias("length")))
+    out = shortest_paths(edges, ["n0"], weight_col="length")
+    return out.select("source", "node", F.col("dist").cast("double").alias("dist"))
+
+
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed connected components (min-label propagation WITH
     pointer jumping, O(log diameter) rounds — operators/network.py) on a
@@ -866,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dups": q_phash_near_dups,
         "pricing_summary": q_pricing_summary,
         "graph_components": q_graph_components,
+        "graph_shortest_paths": q_graph_shortest_paths,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
     }
@@ -1664,6 +1689,26 @@ FROM px GROUP BY 1, 2
                    round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "graph_shortest_paths": """
+            WITH RECURSIVE base AS (
+              SELECT least(event_id % 60, (event_id*13+7) % 60) AS u,
+                     greatest(event_id % 60, (event_id*13+7) % 60) AS v
+              FROM events WHERE event_id % 11 = 0
+            ), e0 AS (SELECT DISTINCT u, v FROM base WHERE u <> v),
+            w AS (SELECT u, v, CAST(1 + (u*31 + v*17) % 5 AS DOUBLE) AS w FROM e0),
+            e AS (SELECT u AS a, v AS b, w FROM w
+                  UNION ALL SELECT v AS a, u AS b, w FROM w),
+            walk AS (
+              SELECT CAST(0 AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS dist
+              UNION
+              SELECT e.b AS node, walk.dist + e.w AS dist
+              FROM e JOIN walk ON e.a = walk.node
+              WHERE walk.dist + e.w <= 60
+            )
+            SELECT 'n0' AS source, 'n' || CAST(node AS VARCHAR) AS node,
+                   min(dist) AS dist
+            FROM walk GROUP BY node
         """,
         "graph_components": """
             WITH RECURSIVE base AS (
