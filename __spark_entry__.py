@@ -623,6 +623,26 @@ def q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(_pixels, schema="ogix long, ogiy long, val_c long")
 
 
+def q_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minkowski buffer (functions/geom_funcs.buffer_geom: boundary
+    segment rects + vertex discs folded with the seam-decomposed region
+    union) gated by AREA against the closed form for convex rects:
+    A + P·r + inscribed-64-gon disc area. The kernel result differs from
+    the closed form by ~4e-9 (deterministic union-seam epsilons), far
+    inside the 6dp rounding margin — and every zone has identical dims,
+    so the comparison is deterministic."""
+    _tune(spark)
+    from gis_tools_spark.functions.geom_funcs import geom_area, geom_buffer
+
+    zones = DT.nation_zones(spark, sf_dir)
+    buf = geom_buffer(0.15, 16)
+    area = geom_area()
+    return zones.select(
+        "gid",
+        F.floor(area(buf(F.col("geometry_wkb"))) * 1000000.0 + F.lit(0.5))
+        .cast("long").alias("area_c"))
+
+
 def q_raster_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mosaic polygonize WITH cross-tile region stitching
     (raster/stitch.polygonize_stitched): blocky 4-valued field whose
@@ -876,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_slope": q_raster_slope,
         "raster_aspect": q_raster_aspect,
         "raster_polygonize": q_raster_polygonize,
+        "buffer_area": q_buffer_area,
         "horizon": q_horizon,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1544,6 +1565,14 @@ def oracle_sql() -> dict[str, str]:
         "raster_burn": _burn_oracle_sql(),
         "raster_contour": _contour_oracle_sql(),
         "raster_slope": _slope_oracle_sql(),
+        "buffer_area": """
+            SELECT gid,
+              CAST(floor(((zmaxx - zminx) * (zmaxy - zminy)
+                + 2.0 * ((zmaxx - zminx) + (zmaxy - zminy)) * 0.15
+                + 0.5 * 0.15 * 0.15 * 64 * sin(2 * pi() / 64))
+                * 1000000.0 + 0.5) AS BIGINT) AS area_c
+            FROM ({ZONES_SQL_INLINE}) z
+        """.replace("{ZONES_SQL_INLINE}", __import__("gis_tools_spark.sources.driver_tables", fromlist=["ZONES_SQL"]).ZONES_SQL.strip()),
         "raster_polygonize": """
 WITH RECURSIVE px AS (
   SELECT gix, giy, gix*128 + giy AS node,
