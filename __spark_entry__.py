@@ -623,6 +623,23 @@ def q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(_pixels, schema="ogix long, ogiy long, val_c long")
 
 
+def q_katana_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katana recursive bbox-halving split (§2.4 headline op) gated by
+    closed form: a 0.8x0.8 zone at threshold 0.1 splits into exactly 8
+    pieces of area 0.08 (alternating-axis halving), so per-zone piece
+    count / total / max are deterministic."""
+    _tune(spark)
+    from gis_tools_spark.operators.split import split_polygons
+
+    zones = DT.nation_zones(spark, sf_dir).select("gid", "geometry_wkb")
+    out = split_polygons(zones, threshold=0.1, method="katana")
+    ac = F.floor(F.col("piece_area") * 1000000.0 + F.lit(0.5)).cast("long")
+    return (out.select("gid", ac.alias("ac"))
+            .groupBy("gid").agg(F.count("*").alias("n_pieces"),
+                                F.sum("ac").alias("sum_c"),
+                                F.max("ac").alias("max_c")))
+
+
 def q_buffer_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minkowski buffer (functions/geom_funcs.buffer_geom: boundary
     segment rects + vertex discs folded with the seam-decomposed region
@@ -897,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_aspect": q_raster_aspect,
         "raster_polygonize": q_raster_polygonize,
         "buffer_area": q_buffer_area,
+        "katana_split": q_katana_split,
         "horizon": q_horizon,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1565,6 +1583,13 @@ def oracle_sql() -> dict[str, str]:
         "raster_burn": _burn_oracle_sql(),
         "raster_contour": _contour_oracle_sql(),
         "raster_slope": _slope_oracle_sql(),
+        "katana_split": """
+            SELECT n_nationkey AS gid,
+                   CAST(8 AS BIGINT) AS n_pieces,
+                   CAST(640000 AS BIGINT) AS sum_c,
+                   CAST(80000 AS BIGINT) AS max_c
+            FROM nation
+        """,
         "buffer_area": """
             SELECT gid,
               CAST(floor(((zmaxx - zminx) * (zmaxy - zminy)
