@@ -623,6 +623,20 @@ def q_raster_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(_pixels, schema="ogix long, ogiy long, val_c long")
 
 
+def q_centroid_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distance_of_centroid_to_boundary (reference layer.py:1623-1634)
+    gated by closed form on rects: min = half the short side, max = half
+    the diagonal."""
+    _tune(spark)
+    from gis_tools_spark.operators.proximity import centroid_boundary_distance
+
+    zones = DT.nation_zones(spark, sf_dir).select("gid", "geometry_wkb")
+    out = centroid_boundary_distance(zones)
+    c = lambda col: F.floor(F.col(col) * 1000000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    return out.select("gid", c("cb_min_dist").alias("min_c"),
+                      c("cb_max_dist").alias("max_c"))
+
+
 def q_katana_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Katana recursive bbox-halving split (§2.4 headline op) gated by
     closed form: a 0.8x0.8 zone at threshold 0.1 splits into exactly 8
@@ -915,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_polygonize": q_raster_polygonize,
         "buffer_area": q_buffer_area,
         "katana_split": q_katana_split,
+        "centroid_boundary": q_centroid_boundary,
         "horizon": q_horizon,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
@@ -1583,6 +1598,15 @@ def oracle_sql() -> dict[str, str]:
         "raster_burn": _burn_oracle_sql(),
         "raster_contour": _contour_oracle_sql(),
         "raster_slope": _slope_oracle_sql(),
+        "centroid_boundary": """
+            SELECT z.gid,
+              CAST(floor(least(z.zmaxx - z.zminx, z.zmaxy - z.zminy) / 2.0
+                         * 1000000.0 + 0.5) AS BIGINT) AS min_c,
+              CAST(floor(sqrt((z.zmaxx - z.zminx)*(z.zmaxx - z.zminx)
+                            + (z.zmaxy - z.zminy)*(z.zmaxy - z.zminy)) / 2.0
+                         * 1000000.0 + 0.5) AS BIGINT) AS max_c
+            FROM ({Z}) z
+        """.replace("{Z}", __import__("gis_tools_spark.sources.driver_tables", fromlist=["ZONES_SQL"]).ZONES_SQL.strip()),
         "katana_split": """
             SELECT n_nationkey AS gid,
                    CAST(8 AS BIGINT) AS n_pieces,
