@@ -145,41 +145,39 @@ def travel_times(lines: DataFrame, *, wkb_col: str = "geometry_wkb",
     time = Σ seg_len / v. Adds `travel_time` and `mean_speed` columns.
     Units follow the inputs (speed in length-units/hour → time in hours).
     """
-    fields = T.StructType(list(lines.schema.fields) + [
-        T.StructField("travel_time", T.DoubleType()),
-        T.StructField("mean_speed", T.DoubleType()),
-    ])
+    # 1:1 per line → struct scalar UDF over (wkb, speed); other line
+    # attribute columns stay JVM-side
+    tt_t = T.StructType([T.StructField("travel_time", T.DoubleType()),
+                         T.StructField("mean_speed", T.DoubleType())])
 
-    def _run(it):
-        for pdf in it:
-            tt, ms = [], []
-            for i in range(len(pdf)):
-                g = wkb.decode(pdf[wkb_col].iloc[i])
-                coords = g["coords"] if g["type"] == "LineString" else g["lines"][0]
-                pts = coords[:, :2]
-                seg = np.sqrt((np.diff(pts, axis=0) ** 2).sum(axis=1))
-                vmax = float(pdf[speed_col].iloc[i])
-                v = np.full(len(seg), max(vmax, min_speed))
-                if len(pts) >= 3:
-                    from ..geom.kernels import radius_of_curvature
+    @F.pandas_udf(tt_t)
+    def _tt(bs: pd.Series, speeds: pd.Series) -> pd.DataFrame:
+        tt, ms = [], []
+        for b, vmax_ in zip(bs, speeds):
+            g = wkb.decode(b)
+            coords = g["coords"] if g["type"] == "LineString" else g["lines"][0]
+            pts = coords[:, :2]
+            seg = np.sqrt((np.diff(pts, axis=0) ** 2).sum(axis=1))
+            v = np.full(len(seg), max(float(vmax_), min_speed))
+            if len(pts) >= 3:
+                from ..geom.kernels import radius_of_curvature
 
-                    r = radius_of_curvature(coords)
-                    vcurve = np.sqrt(rollover_criterion * r)
-                    # a curve radius at vertex k limits segments k and k+1
-                    lim = np.full(len(seg), np.inf)
-                    lim[:-1] = np.minimum(lim[:-1], vcurve)
-                    lim[1:] = np.minimum(lim[1:], vcurve)
-                    v = np.maximum(np.minimum(v, lim), min_speed)
-                total_len = float(seg.sum())
-                t = float((seg / v).sum()) if total_len > 0 else 0.0
-                tt.append(t)
-                ms.append(total_len / t if t > 0 else 0.0)
-            out = pdf.copy()
-            out["travel_time"] = tt
-            out["mean_speed"] = ms
-            yield out
+                r = radius_of_curvature(coords)
+                vcurve = np.sqrt(rollover_criterion * r)
+                # a curve radius at vertex k limits segments k and k+1
+                lim = np.full(len(seg), np.inf)
+                lim[:-1] = np.minimum(lim[:-1], vcurve)
+                lim[1:] = np.minimum(lim[1:], vcurve)
+                v = np.maximum(np.minimum(v, lim), min_speed)
+            total_len = float(seg.sum())
+            t = float((seg / v).sum()) if total_len > 0 else 0.0
+            tt.append(t)
+            ms.append(total_len / t if t > 0 else 0.0)
+        return pd.DataFrame({"travel_time": tt, "mean_speed": ms})
 
-    return lines.mapInPandas(_run, schema=fields)
+    return (lines.withColumn("__tt", _tt(F.col(wkb_col), F.col(speed_col)))
+            .select("*", "__tt.travel_time", "__tt.mean_speed")
+            .drop("__tt"))
 
 
 def shortest_paths(edges: DataFrame, sources: list[str], *,
