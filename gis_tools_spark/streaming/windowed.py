@@ -48,6 +48,26 @@ def windowed_zone_counts(stream: DataFrame, zones: DataFrame, *,
                     F.col("win.end").alias("win_end"), "gid", "n"))
 
 
+def sessionized_zone_counts(stream: DataFrame, zones: DataFrame, *,
+                            ts_col: str = "ts", gap: str = "30 minutes",
+                            watermark: str = "1 hour",
+                            lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """Streaming gap-session aggregation per zone (the streaming analog
+    of operators/sessions.sessionize): F.session_window merges rows of a
+    zone whose event times are within `gap`; the watermark closes and
+    emits sessions once no in-gap row can still arrive. State is
+    O(zones × open sessions) — bounded by the watermark horizon.
+    """
+    pts = (stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+           .withWatermark(ts_col, watermark))
+    joined = pip_join(pts, zones, strategy="broadcast")
+    return (joined.groupBy(F.session_window(F.col(ts_col), gap).alias("sess"),
+                           "gid")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("sess.start").alias("sess_start"),
+                    F.col("sess.end").alias("sess_end"), "gid", "n"))
+
+
 _STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType())])
 _OUT_SCHEMA = T.StructType([
     T.StructField("gid", T.LongType()),

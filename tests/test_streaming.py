@@ -142,3 +142,41 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     n2 = spark.read.parquet(f"{out_dir}/zone_hits").count()
     assert n1 == n2 == 5
+
+
+def test_sessionized_zone_counts_gap_sessions(spark, tmp_path):
+    """Streaming session windows: rows within the gap merge into one
+    session; in append mode only sessions CLOSED by the watermark are
+    emitted (the 12:00 row advances the watermark past the first
+    session's end but its own session stays open)."""
+    from gis_tools_spark.streaming.windowed import sessionized_zone_counts
+
+    zones, zones_pd = _zone_df(spark)
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    gid0 = int(zones_pd.gid.iloc[0])
+    b1 = pd.concat([
+        _pts_inside(zones_pd, gid0, 2,
+                    ["2026-01-01 10:00", "2026-01-01 10:10"]),
+        _pts_inside(zones_pd, gid0, 1, ["2026-01-01 12:00"]),
+    ])
+    b1.to_parquet(src / "b1.parquet", index=False)
+
+    stream = (spark.readStream.schema(
+        "event_id long, lon double, lat double, ts timestamp_ntz")
+        .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = sessionized_zone_counts(stream, zones, gap="30 minutes",
+                                  watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "sess_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sess").toPandas()
+    # exactly the closed session: 10:00 → 10:40 (10:10 + 30 min), 2 rows
+    assert len(got) == 1, got
+    r = got.iloc[0]
+    assert int(r["gid"]) == gid0
+    assert r["n"] == 2
+    assert str(r["sess_start"]) == "2026-01-01 10:00:00"
+    assert str(r["sess_end"]) == "2026-01-01 10:40:00"
