@@ -96,14 +96,28 @@ def explode_cover(df: DataFrame, wkb_col: str, out_col: str = CELL_COL,
     return df.withColumn(out_col, F.explode(udf(F.col(wkb_col))))
 
 
-def hot_cells(df: DataFrame, cell_col: str, threshold: int) -> DataFrame:
+def hot_cells(df: DataFrame, cell_col: str, threshold: int,
+              sample_fraction: float = 1.0) -> DataFrame:
     """Tiny table of (cell, n_salts) for cells whose row count exceeds the
-    threshold — the explicit skew histogram (north rule; SURVEY §4 item 2)."""
+    threshold — the explicit skew histogram (north rule; SURVEY §4 item 2).
+
+    ``sample_fraction < 1`` estimates the histogram from a seeded sample
+    (threshold and counts scaled back up): detection costs 1/fraction as
+    much, and salting correctness is INVARIANT to detection errors — a
+    missed borderline-hot cell just stays unsalted, an over-estimated
+    count just over-spreads — so sampling is always safe. Worth it when
+    the fact side is large (the full histogram is a flat O(rows) job;
+    see PERF.md skew-regimes table)."""
+    src = df
+    thr = float(threshold)
+    if sample_fraction < 1.0:
+        src = df.sample(fraction=sample_fraction, seed=42)
+        thr = threshold * sample_fraction
     return (
-        df.groupBy(cell_col).count()
-        .where(F.col("count") > threshold)
+        src.groupBy(cell_col).count()
+        .where(F.col("count") > thr)
         .select(F.col(cell_col).alias("__hot_cell"),
-                F.ceil(F.col("count") / threshold).cast("int").alias("__n_salts"))
+                F.ceil(F.col("count") / F.lit(thr)).cast("int").alias("__n_salts"))
     )
 
 

@@ -59,6 +59,7 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
              res_min: int = C.RES_MIN, res_max: int = C.RES_MAX,
              max_cells: int = 64,
              salt_threshold: int | None = None,
+             salt_sample: float = 1.0,
              strategy: str = "auto",
              broadcast_max_rows: int = 100_000,
              broadcast_max_bytes: int = 64 << 20,
@@ -104,6 +105,7 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
                                  predicate=predicate, res_min=res_min,
                                  res_max=res_max, max_cells=max_cells,
                                  salt_threshold=salt_threshold,
+                                 salt_sample=salt_sample,
                                  keep_poly_wkb=keep_poly_wkb)
 
     if how == "inner":
@@ -119,7 +121,8 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
 
 def _pip_cell_join(points: DataFrame, polygons: DataFrame, *, lon, lat,
                    poly_wkb, poly_id, predicate, res_min, res_max,
-                   max_cells, salt_threshold, keep_poly_wkb) -> DataFrame:
+                   max_cells, salt_threshold, keep_poly_wkb,
+                   salt_sample: float = 1.0) -> DataFrame:
     cover = explode_cover(polygons, poly_wkb, CELL_COL, res_min, res_max, max_cells)
     cover = cover.withColumn("__res", (F.col(CELL_COL) / F.lit(1 << C.RES_SHIFT)).cast("int"))
     res_list = [r["__res"] for r in cover.select("__res").distinct().collect()]
@@ -129,11 +132,27 @@ def _pip_cell_join(points: DataFrame, polygons: DataFrame, *, lon, lat,
         pts = points.withColumn(CELL_COL, C.cell_column(F.col(lon), F.col(lat), res))
         cov_r = cover.where(F.col("__res") == res).drop("__res")
         if salt_threshold:
-            hot = hot_cells(pts, CELL_COL, salt_threshold)
-            pts = salt_fact_side(pts, CELL_COL, hot, hash_col=lon)
-            cov_r = salt_dim_side(cov_r, CELL_COL, hot)
-            pieces.append(pts.join(cov_r, on=[CELL_COL, SALT_COL], how="inner")
-                          .drop(CELL_COL, SALT_COL))
+            # materialize the hot-cell table to the driver ONCE: it is
+            # tiny by construction (cells above threshold), and both
+            # salt sides broadcast it — left as a lazy plan, each
+            # broadcast exchange re-ran the full fact-side histogram
+            # (measured: ~2x the histogram cost flat, the dominant
+            # salt-plumbing overhead at 1M points). An empty histogram
+            # short-circuits to the unsalted join.
+            hot_lazy = hot_cells(pts, CELL_COL, salt_threshold,
+                                 sample_fraction=salt_sample)
+            hot_rows = hot_lazy.collect()
+            if hot_rows:
+                spark_ = points.sparkSession
+                hot = spark_.createDataFrame(hot_rows, hot_lazy.schema)
+                pts = salt_fact_side(pts, CELL_COL, hot, hash_col=lon)
+                cov_r = salt_dim_side(cov_r, CELL_COL, hot)
+                pieces.append(pts.join(cov_r, on=[CELL_COL, SALT_COL],
+                                       how="inner")
+                              .drop(CELL_COL, SALT_COL))
+            else:
+                pieces.append(pts.join(cov_r, on=CELL_COL, how="inner")
+                              .drop(CELL_COL))
         else:
             pieces.append(pts.join(cov_r, on=CELL_COL, how="inner").drop(CELL_COL))
     if not pieces:
