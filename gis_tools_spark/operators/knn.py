@@ -124,8 +124,11 @@ def _nearest_rings(points, features, *, lon, lat, point_id, feat_wkb, feat_id,
     # cells are 360/2^res wide but 180/2^res tall — the exactness radius
     # must use the smaller extent
     cell_w = 180.0 / (1 << res)
+    # persist: every expansion round joins against this cover — without
+    # it the cover UDF re-runs over the whole feature side per round
     cover = explode_cover(features.select(feat_id, feat_wkb), feat_wkb,
-                          CELL_COL, res, res, max_cells=4096).drop(feat_wkb)
+                          CELL_COL, res, res, max_cells=4096).drop(feat_wkb) \
+        .persist()
 
     feats = features.select(feat_id, feat_wkb)
     w = Window.partitionBy(point_id).orderBy(F.col("__order"), F.col(feat_id))
