@@ -87,9 +87,12 @@ def connected_components(edges: DataFrame, *, max_iter: int = 64) -> DataFrame:
     Raises on non-convergence rather than returning split components
     (which would feed Dijkstra wrong subgraphs downstream). Returns all
     nodes incl. isolated endpoints."""
+    # persist: every propagation round joins against the undirected edge
+    # set — without it the upstream edge derivation (and its distinct
+    # shuffle) re-runs once per round
     und = (edges.select(F.col("src_key").alias("a"), F.col("dst_key").alias("b"))
            .unionAll(edges.select(F.col("dst_key").alias("a"), F.col("src_key").alias("b")))
-           .distinct())
+           .distinct()).persist()
     labels = (und.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("component", F.col("node")))
