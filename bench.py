@@ -146,9 +146,17 @@ def main() -> None:
 
     from gis_tools_spark.operators.dedup import image_near_dups
 
+    # plant real near-duplicates (random images almost never collide at
+    # hamming <= 4): 1% of rows re-enter with a 2-bit-perturbed phash,
+    # so the blocking join has actual matches to surface
+    dups = (images.select("image_id", "phash")
+            .where(F.xxhash64("image_id") % 100 == 0)
+            .select(F.concat(F.col("image_id"), F.lit("_dup")).alias("image_id"),
+                    F.col("phash").bitwiseXOR(F.lit(0x0000000100000001))
+                    .alias("phash")))
+    nd_in = images.select("image_id", "phash").unionByName(dups)
     t0 = time.perf_counter()
-    nd = _count(image_near_dups(images.select("image_id", "phash"),
-                                max_hamming=4))
+    nd = _count(image_near_dups(nd_in, max_hamming=4))
     timings["img_near_dups"] = round(time.perf_counter() - t0, 3)
     meta["img_near_dup_pairs"] = nd
 
