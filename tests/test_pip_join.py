@@ -39,6 +39,18 @@ def test_pip_join_salted_matches(dfs, oracle_pairs):
     assert got == oracle_pairs
 
 
+def test_pip_join_sampled_salt_matches(dfs, oracle_pairs):
+    """Sampled hot-cell detection must not change results — salting is
+    correctness-invariant however the histogram is estimated (a missed
+    hot cell stays unsalted, an over-count over-spreads)."""
+    pts, zones = dfs
+    got = sorted((r["pid"], r["gid"]) for r in
+                 pip_join(pts, zones, strategy="cell", salt_threshold=20,
+                          salt_sample=0.3)
+                 .select("pid", "gid").collect())
+    assert got == oracle_pairs
+
+
 def test_pip_left_join_keeps_all_points(dfs):
     pts, zones = dfs
     n = pip_join(pts, zones, strategy="cell", how="left").select("pid").distinct().count()
