@@ -498,6 +498,28 @@ def q_zonal_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("mean_r"))
 
 
+def q_zonal_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-weighted zonal statistics (reference stats.py:154-203 /
+    surface.py:46-49): per-pixel weights R^2 dl df cos(lat) — the
+    constant cancels in the weighted mean/std, so the oracle weights by
+    cos(radians(lat)) alone. std emitted at 3dp (libm cos + summation
+    order leave ~1e-7 noise on a ~300-magnitude std; the 6dp mean is
+    safe because the weighted mean is ~500 with ~1e-10 relative noise)."""
+    _tune(spark)
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster.zonal import zonal_statistics
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(4, 4, 64))
+    zones = DT.nation_zones(spark, sf_dir)
+    out = zonal_statistics(ras, zones, surface_weighted=True)
+    return out.select(
+        "gid",
+        F.floor(F.col("zonal_mean") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").alias("wmean_r"),
+        F.floor(F.col("zonal_std") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long").alias("wstd_r"))
+
+
 def q_raster_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector→raster burn (north-star core op: 'vector-to-raster tile
     burning'): nation zone rects burned attr-wise onto 4 exact-dyadic
@@ -922,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "zonal_raster_stats": q_zonal_raster_stats,
         "raster_burn": q_raster_burn,
+        "zonal_surface": q_zonal_surface,
         "raster_contour": q_raster_contour,
         "raster_resample": q_raster_resample,
         "raster_slope": q_raster_slope,
@@ -1210,6 +1233,39 @@ SELECT CAST(floor((floor((least(greatest(px.val, th.lo), th.hi) - th.lo) / 100.0
 FROM px CROSS JOIN th
 WHERE px.val IS NOT NULL
 GROUP BY 1
+"""
+
+
+def _zonal_surface_oracle_sql() -> str:
+    """Weighted mean/std over the gen_rasters_exact(4,4,64) pixels with
+    w = cos(radians(lat)) (the R^2 dl df constant cancels)."""
+    from gis_tools_spark.sources.driver_tables import ZONES_SQL
+
+    return f"""
+WITH z AS ({ZONES_SQL.strip()}),
+px AS (
+  SELECT gix, giy,
+    5.0 + (gix + 0.5) * 0.01953125 AS lon,
+    45.0 - (giy + 0.5) * 0.01953125 AS lat,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+         ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+  FROM (SELECT unnest(generate_series(0, 255)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS giy) b
+), j AS (
+  SELECT z.gid, px.val, cos(radians(px.lat)) AS w
+  FROM px JOIN z
+    ON px.lon >= z.zminx AND px.lon <= z.zmaxx
+   AND px.lat >= z.zminy AND px.lat <= z.zmaxy
+  WHERE px.val IS NOT NULL
+), s AS (
+  SELECT gid, sum(w) AS wsum, sum(w*val) AS wvs, sum(w*val*val) AS wvss
+  FROM j GROUP BY gid
+)
+SELECT gid,
+  CAST(floor(wvs / wsum * 1000000.0 + 0.5) AS BIGINT) AS wmean_r,
+  CAST(floor(sqrt(greatest(wvss / wsum - (wvs / wsum) * (wvs / wsum), 0.0))
+             * 1000.0 + 0.5) AS BIGINT) AS wstd_r
+FROM s
 """
 
 
@@ -1596,6 +1652,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "raster_burn": _burn_oracle_sql(),
+        "zonal_surface": _zonal_surface_oracle_sql(),
         "raster_contour": _contour_oracle_sql(),
         "raster_slope": _slope_oracle_sql(),
         "centroid_boundary": """
