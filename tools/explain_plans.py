@@ -79,6 +79,17 @@ def main() -> None:
     checks.append(("exact refine (scalar UDF filter) sits above the join", ok4b))
     out.append("## 3. PIP cell join (filter-refine)\n```\n" + p4[:3000] + "\n```\n")
 
+    # 5. broadcast PIP: no shuffle join — the kernel emits match-index
+    # arrays (scalar UDF over lon/lat), explode + a BROADCAST equi-join
+    # attach attributes; the only exchange allowed is the small-scan
+    # parallelism guard (round-robin repartition)
+    jb = pip_join(pts, zones, strategy="broadcast")
+    p5 = plan_of(jb)
+    ok5 = ("BroadcastHashJoin" in p5 and "SortMergeJoin" not in p5
+           and p5.count("Exchange") - p5.count("BroadcastExchange") <= 2)
+    checks.append(("broadcast PIP: index-array kernel + attr broadcast join, no shuffle join", ok5))
+    out.append("## 4. PIP broadcast path\n```\n" + p5[:2600] + "\n```\n")
+
     out.append("## Checks\n")
     for name, ok in checks:
         out.append(f"- [{'x' if ok else ' '}] {name}")
