@@ -888,6 +888,26 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("component").cast("long").alias("component"))
 
 
+def q_great_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haversine great-circle distance (functions/geodesy — pure
+    whole-stage-codegen column math) from every event point to the AOI
+    center, aggregated per event_type; the oracle evaluates the
+    identical formula in SQL. Emitted as HALF_UP millimeter-rounded
+    mean/max (libm ulp noise is ~1e-9 m, far under the guard)."""
+    _tune(spark)
+    from gis_tools_spark.functions.geodesy import great_circle_meters
+
+    pts = DT.events_points(spark, sf_dir)
+    d = great_circle_meters(F.col("lon"), F.col("lat"),
+                            F.lit(7.5), F.lit(42.5))
+    mm = lambda c: F.floor(c * 1000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    return (pts.withColumn("__d", d)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 mm(F.avg("__d")).alias("mean_mm"),
+                 mm(F.max("__d")).alias("max_mm")))
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event sessionization (gap > 1h starts a new session per
     event_type; lag + running-sum window plan, JVM codegen end-to-end).
@@ -968,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "graph_components": q_graph_components,
         "graph_shortest_paths": q_graph_shortest_paths,
+        "great_circle": q_great_circle,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
     }
@@ -1865,6 +1886,24 @@ FROM px GROUP BY 1, 2
             SELECT CAST(node AS BIGINT) AS node,
                    CAST(min(comp) AS BIGINT) AS component
             FROM reach GROUP BY node
+        """,
+        "great_circle": """
+            WITH p AS (SELECT event_type,
+       5.0 + (event_id * 37 % 100000) / 20000.0 AS lon,
+       40.0 + (event_id * 7919 % 100000) / 20000.0 AS lat
+FROM events),
+            d AS (
+              SELECT event_type,
+                2.0 * 6371000.0 * asin(sqrt(
+                  pow(sin(radians(lat - 42.5) / 2), 2)
+                  + cos(radians(lat)) * cos(radians(42.5))
+                    * pow(sin(radians(lon - 7.5) / 2), 2))) AS dist
+              FROM p
+            )
+            SELECT event_type, count(*) AS n,
+                   CAST(floor(avg(dist) * 1000.0 + 0.5) AS BIGINT) AS mean_mm,
+                   CAST(floor(max(dist) * 1000.0 + 0.5) AS BIGINT) AS max_mm
+            FROM d GROUP BY event_type
         """,
         "events_sessionize": """
             WITH o AS (
