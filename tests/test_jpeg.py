@@ -60,13 +60,74 @@ def test_jpeg_grayscale_and_odd_sizes():
     assert codec.psnr(g, rt) >= 40.0
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_progressive_bit_identical():
+    """Progressive encode emits the SAME quantized coefficients as
+    baseline, so after all scans (DC first+refine, AC spectral bands at
+    Al=1, AC refinement to Al=0) the decode must be BIT-identical —
+    a far stronger oracle than PSNR. Covers 4:4:4, 4:2:0, odd sizes,
+    grayscale, and EOB-runs (the flat AC table emits real EOBn codes)."""
+    for (w, h) in ((96, 64), (37, 23), (16, 16)):
+        for sub in ("444", "420"):
+            img = _smooth_rgb(w, h, seed=h)
+            dp = jpeg.decode(jpeg.encode(img, 85, subsampling=sub,
+                                         progressive=True))
+            db = jpeg.decode(jpeg.encode(img, 85, subsampling=sub))
+            assert np.array_equal(dp, db), (w, h, sub)
+    g = _smooth_rgb(37, 23, 1)[:, :, 0]
+    assert np.array_equal(jpeg.decode(jpeg.encode(g, 85, progressive=True)),
+                          jpeg.decode(jpeg.encode(g, 85)))
+
+
+def test_jpeg_progressive_eobrun_zrl():
+    """A mostly-flat image with isolated high-frequency spikes forces
+    long EOB runs (EOBn, n>0) and ZRL codes in the AC scans."""
+    img = np.full((128, 128), 128, dtype=np.uint8)
+    img[5::32, 7::32] = 255              # sparse spikes
+    dp = jpeg.decode(jpeg.encode(img, 90, progressive=True))
+    db = jpeg.decode(jpeg.encode(img, 90))
+    assert np.array_equal(dp, db)
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn streams decode identically to the unrestarted stream —
+    the round-3 advisory bug (RST treated as end-of-data → gray tail)
+    would fail this on every interval."""
+    img = _smooth_rgb(96, 64, seed=5)
+    ref = {s: jpeg.decode(jpeg.encode(img, 85, subsampling=s))
+           for s in ("444", "420")}
+    for ri in (1, 2, 5):
+        for sub in ("444", "420"):
+            dr = jpeg.decode(jpeg.encode(img, 85, subsampling=sub,
+                                         restart_interval=ri))
+            assert np.array_equal(dr, ref[sub]), (ri, sub)
+    # progressive + restart
+    dpr = jpeg.decode(jpeg.encode(img, 85, progressive=True,
+                                  restart_interval=3))
+    assert np.array_equal(dpr, ref["444"])
+
+
+def test_jpeg_unsupported_modes_rejected():
     buf = bytearray(jpeg.encode(_smooth_rgb(16, 16)))
     i = buf.find(b"\xff\xc0")
     assert i > 0
-    buf[i + 1] = 0xC2                    # SOF0 -> SOF2 (progressive)
-    with pytest.raises(Exception):
-        jpeg.decode(bytes(buf))
+    for sof in (0xC3, 0xC9, 0xCB):       # lossless / arithmetic
+        bad = bytearray(buf)
+        bad[i + 1] = sof
+        with pytest.raises(NotImplementedError):
+            jpeg.decode(bytes(bad))
+
+
+def test_jpeg_decode_rate_floor():
+    """Regression guard for the round-4 LUT decoder: stays well above
+    the round-3 interpreter-loop rate (~0.9 MPix/s on this shape)."""
+    import time
+    bufs = [jpeg.encode(_smooth_rgb(64, 64, s), 85) for s in range(8)]
+    jpeg.decode(bufs[0])                 # warm the LUT cache
+    t0 = time.perf_counter()
+    for b in bufs:
+        jpeg.decode(b)
+    rate = 8 * 64 * 64 / (time.perf_counter() - t0) / 1e6
+    assert rate > 1.5, f"{rate:.2f} MPix/s"
 
 
 def test_verify_images_arrow_jpeg_lossy_gate(spark):
