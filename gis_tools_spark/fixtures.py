@@ -41,13 +41,25 @@ def _gen_pixels(prng: np.random.Generator, h: int, w: int, f: str,
     (photo-like content that quantizes to PSNR≥40, and a realistic
     entropy-decode workload) — uniform noise for lossless formats."""
     if f == "jpeg":
-        fx, fy = prng.uniform(0.05, 0.3, 2)
-        px, py = prng.uniform(0.0, 6.28, 2)
         x, y = np.meshgrid(np.arange(w), np.arange(h))
-        base = (127.0 + 80.0 * np.sin(fx * x + px) * np.cos(fy * y + py)
-                + prng.normal(0, sigma, (h, w)))
-        sc = prng.uniform(0.4, 1.0, 2)
-        arr = np.stack([base, base * sc[0], base * sc[1]], axis=2)
+        base = np.full((h, w), 127.0)
+        # three harmonics with random orientation/frequency/phase keep
+        # per-image phashes well separated (a single sinusoid clusters
+        # phash space and floods the near-dup ops with real collisions)
+        for amp in (55.0, 30.0, 15.0):
+            fx, fy = prng.uniform(0.05, 0.6, 2)
+            px, py = prng.uniform(0.0, 6.28, 2)
+            base = base + amp * np.sin(fx * x + px) * np.cos(fy * y + py)
+        base = base + prng.normal(0, sigma, (h, w))
+        # chroma as LOW-frequency fields (real photos have smooth
+        # chroma — and it keeps 4:2:0 subsampling loss small)
+        cfx, cfy = prng.uniform(0.02, 0.08, 2)
+        cpx, cpy = prng.uniform(0.0, 6.28, 2)
+        cb = 25.0 * np.sin(cfx * x + cpx)
+        cr = 25.0 * np.cos(cfy * y + cpy)
+        arr = np.stack([base + 1.4 * cr,
+                        base - 0.34 * cb - 0.71 * cr,
+                        base + 1.77 * cb], axis=2)
         return np.clip(arr, 0, 255).astype(np.uint8)
     return prng.integers(0, 256, (h, w, 3), dtype=np.uint8)
 
