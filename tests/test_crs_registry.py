@@ -92,8 +92,9 @@ def test_3395_world_mercator():
 
 
 def test_register_crs_rejects_unknown_family():
+    # omerc is supported since round 4 — cassini-soldner is not
     with pytest.raises(NotImplementedError):
-        crs.register_crs(99999, dict(proj="omerc", lat_0=4, lon_0=115))
+        crs.register_crs(99999, dict(proj="cass", lat_0=4, lon_0=115))
     with pytest.raises(NotImplementedError):
         crs.register_crs(99998, dict(proj="lcc", lat_0=49, lon_0=-95,
                                      lat_1=49, lat_2=77, ellps="airy"))
@@ -214,3 +215,91 @@ def test_swiss_oblique_mercator_2056_21781():
         J[:, 1] /= rho
         sv = np.linalg.svd(J, compute_uv=False)
         assert sv[0] / sv[1] < 1.00001
+
+
+def test_krovak_epsg_worked_example():
+    """EPSG Guidance Note 7-2 Krovak example: φ=50°12'32.4416"N,
+    λ=16°50'59.1790"E (Greenwich) → Southing 1050538.63, Westing
+    568991.00 on Bessel; EPSG 5514 (Krovak East North) negates both."""
+    from gis_tools_spark.functions.crs import EPSG_REGISTRY, transform_xy
+
+    lon = 16 + 50 / 60 + 59.1790 / 3600
+    lat = 50 + 12 / 60 + 32.4416 / 3600
+    x, y = transform_xy(np.array([lon]), np.array([lat]), "4326", "5514")
+    assert abs(float(x[0]) - (-568991.00)) < 0.05
+    assert abs(float(y[0]) - (-1050538.63)) < 0.05
+    lo, la = transform_xy(x, y, "5514", "4326")
+    assert abs(float(lo[0]) - lon) < 1e-9
+    assert abs(float(la[0]) - lat) < 1e-9
+
+    # Czechia-wide roundtrip grid
+    rng = np.random.default_rng(5)
+    lons = rng.uniform(12.1, 18.9, 400)
+    lats = rng.uniform(48.5, 51.1, 400)
+    X, Y = transform_xy(lons.copy(), lats.copy(), "4326", "5514")
+    lo, la = transform_xy(X, Y, "5514", "4326")
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+    # Prague sanity: easting ≈ -743k, northing ≈ -1044k
+    px, py = transform_xy(np.array([14.42]), np.array([50.088]),
+                          "4326", "5514")
+    assert -747_000 < float(px[0]) < -740_000
+    assert -1_047_000 < float(py[0]) < -1_041_000
+
+    # conformality of the oblique cone (similarity Jacobian on Bessel)
+    p = EPSG_REGISTRY["5514"]
+    d = 1e-6
+    for lo0, la0 in [(13.0, 49.0), (17.5, 50.5), (15.0, 48.8)]:
+        ex, nx = p.fwd(np.array([lo0 + d]), np.array([la0]))
+        ey, ny = p.fwd(np.array([lo0]), np.array([la0 + d]))
+        e0, n0 = p.fwd(np.array([lo0]), np.array([la0]))
+        J = np.array([[float(ex - e0), float(ey - e0)],
+                      [float(nx - n0), float(ny - n0)]]) / d
+        a_b, rf_b = 6_377_397.155, 299.1528128
+        e2b = 1 - (1 - 1 / rf_b) ** 2
+        s2 = np.sin(np.deg2rad(la0)) ** 2
+        nu = a_b / np.sqrt(1 - e2b * s2)
+        rho = a_b * (1 - e2b) / (1 - e2b * s2) ** 1.5
+        J[:, 0] /= nu * np.cos(np.deg2rad(la0))
+        J[:, 1] /= rho
+        sv = np.linalg.svd(J, compute_uv=False)
+        assert sv[0] / sv[1] < 1.00001
+
+
+def test_omerc_epsg_worked_example():
+    """EPSG GN7-2 Hotine Oblique Mercator variant B example (Timbalai
+    1948 / RSO Borneo, EPSG 29873): φ=5°23'14.1129"N λ=115°48'19.8196"E
+    → E=679245.73, N=596562.78 on Everest 1830 (1967)."""
+    from gis_tools_spark.functions.crs import EPSG_REGISTRY, transform_xy
+
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    x, y = transform_xy(np.array([lon]), np.array([lat]), "4326", "29873")
+    assert abs(float(x[0]) - 679245.73) < 0.05
+    assert abs(float(y[0]) - 596562.78) < 0.05
+    lo, la = transform_xy(x, y, "29873", "4326")
+    assert abs(float(lo[0]) - lon) < 1e-9
+    assert abs(float(la[0]) - lat) < 1e-9
+
+    # variant A ('no_uoff', GDM2000 Peninsular RSO 3375): roundtrip +
+    # scale sanity at the projection centre (k≈k_0=0.99984)
+    rng = np.random.default_rng(6)
+    lons = rng.uniform(100.0, 104.5, 300)
+    lats = rng.uniform(1.2, 6.7, 300)
+    X, Y = transform_xy(lons.copy(), lats.copy(), "4326", "3375")
+    lo, la = transform_xy(X, Y, "3375", "4326")
+    assert np.abs(lo - lons).max() < 1e-9
+    assert np.abs(la - lats).max() < 1e-9
+    p = EPSG_REGISTRY["3375"]
+    d = 1e-6
+    e0, n0 = p.fwd(np.array([102.25]), np.array([4.0]))
+    ex, nx = p.fwd(np.array([102.25 + d]), np.array([4.0]))
+    a_g, rf_g = 6_378_137.0, 298.257222101
+    e2g = 1 - (1 - 1 / rf_g) ** 2
+    nu = a_g / np.sqrt(1 - e2g * np.sin(np.deg2rad(4.0)) ** 2)
+    k = np.hypot(float(ex - e0), float(nx - n0)) / d \
+        / (nu * np.cos(np.deg2rad(4.0)) * np.pi / 180 * 1)
+    # numeric scale per degree → per radian normalization
+    k = np.hypot(float(ex - e0), float(nx - n0)) / (
+        np.deg2rad(d) * nu * np.cos(np.deg2rad(4.0)))
+    assert abs(k - 0.99984) < 1e-4

@@ -111,10 +111,13 @@ wall_warm = min(run()[0] for _ in range(3))
 import os as _os
 salted_sec = -1.0
 if _os.environ.get("SCALE_BENCH_SALTED", "1") != "0":
-    t0 = time.perf_counter()
-    pip_join(images.select("image_id","lon","lat"), zones, strategy="cell",
-             salt_threshold=50000).count()
-    salted_sec = time.perf_counter() - t0
+    def run_salted():
+        t0 = time.perf_counter()
+        pip_join(images.select("image_id","lon","lat"), zones,
+                 strategy="cell", salt_threshold=50000).count()
+        return time.perf_counter() - t0
+    run_salted()  # warm the salted plan (hot-cell histogram, shuffles)
+    salted_sec = min(run_salted() for _ in range(2))
 print(json.dumps({{"cpus": cpus, "wall": wall_warm, "wall_cold": wall_cold,
                    "n_images": n, "throughput": n / wall_warm,
                    "tiles": n_tiles, "pip": n_pip, "decoded": n_dec,
@@ -126,10 +129,11 @@ PQ_DIR = "/tmp/scale_bench_images"
 
 
 def gen_once(n: int) -> None:
-    # v3 layout: uniform ~8k-row row-groups (see GEN comment); the scan
+    # v4 layout: v3's uniform ~8k-row row-groups PLUS the round-4 image
+    # format mix (raw/png/jpeg/webp with real lossy rows); the scan
     # bin-packs them into ~4 tasks/core, so groups only need to be
     # uniform and fine enough to pack evenly
-    marker = Path(PQ_DIR) / f"_GEN_{n}_v3"
+    marker = Path(PQ_DIR) / f"_GEN_{n}_v4"
     if marker.exists():
         return
     gparts = max(128, n // 8000)
@@ -213,6 +217,19 @@ def main() -> None:
     median_eff = srt[len(srt) // 2] if len(srt) % 2 else \
         (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2.0
     eff = (r32["throughput"] / r8["throughput"]) / 4.0  # best-pair (legacy)
+    # salted shuffle-path pip join: its own N→4N efficiency per rep pair
+    # (round-3 verdict next-round #4: the hot-cell salting is the
+    # engine's named answer to city skew, so its scaling is evidenced
+    # separately from the broadcast-path composite)
+    salted_effs = [
+        (a["salted_pip_sec"] / b["salted_pip_sec"]) / 4.0
+        for a, b in zip(runs8, runs32)
+        if a.get("salted_pip_sec", -1) > 0 and b.get("salted_pip_sec", -1) > 0]
+    salted_median = None
+    if salted_effs:
+        ss = sorted(salted_effs)
+        salted_median = ss[len(ss) // 2] if len(ss) % 2 else \
+            (ss[len(ss) // 2 - 1] + ss[len(ss) // 2]) / 2.0
     report = {
         "n_images": n,
         "reps": len(pair_effs),
@@ -227,6 +244,9 @@ def main() -> None:
         "best_pair_efficiency": round(eff, 3),
         "criterion": "median ≥ 0.8",
         "pass": median_eff >= 0.8,
+        "salted_pair_efficiencies": [round(e, 3) for e in salted_effs],
+        "salted_median_efficiency": (round(salted_median, 3)
+                                     if salted_median is not None else None),
     }
     print(json.dumps(report))
 
@@ -255,6 +275,24 @@ def main() -> None:
         f"(all reps: {report['pair_efficiencies']}; best pair "
         f"{report['best_pair_efficiency']}; criterion median ≥ 0.8 → "
         f"{'PASS' if report['pass'] else 'FAIL'})\n"
+    )
+    if salted_median is not None:
+        salted_lines = "".join(
+            f"| {i + 1} | {round(a['salted_pip_sec'], 2)} | "
+            f"{round(b['salted_pip_sec'], 2)} | {round(e, 3)} |\n"
+            for i, (a, b, e) in enumerate(
+                zip(runs8, runs32, salted_effs)))
+        entry += (
+            f"\nSalted shuffle-path PIP join (strategy='cell', "
+            f"salt_threshold=50000, min-of-2 warm runs per arm — the "
+            f"explicit hot-cell skew path, measured separately from the "
+            f"broadcast-path composite):\n\n"
+            f"| rep | salted N (s) | salted 4N (s) | pair efficiency |\n"
+            f"|---|---|---|---|\n{salted_lines}\n"
+            f"**Salted-path MEDIAN efficiency = "
+            f"{report['salted_median_efficiency']}** "
+            f"(criterion ≥ 0.8 → "
+            f"{'PASS' if salted_median >= 0.8 else 'FAIL'})\n"
     )
     if not md.exists():
         md.write_text(
