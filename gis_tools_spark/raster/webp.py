@@ -67,22 +67,32 @@ class _BitWriter:
 
 
 class _BitReader:
+    """LSB-first reader over precomputed little-endian 64-bit words
+    (one per byte offset): any read of ≤57 bits is one list index +
+    shift/mask — no per-bit loop (round-4 LUT rewrite, the same
+    technique as the JPEG entropy decoder)."""
+
+    __slots__ = ("words", "pos")
+
     def __init__(self, data: bytes):
-        self.data = data
+        d = np.frombuffer(bytes(data), dtype=np.uint8)
+        v = np.concatenate([d, np.zeros(8, dtype=np.uint8)]).astype(np.uint64)
+        w = v[:-7].copy()
+        for k in range(1, 8):
+            w |= v[k:len(v) - 7 + k] << np.uint64(8 * k)
+        self.words = w.tolist()
         self.pos = 0          # bit position
 
     def read(self, nbits: int) -> int:
-        v = 0
-        for i in range(nbits):
-            byte = self.data[(self.pos + i) >> 3]
-            v |= ((byte >> ((self.pos + i) & 7)) & 1) << i
-        self.pos += nbits
+        p = self.pos
+        v = (self.words[p >> 3] >> (p & 7)) & ((1 << nbits) - 1)
+        self.pos = p + nbits
         return v
 
     def read_bit(self) -> int:
-        byte = self.data[self.pos >> 3]
-        b = (byte >> (self.pos & 7)) & 1
-        self.pos += 1
+        p = self.pos
+        b = (self.words[p >> 3] >> (p & 7)) & 1
+        self.pos = p + 1
         return b
 
 
@@ -103,8 +113,13 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _Decoder:
-    """Bit-at-a-time canonical prefix decoder; handles the 0-bit
+    """Table-driven canonical prefix decoder: one 15-bit peek resolves
+    (symbol, code length) from a 32768-entry LUT (codes enter the
+    stream MSB-first inside LSB-first packing, so each code's bits are
+    REVERSED to form the peek index — zlib-style). Handles the 0-bit
     single-symbol code."""
+
+    __slots__ = ("single", "lut", "mask")
 
     def __init__(self, lengths: list[int]):
         nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
@@ -112,22 +127,35 @@ class _Decoder:
             raise ValueError("empty prefix code")
         if len(nz) == 1:
             self.single = nz[0][1]
-            self.table = {}
+            self.lut = None
             return
         self.single = None
-        self.table = {(l, c): s for s, (c, l) in _canonical_codes(lengths).items()}
-        self.max_len = max(l for l, _ in self.table)
+        maxlen = max(l for l, _ in nz)
+        if maxlen > 15:
+            raise ValueError("prefix code length > 15")
+        # LUT sized to the actual max code length: building 2^15
+        # entries per code costs more than decoding a small image
+        lut = np.zeros(1 << maxlen, dtype=np.int32)
+        self.mask = (1 << maxlen) - 1
+        code = 0
+        prev = 0
+        for l, s in sorted(nz):
+            code <<= (l - prev)
+            prev = l
+            rev = int(f"{code:0{l}b}"[::-1], 2)
+            lut[rev::1 << l] = (l << 12) | s
+            code += 1
+        self.lut = lut.tolist()
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        for l in range(1, self.max_len + 1):
-            code = (code << 1) | br.read_bit()
-            s = self.table.get((l, code))
-            if s is not None:
-                return s
-        raise ValueError("invalid prefix code in stream")
+        p = br.pos
+        e = self.lut[(br.words[p >> 3] >> (p & 7)) & self.mask]
+        if e == 0:
+            raise ValueError("invalid prefix code in stream")
+        br.pos = p + (e >> 12)
+        return e & 0xFFF
 
 
 def _write_flat_code(bw: _BitWriter, alphabet_size: int) -> None:
@@ -187,7 +215,7 @@ def _read_code(br: _BitReader, alphabet_size: int) -> _Decoder:
             lengths[s0] = 1               # single-symbol: 0-bit read path
             d = _Decoder.__new__(_Decoder)
             d.single = s0
-            d.table = {}
+            d.lut = None
             return d
         s1 = br.read(8)
         lengths[s0] = 1
@@ -358,44 +386,102 @@ def decode(buf: bytes) -> np.ndarray:
     dist_dec = _read_code(br, 40)
 
     n = w * h
-    argb = np.zeros(n, dtype=np.uint32)
+    argb = [0] * n
+    cacheL = cache.tolist() if cache is not None else None
+    shift = 32 - cache_bits if cache_bits else 0
+    # hot loop: decoder LUTs, words and bit position hoisted to locals;
+    # every symbol is one list index, every raw-bit read one shift
+    words = br.words
+    p = br.pos
+    gl, gs = green_dec.lut, green_dec.single
+    rl, rs = red_dec.lut, red_dec.single
+    bl, bs = blue_dec.lut, blue_dec.single
+    al, as_ = alpha_dec.lut, alpha_dec.single
+    dl, ds = dist_dec.lut, dist_dec.single
+    gm = green_dec.mask if gl is not None else 0
+    rm = red_dec.mask if rl is not None else 0
+    bm = blue_dec.mask if bl is not None else 0
+    am = alpha_dec.mask if al is not None else 0
+    dm = dist_dec.mask if dl is not None else 0
     i = 0
     while i < n:
-        s = green_dec.read(br)
+        if gl is None:
+            s = gs
+        else:
+            e = gl[(words[p >> 3] >> (p & 7)) & gm]
+            if e == 0:
+                raise ValueError("invalid prefix code in stream")
+            s = e & 0xFFF
+            p += e >> 12
         if s < 256:                      # literal
-            g = s
-            r = red_dec.read(br)
-            b = blue_dec.read(br)
-            a = alpha_dec.read(br)
-            px = (a << 24) | (r << 16) | (g << 8) | b
+            if rl is None:
+                r = rs
+            else:
+                e = rl[(words[p >> 3] >> (p & 7)) & rm]
+                r = e & 0xFFF
+                p += e >> 12
+            if bl is None:
+                b = bs
+            else:
+                e = bl[(words[p >> 3] >> (p & 7)) & bm]
+                b = e & 0xFFF
+                p += e >> 12
+            if al is None:
+                a = as_
+            else:
+                e = al[(words[p >> 3] >> (p & 7)) & am]
+                a = e & 0xFFF
+                p += e >> 12
+            px = (a << 24) | (r << 16) | (s << 8) | b
             argb[i] = px
             i += 1
+            if cacheL is not None:
+                cacheL[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
         elif s < 280:                    # LZ77 backref
-            length = _lz77_value(s - 256, br)
-            dcode = dist_dec.read(br)
-            plane = _lz77_value(dcode, br)
+            code = s - 256
+            if code < 4:
+                length = code + 1
+            else:
+                nb = (code - 2) >> 1
+                length = (((2 + (code & 1)) << nb)
+                          + ((words[p >> 3] >> (p & 7)) & ((1 << nb) - 1)) + 1)
+                p += nb
+            if dl is None:
+                dcode = ds
+            else:
+                e = dl[(words[p >> 3] >> (p & 7)) & dm]
+                dcode = e & 0xFFF
+                p += e >> 12
+            if dcode < 4:
+                plane = dcode + 1
+            else:
+                nb = (dcode - 2) >> 1
+                plane = (((2 + (dcode & 1)) << nb)
+                         + ((words[p >> 3] >> (p & 7)) & ((1 << nb) - 1)) + 1)
+                p += nb
             if plane <= 120:
                 raise NotImplementedError(
                     "neighbor-mapped short distances not implemented")
             dist = plane - 120
-            for _ in range(length):
-                if i >= n:
-                    break
-                px = argb[i - dist]
-                argb[i] = px
-                if cache is not None:
-                    cache[(0x1E35A7BD * int(px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
-                i += 1
-            continue
+            length = min(length, n - i)
+            if cacheL is None and dist >= length:
+                # non-overlapping copy, no cache bookkeeping: one slice
+                argb[i:i + length] = argb[i - dist:i - dist + length]
+                i += length
+            else:
+                for _ in range(length):
+                    px = argb[i - dist]
+                    argb[i] = px
+                    if cacheL is not None:
+                        cacheL[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
+                    i += 1
         else:                            # color cache
-            px = int(cache[s - 280])
+            px = cacheL[s - 280]
             argb[i] = px
             i += 1
-            continue
-        if cache is not None:
-            cache[(0x1E35A7BD * int(px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+    br.pos = p
 
-    argb = argb.reshape(h, w)
+    argb = np.array(argb, dtype=np.uint32).reshape(h, w)
     r = ((argb >> 16) & 0xFF).astype(np.int64)
     g = ((argb >> 8) & 0xFF).astype(np.int64)
     b = (argb & 0xFF).astype(np.int64)
