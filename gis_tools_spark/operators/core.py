@@ -35,6 +35,25 @@ SALT_COL = "__salt"
 CELL_COL = "__cell"
 
 
+def persist_scoped(cached: DataFrame, result: DataFrame) -> DataFrame:
+    """Tie a persisted intermediate's lifetime to the op's result: when
+    the caller's last reference to ``result`` is garbage-collected, the
+    intermediate is unpersisted. Repeated operator invocations in a
+    long-lived session therefore stop accumulating cached partitions
+    (round-3 advisory) while the returned lazy plan can still reuse the
+    cache across its own multiple consumers."""
+    import weakref
+
+    def _release(df=cached):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+    weakref.finalize(result, _release)
+    return result
+
+
 def point_cells_multires(lon: Column, lat: Column,
                          res_min: int = C.RES_MIN, res_max: int = C.RES_MAX) -> Column:
     """Array of the point's ancestor cell at each res in [res_min,res_max].
@@ -44,9 +63,33 @@ def point_cells_multires(lon: Column, lat: Column,
     return F.array(*[C.cell_column(lon, lat, r) for r in range(res_min, res_max + 1)])
 
 
+def cover_res_for_bounds(mnx: float, mny: float, mxx: float, mxy: float,
+                         res_min: int, res_max: int, max_cells: int) -> int:
+    """Cover res with a HARD fan-out cap: finest res in [res_min,
+    res_max] whose bbox cover stays ≤ max_cells — and when even the
+    band floor exceeds the cap (a continent/world-spanning geometry at
+    the default band floor would emit 10⁵-10⁶ cells: an unbounded
+    explode and a guaranteed hot shuffle at scale), coarsen BELOW
+    res_min until the cap holds. Both join consumers handle arbitrary
+    observed res values (pip_join re-encodes points per distinct cover
+    res; the generic sjoin matches through cell-hierarchy ancestors of
+    the observed res sets)."""
+    res = C.adaptive_res(mnx, mny, mxx, mxy, res_min, res_max, max_cells)
+    while res > 0:
+        n = 1 << res
+        ncx = int((mxx + 180.0) / 360.0 * n) - int((mnx + 180.0) / 360.0 * n) + 1
+        ncy = int((mxy + 90.0) / 180.0 * n) - int((mny + 90.0) / 180.0 * n) + 1
+        if ncx * ncy <= max_cells:
+            break
+        res -= 1
+    return res
+
+
 def cover_cells_udf(res_min: int = C.RES_MIN, res_max: int = C.RES_MAX,
                     max_cells: int = 64, exact: bool = False):
-    """pandas_udf: WKB binary series → array<long> adaptive cover cells."""
+    """pandas_udf: WKB binary series → array<long> adaptive cover cells
+    (bounded: ≤ max_cells per geometry, coarsening below the band floor
+    for huge geometries — see cover_res_for_bounds)."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _cover(wkb_s: pd.Series) -> pd.Series:
@@ -57,7 +100,8 @@ def cover_cells_udf(res_min: int = C.RES_MIN, res_max: int = C.RES_MAX,
                 continue
             g = wkb.decode(buf)
             mnx, mny, mxx, mxy = K.bounds(g)
-            res = C.adaptive_res(mnx, mny, mxx, mxy, res_min, res_max, max_cells)
+            res = cover_res_for_bounds(mnx, mny, mxx, mxy,
+                                       res_min, res_max, max_cells)
             if exact:
                 cc = C.polygon_to_cells(g, res)
             else:

@@ -170,9 +170,11 @@ def minhash_lsh_pairs(df: DataFrame, *, text_col: str = "text",
     jacc = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
-    return (cand.withColumn("jaccard_est", jacc)
-            .where(F.col("jaccard_est") >= threshold)
-            .select("id_a", "id_b", "jaccard_est"))
+    from .core import persist_scoped
+
+    return persist_scoped(sigs, cand.withColumn("jaccard_est", jacc)
+                          .where(F.col("jaccard_est") >= threshold)
+                          .select("id_a", "id_b", "jaccard_est"))
 
 
 # ------------------------------------------------------------------ simhash
@@ -283,9 +285,11 @@ def hamming_near_dups(df: DataFrame, *, hash_col: str, id_col: str,
     cand = (a.join(b, on=["blk", "key"]).where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "h_a", "h_b").distinct())
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (cand.withColumn("hamming", ham)
-            .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", "hamming"))
+    from .core import persist_scoped
+
+    return persist_scoped(e, cand.withColumn("hamming", ham)
+                          .where(F.col("hamming") <= max_hamming)
+                          .select("id_a", "id_b", "hamming"))
 
 
 def image_near_dups(df: DataFrame, *, phash_col: str = "phash",

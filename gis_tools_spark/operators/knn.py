@@ -198,6 +198,10 @@ def _nearest_rings(points, features, *, lon, lat, point_id, feat_wkb, feat_id,
         winners.append(_nearest_broadcast(fb, features, lon=lon, lat=lat,
                                           point_id=point_id, feat_wkb=feat_wkb,
                                           feat_id=feat_id))
+    # every winner piece is eagerly checkpointed and the broadcast
+    # fallback never touches the cover — safe to release it here
+    # (round-3 advisory: persists accumulated across invocations)
+    cover.unpersist()
     if not winners:
         # empty points input: empty DataFrame with the output schema
         return _nearest_broadcast(points.limit(0), features, lon=lon, lat=lat,

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 from .. import cells as C
 from ..geom import boolean, kernels as K, wkb
 from .core import CELL_COL, explode_cover
-from .sjoin import _dedupe_names
+from .sjoin import _dedupe_names, candidate_pairs
 
 
 def intersection_join(left: DataFrame, right: DataFrame, *,
@@ -44,11 +44,10 @@ def intersection_join(left: DataFrame, right: DataFrame, *,
     if right_id not in right.columns:
         right_id = f"{right_id}_right"
 
-    lc = explode_cover(left.select(left_id, left_wkb), left_wkb, CELL_COL,
-                       res, res, max_cells).drop(left_wkb)
-    rc = explode_cover(right.select(right_id, right_wkb), right_wkb, CELL_COL,
-                       res, res, max_cells).drop(right_wkb)
-    pairs = lc.join(rc, on=CELL_COL).select(left_id, right_id).distinct()
+    pairs = candidate_pairs(left, right, left_id=left_id, left_wkb=left_wkb,
+                            right_id=right_id, right_wkb=right_wkb,
+                            res_min=res, res_max=C.RES_MAX,
+                            max_cells=max_cells)
     cand = pairs.join(left, on=left_id).join(right, on=right_id)
 
     # struct scalar UDF: only the two WKB columns cross Arrow; empty
@@ -118,11 +117,10 @@ def difference_join(left: DataFrame, right: DataFrame, *,
     if right_id not in right.columns:
         right_id = f"{right_id}_right"
 
-    lc = explode_cover(left.select(left_id, left_wkb), left_wkb, CELL_COL,
-                       res, res, max_cells).drop(left_wkb)
-    rc = explode_cover(right.select(right_id, right_wkb), right_wkb, CELL_COL,
-                       res, res, max_cells).drop(right_wkb)
-    pairs = lc.join(rc, on=CELL_COL).select(left_id, right_id).distinct()
+    pairs = candidate_pairs(left, right, left_id=left_id, left_wkb=left_wkb,
+                            right_id=right_id, right_wkb=right_wkb,
+                            res_min=res, res_max=C.RES_MAX,
+                            max_cells=max_cells)
     cand = (pairs.join(left, on=left_id)
             .join(right.select(right_id, right_wkb), on=right_id))
 

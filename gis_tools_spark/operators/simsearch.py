@@ -164,8 +164,11 @@ def exact_topk_blocked(corpus: DataFrame, *, k: int = 1,
 
     local = pairs.mapInPandas(_score, schema=out_schema)
     w = Window.partitionBy("id_a").orderBy(F.col("cos_r").desc(), F.col("id_b"))
-    return (local.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= k).drop("__rn"))
+    from ..operators.core import persist_scoped
+
+    return persist_scoped(packed,
+                          local.withColumn("__rn", F.row_number().over(w))
+                          .where(F.col("__rn") <= k).drop("__rn"))
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -224,9 +227,14 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 10, dim: int,
             .dropDuplicates([id_col, "neighbor_id"]))
     scored = cand.withColumn("cosine", _cosine_expr("vq", "vc"))
     w = Window.partitionBy(id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w) - 1)
-            .where(F.col("rank") < k)
-            .select(id_col, "neighbor_id", "cosine", "rank"))
+    out = (scored.withColumn("rank", F.row_number().over(w) - 1)
+           .where(F.col("rank") < k)
+           .select(id_col, "neighbor_id", "cosine", "rank"))
+    if queries is corpus:
+        from ..operators.core import persist_scoped
+
+        out = persist_scoped(qb, out)
+    return out
 
 
 def embedding_near_dups(df: DataFrame, *, threshold: float = 0.95,
@@ -256,8 +264,10 @@ def embedding_near_dups(df: DataFrame, *, threshold: float = 0.95,
             .where(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
     scored = cand.withColumn("cos_r", F.round(_cosine_expr("va", "vb"), 6))
-    return (scored.where(F.col("cos_r") >= threshold)
-            .select("id_a", "id_b", "cos_r"))
+    from ..operators.core import persist_scoped
+
+    return persist_scoped(b, scored.where(F.col("cos_r") >= threshold)
+                          .select("id_a", "id_b", "cos_r"))
 
 
 def train_centroids(corpus: DataFrame, *, n_centroids: int = 16,

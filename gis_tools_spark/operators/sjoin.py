@@ -187,10 +187,20 @@ def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
     geoms = []
     pair_cells: list[int] = []
     pair_poly: list[int] = []
+    big_polys: list[int] = []
     for i, row in enumerate(poly_rows):
         g = wkb.decode(row[poly_wkb])
         mnx, mny, mxx, mxy = K.bounds(g)
         geoms.append((g, row))
+        n_ = 1 << res
+        ncx = int((mxx + 180.0) / 360.0 * n_) - int((mnx + 180.0) / 360.0 * n_) + 1
+        ncy = int((mxy + 90.0) / 180.0 * n_) - int((mny + 90.0) / 180.0 * n_) + 1
+        if ncx * ncy > 4096:
+            # fan-out cap: a continent/world polygon would enumerate an
+            # unbounded cell list — test it against every point batch
+            # instead (bounded: such polygons are few by construction)
+            big_polys.append(i)
+            continue
         for c in C.bbox_to_cells(mnx, mny, mxx, mxy, res).tolist():
             pair_cells.append(c)
             pair_poly.append(i)
@@ -204,7 +214,7 @@ def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
     ucells, starts, counts = np.unique(pc, return_index=True, return_counts=True)
 
     sc = points.sparkSession.sparkContext
-    bc = sc.broadcast((geoms, ucells, starts, counts, pp, res))
+    bc = sc.broadcast((geoms, ucells, starts, counts, pp, res, big_polys))
 
     from pyspark.sql import types as T
 
@@ -217,41 +227,50 @@ def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
     # round-trip through the Python worker
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def _hits(lons: pd.Series, lats: pd.Series) -> pd.Series:
-        geoms_, ucells_, starts_, counts_, flat_, res_ = bc.value
+        geoms_, ucells_, starts_, counts_, flat_, res_, big_ = bc.value
         n = len(lons)
         res_lists: list[list[int]] = [[] for _ in range(n)]
         nu = len(ucells_)
-        if n == 0 or nu == 0:
+        if n == 0 or (nu == 0 and not big_):
             return pd.Series(res_lists)
         xs = lons.to_numpy(dtype=np.float64)
         ys = lats.to_numpy(dtype=np.float64)
-        cell = C.latlng_to_cell(xs, ys, res_)
-        pos = np.searchsorted(ucells_, cell)
-        pos_c = np.minimum(pos, nu - 1)
-        hit = ucells_[pos_c] == cell
-        pts_idx = np.nonzero(hit)[0]
-        if len(pts_idx) == 0:
-            return pd.Series(res_lists)
-        # expand (point, candidate-polygon) pairs without a python loop
-        s = starts_[pos_c[pts_idx]]
-        c = counts_[pos_c[pts_idx]]
-        rep_pts = np.repeat(pts_idx, c)
-        csum = np.concatenate(([0], np.cumsum(c)))
-        within = np.arange(csum[-1], dtype=np.int64) - np.repeat(csum[:-1], c)
-        rep_poly = flat_[np.repeat(s, c) + within]
-        # group pairs by polygon: one vectorized exact test per
-        # distinct candidate polygon in the batch
-        po = np.argsort(rep_poly, kind="stable")
-        rep_pts, rep_poly = rep_pts[po], rep_poly[po]
-        upoly, pstarts = np.unique(rep_poly, return_index=True)
-        bounds_ = np.append(pstarts, len(rep_poly))
         kp_pts, kp_poly = [], []
-        for k, pi in enumerate(upoly):
-            idx = rep_pts[bounds_[k]:bounds_[k + 1]]
+        if nu > 0:
+            cell = C.latlng_to_cell(xs, ys, res_)
+            pos = np.searchsorted(ucells_, cell)
+            pos_c = np.minimum(pos, nu - 1)
+            hit = ucells_[pos_c] == cell
+            pts_idx = np.nonzero(hit)[0]
+        else:
+            pts_idx = np.zeros(0, dtype=np.int64)
+        if len(pts_idx):
+            # expand (point, candidate-polygon) pairs without a python loop
+            s = starts_[pos_c[pts_idx]]
+            c = counts_[pos_c[pts_idx]]
+            rep_pts = np.repeat(pts_idx, c)
+            csum = np.concatenate(([0], np.cumsum(c)))
+            within = np.arange(csum[-1], dtype=np.int64) - np.repeat(csum[:-1], c)
+            rep_poly = flat_[np.repeat(s, c) + within]
+            # group pairs by polygon: one vectorized exact test per
+            # distinct candidate polygon in the batch
+            po = np.argsort(rep_poly, kind="stable")
+            rep_pts, rep_poly = rep_pts[po], rep_poly[po]
+            upoly, pstarts = np.unique(rep_poly, return_index=True)
+            bounds_ = np.append(pstarts, len(rep_poly))
+            for k, pi in enumerate(upoly):
+                idx = rep_pts[bounds_[k]:bounds_[k + 1]]
+                g, _row = geoms_[int(pi)]
+                ok = test(g, xs[idx], ys[idx])
+                if ok.any():
+                    kp_pts.append(idx[ok])
+                    kp_poly.append(np.full(int(ok.sum()), pi, dtype=np.int64))
+        for pi in big_:
+            # capped-fanout polygons: tested against the whole batch
             g, _row = geoms_[int(pi)]
-            ok = test(g, xs[idx], ys[idx])
+            ok = test(g, xs, ys)
             if ok.any():
-                kp_pts.append(idx[ok])
+                kp_pts.append(np.nonzero(ok)[0])
                 kp_poly.append(np.full(int(ok.sum()), pi, dtype=np.int64))
         if kp_pts:
             P = np.concatenate(kp_pts)
@@ -309,50 +328,21 @@ def _salted_cell_join(fact: DataFrame, dim: DataFrame, fact_id: str,
     return fact.join(dim, on=CELL_COL).select(fact_id, dim_id)
 
 
-def sjoin(left: DataFrame, right: DataFrame, *,
-          left_wkb: str = "geometry_wkb", right_wkb: str = "geometry_wkb",
-          left_id: str = "lid", right_id: str = "gid",
-          predicate: str = "intersects", how: str = "inner",
-          res_min: int = C.RES_MIN, res_max: int = C.RES_MAX,
-          max_cells: int = 64,
-          salt_threshold: int | None = None,
-          salt_sample: float = 1.0) -> DataFrame:
-    """Geometry ⋈ geometry on a spatial predicate (reference sjoin /
-    overlay filter phase, layer.py:1099-1140).
-
-    Filter phase (round-4, closes round-3 verdict "What's wrong" #2):
-    each side is covered at its OWN adaptive res in [res_min, res_max]
-    (≤ max_cells per geometry — a continent covers coarse, a city block
-    covers fine, so candidate fan-out is bounded on BOTH ends). Pairs
-    match through the cell hierarchy: join1 matches left cells against
-    right-cell ANCESTORS coarsened to each left res (JVM bit
-    arithmetic, covers ρ_r ≥ ρ_l including equality), join2 the strict
-    converse. Optional explicit hot-cell salting (``salt_threshold``)
-    spreads the dense fine side of a skewed join (e.g. one continent
-    polygon meeting 10k city parcels concentrates every candidate in a
-    few coarse cells) exactly like pip_join's skew path.
-
-    Refine: exact per-pair predicate via vectorized edge tests for
-    ``intersects`` and the DE-9IM kernels in :mod:`geom.relate` for
-    ``within`` / ``contains`` / ``covers`` / ``covered_by`` /
-    ``touches`` / ``overlaps`` / ``equals`` / ``crosses``. Every
-    supported predicate implies bbox overlap, so the cell-join
-    candidate set is a superset for all of them.
-    """
-    from ..geom.relate import PREDICATES
-    if predicate not in PREDICATES:
-        raise ValueError(f"unknown predicate {predicate!r}")
-    right = _dedupe_names(left, right)
-    if right_wkb not in right.columns:
-        right_wkb = f"{right_wkb}_right"
-    if right_id not in right.columns:
-        right_id = f"{right_id}_right"
-
-    orig_left = left
-    if how == "left":
-        left = left.withColumn("__rid", F.monotonically_increasing_id())
-
-    # adaptive per-geometry cover on each side, res recovered from the id
+def candidate_pairs(left: DataFrame, right: DataFrame, *,
+                    left_id: str, left_wkb: str,
+                    right_id: str, right_wkb: str,
+                    res_min: int = C.RES_MIN, res_max: int = C.RES_MAX,
+                    max_cells: int = 64,
+                    salt_threshold: int | None = None,
+                    salt_sample: float = 1.0) -> DataFrame:
+    """Distinct (left_id, right_id) bbox-overlap candidate pairs via
+    adaptive per-geometry covers matched through cell-hierarchy
+    ancestors — the shared filter phase of the generic sjoin and the
+    overlay intersection/difference joins. Covers are bounded
+    (≤ max_cells per geometry, coarsening below the band floor for
+    huge geometries), pairs match across resolutions (join1: right
+    cells coarsened to each observed left res; join2 the strict
+    converse), and both pair joins accept explicit hot-cell salting."""
     lc = (explode_cover(left.select(left_id, left_wkb), left_wkb, CELL_COL,
                         res_min, res_max, max_cells)
           .withColumn("__res", F.shiftright(F.col(CELL_COL), C.RES_SHIFT)
@@ -397,10 +387,60 @@ def sjoin(left: DataFrame, right: DataFrame, *,
         pairs = pair_parts[0].select(left_id, right_id)
         for p in pair_parts[1:]:
             pairs = pairs.unionByName(p.select(left_id, right_id))
-        pairs = pairs.distinct()
-    else:
-        pairs = (left.select(left_id).limit(0)
-                 .crossJoin(right.select(right_id).limit(0)))
+        return pairs.distinct()
+    return (left.select(left_id).limit(0)
+            .crossJoin(right.select(right_id).limit(0)))
+
+
+def sjoin(left: DataFrame, right: DataFrame, *,
+          left_wkb: str = "geometry_wkb", right_wkb: str = "geometry_wkb",
+          left_id: str = "lid", right_id: str = "gid",
+          predicate: str = "intersects", how: str = "inner",
+          res_min: int = C.RES_MIN, res_max: int = C.RES_MAX,
+          max_cells: int = 64,
+          salt_threshold: int | None = None,
+          salt_sample: float = 1.0) -> DataFrame:
+    """Geometry ⋈ geometry on a spatial predicate (reference sjoin /
+    overlay filter phase, layer.py:1099-1140).
+
+    Filter phase (round-4, closes round-3 verdict "What's wrong" #2):
+    each side is covered at its OWN adaptive res in [res_min, res_max]
+    (≤ max_cells per geometry — a continent covers coarse, a city block
+    covers fine, so candidate fan-out is bounded on BOTH ends). Pairs
+    match through the cell hierarchy: join1 matches left cells against
+    right-cell ANCESTORS coarsened to each left res (JVM bit
+    arithmetic, covers ρ_r ≥ ρ_l including equality), join2 the strict
+    converse. Optional explicit hot-cell salting (``salt_threshold``)
+    spreads the dense fine side of a skewed join (e.g. one continent
+    polygon meeting 10k city parcels concentrates every candidate in a
+    few coarse cells) exactly like pip_join's skew path.
+
+    Refine: exact per-pair predicate via vectorized edge tests for
+    ``intersects`` and the DE-9IM kernels in :mod:`geom.relate` for
+    ``within`` / ``contains`` / ``covers`` / ``covered_by`` /
+    ``touches`` / ``overlaps`` / ``equals`` / ``crosses``. Every
+    supported predicate implies bbox overlap, so the cell-join
+    candidate set is a superset for all of them.
+    """
+    from ..geom.relate import PREDICATES
+    if predicate not in PREDICATES:
+        raise ValueError(f"unknown predicate {predicate!r}")
+    right = _dedupe_names(left, right)
+    if right_wkb not in right.columns:
+        right_wkb = f"{right_wkb}_right"
+    if right_id not in right.columns:
+        right_id = f"{right_id}_right"
+
+    orig_left = left
+    if how == "left":
+        left = left.withColumn("__rid", F.monotonically_increasing_id())
+
+    pairs = candidate_pairs(left, right, left_id=left_id, left_wkb=left_wkb,
+                            right_id=right_id, right_wkb=right_wkb,
+                            res_min=res_min, res_max=res_max,
+                            max_cells=max_cells,
+                            salt_threshold=salt_threshold,
+                            salt_sample=salt_sample)
     cand = pairs.join(left, on=left_id).join(right, on=right_id)
 
     @F.pandas_udf("boolean")

@@ -40,7 +40,7 @@ def windowed_zone_counts(stream: DataFrame, zones: DataFrame, *,
     # carry TIMESTAMP_NTZ — normalize before declaring event time
     pts = (stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
            .withWatermark(ts_col, watermark))
-    joined = pip_join(pts, zones, strategy="broadcast")
+    joined = pip_join(pts, zones, strategy="broadcast", lon=lon, lat=lat)
     return (joined.groupBy(F.window(F.col(ts_col), window).alias("win"),
                            "gid")
             .agg(F.count("*").alias("n"))
@@ -60,7 +60,7 @@ def sessionized_zone_counts(stream: DataFrame, zones: DataFrame, *,
     """
     pts = (stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
            .withWatermark(ts_col, watermark))
-    joined = pip_join(pts, zones, strategy="broadcast")
+    joined = pip_join(pts, zones, strategy="broadcast", lon=lon, lat=lat)
     return (joined.groupBy(F.session_window(F.col(ts_col), gap).alias("sess"),
                            "gid")
             .agg(F.count("*").alias("n"))
@@ -84,7 +84,7 @@ def running_zone_totals(stream: DataFrame, zones: DataFrame, *,
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    joined = pip_join(stream, zones, strategy="broadcast")
+    joined = pip_join(stream, zones, strategy="broadcast", lon=lon, lat=lat)
 
     def _update(key, pdfs, state: GroupState):
         n = 0

@@ -121,3 +121,57 @@ def test_sjoin_predicates_still_exact(spark):
                 and cy[i] - s[i] >= 4.0 and cy[i] + s[i] <= 6.0):
             exp.add((i, 1))
     assert got == exp
+
+
+def test_cover_fanout_hard_cap():
+    """A world-spanning geometry must NOT explode to an unbounded cover
+    when even the band floor exceeds max_cells — the cover coarsens
+    below res_min (cover_res_for_bounds)."""
+    from gis_tools_spark.operators.core import cover_res_for_bounds
+
+    for bb in ((-179, -85, 179, 85), (-40, -30, 40, 30), (0, 0, 90, 45)):
+        r = cover_res_for_bounds(*bb, C.RES_MIN, C.RES_MAX, 64)
+        assert len(C.bbox_to_cells(*bb, r)) <= 64
+    assert cover_res_for_bounds(5.0, 5.0, 5.001, 5.001,
+                                C.RES_MIN, C.RES_MAX, 64) == C.RES_MAX
+
+
+def test_sjoin_default_band_continent(spark):
+    """The skew scenario at the DEFAULT res band: the continent coarsens
+    below the band floor instead of exploding, and results stay exact."""
+    left, right, (cx, cy, s) = _skewed_layers(spark, n_small=400)
+    out = sjoin(left, right)          # default res_min/res_max
+    got = {(r["lid"], r["gid"]) for r in out.select("lid", "gid").collect()}
+    exp = set()
+    for i in range(len(cx)):
+        exp.add((0, i))
+        if (cx[i] + s[i] >= 4.0 and cx[i] - s[i] <= 6.0
+                and cy[i] + s[i] >= 4.0 and cy[i] - s[i] <= 6.0):
+            exp.add((1, i))
+    assert got == exp
+
+
+def test_pip_broadcast_world_polygon_capped(spark):
+    """Broadcast PIP with a world-spanning polygon: the driver must not
+    enumerate its res_min cell cover (previously ~600k cells); the
+    polygon goes to the always-check list and results stay exact."""
+    from gis_tools_spark.operators.sjoin import pip_join
+
+    rng = np.random.default_rng(11)
+    pts = pd.DataFrame({
+        "pid": range(500),
+        "lon": rng.uniform(-170, 170, 500),
+        "lat": rng.uniform(-80, 80, 500),
+    })
+    zones = pd.DataFrame({
+        "gid": [1, 2],
+        "geometry_wkb": [_box(-180.0, -90.0, 180.0, 90.0),   # world
+                         _box(0.0, 0.0, 10.0, 10.0)],        # normal
+    })
+    out = pip_join(spark.createDataFrame(pts), spark.createDataFrame(zones),
+                   strategy="broadcast")
+    rows = {(r["pid"], r["gid"]) for r in out.select("pid", "gid").collect()}
+    exp = {(int(p), 1) for p in pts["pid"]}
+    exp |= {(int(r["pid"]), 2) for _, r in pts.iterrows()
+            if 0 <= r["lon"] <= 10 and 0 <= r["lat"] <= 10}
+    assert rows == exp
