@@ -328,18 +328,24 @@ def _quantized_components(arr: np.ndarray, quality: int, subsampling: str):
 
 
 def _emit_seq_block(bw_io: _BitWriter, zz, prev_dc: int, enc_dc, enc_ac) -> int:
-    """One baseline block: DC diff + AC run-length symbols. Returns DC."""
-    dc = int(zz[0])
+    """One baseline block: DC diff + AC run-length symbols. Returns DC.
+
+    Hot path of encode(): the block row is converted to a python list
+    once, and each symbol+magnitude pair goes out as a single combined
+    write (bit-identical stream, about half the _BitWriter calls)."""
+    zl = zz.tolist()
+    dc = zl[0]
     size, bits = _magnitude(dc - prev_dc)
     ln, code = enc_dc[size]
-    bw_io.write(ln, code)
     if size:
-        bw_io.write(size, bits)
+        bw_io.write(ln + size, (code << size) | (bits & ((1 << size) - 1)))
+    else:
+        bw_io.write(ln, code)
     run = 0
     nz = np.nonzero(zz[1:])[0]
-    last = nz[-1] + 1 if len(nz) else 0
+    last = int(nz[-1]) + 1 if len(nz) else 0
     for k in range(1, last + 1):
-        v = int(zz[k])
+        v = zl[k]
         if v == 0:
             run += 1
             continue
@@ -349,8 +355,7 @@ def _emit_seq_block(bw_io: _BitWriter, zz, prev_dc: int, enc_dc, enc_ac) -> int:
             run -= 16
         size, bits = _magnitude(v)
         ln, code = enc_ac[(run << 4) | size]
-        bw_io.write(ln, code)
-        bw_io.write(size, bits)
+        bw_io.write(ln + size, (code << size) | (bits & ((1 << size) - 1)))
         run = 0
     if last < 63:
         ln, code = enc_ac[0x00]  # EOB
