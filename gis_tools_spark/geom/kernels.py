@@ -166,6 +166,146 @@ def _on_ring(r: np.ndarray, xs: np.ndarray, ys: np.ndarray, tol: float = 1e-12) 
     return (dist2 <= tol * tol + EPS).any(axis=1)
 
 
+class _PreparedRing:
+    """Y-bucketed segment index over one closed ring.
+
+    Both PIP queries only need, per point, the segments whose y-span
+    straddles (crossings) or nearly touches (boundary) the point's y —
+    a dense (npts × nseg) matrix tests every segment. Bucketing the
+    y-extent into ~nseg/8 bins and binning segments by their y-span
+    (CSR layout) turns each query into small per-bucket dense blocks:
+    ~8-64× fewer segment tests for admin-boundary-sized rings, which is
+    what makes the prepared refine path worth caching per WKB (see
+    operators/core.py decode_cached / prepared_cached)."""
+
+    # build-time y-span margin — queries with tol ≤ this stay exact
+    TOL_MARGIN = 1e-6
+
+    __slots__ = ("x0", "y0", "x1", "y1", "ymin", "ymax", "inv_h", "nb",
+                 "starts", "segs")
+
+    def __init__(self, r: np.ndarray):
+        r = np.asarray(r, dtype=np.float64)
+        self.x0, self.y0 = r[:-1, 0].copy(), r[:-1, 1].copy()
+        self.x1, self.y1 = r[1:, 0].copy(), r[1:, 1].copy()
+        slo = np.minimum(self.y0, self.y1) - self.TOL_MARGIN
+        shi = np.maximum(self.y0, self.y1) + self.TOL_MARGIN
+        self.ymin = float(slo.min())
+        self.ymax = float(shi.max())
+        n = len(self.x0)
+        self.nb = nb = max(1, min(256, n // 8))
+        h = (self.ymax - self.ymin) / nb
+        self.inv_h = 1.0 / h if h > 0 else 0.0
+        b0 = np.clip(((slo - self.ymin) * self.inv_h).astype(np.int64), 0, nb - 1)
+        b1 = np.clip(((shi - self.ymin) * self.inv_h).astype(np.int64), 0, nb - 1)
+        spans = b1 - b0 + 1
+        seg_ids = np.repeat(np.arange(n), spans)
+        # per-seg bucket ranges, flattened without a python loop:
+        # offsets within each span via a cumsum-reset trick
+        tot = int(spans.sum())
+        idx = np.arange(tot)
+        span_start = np.repeat(np.cumsum(spans) - spans, spans)
+        bucket_ids = np.repeat(b0, spans) + (idx - span_start)
+        order = np.argsort(bucket_ids, kind="stable")
+        self.segs = seg_ids[order]
+        counts = np.bincount(bucket_ids, minlength=nb)
+        self.starts = np.concatenate([[0], np.cumsum(counts)])
+
+    def _buckets(self, ys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        in_band = (ys >= self.ymin) & (ys <= self.ymax)
+        pb = np.clip(((ys - self.ymin) * self.inv_h).astype(np.int64), 0, self.nb - 1)
+        return in_band, pb
+
+    def crossings(self, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(xs), dtype=np.int64)
+        in_band, pb = self._buckets(ys)
+        if not in_band.any():
+            return out
+        for b in np.unique(pb[in_band]):
+            s = self.segs[self.starts[b]:self.starts[b + 1]]
+            if len(s) == 0:
+                continue
+            m = in_band & (pb == b)
+            x0, y0, x1, y1 = self.x0[s], self.y0[s], self.x1[s], self.y1[s]
+            ys_, xs_ = ys[m][:, None], xs[m][:, None]
+            cond = (y0[None, :] > ys_) != (y1[None, :] > ys_)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x0[None, :] + (ys_ - y0[None, :]) * (x1 - x0)[None, :] / (y1 - y0)[None, :]
+            out[m] = (cond & (xs_ < xint)).sum(axis=1)
+        return out
+
+    def on_ring(self, xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
+        out = np.zeros(len(xs), dtype=bool)
+        in_band, pb = self._buckets(ys)
+        if not in_band.any():
+            return out
+        for b in np.unique(pb[in_band]):
+            s = self.segs[self.starts[b]:self.starts[b + 1]]
+            if len(s) == 0:
+                continue
+            m = in_band & (pb == b)
+            p = np.stack([self.x0[s], self.y0[s]], axis=1)[None, :, :]
+            q = np.stack([self.x1[s], self.y1[s]], axis=1)[None, :, :]
+            pt = np.stack([xs[m], ys[m]], axis=1)[:, None, :]
+            d = q - p
+            seg_len2 = (d * d).sum(axis=2)
+            t = ((pt - p) * d).sum(axis=2) / np.where(seg_len2 < EPS, 1.0, seg_len2)
+            t = np.clip(t, 0.0, 1.0)
+            proj = p + t[:, :, None] * d
+            dist2 = ((pt - proj) ** 2).sum(axis=2)
+            out[m] = (dist2 <= tol * tol + EPS).any(axis=1)
+        return out
+
+
+class PreparedGeom:
+    """Prepared polygon/multipolygon: per-ring y-bucket indexes, built
+    once and reused across refine batches (cached per WKB content).
+    Query results are bit-identical to covers_xy / contains_xy."""
+
+    __slots__ = ("polys",)
+
+    def __init__(self, g: dict):
+        self.polys = [[_PreparedRing(r) for r in rings]
+                      for rings in polygons_of(g)]
+
+    def covers_xy(self, xs: np.ndarray, ys: np.ndarray,
+                  boundary_tol: float = 1e-9) -> np.ndarray:
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        inside = np.zeros(len(xs), dtype=bool)
+        for rings in self.polys:
+            poly_in = (rings[0].crossings(xs, ys) % 2) == 1
+            for hole in rings[1:]:
+                poly_in &= (hole.crossings(xs, ys) % 2) == 0
+            inside |= poly_in
+        if boundary_tol > 0:
+            bnd = np.zeros(len(xs), dtype=bool)
+            for rings in self.polys:
+                for r in rings:
+                    bnd |= r.on_ring(xs, ys, boundary_tol)
+            inside |= bnd
+        return inside
+
+    def contains_xy(self, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        inside = np.zeros(len(xs), dtype=bool)
+        on_b = np.zeros(len(xs), dtype=bool)
+        for rings in self.polys:
+            poly_in = (rings[0].crossings(xs, ys) % 2) == 1
+            for hole in rings[1:]:
+                poly_in &= (hole.crossings(xs, ys) % 2) == 0
+            inside |= poly_in
+            for r in rings:
+                on_b |= r.on_ring(xs, ys, 1e-12)
+        return inside & ~on_b
+
+
+def prepare(g: dict) -> PreparedGeom:
+    """Index a (multi)polygon for repeated PIP queries."""
+    return PreparedGeom(g)
+
+
 def covers_xy(g: dict, xs: np.ndarray, ys: np.ndarray, boundary_tol: float = 1e-9) -> np.ndarray:
     """Boundary-inclusive point-in-polygon over many points (vectorized).
 

@@ -34,6 +34,42 @@ from ..geom import kernels as K, wkb
 SALT_COL = "__salt"
 CELL_COL = "__cell"
 
+# Worker-lifetime decode cache for the refine kernels, keyed by WKB
+# content. After the cell shuffle, a polygon's candidate pairs arrive
+# clustered (sorted by cell id), so a small cache removes the dominant
+# refine cost for dense geometries — re-decoding the same polygon once
+# per 2048-row Arrow batch (measured: a 1024-vertex polygon decodes in
+# ~ms; at 64 polygons × thousands of batches the decode outweighed the
+# vectorized edge tests ~5:1). Bounded FIFO so a high-cardinality
+# polygon stream cannot grow worker memory without limit.
+_DECODE_CACHE: dict[bytes, dict] = {}
+_DECODE_CACHE_MAX = 256
+
+
+def decode_cached(buf: bytes) -> dict:
+    g = _DECODE_CACHE.get(buf)
+    if g is None:
+        if len(_DECODE_CACHE) >= _DECODE_CACHE_MAX:
+            _DECODE_CACHE.pop(next(iter(_DECODE_CACHE)))
+        g = _DECODE_CACHE[buf] = wkb.decode(buf)
+    return g
+
+
+_PREPARED_CACHE: dict[bytes, "K.PreparedGeom"] = {}
+
+
+def prepared_cached(buf: bytes) -> "K.PreparedGeom":
+    """Decoded + y-bucket-indexed polygon (geom/kernels.PreparedGeom),
+    cached per WKB content for the PIP refine: the index build is paid
+    once per polygon per worker instead of a dense (npts × nseg) test
+    per Arrow batch."""
+    p = _PREPARED_CACHE.get(buf)
+    if p is None:
+        if len(_PREPARED_CACHE) >= _DECODE_CACHE_MAX:
+            _PREPARED_CACHE.pop(next(iter(_PREPARED_CACHE)))
+        p = _PREPARED_CACHE[buf] = K.prepare(decode_cached(buf))
+    return p
+
 
 def persist_scoped(cached: DataFrame, result: DataFrame) -> DataFrame:
     """Tie a persisted intermediate's lifetime to the op's result: when
@@ -201,7 +237,7 @@ def refine_covers(pair_df: DataFrame, *, poly_wkb: str, poly_group: str,
     refine). predicate: 'covers' (boundary in) or 'contains' (strict
     interior). ``poly_group`` is retained for API compatibility
     (grouping is content-keyed on the WKB itself)."""
-    test = K.covers_xy if predicate == "covers" else K.contains_xy
+    use_covers = predicate == "covers"
 
     @F.pandas_udf(T.BooleanType())
     def _flag(wkbs: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
@@ -212,8 +248,9 @@ def refine_covers(pair_df: DataFrame, *, poly_wkb: str, poly_group: str,
             for buf, idx in wkbs.groupby(wkbs, sort=False).indices.items():
                 if buf is None:
                     continue
-                g = wkb.decode(buf)
-                keep[idx] = test(g, x[idx], y[idx])
+                prep = prepared_cached(buf)
+                keep[idx] = (prep.covers_xy(x[idx], y[idx]) if use_covers
+                             else prep.contains_xy(x[idx], y[idx]))
         return pd.Series(keep)
 
     return pair_df.where(_flag(F.col(poly_wkb), F.col(lon), F.col(lat)))

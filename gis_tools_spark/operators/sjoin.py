@@ -63,7 +63,8 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
              strategy: str = "auto",
              broadcast_max_rows: int = 100_000,
              broadcast_max_bytes: int = 64 << 20,
-             keep_poly_wkb: bool = False) -> DataFrame:
+             keep_poly_wkb: bool = False,
+             force_shuffle: bool = False) -> DataFrame:
     """Join point rows to polygon rows where the point is covered.
 
     Returns points.* + polygons.* (collisions suffixed `_right`);
@@ -106,7 +107,8 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
                                  res_max=res_max, max_cells=max_cells,
                                  salt_threshold=salt_threshold,
                                  salt_sample=salt_sample,
-                                 keep_poly_wkb=keep_poly_wkb)
+                                 keep_poly_wkb=keep_poly_wkb,
+                                 force_shuffle=force_shuffle)
 
     if how == "inner":
         return matched
@@ -122,45 +124,62 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
 def _pip_cell_join(points: DataFrame, polygons: DataFrame, *, lon, lat,
                    poly_wkb, poly_id, predicate, res_min, res_max,
                    max_cells, salt_threshold, keep_poly_wkb,
-                   salt_sample: float = 1.0) -> DataFrame:
-    cover = explode_cover(polygons, poly_wkb, CELL_COL, res_min, res_max, max_cells)
-    cover = cover.withColumn("__res", (F.col(CELL_COL) / F.lit(1 << C.RES_SHIFT)).cast("int"))
-    res_list = [r["__res"] for r in cover.select("__res").distinct().collect()]
+                   salt_sample: float = 1.0,
+                   force_shuffle: bool = False) -> DataFrame:
+    """Cell filter + exact refine, ONE pass over the point side.
 
-    pieces = []
-    for res in sorted(res_list):
-        pts = points.withColumn(CELL_COL, C.cell_column(F.col(lon), F.col(lat), res))
-        cov_r = cover.where(F.col("__res") == res).drop("__res")
-        if salt_threshold:
-            # materialize the hot-cell table to the driver ONCE: it is
-            # tiny by construction (cells above threshold), and both
-            # salt sides broadcast it — left as a lazy plan, each
-            # broadcast exchange re-ran the full fact-side histogram
-            # (measured: ~2x the histogram cost flat, the dominant
-            # salt-plumbing overhead at 1M points). An empty histogram
-            # short-circuits to the unsalted join.
-            hot_lazy = hot_cells(pts, CELL_COL, salt_threshold,
-                                 sample_fraction=salt_sample)
-            hot_rows = hot_lazy.collect()
-            if hot_rows:
-                spark_ = points.sparkSession
-                hot = spark_.createDataFrame(hot_rows, hot_lazy.schema)
-                pts = salt_fact_side(pts, CELL_COL, hot, hash_col=lon)
-                cov_r = salt_dim_side(cov_r, CELL_COL, hot)
-                pieces.append(pts.join(cov_r, on=[CELL_COL, SALT_COL],
-                                       how="inner")
-                              .drop(CELL_COL, SALT_COL))
-            else:
-                pieces.append(pts.join(cov_r, on=CELL_COL, how="inner")
-                              .drop(CELL_COL))
-        else:
-            pieces.append(pts.join(cov_r, on=CELL_COL, how="inner").drop(CELL_COL))
-    if not pieces:
+    Cell ids embed their res in the high bits, so a single equi-join on
+    the cell id matches each cover cell only against point cells of the
+    same res. Each point emits its ancestor cell at every res observed
+    in the cover (fan-out = |res band|, small and bounded) — a previous
+    version instead re-scanned the point side once per distinct cover
+    res (scan + histogram + join each ×|res|), which at 100 TB means
+    reading the fact table |res| times and, at bench scale, made
+    per-job fixed costs the scaling bottleneck (0.72 N→4N pair
+    efficiency; see BENCH/BASELINE.md round-4 salted entry).
+    """
+    cover = explode_cover(polygons, poly_wkb, CELL_COL, res_min, res_max, max_cells)
+    # observed cover resolutions: one tiny polygon-side job (the point
+    # side is never scanned for this)
+    res_list = sorted(
+        r["__res"] for r in cover.select(
+            F.shiftright(F.col(CELL_COL), C.RES_SHIFT).alias("__res"))
+        .distinct().collect())
+    if not res_list:
         empty = points.limit(0).crossJoin(polygons.limit(0))
         return empty if keep_poly_wkb else empty.drop(poly_wkb)
-    cand = pieces[0]
-    for p in pieces[1:]:
-        cand = cand.unionByName(p)
+
+    pts = points.withColumn(
+        CELL_COL,
+        F.explode(F.array(*[C.cell_column(F.col(lon), F.col(lat), r)
+                            for r in res_list])))
+    cov = cover
+    join_on = [CELL_COL]
+    if salt_threshold:
+        # materialize the hot-cell table to the driver ONCE: it is
+        # tiny by construction (cells above threshold), and both
+        # salt sides broadcast it — left as a lazy plan, each
+        # broadcast exchange re-ran the full fact-side histogram
+        # (measured: ~2x the histogram cost flat, the dominant
+        # salt-plumbing overhead at 1M points). An empty histogram
+        # short-circuits to the unsalted join.
+        hot_lazy = hot_cells(pts, CELL_COL, salt_threshold,
+                             sample_fraction=salt_sample)
+        hot_rows = hot_lazy.collect()
+        if hot_rows:
+            spark_ = points.sparkSession
+            hot = spark_.createDataFrame(hot_rows, hot_lazy.schema)
+            pts = salt_fact_side(pts, CELL_COL, hot, hash_col=lon)
+            cov = salt_dim_side(cov, CELL_COL, hot)
+            join_on = [CELL_COL, SALT_COL]
+    if force_shuffle:
+        # pin the both-sides-large physical plan (sort-merge / shuffled
+        # hash) even when the cover would auto-broadcast — used by the
+        # scaling harness to evidence the shuffle path, and by callers
+        # whose polygon side is big enough that a broadcast would OOM
+        # the executors before the byte-gate sees it
+        cov = cov.hint("shuffle_merge")
+    cand = pts.join(cov, on=join_on, how="inner").drop(*join_on)
     refined = refine_covers(cand, poly_wkb=poly_wkb, poly_group=poly_id,
                             lon=lon, lat=lat, predicate=predicate)
     return refined if keep_poly_wkb else refined.drop(poly_wkb)
@@ -453,13 +472,7 @@ def sjoin(left: DataFrame, right: DataFrame, *,
         # (round-2 verdict #3 — the old per-pair python loop was
         # interpreter-rate).
         keep = np.zeros(len(lwkbs), dtype=bool)
-        cache: dict[bytes, dict] = {}
-
-        def _dec(b):
-            g = cache.get(b)
-            if g is None:
-                g = cache[b] = wkb.decode(b)
-            return g
+        from .core import decode_cached as _dec  # worker-lifetime cache
 
         for rb, idx in rwkbs.groupby(rwkbs, sort=False).indices.items():
             if rb is None:
