@@ -60,6 +60,7 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
              max_cells: int = 64,
              salt_threshold: int | None = None,
              salt_sample: float = 1.0,
+             salt_hist: DataFrame | None = None,
              strategy: str = "auto",
              broadcast_max_rows: int = 100_000,
              broadcast_max_bytes: int = 64 << 20,
@@ -107,6 +108,7 @@ def pip_join(points: DataFrame, polygons: DataFrame, *,
                                  res_max=res_max, max_cells=max_cells,
                                  salt_threshold=salt_threshold,
                                  salt_sample=salt_sample,
+                                 salt_hist=salt_hist,
                                  keep_poly_wkb=keep_poly_wkb,
                                  force_shuffle=force_shuffle)
 
@@ -125,6 +127,7 @@ def _pip_cell_join(points: DataFrame, polygons: DataFrame, *, lon, lat,
                    poly_wkb, poly_id, predicate, res_min, res_max,
                    max_cells, salt_threshold, keep_poly_wkb,
                    salt_sample: float = 1.0,
+                   salt_hist: DataFrame | None = None,
                    force_shuffle: bool = False) -> DataFrame:
     """Cell filter + exact refine, ONE pass over the point side.
 
@@ -163,7 +166,19 @@ def _pip_cell_join(points: DataFrame, polygons: DataFrame, *, lon, lat,
         # (measured: ~2x the histogram cost flat, the dominant
         # salt-plumbing overhead at 1M points). An empty histogram
         # short-circuits to the unsalted join.
-        hot_lazy = hot_cells(pts, CELL_COL, salt_threshold,
+        #
+        # salt_hist: optional cheap PROXY (same lon/lat column names)
+        # for the histogram — e.g. the raw table when `points` is the
+        # tail of an expensive pipeline, whose full recompute the
+        # histogram action would otherwise trigger (measured: doubled
+        # an ingest composite's wall). Safe because salting is
+        # invariant to histogram error: a missed hot cell stays
+        # unsalted, an overestimate only over-spreads.
+        hist_src = pts if salt_hist is None else salt_hist.withColumn(
+            CELL_COL,
+            F.explode(F.array(*[C.cell_column(F.col(lon), F.col(lat), r)
+                                for r in res_list])))
+        hot_lazy = hot_cells(hist_src, CELL_COL, salt_threshold,
                              sample_fraction=salt_sample)
         hot_rows = hot_lazy.collect()
         if hot_rows:

@@ -51,6 +51,18 @@ def test_pip_join_sampled_salt_matches(dfs, oracle_pairs):
     assert got == oracle_pairs
 
 
+def test_pip_join_salt_hist_proxy_matches(dfs, oracle_pairs):
+    """A cheap histogram proxy (here: a half-sample of the point table)
+    must not change results, and force_shuffle must not either."""
+    pts, zones = dfs
+    proxy = pts.sample(fraction=0.5, seed=1).select("lon", "lat")
+    got = sorted((r["pid"], r["gid"]) for r in
+                 pip_join(pts, zones, strategy="cell", salt_threshold=20,
+                          salt_hist=proxy, force_shuffle=True)
+                 .select("pid", "gid").collect())
+    assert got == oracle_pairs
+
+
 def test_pip_left_join_keeps_all_points(dfs):
     pts, zones = dfs
     n = pip_join(pts, zones, strategy="cell", how="left").select("pid").distinct().count()

@@ -53,10 +53,17 @@ master = {master!r}
 extra = {{}}
 if master and master.startswith("local-cluster"):
     # real executor JVMs: ship the repo to python workers, size executors
-    # inside the worker memory budget
+    # inside the worker memory budget. ActiveProcessorCount pins each
+    # executor JVM's GC/JIT thread pools to its core grant — on this
+    # 32-core box a 2-core executor otherwise spawns ~23 GC threads
+    # (cluster executors run in cgroup containers where the JVM sees
+    # only its own cores; without the pin the small arm is subsidized)
+    ncores = master.split("[")[1].rstrip("]").split(",")[1]
     extra = {{"spark.executor.memory": "3g",
               "spark.executorEnv.PYTHONPATH": {repo!r},
-              "spark.python.worker.reuse": "true"}}
+              "spark.python.worker.reuse": "true",
+              "spark.executor.extraJavaOptions":
+                  f"-XX:ActiveProcessorCount={{ncores}}"}}
 spark = get_spark(app_name=f"scale_bench_{{cpus}}", cpus=cpus, master=master, **extra)
 # production pattern: ingest once to parquet, scan per stage. Warm ALL
 # python workers first (one tiny UDF task per core) — on a real cluster
@@ -91,7 +98,19 @@ def run():
         passthrough=["lon","lat","minx","miny","maxx","maxy"]).where("ok")
     tiles = image_tile_assignment(
         ok.select("image_id","lon","lat","minx","miny","maxx","maxy"), res=16)
-    joined = pip_join(tiles, zones, strategy="broadcast")
+    # default composite keeps the broadcast join (round-2/3-comparable
+    # headline); salted-composite mode pins the join through the salted
+    # shuffle path (explicit hot-cell histogram + salt, no broadcast) —
+    # the production city-skew plan, evidenced end-to-end
+    if {salted_composite!r} == "1":
+        # salt_hist proxy = the raw image table: the hot-cell histogram
+        # must not re-execute the python verify upstream (salting is
+        # invariant to histogram error; see pip_join docstring)
+        joined = pip_join(tiles, zones, strategy="cell",
+                          salt_threshold=2000, force_shuffle=True,
+                          salt_hist=images.select("lon", "lat"))
+    else:
+        joined = pip_join(tiles, zones, strategy="broadcast")
     rows = joined.groupBy("gid").agg(F.count("*").alias("n_tiles"),
                                      F.countDistinct("image_id").alias("n_images"))
     stats = rows.agg(F.sum("n_tiles"), F.sum("n_images")).collect()[0]
@@ -112,9 +131,13 @@ import os as _os
 salted_sec = -1.0
 if _os.environ.get("SCALE_BENCH_SALTED", "1") != "0":
     def run_salted():
+        # threshold 2000 actually engages at this density (50000 never
+        # did — the round-4 "salted" numbers measured an unsalted join);
+        # force_shuffle pins the non-broadcast plan
         t0 = time.perf_counter()
         pip_join(images.select("image_id","lon","lat"), zones,
-                 strategy="cell", salt_threshold=50000).count()
+                 strategy="cell", salt_threshold=2000,
+                 force_shuffle=True).count()
         return time.perf_counter() - t0
     run_salted()  # warm the salted plan (hot-cell histogram, shuffles)
     salted_sec = min(run_salted() for _ in range(2))
@@ -149,7 +172,9 @@ def gen_once(n: int) -> None:
 
 def run_once(cpus: int, n: int, master: str | None = None) -> dict:
     code = WORKLOAD.format(repo=str(REPO), cpus=cpus, n=n, pq=PQ_DIR,
-                           master=master)
+                           master=master,
+                           salted_composite=os.environ.get(
+                               "SCALE_BENCH_SALTED_COMPOSITE", "0"))
     env = dict(os.environ)  # default 8g heap + G1 measured best (PERF.md)
     env["PYTHONPATH"] = str(REPO)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
@@ -164,6 +189,9 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     cluster = "--cluster" in sys.argv
     cluster4 = "--cluster4" in sys.argv
+    if "--salted-composite" in sys.argv:
+        os.environ["SCALE_BENCH_SALTED_COMPOSITE"] = "1"
+    salted_comp = os.environ.get("SCALE_BENCH_SALTED_COMPOSITE", "0") == "1"
     reps = int(os.environ.get("SCALE_BENCH_REPS", "2"))
     n = int(args[0]) if args else int(os.environ.get("SCALE_BENCH_IMAGES", "300000"))
     gen_once(n)
@@ -258,10 +286,14 @@ def main() -> None:
         f"| {i + 1} | {round(a['wall'], 2)} | {round(b['wall'], 2)} | "
         f"{round(e, 3)} |\n"
         for i, (a, b, e) in enumerate(zip(runs8, runs32, pair_effs)))
+    join_desc = ("SALTED shuffle-path PIP join (strategy='cell', "
+                 "salt_threshold=2000 — engages on the hotspot cells — "
+                 "force_shuffle=True)" if salted_comp else "broadcast PIP join")
     entry = (
-        f"\n## Scaling run {stamp}\n\n"
-        f"Workload: composite ingest (fused scan+verify → res-16 tiling → PIP "
-        f"join vs 64 zones → per-zone agg) over {n} synthetic geotagged images "
+        f"\n## Scaling run {stamp}"
+        f"{' — SALTED-COMPOSITE (join pinned to the salted shuffle path)' if salted_comp else ''}\n\n"
+        f"Workload: composite ingest (fused scan+verify → res-16 tiling → "
+        f"{join_desc} vs 64 zones → per-zone agg) over {n} synthetic geotagged images "
         f"(seed 42, 80% on 12 hotspots), uniform ~8k-row row-groups "
         f"bin-packed into 128 scan tasks (identical task graph both arms), "
         f"{len(pair_effs)} interleaved rep pairs, min-of-3 warm runs per process.\n\n"
@@ -283,10 +315,10 @@ def main() -> None:
             for i, (a, b, e) in enumerate(
                 zip(runs8, runs32, salted_effs)))
         entry += (
-            f"\nSalted shuffle-path PIP join (strategy='cell', "
-            f"salt_threshold=50000, min-of-2 warm runs per arm — the "
-            f"explicit hot-cell skew path, measured separately from the "
-            f"broadcast-path composite):\n\n"
+            f"\nIsolated salted shuffle-path PIP join (strategy='cell', "
+            f"salt_threshold=2000 — salting ENGAGES on the hotspot "
+            f"cells — force_shuffle=True, min-of-2 warm runs per arm; "
+            f"measured separately from the composite):\n\n"
             f"| rep | salted N (s) | salted 4N (s) | pair efficiency |\n"
             f"|---|---|---|---|\n{salted_lines}\n"
             f"**Salted-path MEDIAN efficiency = "
