@@ -143,6 +143,35 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def decode_many(bufs, ws, hs, fmts) -> list:
+    """Decode a whole Arrow-batch worth of images; returns a same-length
+    list of decoded arrays, with the per-item Exception in place of the
+    array for rows that fail (callers decide row-level error policy —
+    the Spark kernels mark, never raise).
+
+    JPEG rows are decoded in vectorized lockstep across the batch
+    (raster/jpeg.py decode_batch) — entropy decode is the dominant
+    kernel of a mostly-JPEG table, and batching across independent
+    streams is how a python decoder escapes per-symbol interpreter cost.
+    Other formats decode per-row (their decoders are already
+    single-pass numpy over the whole buffer)."""
+    out: list = [None] * len(bufs)
+    jidx = [i for i, f in enumerate(fmts) if f in ("jpeg", "jpg")]
+    if jidx:
+        from . import jpeg
+
+        for i, r in zip(jidx, jpeg.decode_batch([bufs[i] for i in jidx])):
+            out[i] = r
+    for i, f in enumerate(fmts):
+        if f in ("jpeg", "jpg"):
+            continue
+        try:
+            out[i] = decode(bufs[i], int(ws[i]), int(hs[i]), f)
+        except Exception as e:  # noqa: BLE001 — per-row error value
+            out[i] = e
+    return out
+
+
 def phash64(arr: np.ndarray) -> int:
     """Stable 64-bit mean-split hash of an 8x8 average-downsample."""
     a = arr.astype(np.float64)

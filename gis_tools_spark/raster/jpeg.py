@@ -162,6 +162,20 @@ def _dec_lut(bits, values) -> list:
     return lut
 
 
+_DEC_LUT_NP_CACHE: dict = {}
+
+
+def _dec_lut_np(bits, values) -> np.ndarray:
+    """_dec_lut as an int64 numpy array (for the batched lockstep
+    decoder, where the gather is a vectorized fancy index)."""
+    key = (tuple(bits), tuple(values))
+    arr = _DEC_LUT_NP_CACHE.get(key)
+    if arr is None:
+        arr = np.array(_dec_lut(bits, values), dtype=np.int64)
+        _DEC_LUT_NP_CACHE[key] = arr
+    return arr
+
+
 # ------------------------------------------------------------ bit IO
 
 class _BitWriter:
@@ -252,9 +266,9 @@ def _entropy_segments(raw: bytes):
     return segs, end
 
 
-def _seg_words(seg: np.ndarray):
-    """64-bit big-endian word starting at every byte offset (list of
-    python ints), plus the segment's bit length. Peeking 16 bits at bit
+def _seg_words_np(seg: np.ndarray):
+    """64-bit big-endian word starting at every byte offset (uint64
+    array), plus the segment's bit length. Peeking 16 bits at bit
     position p is ``(words[p >> 3] >> (48 - (p & 7))) & 0xFFFF`` — and
     because bit-offset(≤7) + code-len(≤16) + magnitude(≤15) ≤ 38 ≤ 64,
     a huffman symbol AND its appended magnitude bits resolve from ONE
@@ -264,7 +278,14 @@ def _seg_words(seg: np.ndarray):
     w = ((v[:-7] << 56) | (v[1:-6] << 48) | (v[2:-5] << 40)
          | (v[3:-4] << 32) | (v[4:-3] << 24) | (v[5:-2] << 16)
          | (v[6:-1] << 8) | v[7:])
-    return w.tolist(), len(seg) * 8
+    return w, len(seg) * 8
+
+
+def _seg_words(seg: np.ndarray):
+    """_seg_words_np as a python list — one C-level list index per fetch
+    beats a 0-d numpy extraction in the scalar decode loop."""
+    w, nbits = _seg_words_np(seg)
+    return w.tolist(), nbits
 
 
 # ------------------------------------------------------------ encoder
@@ -363,6 +384,213 @@ def _emit_seq_block(bw_io: _BitWriter, zz, prev_dc: int, enc_dc, enc_ac) -> int:
     return dc
 
 
+def _emit_scan_scalar(comps, restart_interval: int) -> bytes:
+    """The original per-MCU python scan emitter — kept as the
+    bit-identity ORACLE for _emit_scan_vec (test_jpeg_batch) and as the
+    readable statement of the T.81 F.1.2 emission order."""
+    enc_dc = [_build_enc_table(*_HT_DC_LUM), _build_enc_table(*_HT_DC_CHR)]
+    enc_ac = [_build_enc_table(*_HT_AC_LUM), _build_enc_table(*_HT_AC_CHR)]
+    pat = _mcu_pattern(comps)
+    mcuy = comps[0]["coef"].shape[0] // comps[0]["vs"]
+    mcux = comps[0]["coef"].shape[1] // comps[0]["hs"]
+    bw_io = _BitWriter()
+    prev_dc = [0] * len(comps)
+    mcu, rst = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw_io.marker(0xD0 + rst)
+                rst = (rst + 1) & 7
+                prev_dc = [0] * len(comps)
+            for ci, by, bx in pat:
+                c = comps[ci]
+                ti = 0 if ci == 0 else 1
+                zz = c["coef"][my * c["vs"] + by, mx * c["hs"] + bx]
+                prev_dc[ci] = _emit_seq_block(
+                    bw_io, zz, prev_dc[ci], enc_dc[ti], enc_ac[ti])
+            mcu += 1
+    return bw_io.flush()
+
+
+_ENC_NP_CACHE: dict = {}
+
+
+def _enc_table_np(bits, values):
+    """Encode table as (length[256], code[256]) int64 arrays — the
+    vectorized scan emitter gathers whole symbol columns at once."""
+    key = (tuple(bits), tuple(values))
+    t = _ENC_NP_CACHE.get(key)
+    if t is None:
+        tab = _build_enc_table(bits, values)
+        ln = np.zeros(256, dtype=np.int64)
+        code = np.zeros(256, dtype=np.int64)
+        for sym, (le, c) in tab.items():
+            ln[sym] = le
+            code[sym] = c
+        t = (ln, code)
+        _ENC_NP_CACHE[key] = t
+    return t
+
+
+def _mag_vec(v: np.ndarray):
+    """Vectorized _magnitude: JPEG size category + appended bits.
+    bit_length(|v|) via frexp's exponent (exact for |v| < 2^53)."""
+    size = np.frexp(np.abs(v).astype(np.float64))[1].astype(np.int64)
+    bits = np.where(v > 0, v, v + (np.int64(1) << size) - 1)
+    return size, bits & ((np.int64(1) << size) - 1)
+
+
+def _pack_units(L: np.ndarray, C: np.ndarray) -> bytes:
+    """Concatenate variable-length bit codes (C[i], L[i] bits each) into
+    a byte-stuffed entropy segment: expand to one uint8 per BIT (repeat
+    + shift), pad with 1s to a byte boundary (T.81 F.1.2.3), packbits,
+    then stuff 0x00 after every 0xFF. All C-rate; no per-symbol python."""
+    ends = np.cumsum(L)
+    total = int(ends[-1]) if len(ends) else 0
+    pad = (-total) % 8
+    j = np.arange(total, dtype=np.int64) - np.repeat(ends - L, L)
+    bits = ((np.repeat(C, L) >> (np.repeat(L, L) - 1 - j)) & 1).astype(np.uint8)
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, dtype=np.uint8)])
+    by = np.packbits(bits)
+    ff = np.flatnonzero(by == 0xFF)
+    if len(ff):
+        by = np.insert(by, ff + 1, 0)
+    return by.tobytes()
+
+
+def _emit_scan_vec(comps, restart_interval: int) -> bytes:
+    """The baseline entropy-coded scan, fully vectorized — bit-identical
+    to the _emit_seq_block MCU loop (pinned by test_jpeg_batch's
+    stream-equality test), at numpy rate instead of ~1 µs/symbol python.
+
+    Shape notes: blocks are gathered into MCU emission order with one
+    strided slice per MCU-pattern entry; DC prediction chains per
+    component with restart-segment resets via a shifted-compare; AC
+    run-lengths, ZRL expansion and EOB flags come from one np.nonzero
+    over the whole image's coefficients."""
+    pat = _mcu_pattern(comps)
+    mcuy = comps[0]["coef"].shape[0] // comps[0]["vs"]
+    mcux = comps[0]["coef"].shape[1] // comps[0]["hs"]
+    nmcu = mcuy * mcux
+    npat = len(pat)
+
+    cols = []
+    for ci, by, bx in pat:
+        c = comps[ci]
+        cols.append(c["coef"][by::c["vs"], bx::c["hs"]].reshape(nmcu, 64))
+    B = np.stack(cols, axis=1).reshape(nmcu * npat, 64).astype(np.int64)
+    nblk = B.shape[0]
+    pat_ci = np.array([p[0] for p in pat], dtype=np.int64)
+    pat_ti = (pat_ci != 0).astype(np.int64)
+    blk_ci = np.tile(pat_ci, nmcu)
+    blk_ti = np.tile(pat_ti, nmcu)
+    blk_mcu = np.repeat(np.arange(nmcu, dtype=np.int64), npat)
+    ri = restart_interval
+
+    nc = len(comps)
+    dcl = np.stack([_enc_table_np(*_HT_DC_LUM)[0],
+                    _enc_table_np(*_HT_DC_CHR)[0]])
+    dcc = np.stack([_enc_table_np(*_HT_DC_LUM)[1],
+                    _enc_table_np(*_HT_DC_CHR)[1]])
+    acl = np.stack([_enc_table_np(*_HT_AC_LUM)[0],
+                    _enc_table_np(*_HT_AC_CHR)[0]])
+    acc = np.stack([_enc_table_np(*_HT_AC_LUM)[1],
+                    _enc_table_np(*_HT_AC_CHR)[1]])
+
+    # ---- DC: per-component predictor chain, reset per restart segment
+    dc = B[:, 0]
+    diff = np.empty(nblk, dtype=np.int64)
+    seg_of_blk = blk_mcu // ri if ri else np.zeros(nblk, dtype=np.int64)
+    for cix in range(nc):
+        idx = np.flatnonzero(blk_ci == cix)
+        seq = dc[idx]
+        prev = np.empty_like(seq)
+        prev[0] = 0
+        prev[1:] = seq[:-1]
+        sg = seg_of_blk[idx]
+        prev[np.concatenate([[True], sg[1:] != sg[:-1]])] = 0
+        diff[idx] = seq - prev
+    dsize, dbits = _mag_vec(diff)
+    dln = dcl[blk_ti, dsize]
+    dcode = dcc[blk_ti, dsize]
+    dc_len = dln + dsize
+    dc_code = (dcode << dsize) | dbits
+
+    # ---- AC: run-lengths over all nonzeros at once
+    nzb, nzk = np.nonzero(B[:, 1:])
+    k = nzk.astype(np.int64) + 1
+    v = B[nzb, k]
+    firstnz = np.ones(len(nzb), dtype=bool)
+    firstnz[1:] = nzb[1:] != nzb[:-1]
+    prevk = np.empty_like(k)
+    prevk[1:] = k[:-1]
+    prevk[firstnz] = 0
+    run = k - prevk - 1
+    nzrl = run >> 4
+    rem = run & 15
+    asize, abits = _mag_vec(v)
+    nti = blk_ti[nzb]
+    aln = acl[nti, (rem << 4) | asize]
+    acode = acc[nti, (rem << 4) | asize]
+    ac_len = aln + asize
+    ac_code = (acode << asize) | abits
+
+    # last nonzero k per block → EOB flag (all-zero-AC blocks: last = 0)
+    lastnz = np.zeros(len(nzb), dtype=bool)
+    if len(nzb):
+        lastnz[:-1] = nzb[1:] != nzb[:-1]
+        lastnz[-1] = True
+    lastk = np.zeros(nblk, dtype=np.int64)
+    lastk[nzb[lastnz]] = k[lastnz]
+    eob = lastk < 63
+
+    # ---- unit assembly: [DC][(ZRL*)AC sym]*[EOB?] per block, in order
+    u = nzrl + 1                          # units per nonzero
+    U = int(u.sum()) if len(u) else 0
+    ustart = np.cumsum(u) - u             # first unit index per nonzero
+    unit_ti = np.repeat(nti, u)
+    uL = acl[unit_ti, 0xF0].copy()        # default: ZRL for this table
+    uC = acc[unit_ti, 0xF0].copy()
+    sympos = ustart + nzrl
+    uL[sympos] = ac_len
+    uC[sympos] = ac_code
+
+    upb = np.bincount(nzb, weights=u, minlength=nblk).astype(np.int64) \
+        if len(nzb) else np.zeros(nblk, dtype=np.int64)
+    blk_units = 1 + upb + eob
+    blk_off = np.cumsum(blk_units) - blk_units
+    total_units = int(blk_units.sum())
+    L = np.empty(total_units, dtype=np.int64)
+    C = np.empty(total_units, dtype=np.int64)
+    L[blk_off] = dc_len
+    C[blk_off] = dc_code
+    epos = blk_off[eob] + blk_units[eob] - 1
+    L[epos] = acl[blk_ti[eob], 0]
+    C[epos] = acc[blk_ti[eob], 0]
+    if U:
+        ac_start = np.cumsum(upb) - upb
+        unit_blk = np.repeat(nzb, u)
+        tgt = blk_off[unit_blk] + 1 + (np.arange(U) - ac_start[unit_blk])
+        L[tgt] = uL
+        C[tgt] = uC
+
+    # ---- pack per restart segment, join with byte-aligned RSTn markers
+    if not ri or nmcu <= ri:
+        return _pack_units(L, C)
+    # unit index where each restart segment starts: first block of MCU s*ri
+    seg_first_blk = np.arange(ri, nmcu, ri) * npat
+    cuts = blk_off[seg_first_blk]
+    parts = []
+    prev_cut = 0
+    for si, cut in enumerate(list(cuts) + [total_units]):
+        parts.append(_pack_units(L[prev_cut:cut], C[prev_cut:cut]))
+        if cut != total_units:
+            parts.append(bytes([0xFF, 0xD0 + (si & 7)]))
+        prev_cut = cut
+    return b"".join(parts)
+
+
 def _mcu_pattern(comps):
     """Per-MCU block emission order: (ci, by, bx) triples."""
     pat = []
@@ -425,30 +653,7 @@ def encode(arr: np.ndarray, quality: int = 85, subsampling: str = "444",
     if progressive:
         return _encode_progressive(comps, h, w, qts, restart_interval)
 
-    enc_dc = [_build_enc_table(*_HT_DC_LUM), _build_enc_table(*_HT_DC_CHR)]
-    enc_ac = [_build_enc_table(*_HT_AC_LUM), _build_enc_table(*_HT_AC_CHR)]
-    pat = _mcu_pattern(comps)
-    mcuy = comps[0]["coef"].shape[0] // comps[0]["vs"]
-    mcux = comps[0]["coef"].shape[1] // comps[0]["hs"]
-    bw_io = _BitWriter()
-    prev_dc = [0] * len(comps)
-    mcu, rst = 0, 0
-    total = mcux * mcuy
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                bw_io.marker(0xD0 + rst)
-                rst = (rst + 1) & 7
-                prev_dc = [0] * len(comps)
-            for ci, by, bx in pat:
-                c = comps[ci]
-                ti = 0 if ci == 0 else 1
-                zz = c["coef"][my * c["vs"] + by, mx * c["hs"] + bx]
-                prev_dc[ci] = _emit_seq_block(
-                    bw_io, zz, prev_dc[ci], enc_dc[ti], enc_ac[ti])
-            mcu += 1
-    scan = bw_io.flush()
-    assert mcu == total
+    scan = _emit_scan_vec(comps, restart_interval)
     out = _headers(h, w, qts, comps, progressive=False,
                    restart_interval=restart_interval)
     out += _sos([(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
@@ -1184,3 +1389,513 @@ def decode(buf: bytes) -> np.ndarray:
             dense.append(arr)
         coefL = dense
     return _reconstruct(comps, coefL, qts, h, w)
+
+
+# ---------------------------------------------- batched lockstep decoder
+#
+# The scalar decoder above pays ~260 ns of python interpreter per huffman
+# symbol — the floor for a single sequential bitstream. But a Spark Arrow
+# batch carries hundreds of INDEPENDENT streams, so the entropy decode
+# vectorizes ACROSS images: one numpy iteration advances every active
+# stream by exactly one huffman symbol (gathered word fetch → stacked-LUT
+# fancy index → masked state transitions). Per-iteration numpy overhead
+# (~tens of µs) amortizes over the batch width; measured gain vs the
+# scalar loop is recorded in PERF.md. Eligible: baseline sequential
+# huffman, single SOS covering every component, any sampling factors,
+# with or without restart intervals. Progressive / multi-scan fall back
+# to the scalar decoder per stream; a stream that errors mid-lockstep is
+# re-decoded scalar so callers see the exact scalar exception.
+
+_MSK64 = np.array([(1 << s) - 1 for s in range(17)], dtype=np.int64)
+_MSKU64 = _MSK64.astype(np.uint64)
+_HALF64 = np.array([0] + [1 << (s - 1) for s in range(1, 17)],
+                   dtype=np.int64)
+_MAXPAT = 16   # MCU block-pattern cap (4:2:0 3-comp = 6; T.81 caps at 10)
+_PREDC = 4     # DC-predictor slots per stream (≥ max component count)
+# Measured on the fixture-shaped mix (64/96/128 px, q75 4:2:0): lockstep
+# breaks even with the scalar loop near 256 concurrent streams — below
+# that the ~45 µs/iteration numpy dispatch dominates. Batches narrower
+# than _LOCKSTEP_MIN decode scalar; once the active set thins past
+# _LOCKSTEP_TAIL mid-flight (pathological: one much-longer stream keeps
+# the loop alive at width ~1) the stragglers are handed to the scalar
+# decoder.
+_LOCKSTEP_MIN = 256
+_LOCKSTEP_TAIL = 16
+
+
+class _Ineligible(Exception):
+    """Stream is valid JPEG but outside the lockstep fast path."""
+
+
+def _parse_one(buf: bytes) -> dict:
+    """Marker walk up to the first SOS; returns lockstep prep state.
+
+    Raises _Ineligible for progressive / partial-scan / exotic streams
+    (handled by the scalar decoder) and ValueError for non-JPEG input
+    (same exception the scalar decoder raises)."""
+    buf = bytes(buf)
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos, n = 2, len(buf)
+    qts: dict[int, np.ndarray] = {}
+    dc_raw: dict[int, tuple] = {}
+    ac_raw: dict[int, tuple] = {}
+    comps: list[dict] = []
+    h = w = mcux = mcuy = 0
+    restart_interval = 0
+    while pos < n - 1:
+        if buf[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = buf[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(buf[pos:pos + 2], "big")
+        payload = buf[pos + 2:pos + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                p += 1
+                if pq == 0:
+                    q = np.frombuffer(payload[p:p + 64],
+                                      dtype=np.uint8).astype(np.int32)
+                    p += 64
+                else:
+                    q = np.frombuffer(payload[p:p + 128],
+                                      dtype=">u2").astype(np.int32)
+                    p += 128
+                qts[tq] = q[_UNZZ].reshape(8, 8)
+        elif marker in (0xC0, 0xC1):
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            nc = payload[5]
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = payload[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF,
+                              "tq": tq})
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bwf"] = mcux * c["hs"]
+                c["bhf"] = mcuy * c["vs"]
+        elif marker == 0xC2:
+            raise _Ineligible("progressive")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise _Ineligible("exotic SOF")
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17:p + 17 + nv])
+                (dc_raw if tc == 0 else ac_raw)[th] = (bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(payload[:2], "big")
+        elif marker == 0xDA:
+            if not comps or h <= 0 or w <= 0:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            scan_cis = []
+            for si in range(ns):
+                cid, tabs = payload[1 + 2 * si], payload[2 + 2 * si]
+                ci = next((i for i, c in enumerate(comps)
+                           if c["id"] == cid), None)
+                if ci is None:
+                    raise _Ineligible("scan names unknown component")
+                comps[ci]["td"] = tabs >> 4
+                comps[ci]["ta"] = tabs & 0xF
+                scan_cis.append(ci)
+            ss = payload[1 + 2 * ns]
+            se = payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            if ss != 0 or se != 63 or ahal != 0:
+                raise _Ineligible("non-sequential scan params")
+            if sorted(scan_cis) != list(range(len(comps))):
+                raise _Ineligible("scan does not cover all components")
+            for ci in scan_cis:
+                if comps[ci]["td"] not in dc_raw \
+                        or comps[ci]["ta"] not in ac_raw:
+                    raise _Ineligible("missing huffman table")
+                if comps[ci]["tq"] not in qts:
+                    raise _Ineligible("missing quant table")
+            segs, _ = _entropy_segments(buf[pos + ln:])
+            return {"comps": comps, "qts": qts, "dc_raw": dc_raw,
+                    "ac_raw": ac_raw, "h": h, "w": w, "mcux": mcux,
+                    "mcuy": mcuy, "ri": restart_interval,
+                    "scan_cis": scan_cis, "segs": segs}
+        pos += ln
+    # No SOS reached: the scalar decoder defines the contract here
+    # (ValueError without SOF, flat-gray image with SOF but no scan).
+    raise _Ineligible("no SOS")
+
+
+def _prep_stream(st: dict):
+    """Pattern/geometry tables for one stream (pure python, cheap)."""
+    comps, scan_cis = st["comps"], st["scan_cis"]
+    interleaved = len(scan_cis) > 1
+    pat = []   # (ci, c1, c2, c3) — block base = (my*c1 + mx*c3 + c2)*64
+    if interleaved:
+        for ci in scan_cis:
+            c = comps[ci]
+            for by in range(c["vs"]):
+                for bx in range(c["hs"]):
+                    pat.append((ci, c["vs"] * c["bwf"],
+                                by * c["bwf"] + bx, c["hs"]))
+        mcux_, nmcu = st["mcux"], st["mcux"] * st["mcuy"]
+    else:
+        ci0 = scan_cis[0]
+        c0 = comps[ci0]
+        bh, bw = _ni_dims(c0, comps, st["h"], st["w"])
+        pat = [(ci0, c0["bwf"], 0, 1)]
+        mcux_, nmcu = bw, bh * bw
+    if len(pat) > _MAXPAT:
+        raise _Ineligible("MCU pattern too wide")
+    st["pat"] = pat
+    st["mcux_"] = mcux_
+    st["nmcu"] = nmcu
+    st["per_seg"] = st["ri"] if st["ri"] else nmcu
+
+
+def _lockstep_decode(states: list[dict]):
+    """Advance every stream one huffman symbol per numpy iteration.
+
+    Returns (results, failed): results[i] is the decoded array or None;
+    failed is the set of local indices needing a scalar re-decode."""
+    S = len(states)
+    failed: set[int] = set()
+    for st in states:
+        _prep_stream(st)
+
+    # ---- stacked LUT rows (content-deduped across the batch)
+    rows: dict[int, int] = {}
+    row_arrs: list[np.ndarray] = []
+
+    def _row(raw) -> int:
+        arr = _dec_lut_np(*raw)
+        rid = rows.get(id(arr))
+        if rid is None:
+            rid = len(row_arrs)
+            rows[id(arr)] = rid
+            row_arrs.append(arr)
+        return rid
+
+    # ---- flatten words, segments, pattern tables, coefficient slots
+    maxseg = max(len(st["segs"]) for st in states)
+    word_chunks: list[np.ndarray] = []
+    segwb = np.zeros((S, maxseg), dtype=np.int64)
+    segbits = np.zeros((S, maxseg), dtype=np.int64)
+    nseg = np.zeros(S, dtype=np.int64)
+    pc_ci = np.zeros((S, _MAXPAT), dtype=np.int64)
+    pc1 = np.zeros((S, _MAXPAT), dtype=np.int64)
+    pc2 = np.zeros((S, _MAXPAT), dtype=np.int64)
+    pc3 = np.zeros((S, _MAXPAT), dtype=np.int64)
+    pdcrow = np.zeros((S, _MAXPAT), dtype=np.int64)
+    pacrow = np.zeros((S, _MAXPAT), dtype=np.int64)
+    pcbase = np.zeros((S, _MAXPAT), dtype=np.int64)
+    patlen = np.zeros(S, dtype=np.int64)
+    mcux_ = np.ones(S, dtype=np.int64)
+    nmcu = np.zeros(S, dtype=np.int64)
+    per_seg = np.ones(S, dtype=np.int64)
+    wtot = 0
+    ctot = 0
+    for i, st in enumerate(states):
+        nseg[i] = len(st["segs"])
+        for j, seg in enumerate(st["segs"]):
+            wrds, nbits = _seg_words_np(seg)
+            segwb[i, j] = wtot
+            segbits[i, j] = nbits
+            word_chunks.append(wrds)
+            wtot += len(wrds)
+        cbases = []
+        for c in st["comps"]:
+            cbases.append(ctot)
+            ctot += c["bwf"] * c["bhf"] * 64
+        st["cbases"] = cbases
+        for pj, (ci, c1, c2, c3) in enumerate(st["pat"]):
+            c = st["comps"][ci]
+            pc_ci[i, pj] = ci
+            pc1[i, pj] = c1
+            pc2[i, pj] = c2
+            pc3[i, pj] = c3
+            pdcrow[i, pj] = _row(st["dc_raw"][c["td"]]) << 16
+            pacrow[i, pj] = _row(st["ac_raw"][c["ta"]]) << 16
+            pcbase[i, pj] = cbases[ci]
+        patlen[i] = len(st["pat"])
+        mcux_[i] = st["mcux_"]
+        nmcu[i] = st["nmcu"]
+        per_seg[i] = st["per_seg"]
+    W = np.concatenate(word_chunks) if word_chunks else \
+        np.zeros(0, dtype=np.uint64)
+    lutflat = np.concatenate(row_arrs)
+    segwb_f = segwb.ravel()
+    segbits_f = segbits.ravel()
+    pc1_f = pc1.ravel()
+    pc2_f = pc2.ravel()
+    pc3_f = pc3.ravel()
+    pdcrow_f = pdcrow.ravel()
+    pacrow_f = pacrow.ravel()
+    pcbase_f = pcbase.ravel()
+    ppidx_f = (np.arange(S, dtype=np.int64)[:, None] * _PREDC
+               + pc_ci).ravel()
+    predflat = np.zeros(S * _PREDC, dtype=np.int64)
+
+    # ---- per-active-stream state (compacted as streams finish)
+    sid = np.arange(S, dtype=np.int64)
+    live0 = nmcu > 0
+    for i in np.flatnonzero(~live0):
+        failed.add(int(i))
+    sid = sid[live0]
+    p = np.zeros(len(sid), dtype=np.uint64)
+    wb = segwb[sid, 0]
+    plim = (segbits[sid, 0] + 16).astype(np.uint64)
+    segidx = np.zeros(len(sid), dtype=np.int64)
+    mcu_in_seg = np.ones(len(sid), dtype=np.int64)  # decoding MCU 0
+    pi = np.zeros(len(sid), dtype=np.int64)
+    m = np.zeros(len(sid), dtype=np.int64)
+    k = np.ones(len(sid), dtype=np.int64)
+    isdc = np.ones(len(sid), dtype=bool)
+    fi0 = sid * _MAXPAT
+    curbase = pcbase_f[fi0] + pc2_f[fi0] * 64
+    currow = pdcrow_f[fi0]
+    acrow_cur = pacrow_f[fi0]
+    pidx_cur = ppidx_f[fi0]
+    pl_a = patlen[sid]
+    mcux_a = mcux_[sid]
+    nmcu_a = nmcu[sid]
+    perseg_a = per_seg[sid]
+    nseg_a = nseg[sid]
+
+    em_slot: list[np.ndarray] = []
+    em_val: list[np.ndarray] = []
+    u48 = np.uint64(48)
+    u64c = np.uint64(64)
+    u7 = np.uint64(7)
+    u3 = np.uint64(3)
+    uffff = np.uint64(0xFFFF)
+
+    # Straggler cutover: one lockstep iteration costs ~40-50 µs of numpy
+    # dispatch regardless of width. Streams finish at different symbol
+    # counts; when only a handful of (long) streams survive, re-decoding
+    # them scalar beats paying full dispatch per symbol for a
+    # nearly-empty batch. Tuned empirically: aggressive cutovers (>=32)
+    # LOSE — the re-decode re-pays the finished prefix — so this only
+    # guards the pathological one-giant-stream tail.
+    straggler_min = min(_LOCKSTEP_TAIL, S // 2)
+
+    while len(sid):
+        if len(sid) < straggler_min:
+            for i in sid:
+                failed.add(int(i))
+            break
+        off = p & u7
+        word = W[(wb + (p >> u3).astype(np.int64))]
+        peek = ((word >> (u48 - off)) & uffff).astype(np.int64)
+        e = lutflat[currow + peek]
+        ln = e >> 8
+        rs = e & 255
+        s = rs & 15
+        lns = ln + s
+        v = ((word >> (u64c - off - lns.astype(np.uint64)))
+             & _MSKU64[s]).astype(np.int64)
+        val = np.where(v >= _HALF64[s], v, v - _MSK64[s])
+        p = p + lns.astype(np.uint64)
+        bad = (e == 0) | (p > plim)
+        alive = ~bad
+        dmask = isdc & alive
+        amask = ~isdc & alive
+
+        di = np.flatnonzero(dmask)
+        if di.size:
+            pslots = pidx_cur[di]
+            npred = predflat[pslots] + val[di]
+            predflat[pslots] = npred
+            nz = npred != 0
+            if nz.any():
+                em_slot.append(curbase[di][nz])
+                em_val.append(npred[nz])
+            currow[di] = acrow_cur[di]
+            isdc[di] = False
+            k[di] = 1
+
+        zs = s == 0
+        zrl = amask & zs & (rs == 0xF0)
+        eob = amask & zs & (rs != 0xF0)
+        nzm = amask & ~zs
+        knew = k + (rs >> 4)
+        emit = nzm & (knew <= 63)
+        ei = np.flatnonzero(emit)
+        if ei.size:
+            em_slot.append(curbase[ei] + knew[ei])
+            em_val.append(val[ei])
+        k = np.where(nzm, knew + 1, k + (zrl << 4))
+        blockend = eob | (nzm & (knew >= 63))
+
+        bi = np.flatnonzero(blockend)
+        if bi.size:
+            pin = pi[bi] + 1
+            wrap = pin >= pl_a[bi]
+            pin[wrap] = 0
+            pi[bi] = pin
+            if wrap.any():
+                wi = bi[wrap]
+                mm = m[wi] + 1
+                m[wi] = mm
+                fin = mm >= nmcu_a[wi]
+                if fin.any():
+                    alive[wi[fin]] = False
+                run = wi[~fin]
+                if run.size:
+                    # scalar contract: switch when per_seg MCUs are
+                    # already decoded in this segment, BEFORE counting
+                    # the MCU now starting
+                    sw = mcu_in_seg[run] >= perseg_a[run]
+                    mcu_in_seg[run] += 1
+                    if sw.any():
+                        sv = run[sw]
+                        sgi = segidx[sv] + 1
+                        ok = sgi < nseg_a[sv]
+                        if not ok.all():
+                            bsv = sv[~ok]
+                            bad[bsv] = True
+                            alive[bsv] = False
+                            sv = sv[ok]
+                            sgi = sgi[ok]
+                        if sv.size:
+                            segidx[sv] = sgi
+                            fs = sid[sv] * maxseg + sgi
+                            wb[sv] = segwb_f[fs]
+                            plim[sv] = (segbits_f[fs] + 16) \
+                                .astype(np.uint64)
+                            p[sv] = 0
+                            mcu_in_seg[sv] = 1  # the MCU now starting
+                            pr = (sid[sv][:, None] * _PREDC
+                                  + np.arange(_PREDC)).ravel()
+                            predflat[pr] = 0
+            ba = bi[alive[bi]]
+            if ba.size:
+                fi = sid[ba] * _MAXPAT + pi[ba]
+                myv = m[ba] // mcux_a[ba]
+                mxv = m[ba] - myv * mcux_a[ba]
+                curbase[ba] = pcbase_f[fi] + (myv * pc1_f[fi]
+                                              + mxv * pc3_f[fi]
+                                              + pc2_f[fi]) * 64
+                currow[ba] = pdcrow_f[fi]
+                acrow_cur[ba] = pacrow_f[fi]
+                pidx_cur[ba] = ppidx_f[fi]
+                isdc[ba] = True
+
+        if bad.any():
+            for i in sid[bad]:
+                failed.add(int(i))
+        if not alive.all():
+            keep = alive
+            sid = sid[keep]
+            p = p[keep]
+            wb = wb[keep]
+            plim = plim[keep]
+            segidx = segidx[keep]
+            mcu_in_seg = mcu_in_seg[keep]
+            pi = pi[keep]
+            m = m[keep]
+            k = k[keep]
+            isdc = isdc[keep]
+            curbase = curbase[keep]
+            currow = currow[keep]
+            acrow_cur = acrow_cur[keep]
+            pidx_cur = pidx_cur[keep]
+            pl_a = pl_a[keep]
+            mcux_a = mcux_a[keep]
+            nmcu_a = nmcu_a[keep]
+            perseg_a = perseg_a[keep]
+            nseg_a = nseg_a[keep]
+
+    allcoef = np.zeros(ctot, dtype=np.int64)
+    if em_slot:
+        slots = np.concatenate(em_slot)
+        vals = np.concatenate(em_val)
+        allcoef[slots] = vals
+    results: list = [None] * S
+    for i, st in enumerate(states):
+        if i in failed:
+            continue
+        try:
+            dense = [allcoef[b:b + c["bwf"] * c["bhf"] * 64]
+                     for b, c in zip(st["cbases"], st["comps"])]
+            results[i] = _reconstruct(st["comps"], dense, st["qts"],
+                                      st["h"], st["w"])
+        except Exception:
+            failed.add(i)
+    return results, failed
+
+
+def decode_batch(bufs) -> list:
+    """Decode many JPEG buffers; returns a same-length list whose
+    entries are decoded uint8 arrays or the per-item Exception.
+
+    Baseline single-scan streams (with or without restart intervals)
+    decode in vectorized lockstep across the batch; progressive and
+    other ineligible streams decode scalar. A stream the lockstep
+    engine rejects is re-decoded scalar so its exception (or result)
+    is identical to ``decode``'s."""
+    out: list = [None] * len(bufs)
+    states: list[dict] = []
+    sids: list[int] = []
+    for i, b in enumerate(bufs):
+        try:
+            st = _parse_one(b)
+        except _Ineligible:
+            try:
+                out[i] = decode(b)
+            except Exception as e:   # noqa: BLE001 — per-row error value
+                out[i] = e
+            continue
+        except Exception as e:       # noqa: BLE001
+            out[i] = e
+            continue
+        try:
+            _prep_stream(st)
+        except _Ineligible:
+            try:
+                out[i] = decode(b)
+            except Exception as e:   # noqa: BLE001
+                out[i] = e
+            continue
+        states.append(st)
+        sids.append(i)
+    if states and len(states) < _LOCKSTEP_MIN:
+        # Narrow batch: lockstep can't amortize its per-iteration numpy
+        # dispatch — the scalar loop is at least as fast.
+        for st, i in zip(states, sids):
+            try:
+                out[i] = decode(bufs[i])
+            except Exception as e:   # noqa: BLE001
+                out[i] = e
+        states = []
+    if states:
+        try:
+            results, failed = _lockstep_decode(states)
+        except Exception:            # noqa: BLE001 — full scalar fallback
+            results = [None] * len(states)
+            failed = set(range(len(states)))
+        for j, res in enumerate(results):
+            if j in failed:
+                try:
+                    out[sids[j]] = decode(bufs[sids[j]])
+                except Exception as e:   # noqa: BLE001
+                    out[sids[j]] = e
+            else:
+                out[sids[j]] = res
+    return out

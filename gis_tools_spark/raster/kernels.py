@@ -27,9 +27,11 @@ def decode_phash_udf():
 
     @F.pandas_udf(T.LongType())
     def _udf(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series) -> pd.Series:
+        arrs = codec.decode_many(list(b), list(w), list(h), list(fmt))
         out = []
-        for buf, ww, hh, ff in zip(b, w, h, fmt):
-            arr = codec.decode(buf, int(ww), int(hh), ff)
+        for arr in arrs:
+            if isinstance(arr, Exception):
+                raise arr
             out.append(codec.phash64(arr))
         return pd.Series(out, dtype=np.int64)
 
@@ -44,10 +46,15 @@ def verify_images_udf(min_psnr: float = 40.0):
     @F.pandas_udf(T.BooleanType())
     def _udf(b: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series,
              phash: pd.Series, caption: pd.Series, image_id: pd.Series) -> pd.Series:
+        arrs = codec.decode_many(list(b), list(w), list(h), list(fmt))
         out = []
-        for buf, ww, hh, ff, ph, cap, iid in zip(b, w, h, fmt, phash, caption, image_id):
+        for arr, ff, ph, cap, iid in zip(arrs, fmt, phash, caption, image_id):
             try:
-                arr = codec.decode(buf, int(ww), int(hh), ff)
+                if isinstance(arr, Exception):
+                    # decode failure of ANY kind (unsupported fmt, corrupt
+                    # zlib, bad header) marks the row, never kills the task
+                    out.append(False)
+                    continue
                 ok = codec.phash64(arr) == ph
                 if ff in LOSSY_FMTS:
                     # north-rule PSNR>=40 applies to LOSSY re-encodes;
@@ -55,12 +62,11 @@ def verify_images_udf(min_psnr: float = 40.0):
                     # above already proves bit-exactness, and re-encoding
                     # them (webp VP8L emit ~24 ms/row) was 70% of the
                     # verify CPU for 5% of the rows
-                    rt = codec.decode(codec.encode(arr, ff), int(ww), int(hh), ff)
+                    rt = codec.decode(codec.encode(arr, ff), int(arr.shape[1]),
+                                      int(arr.shape[0]), ff)
                     ok &= codec.psnr(arr, rt) >= min_psnr
                 ok &= cap.startswith("caption for img") and iid.lstrip("img").lstrip("0") in cap
             except Exception:
-                # decode failure of ANY kind (unsupported fmt, corrupt
-                # zlib, bad header) marks the row, never kills the task
                 ok = False
             out.append(bool(ok))
         return pd.Series(out)
@@ -90,21 +96,40 @@ def _verify_batch(batch, min_psnr: float, passthrough: list[str]):
     caps = batch.column(names.index("caption")).to_pylist()
     iids = batch.column(names.index("image_id")).to_pylist()
     ok = np.zeros(len(col), dtype=bool)
+    # pass 1: decode the whole batch at once — JPEG rows go through the
+    # vectorized lockstep decoder (codec.decode_many); a row's decode
+    # failure of ANY kind becomes its Exception value, never a task kill
+    bufs = [data[offs[i]:offs[i + 1]] for i in range(len(col))]
+    arrs = codec.decode_many(bufs, ws, hs, fmts)
+    # pass 2: lossy rows re-encode; their roundtrip decodes batch again
+    re_bufs, re_idx = [], []
+    for i, arr in enumerate(arrs):
+        if not isinstance(arr, Exception) and fmts[i] in LOSSY_FMTS:
+            # lossy only: see verify_images_udf — lossless formats are
+            # already proven bit-exact by the phash equality below
+            try:
+                re_bufs.append(codec.encode(arr, fmts[i]))
+                re_idx.append(i)
+            except Exception as e:  # noqa: BLE001 — per-row error value
+                arrs[i] = e
+    rts = codec.decode_many(re_bufs, [ws[i] for i in re_idx],
+                            [hs[i] for i in re_idx],
+                            [fmts[i] for i in re_idx])
+    rt_of = dict(zip(re_idx, rts))
     for i in range(len(col)):
+        arr = arrs[i]
+        if isinstance(arr, Exception):
+            continue
         try:
-            buf = data[offs[i]:offs[i + 1]]
-            arr = codec.decode(buf, int(ws[i]), int(hs[i]), fmts[i])
             good = codec.phash64(arr) == phs[i]
-            if fmts[i] in LOSSY_FMTS:
-                # lossy only: see verify_images_udf — lossless formats
-                # are already proven bit-exact by the phash equality
-                rt = codec.decode(codec.encode(arr, fmts[i]),
-                                  int(ws[i]), int(hs[i]), fmts[i])
-                good &= codec.psnr(arr, rt) >= min_psnr
+            rt = rt_of.get(i)
+            if rt is not None:
+                if isinstance(rt, Exception):
+                    good = False
+                else:
+                    good &= codec.psnr(arr, rt) >= min_psnr
             good &= caps[i].startswith("caption for img")
-        except Exception:
-            # decode failure of ANY kind (unsupported fmt, corrupt zlib,
-            # bad header) marks the row, never kills the task
+        except Exception:  # noqa: BLE001
             good = False
         ok[i] = good
     arrays = [pa.array(iids), pa.array(ok)]

@@ -82,10 +82,14 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, *,
             keep = np.ones(len(pdf), dtype=bool)
             has_ph = "phash" in pdf.columns
             nph = []
-            for i, (buf, w0, h0, f0) in enumerate(
-                    zip(pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
+            arrs = codec.decode_many(list(pdf["bytes"]), list(pdf["w"]),
+                                     list(pdf["h"]), list(pdf["fmt"]))
+            for i, (arr, f0) in enumerate(zip(arrs, pdf["fmt"])):
                 try:
-                    arr = codec.decode(buf, int(w0), int(h0), f0)
+                    if isinstance(arr, NotImplementedError):
+                        raise arr
+                    if isinstance(arr, Exception):
+                        raise ValueError("decode failed") from arr
                     r = resize_array(arr, out_w, out_h, method)
                     fo = fmt_out or f0
                     nb.append(codec.encode(r, fo))
