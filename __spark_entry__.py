@@ -392,8 +392,10 @@ def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jpeg_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end lossy-codec gate (round-3 verdict next-round #1c):
     deterministic photo-like images seeded by doc_id are encoded as
-    baseline 4:4:4 / 4:2:0, progressive, restart-interval JPEG and
-    lossless WebP (variant = doc_id % 6), then flow through the REAL
+    baseline 4:4:4 / 4:2:0, progressive, restart-interval JPEG,
+    lossless VP8L WebP and lossy VP8 WebP (variant = doc_id % 7; the
+    lossy variant routes through the system libwebp when present,
+    falling back to lossless deterministically), then flow through the REAL
     Arrow verify kernel (decode → phash match → re-encode PSNR≥40 →
     caption check) — plus a decode-vs-ORIGINAL-pixels PSNR≥40 check
     computed against the regenerated source array, which fails on any
@@ -414,8 +416,19 @@ def q_jpeg_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 prng = __import__("numpy").random.default_rng(d * 7_919 + 11)
                 arr = _gen_pixels(prng, 32, 32, "jpeg", sigma=1.5)
-                v = d % 6
-                if v == 5:
+                v = d % 7
+                if v == 6:
+                    # lossy VP8 through the system libwebp (q100 floors
+                    # PSNR-vs-original at ~45 dB on this content);
+                    # deterministic lossless fallback when absent
+                    from gis_tools_spark.raster import native_webp, webp
+
+                    buf = (webp.encode(arr, lossy=True, quality=100)
+                           if native_webp.available()
+                           else rcodec.encode(arr, "webp"))
+                    dec = rcodec.decode(buf, 32, 32, "webp")
+                    fmt = "webp"
+                elif v == 5:
                     buf = rcodec.encode(arr, "webp")
                     dec = rcodec.decode(buf, 32, 32, "webp")
                     fmt = "webp"
@@ -1731,7 +1744,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jpeg_decode_verify": """
             SELECT doc_id,
-                   CAST(doc_id % 6 AS INTEGER) AS variant,
+                   CAST(doc_id % 7 AS INTEGER) AS variant,
                    TRUE AS ok_verify,
                    TRUE AS ok_psnr
             FROM documents

@@ -40,7 +40,7 @@ def _gen_pixels(prng: np.random.Generator, h: int, w: int, f: str,
     """Deterministic pixels: a smooth sinusoid field for jpeg rows
     (photo-like content that quantizes to PSNR≥40, and a realistic
     entropy-decode workload) — uniform noise for lossless formats."""
-    if f == "jpeg":
+    if f in ("jpeg", "webp"):
         x, y = np.meshgrid(np.arange(w), np.arange(h))
         base = np.full((h, w), 127.0)
         # three harmonics with random orientation/frequency/phase keep
@@ -79,6 +79,20 @@ def _encode_image(prng: np.random.Generator, arr: np.ndarray, f: str):
               {"restart_interval": 4})[int(prng.integers(0, 5))]
         buf = jpeg.encode(arr, 85, **kw)
         return buf, codec.phash64(jpeg.decode(buf))
+    if f == "webp":
+        from .raster import native_webp, webp
+
+        # real tables are mostly lossy VP8: 60% of webp rows go through
+        # the system libwebp (when present), the rest through the
+        # from-scratch VP8L encoder. The draw happens UNCONDITIONALLY so
+        # the prng stream (and every other column) is identical whether
+        # or not libwebp exists.
+        lossy = int(prng.integers(0, 5)) < 3
+        if lossy and native_webp.available():
+            buf = webp.encode(arr, lossy=True, quality=85)
+            return buf, codec.phash64(webp.decode(buf))
+        buf = webp.encode(arr)
+        return buf, codec.phash64(arr)
     buf = codec.encode(arr, f)
     return buf, codec.phash64(arr)
 

@@ -260,8 +260,18 @@ def _read_code(br: _BitReader, alphabet_size: int) -> _Decoder:
 
 # ------------------------------------------------------------------ encode
 
-def encode(arr: np.ndarray) -> bytes:
-    """(h,w) or (h,w,3) uint8 → lossless WebP bytes."""
+def encode(arr: np.ndarray, lossy: bool = False,
+           quality: float = 85.0) -> bytes:
+    """(h,w) or (h,w,3) uint8 → WebP bytes.
+
+    Default is the from-scratch pure-python VP8L lossless stream;
+    ``lossy=True`` emits a real VP8 stream through the system libwebp
+    (raster/native_webp.py) and raises RuntimeError when the shared
+    library is absent."""
+    if lossy:
+        from . import native_webp
+
+        return native_webp.encode(arr, quality=quality)
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         r = g = b = arr
@@ -346,14 +356,50 @@ def decode(buf: bytes) -> np.ndarray:
             payload = buf[pos + 8:pos + 8 + size]
             break
         if tag in (b"VP8 ", b"VP8X"):
+            # lossy VP8 / extended container: route to the system
+            # libwebp (ctypes, raster/native_webp.py) when present
+            from . import native_webp
+
+            if native_webp.available():
+                return native_webp.decode(buf)
             raise NotImplementedError(
-                "lossy/extended WebP requires libwebp (absent in sandbox); "
-                "this codec implements VP8L lossless")
+                "lossy/extended WebP requires libwebp (absent); "
+                "this pure codec implements VP8L lossless")
         pos += 8 + size + (size & 1)
     if payload is None:
         raise ValueError("no VP8L chunk")
     if payload[0] != 0x2F:
         raise ValueError("bad VP8L signature")
+    try:
+        return _decode_vp8l(payload)
+    except NotImplementedError:
+        # stream uses VP8L features outside the from-scratch subset
+        # (predictor/color/palette transforms, short distances): fall
+        # back to the system libwebp when present
+        from . import native_webp
+
+        if native_webp.available():
+            return native_webp.decode(buf)
+        raise
+
+
+def is_lossy(buf: bytes) -> bool:
+    """True when the container's image chunk is lossy VP8 (sniffed, no
+    decode) — fmt='webp' alone cannot distinguish lossy from lossless."""
+    buf = bytes(buf)
+    pos = 12
+    while pos + 8 <= len(buf):
+        tag = buf[pos:pos + 4]
+        if tag == b"VP8 ":
+            return True
+        if tag == b"VP8L":
+            return False
+        size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+        pos += 8 + size + (size & 1)
+    return False
+
+
+def _decode_vp8l(payload: bytes) -> np.ndarray:
     br = _BitReader(payload[1:])
     w = br.read(14) + 1
     h = br.read(14) + 1

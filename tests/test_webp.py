@@ -93,9 +93,14 @@ def test_codec_dispatch_and_phash_gate():
 def test_decoder_rejects_unsupported_paths():
     with pytest.raises(ValueError):
         decode(b"nope")
-    # lossy VP8 chunk is a clear NotImplementedError, not a garbage parse
+    # lossy VP8 chunk: with libwebp present it routes native (and this
+    # empty chunk is a clean ValueError); absent, an honest
+    # NotImplementedError — never a garbage parse
+    from gis_tools_spark.raster import native_webp
+
     fake = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"VP8 " + struct.pack("<I", 0)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError if native_webp.available()
+                       else NotImplementedError):
         decode(fake)
 
 
