@@ -569,6 +569,32 @@ def q_zonal_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("mean_r"))
 
 
+def q_geotiff_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF ingest/egress gate (reference raster.py:158-165 reads
+    every raster via GDAL's GeoTIFF driver): the closed-form tiles
+    roundtrip through the from-scratch GeoTIFF writer (deflate strips +
+    ModelPixelScale/Tiepoint + EPSG + GDAL_NODATA, raster/geotiff.py)
+    and the TAGS-ONLY ingest scan (sources/geotiff.py geotiff_tiles —
+    georeferencing from the file header, no pixel decompression), then
+    the unchanged zonal pipeline runs on fmt='geotiff' tiles. The trip
+    is float32-exact, so the oracle is zonal_raster_stats' closed
+    form — any drift in writer, header scan or lazy decode breaks the
+    hash."""
+    _tune(spark)
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster.zonal import zonal_statistics
+    from gis_tools_spark.sources.geotiff import geotiff_tiles, to_geotiff
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(4, 4, 64))
+    blobs = to_geotiff(ras).where("ok").select("image_id", "bytes")
+    tiles = geotiff_tiles(blobs).where("ok")
+    out = zonal_statistics(tiles, DT.nation_zones(spark, sf_dir))
+    return out.select(
+        "gid", "zonal_count", "no_data_count", "zonal_min", "zonal_max",
+        F.floor(F.col("zonal_mean") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").alias("mean_r"))
+
+
 def q_zonal_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surface-weighted zonal statistics (reference stats.py:154-203 /
     surface.py:46-49): per-pixel weights R^2 dl df cos(lat) — the
@@ -1034,6 +1060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_dups": q_simhash_dups,
         "zonal_raster_stats": q_zonal_raster_stats,
+        "geotiff_zonal": q_geotiff_zonal,
         "raster_burn": q_raster_burn,
         "zonal_surface": q_zonal_surface,
         "raster_contour": q_raster_contour,
@@ -1752,6 +1779,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
+        "geotiff_zonal": _zonal_oracle_sql(),
         "raster_burn": _burn_oracle_sql(),
         "zonal_surface": _zonal_surface_oracle_sql(),
         "raster_contour": _contour_oracle_sql(),

@@ -108,6 +108,10 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w)
     if fmt == "raw_f32":
         return decode_raw_f32(buf, w, h)
+    if fmt == "raw_i16be":
+        # SRTM .hgt payload layout (sources/dem.py keeps bytes as-is)
+        return np.frombuffer(bytes(buf), dtype=">i2").reshape(h, w) \
+            .astype(np.int16)
     if fmt == "png":
         return decode_png(buf)
     if fmt == "dct":
@@ -120,6 +124,10 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from . import webp
 
         return webp.decode(buf)
+    if fmt in ("geotiff", "tiff", "tif"):
+        from . import geotiff
+
+        return geotiff.decode(buf)[0]
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -128,6 +136,8 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return encode_raw(arr)
     if fmt == "raw_f32":
         return encode_raw_f32(arr)
+    if fmt == "raw_i16be":
+        return np.ascontiguousarray(arr.astype(">i2")).tobytes()
     if fmt == "png":
         return encode_png(arr)
     if fmt == "dct":
@@ -140,6 +150,10 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         from . import webp
 
         return webp.encode(arr)
+    if fmt in ("geotiff", "tiff", "tif"):
+        from . import geotiff
+
+        return geotiff.encode(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -263,6 +263,10 @@ def map_pixels(df: DataFrame, fn: Callable[[np.ndarray], np.ndarray], *,
                 bufs.append(codec.encode(res, out_fmt or r["fmt"]))
             out = pdf.copy()
             out[bytes_col] = pd.Series(bufs, index=pdf.index, dtype=object)
+            if out_fmt is not None:
+                # bytes are now out_fmt regardless of the source format
+                # (e.g. slope over SRTM raw_i16be tiles emits raw_f32)
+                out["fmt"] = out_fmt
             yield out
 
     return df.mapInPandas(_run, schema=schema)
@@ -405,7 +409,7 @@ def slope_aspect(df: DataFrame, *, mode: str = "slope",
         out = np.where(np.isnan(out), no_data, out)
         return out.astype(np.float32)
 
-    return map_pixels(df, _kernel)
+    return map_pixels(df, _kernel, out_fmt="raw_f32")
 
 
 def sieve(df: DataFrame, min_size: int, *, no_data: float = codec.NO_DATA_F32) -> DataFrame:
