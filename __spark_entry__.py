@@ -595,6 +595,68 @@ def q_geotiff_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("mean_r"))
 
 
+def q_vector_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-file format gate (reference builds every layer through
+    geopandas/fiona drivers, layer.py:188-210): the closed-form zone
+    layer roundtrips WKB → GeoJSON Feature text → parse → WKB AND
+    through an ESRI shapefile (.shp writer → reader, exercising the
+    spec's ring winding), then per-zone bbox + ring vertex count are
+    checked against the nation-table closed form. Any drift in either
+    serializer/parser breaks the hash."""
+    _tune(spark)
+    import json as _json
+    from typing import Iterator
+
+    import pandas as pd
+
+    from gis_tools_spark.sources import vector_files as VFILES
+
+    zones = DT.nation_zones(spark, sf_dir)
+    gj = VFILES.to_geojson(
+        zones.select(F.col("gid").alias("feature_id"), "geometry_wkb",
+                     F.to_json(F.struct("gid")).alias("properties")))
+    feats = VFILES.geojson_features(gj.where("ok"), id_col="feature_id",
+                                    text_col="json")
+
+    def _measure(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from gis_tools_spark.geom import wkb as _wkb
+
+        for pdf in it:
+            rows = []
+            shp_back = VFILES.parse_shp(
+                VFILES.write_shp(list(pdf["geometry_wkb"])))
+            for (_, r), shp_b in zip(pdf.iterrows(), shp_back):
+                g = _wkb.decode(r["geometry_wkb"])
+                ring = np.asarray(g["rings"][0])
+                g2 = _wkb.decode(shp_b)
+                ring2 = np.asarray(g2["rings"][0])
+                same = (len(ring) == len(ring2)
+                        and bool(np.allclose(sorted(map(tuple, ring)),
+                                             sorted(map(tuple, ring2)))))
+                gid = int(_json.loads(r["properties"])["gid"])
+                rows.append((gid, int(len(ring)), bool(same),
+                             float(ring[:, 0].min()),
+                             float(ring[:, 1].min()),
+                             float(ring[:, 0].max()),
+                             float(ring[:, 1].max())))
+            yield pd.DataFrame(rows, columns=[
+                "gid", "nvert", "shp_same", "bminx", "bminy", "bmaxx",
+                "bmaxy"])
+
+    out = feats.where("ok").mapInPandas(
+        _measure, schema="gid int, nvert int, shp_same boolean, "
+                         "bminx double, bminy double, bmaxx double, "
+                         "bmaxy double")
+    # house convention: floor(x*1e6+0.5) micro-units (HALF_UP vs
+    # half-even guard, see zonal gates)
+    return out.select("gid", "nvert", "shp_same",
+                      *[F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))
+                        .cast("long").alias(c + "_r")
+                        for c in ("bminx", "bminy", "bmaxx", "bmaxy")])
+
+
 def q_zonal_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surface-weighted zonal statistics (reference stats.py:154-203 /
     surface.py:46-49): per-pixel weights R^2 dl df cos(lat) — the
@@ -1061,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "zonal_raster_stats": q_zonal_raster_stats,
         "geotiff_zonal": q_geotiff_zonal,
+        "vector_file_roundtrip": q_vector_file_roundtrip,
         "raster_burn": q_raster_burn,
         "zonal_surface": q_zonal_surface,
         "raster_contour": q_raster_contour,
@@ -1780,6 +1843,16 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "geotiff_zonal": _zonal_oracle_sql(),
+        "vector_file_roundtrip": """
+            SELECT n_nationkey AS gid,
+                   5 AS nvert,
+                   TRUE AS shp_same,
+                   CAST(floor((5.0 + (n_nationkey % 5) * 1.0) * 1000000.0 + 0.5) AS BIGINT) AS bminx_r,
+                   CAST(floor((40.0 + floor(n_nationkey / 5) * 1.0) * 1000000.0 + 0.5) AS BIGINT) AS bminy_r,
+                   CAST(floor((5.0 + (n_nationkey % 5) * 1.0 + 0.8) * 1000000.0 + 0.5) AS BIGINT) AS bmaxx_r,
+                   CAST(floor((40.0 + floor(n_nationkey / 5) * 1.0 + 0.8) * 1000000.0 + 0.5) AS BIGINT) AS bmaxy_r
+            FROM nation
+        """,
         "raster_burn": _burn_oracle_sql(),
         "zonal_surface": _zonal_surface_oracle_sql(),
         "raster_contour": _contour_oracle_sql(),
