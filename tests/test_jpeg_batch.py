@@ -197,6 +197,39 @@ def test_prog_narrow_batch_takes_scalar_path():
     assert isinstance(res[1], Exception)
 
 
+def test_corrupt_stream_parity_and_termination(monkeypatch):
+    """Random byte flips and truncations over baseline/progressive/
+    restart streams: decode_batch must terminate, contain each row's
+    failure, and agree with the scalar decoder row-by-row (value-equal
+    where scalar decodes, an Exception where scalar raises)."""
+    _force_lockstep(monkeypatch)
+    _force_prog(monkeypatch)
+    rng = np.random.default_rng(11)
+    bufs = []
+    for i in range(60):
+        b = bytearray(jpeg.encode(_smooth_rgb(24, 24, i), 80,
+                                  progressive=(i % 2 == 0),
+                                  restart_interval=(2 if i % 3 == 0
+                                                    else 0)))
+        mode = i % 4
+        if mode == 0:
+            b[rng.integers(100, len(b))] ^= int(rng.integers(1, 256))
+        elif mode == 1:
+            b = b[:rng.integers(20, len(b))]
+        elif mode == 2:
+            for _ in range(5):
+                b[rng.integers(2, len(b))] ^= int(rng.integers(1, 256))
+        bufs.append(bytes(b))
+    out = jpeg.decode_batch(bufs)
+    for b, o in zip(bufs, out):
+        try:
+            ref = jpeg.decode(b)
+        except Exception:  # noqa: BLE001
+            assert isinstance(o, Exception)
+            continue
+        assert isinstance(o, np.ndarray) and np.array_equal(o, ref)
+
+
 def test_decode_many_batch_wins_are_measured():
     """Not a perf assert (sandbox jitter): just pins that a wide batch
     through decode_batch is value-identical to scalar over 300+ mixed

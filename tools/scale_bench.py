@@ -152,11 +152,11 @@ PQ_DIR = "/tmp/scale_bench_images"
 
 
 def gen_once(n: int) -> None:
-    # v4 layout: v3's uniform ~8k-row row-groups PLUS the round-4 image
+    # v5 layout: v4 PLUS the continuation image mix (lossy VP8 webp rows,
     # format mix (raw/png/jpeg/webp with real lossy rows); the scan
     # bin-packs them into ~4 tasks/core, so groups only need to be
     # uniform and fine enough to pack evenly
-    marker = Path(PQ_DIR) / f"_GEN_{n}_v4"
+    marker = Path(PQ_DIR) / f"_GEN_{n}_v5"
     if marker.exists():
         return
     gparts = max(128, n // 8000)
