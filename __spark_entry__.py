@@ -657,6 +657,47 @@ def q_vector_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for c in ("bminx", "bminy", "bmaxx", "bmaxy")])
 
 
+def q_osm_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overpass-JSON parse gate (reference osm.py:181-193 node path,
+    osm.py:25-40 point features): synthesize the JSON document shape an
+    Overpass ``out geom;`` node query returns — pure column string math
+    over the events closed form, bucketed into 8 documents — parse it
+    back through sources.osm.osm_features, and emit each recovered
+    node's osm_id (from the injected properties) plus its WKB point
+    coordinates. The oracle selects the same ids/coordinates straight
+    from the events closed form, so any drift in the parser (element
+    selection, id/tag injection, lon↔lat mapping, WKB encoding) breaks
+    row count or values. Doubles survive the text hop exactly: Spark's
+    double→string is shortest round-trip repr, json.loads parses it
+    back to the identical IEEE value."""
+    _tune(spark)
+    from gis_tools_spark.functions.geom_funcs import geom_centroid_xy
+    from gis_tools_spark.sources import osm as OSM
+
+    pts = DT.events_points(spark, sf_dir).where(F.col("event_id") % 20 == 0)
+    elem = F.concat(
+        F.lit('{"type": "node", "id": '), F.col("event_id").cast("string"),
+        F.lit(', "lat": '), F.col("lat").cast("string"),
+        F.lit(', "lon": '), F.col("lon").cast("string"),
+        F.lit(', "tags": {"amenity": "bench"}}'))
+    docs = (pts.groupBy((F.col("event_id") % 8).alias("doc_id"))
+               .agg(F.concat(F.lit('{"elements": ['),
+                             F.concat_ws(", ", F.collect_list(elem)),
+                             F.lit(']}')).alias("json")))
+    feats = OSM.osm_features(docs, "point")
+    xy = geom_centroid_xy()(F.col("geometry_wkb"))
+    return (feats.where("ok")
+            .select(F.get_json_object("properties", "$.osm_id")
+                     .cast("long").alias("osm_id"),
+                    F.get_json_object("properties", "$.amenity")
+                     .alias("amenity"),
+                    # house convention: floor(x*1e6+0.5) micro-units
+                    F.floor(xy["cx"] * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("long").alias("lon_r"),
+                    F.floor(xy["cy"] * F.lit(1000000.0) + F.lit(0.5))
+                     .cast("long").alias("lat_r")))
+
+
 def q_zonal_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surface-weighted zonal statistics (reference stats.py:154-203 /
     surface.py:46-49): per-pixel weights R^2 dl df cos(lat) — the
@@ -1124,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_raster_stats": q_zonal_raster_stats,
         "geotiff_zonal": q_geotiff_zonal,
         "vector_file_roundtrip": q_vector_file_roundtrip,
+        "osm_nodes": q_osm_nodes,
         "raster_burn": q_raster_burn,
         "zonal_surface": q_zonal_surface,
         "raster_contour": q_raster_contour,
@@ -1852,6 +1894,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((5.0 + (n_nationkey % 5) * 1.0 + 0.8) * 1000000.0 + 0.5) AS BIGINT) AS bmaxx_r,
                    CAST(floor((40.0 + floor(n_nationkey / 5) * 1.0 + 0.8) * 1000000.0 + 0.5) AS BIGINT) AS bmaxy_r
             FROM nation
+        """,
+        "osm_nodes": f"""
+            SELECT event_id AS osm_id,
+                   'bench' AS amenity,
+                   CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS lon_r,
+                   CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS lat_r
+            FROM ({DT.POINTS_SQL.strip()}) p
+            WHERE event_id % 20 = 0
         """,
         "raster_burn": _burn_oracle_sql(),
         "zonal_surface": _zonal_surface_oracle_sql(),

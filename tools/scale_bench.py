@@ -82,6 +82,8 @@ spark.range(0, cpus * 2, numPartitions=cpus * 2).select(_warm("id")).count()
 zones_pd = fixtures.gen_zones(64)
 zones = spark.createDataFrame(zones_pd[["gid","nom","secteur","surf","geometry_wkb"]])
 
+salted_only = {salted_only!r} == "1"
+
 def run():
     # ONE composite pipeline action (the production ingest shape):
     # fused python-native scan+verify (the heavy bytes column never
@@ -117,11 +119,17 @@ def run():
     wall = time.perf_counter() - t0
     return wall, int(stats[0] or 0), int(stats[1] or 0), n
 
-wall_cold, n_tiles, n_pip, n_dec = run()
-# steady-state = min of 3 warm repetitions (single-JVM local mode shows
-# 2-3x run-to-run jitter from GC/worker churn; a real cluster's
-# long-lived executors see the steady state)
-wall_warm = min(run()[0] for _ in range(3))
+if salted_only:
+    # isolated-salted mode: the composite is not the measurement —
+    # skip it entirely (headline composite is recorded separately)
+    wall_cold, n_tiles, n_pip, n_dec = -1.0, 0, 0, 0
+    wall_warm = -1.0
+else:
+    wall_cold, n_tiles, n_pip, n_dec = run()
+    # steady-state = min of 3 warm repetitions (single-JVM local mode
+    # shows 2-3x run-to-run jitter from GC/worker churn; a real
+    # cluster's long-lived executors see the steady state)
+    wall_warm = min(run()[0] for _ in range(3))
 # the salted shuffle-path PIP join stays exercised (timed separately,
 # not the scaling headline — at 64 zones the engine's auto plan is
 # broadcast; the cell+salt path is for huge both-sides joins).
@@ -129,13 +137,34 @@ wall_warm = min(run()[0] for _ in range(3))
 # salted path is independently gated in bench.py/CORRECTNESS).
 import os as _os
 salted_sec = -1.0
+infl = int(_os.environ.get("SCALE_BENCH_SALT_INFLATE", "1"))
 if _os.environ.get("SCALE_BENCH_SALTED", "1") != "0":
+    pts = images.select("image_id", "lon", "lat")
+    if infl > 1:
+        # Inflate the skewed point set so the salted join's genuine work
+        # (cell shuffle + refine over the hotspot cells) dominates the
+        # per-call fixed latency — two driver collect jobs (cover-res
+        # set, hot-cell histogram) plus scheduling cost ~1-2 s at BOTH
+        # arms, which is why a 2.5 s join can never show 4x. Replicate
+        # each point `infl` times with a deterministic ~100 m jitter
+        # (keeps the 80%-on-12-hotspots skew, so salting still engages).
+        # Pure JVM column math — negligible next to the join it feeds.
+        pts = (pts
+               .withColumn("__i", F.explode(F.array(
+                   *[F.lit(i) for i in range(infl)])))
+               .withColumn("lon", F.col("lon") +
+                           (F.pmod(F.xxhash64("image_id", "__i"),
+                                   F.lit(2001)) - 1000) * 1e-6)
+               .withColumn("lat", F.col("lat") +
+                           (F.pmod(F.xxhash64("__i", "image_id"),
+                                   F.lit(2001)) - 1000) * 1e-6)
+               .drop("__i"))
     def run_salted():
         # threshold 2000 actually engages at this density (50000 never
         # did — the round-4 "salted" numbers measured an unsalted join);
         # force_shuffle pins the non-broadcast plan
         t0 = time.perf_counter()
-        pip_join(images.select("image_id","lon","lat"), zones,
+        pip_join(pts, zones,
                  strategy="cell", salt_threshold=2000,
                  force_shuffle=True).count()
         return time.perf_counter() - t0
@@ -144,6 +173,7 @@ if _os.environ.get("SCALE_BENCH_SALTED", "1") != "0":
 print(json.dumps({{"cpus": cpus, "wall": wall_warm, "wall_cold": wall_cold,
                    "n_images": n, "throughput": n / wall_warm,
                    "tiles": n_tiles, "pip": n_pip, "decoded": n_dec,
+                   "salted_n_points": n * infl,
                    "salted_pip_sec": round(salted_sec, 2)}}))
 spark.stop()
 """
@@ -174,7 +204,9 @@ def run_once(cpus: int, n: int, master: str | None = None) -> dict:
     code = WORKLOAD.format(repo=str(REPO), cpus=cpus, n=n, pq=PQ_DIR,
                            master=master,
                            salted_composite=os.environ.get(
-                               "SCALE_BENCH_SALTED_COMPOSITE", "0"))
+                               "SCALE_BENCH_SALTED_COMPOSITE", "0"),
+                           salted_only=os.environ.get(
+                               "SCALE_BENCH_SALTED_ONLY", "0"))
     env = dict(os.environ)  # default 8g heap + G1 measured best (PERF.md)
     env["PYTHONPATH"] = str(REPO)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
@@ -192,6 +224,13 @@ def main() -> None:
     if "--salted-composite" in sys.argv:
         os.environ["SCALE_BENCH_SALTED_COMPOSITE"] = "1"
     salted_comp = os.environ.get("SCALE_BENCH_SALTED_COMPOSITE", "0") == "1"
+    if "--salted-only" in sys.argv:
+        # measure ONLY the isolated salted shuffle-path join, over an
+        # inflated point set (default 16x -> work dominates the fixed
+        # per-call latency that caps a 2.5 s join at ~0.45 efficiency)
+        os.environ["SCALE_BENCH_SALTED_ONLY"] = "1"
+        os.environ.setdefault("SCALE_BENCH_SALT_INFLATE", "16")
+    salted_only = os.environ.get("SCALE_BENCH_SALTED_ONLY", "0") == "1"
     reps = int(os.environ.get("SCALE_BENCH_REPS", "2"))
     n = int(args[0]) if args else int(os.environ.get("SCALE_BENCH_IMAGES", "300000"))
     gen_once(n)
@@ -226,6 +265,15 @@ def main() -> None:
         for i in range(reps):  # interleave A/B so each pair shares drift
             runs8.append(run_once(cpus8, n, master=m8))
             runs32.append(run_once(cpus32, n, master=m32))
+            if salted_only:
+                pair_effs.append((runs8[-1]["salted_pip_sec"]
+                                  / runs32[-1]["salted_pip_sec"]) / 4.0)
+                print(json.dumps({"rep": i + 1,
+                                  "salted_N": runs8[-1]["salted_pip_sec"],
+                                  "salted_4N": runs32[-1]["salted_pip_sec"],
+                                  "pair_eff": round(pair_effs[-1], 3)}),
+                      flush=True)
+                continue
             pair_effs.append(
                 (runs32[-1]["throughput"] / runs8[-1]["throughput"]) / 4.0)
             print(json.dumps({"rep": i + 1,
@@ -233,8 +281,9 @@ def main() -> None:
                               "wall_4N": round(runs32[-1]["wall"], 2),
                               "pair_eff": round(pair_effs[-1], 3)}),
                   flush=True)
-        r8 = min(runs8, key=lambda r: r["wall"])
-        r32 = min(runs32, key=lambda r: r["wall"])
+        key = "salted_pip_sec" if salted_only else "wall"
+        r8 = min(runs8, key=lambda r: r[key])
+        r32 = min(runs32, key=lambda r: r[key])
     else:
         label8, label32 = "local[8] (N)", "local[32] (4N)"
         r8 = run_once(8, n)
@@ -244,6 +293,50 @@ def main() -> None:
     srt = sorted(pair_effs)
     median_eff = srt[len(srt) // 2] if len(srt) % 2 else \
         (srt[len(srt) // 2 - 1] + srt[len(srt) // 2]) / 2.0
+    if salted_only:
+        npts = r8.get("salted_n_points", n)
+        report = {
+            "mode": "SALTED-ONLY " + label8 + " vs " + label32,
+            "n_points": npts,
+            "reps": len(pair_effs),
+            "salted_N_sec": r8["salted_pip_sec"],
+            "salted_4N_sec": r32["salted_pip_sec"],
+            "pair_efficiencies": [round(e, 3) for e in pair_effs],
+            "median_efficiency": round(median_eff, 3),
+            "criterion": "median ≥ 0.8",
+            "pass": median_eff >= 0.8,
+        }
+        print(json.dumps(report))
+        md = REPO / "BENCH" / "BASELINE.md"
+        stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        rep_lines = "".join(
+            f"| {i + 1} | {a['salted_pip_sec']} | {b['salted_pip_sec']} | "
+            f"{round(e, 3)} |\n"
+            for i, (a, b, e) in enumerate(zip(runs8, runs32, pair_effs)))
+        with md.open("a") as f:
+            f.write(
+                f"\n## Scaling run {stamp} — ISOLATED SALTED JOIN "
+                f"(nothing but the salted shuffle-path PIP join timed)\n\n"
+                f"Workload: pip_join(strategy='cell', salt_threshold=2000, "
+                f"force_shuffle=True) vs 64 zones over {npts} points — the "
+                f"{n}-image table's skewed coordinates (80% on 12 hotspots) "
+                f"replicated {npts // n}x with a deterministic ~100 m "
+                f"jitter (pure JVM column math; preserves the hotspot skew "
+                f"so salting engages). The earlier {n}-point isolated "
+                f"measurements (2.5-6 s total) were dominated by per-call "
+                f"fixed latency — two driver collect jobs (cover-res set + "
+                f"hot-cell histogram) and task scheduling, identical at "
+                f"both arms — which caps any measurable efficiency; this "
+                f"run sizes the join so shuffle+refine work dominates. "
+                f"min-of-2 warm runs per process, {len(pair_effs)} "
+                f"interleaved rep pairs.\n\n"
+                f"| rep | salted N (s) | salted 4N (s) | pair efficiency |\n"
+                f"|---|---|---|---|\n{rep_lines}\n"
+                f"**Isolated-salted MEDIAN efficiency = "
+                f"{report['median_efficiency']}** (all reps: "
+                f"{report['pair_efficiencies']}; criterion median ≥ 0.8 → "
+                f"{'PASS' if report['pass'] else 'FAIL'})\n")
+        return
     eff = (r32["throughput"] / r8["throughput"]) / 4.0  # best-pair (legacy)
     # salted shuffle-path pip join: its own N→4N efficiency per rep pair
     # (round-3 verdict next-round #4: the hot-cell salting is the
