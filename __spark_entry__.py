@@ -698,6 +698,63 @@ def q_osm_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("long").alias("lat_r")))
 
 
+def q_osm_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overpass way/relation parse gate (reference osm.py:181-193 way
+    path; relation member-way merge osm.py:25-40 + the engine's
+    _line_merge): each selected event point becomes TWO elements in the
+    synthesized Overpass JSON — a closed-square way polygon, and a
+    relation of type=multipolygon whose two member ways are the open
+    halves of the same ring (so the parser must merge them end-to-end
+    before ring closure). Output is (osm_id, kind, geom_type, bounds in
+    micro-units); the oracle rebuilds the same bounds from the events
+    closed form with the identical IEEE expressions (lon ± 0.001 is one
+    double op on both sides; Spark double→string→json.loads is
+    round-trip exact), so any drift in element selection, member
+    merging, ring closure, lon↔lat mapping, or WKB typing breaks rows
+    or values."""
+    _tune(spark)
+    from gis_tools_spark.functions.geom_funcs import geom_bounds_struct
+    from gis_tools_spark.sources import osm as OSM
+
+    pts = DT.events_points(spark, sf_dir).where(F.col("event_id") % 50 == 0)
+    d = F.lit(0.001)
+    x0, x1 = F.col("lon") - d, F.col("lon") + d
+    y0, y1 = F.col("lat") - d, F.col("lat") + d
+
+    def pt(x, y):
+        return F.concat(F.lit('{"lat": '), y.cast("string"),
+                        F.lit(', "lon": '), x.cast("string"), F.lit("}"))
+
+    eid = F.col("event_id").cast("string")
+    ring = F.concat_ws(", ", pt(x0, y0), pt(x1, y0), pt(x1, y1),
+                       pt(x0, y1), pt(x0, y0))
+    way = F.concat(F.lit('{"type": "way", "id": '), eid,
+                   F.lit(', "geometry": ['), ring,
+                   F.lit('], "tags": {"kind": "way"}}'))
+    half1 = F.concat_ws(", ", pt(x0, y0), pt(x1, y0), pt(x1, y1))
+    half2 = F.concat_ws(", ", pt(x1, y1), pt(x0, y1), pt(x0, y0))
+    rel = F.concat(
+        F.lit('{"type": "relation", "id": '), eid,
+        F.lit(', "members": [{"type": "way", "geometry": ['), half1,
+        F.lit(']}, {"type": "way", "geometry": ['), half2,
+        F.lit(']}], "tags": {"type": "multipolygon", "kind": "rel"}}'))
+    elem = F.concat_ws(", ", way, rel)
+    docs = (pts.groupBy((F.col("event_id") % 8).alias("doc_id"))
+               .agg(F.concat(F.lit('{"elements": ['),
+                             F.concat_ws(", ", F.collect_list(elem)),
+                             F.lit(']}')).alias("json")))
+    feats = OSM.osm_features(docs, "polygon")
+    b = geom_bounds_struct()(F.col("geometry_wkb"))
+    return (feats.where("ok")
+            .select(F.get_json_object("properties", "$.osm_id")
+                     .cast("long").alias("osm_id"),
+                    F.get_json_object("properties", "$.kind").alias("kind"),
+                    F.col("geom_type"),
+                    *[F.floor(b[n] * F.lit(1000000.0) + F.lit(0.5))
+                       .cast("long").alias(f"{n}_r")
+                      for n in ("minx", "miny", "maxx", "maxy")]))
+
+
 def q_zonal_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surface-weighted zonal statistics (reference stats.py:154-203 /
     surface.py:46-49): per-pixel weights R^2 dl df cos(lat) — the
@@ -1166,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_zonal": q_geotiff_zonal,
         "vector_file_roundtrip": q_vector_file_roundtrip,
         "osm_nodes": q_osm_nodes,
+        "osm_ways": q_osm_ways,
         "raster_burn": q_raster_burn,
         "zonal_surface": q_zonal_surface,
         "raster_contour": q_raster_contour,
@@ -1902,6 +1960,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS lat_r
             FROM ({DT.POINTS_SQL.strip()}) p
             WHERE event_id % 20 = 0
+        """,
+        "osm_ways": f"""
+            WITH p AS (SELECT event_id, lon, lat
+                       FROM ({DT.POINTS_SQL.strip()}) q
+                       WHERE event_id % 50 = 0),
+            kinds AS (SELECT 'way' AS kind, 'Polygon' AS geom_type
+                      UNION ALL
+                      SELECT 'rel' AS kind, 'MultiPolygon' AS geom_type)
+            SELECT p.event_id AS osm_id, k.kind, k.geom_type,
+                   CAST(floor((lon - 0.001) * 1000000.0 + 0.5) AS BIGINT) AS minx_r,
+                   CAST(floor((lat - 0.001) * 1000000.0 + 0.5) AS BIGINT) AS miny_r,
+                   CAST(floor((lon + 0.001) * 1000000.0 + 0.5) AS BIGINT) AS maxx_r,
+                   CAST(floor((lat + 0.001) * 1000000.0 + 0.5) AS BIGINT) AS maxy_r
+            FROM p CROSS JOIN kinds k
         """,
         "raster_burn": _burn_oracle_sql(),
         "zonal_surface": _zonal_surface_oracle_sql(),
