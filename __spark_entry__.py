@@ -680,7 +680,11 @@ def q_osm_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(', "lat": '), F.col("lat").cast("string"),
         F.lit(', "lon": '), F.col("lon").cast("string"),
         F.lit(', "tags": {"amenity": "bench"}}'))
-    docs = (pts.groupBy((F.col("event_id") % 8).alias("doc_id"))
+    # bucket on the SURVIVING id sequence (event_id/20), not event_id
+    # itself — multiples of 20 mod 8 only hit {0,4}, which would fold
+    # the stated 8-document fan-out into 2
+    docs = (pts.groupBy((F.floor(F.col("event_id") / 20).cast("long") % 8)
+                        .alias("doc_id"))
                .agg(F.concat(F.lit('{"elements": ['),
                              F.concat_ws(", ", F.collect_list(elem)),
                              F.lit(']}')).alias("json")))
@@ -739,7 +743,10 @@ def q_osm_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(']}, {"type": "way", "geometry": ['), half2,
         F.lit(']}], "tags": {"type": "multipolygon", "kind": "rel"}}'))
     elem = F.concat_ws(", ", way, rel)
-    docs = (pts.groupBy((F.col("event_id") % 8).alias("doc_id"))
+    # bucket on event_id/50 — multiples of 50 mod 8 cycle through only
+    # {0,2,4,6}; the quotient restores the full 8-document fan-out
+    docs = (pts.groupBy((F.floor(F.col("event_id") / 50).cast("long") % 8)
+                        .alias("doc_id"))
                .agg(F.concat(F.lit('{"elements": ['),
                              F.concat_ws(", ", F.collect_list(elem)),
                              F.lit(']}')).alias("json")))

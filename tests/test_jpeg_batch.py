@@ -220,14 +220,8 @@ def test_corrupt_stream_parity_and_termination(monkeypatch):
             for _ in range(5):
                 b[rng.integers(2, len(b))] ^= int(rng.integers(1, 256))
         bufs.append(bytes(b))
-    out = jpeg.decode_batch(bufs)
-    for b, o in zip(bufs, out):
-        try:
-            ref = jpeg.decode(b)
-        except Exception:  # noqa: BLE001
-            assert isinstance(o, Exception)
-            continue
-        assert isinstance(o, np.ndarray) and np.array_equal(o, ref)
+    # the shared helper also pins result LENGTH and exception TYPE
+    _assert_matches_scalar(bufs)
 
 
 def test_decode_many_batch_wins_are_measured():

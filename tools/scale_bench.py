@@ -231,10 +231,21 @@ def main() -> None:
         os.environ["SCALE_BENCH_SALTED_ONLY"] = "1"
         os.environ.setdefault("SCALE_BENCH_SALT_INFLATE", "16")
     salted_only = os.environ.get("SCALE_BENCH_SALTED_ONLY", "0") == "1"
+    if salted_only:
+        # the salted join IS the measurement: a leftover SCALE_BENCH_
+        # SALTED=0 export would make both arms report -1.0 s and the
+        # efficiency math would fabricate 0.25 — force it on
+        os.environ["SCALE_BENCH_SALTED"] = "1"
     reps = int(os.environ.get("SCALE_BENCH_REPS", "2"))
     n = int(args[0]) if args else int(os.environ.get("SCALE_BENCH_IMAGES", "300000"))
     gen_once(n)
     cluster_small = "--cluster-small" in sys.argv
+    if salted_only and not (cluster_small or cluster4 or cluster):
+        # without a cluster flag the non-cluster branch computes pair
+        # efficiency from composite throughput — which salted-only mode
+        # sets to n/-1.0 at both arms, fabricating exactly 0.25
+        raise SystemExit("--salted-only requires one of --cluster-small/"
+                         "--cluster4/--cluster (interleaved rep pairs)")
     if cluster_small:
         # headline north-rule configuration (BENCH/BASELINE.md round 2):
         # fixed 2-core executor shape, 1 → 4 executors. Keeps BOTH
@@ -266,6 +277,11 @@ def main() -> None:
             runs8.append(run_once(cpus8, n, master=m8))
             runs32.append(run_once(cpus32, n, master=m32))
             if salted_only:
+                if (runs8[-1]["salted_pip_sec"] <= 0
+                        or runs32[-1]["salted_pip_sec"] <= 0):
+                    raise SystemExit("salted-only rep reported a "
+                                     "non-positive salted_pip_sec — the "
+                                     "salted join did not run")
                 pair_effs.append((runs8[-1]["salted_pip_sec"]
                                   / runs32[-1]["salted_pip_sec"]) / 4.0)
                 print(json.dumps({"rep": i + 1,
@@ -308,7 +324,16 @@ def main() -> None:
         }
         print(json.dumps(report))
         md = REPO / "BENCH" / "BASELINE.md"
+        md.parent.mkdir(exist_ok=True)
         stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        infl = int(os.environ.get("SCALE_BENCH_SALT_INFLATE", "1"))
+        inflate_txt = (
+            f"the {n}-image table's skewed coordinates replicated "
+            f"{infl}x with a deterministic ~100 m jitter (pure JVM "
+            f"column math; preserves the fixture's hotspot skew so "
+            f"salting engages)" if infl > 1
+            else f"the {n}-image table's skewed coordinates, no "
+                 f"inflation")
         rep_lines = "".join(
             f"| {i + 1} | {a['salted_pip_sec']} | {b['salted_pip_sec']} | "
             f"{round(e, 3)} |\n"
@@ -318,18 +343,9 @@ def main() -> None:
                 f"\n## Scaling run {stamp} — ISOLATED SALTED JOIN "
                 f"(nothing but the salted shuffle-path PIP join timed)\n\n"
                 f"Workload: pip_join(strategy='cell', salt_threshold=2000, "
-                f"force_shuffle=True) vs 64 zones over {npts} points — the "
-                f"{n}-image table's skewed coordinates (80% on 12 hotspots) "
-                f"replicated {npts // n}x with a deterministic ~100 m "
-                f"jitter (pure JVM column math; preserves the hotspot skew "
-                f"so salting engages). The earlier {n}-point isolated "
-                f"measurements (2.5-6 s total) were dominated by per-call "
-                f"fixed latency — two driver collect jobs (cover-res set + "
-                f"hot-cell histogram) and task scheduling, identical at "
-                f"both arms — which caps any measurable efficiency; this "
-                f"run sizes the join so shuffle+refine work dominates. "
-                f"min-of-2 warm runs per process, {len(pair_effs)} "
-                f"interleaved rep pairs.\n\n"
+                f"force_shuffle=True) vs 64 zones over {npts} points — "
+                f"{inflate_txt}. {label8} vs {label32}, min-of-2 warm runs "
+                f"per process, {len(pair_effs)} interleaved rep pairs.\n\n"
                 f"| rep | salted N (s) | salted 4N (s) | pair efficiency |\n"
                 f"|---|---|---|---|\n{rep_lines}\n"
                 f"**Isolated-salted MEDIAN efficiency = "
