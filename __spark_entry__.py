@@ -322,7 +322,41 @@ def q_sjoin_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = (ev.where("event_id % 29 = 0")
              .select(F.col("event_id").alias("gid"),
                      _boxes(0.08)("lon", "lat").alias("geometry_wkb")))
-    out = generic_sjoin(left, right)
+    out = generic_sjoin(left, right, strategy="cell")
+    return out.select("lid", "gid")
+
+
+def q_sjoin_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 zero-shuffle strategy of the generic sjoin
+    (operators/sjoin.py:_sjoin_broadcast): the small right layer is
+    collected once, a CSR cell→geometry index is broadcast, and
+    filter+refine run in ONE scalar-UDF pass over the left side — no
+    Exchange at all. Distinct rect layers (deltas 0.04/0.06, mods
+    23/19) from the same deterministic event grid; the DuckDB oracle
+    is the closed bbox-overlap join. Together with the
+    strategy='cell' gates this value-gates BOTH physical plans, the
+    same pattern as pip_pairs vs pip_pairs_salted."""
+    _tune(spark)
+    from gis_tools_spark.geom import wkb as WKB
+    from gis_tools_spark.operators.sjoin import sjoin as generic_sjoin
+
+    ev = DT.events_points(spark, sf_dir)
+
+    def _boxes(d):
+        @F.pandas_udf("binary")
+        def _b(lon: pd.Series, lat: pd.Series) -> pd.Series:
+            return pd.Series(
+                [WKB.box(lo - d, la - d, lo + d, la + d)
+                 for lo, la in zip(lon, lat)], dtype=object)
+        return _b
+
+    left = (ev.where("event_id % 23 = 0")
+            .select(F.col("event_id").alias("lid"),
+                    _boxes(0.04)("lon", "lat").alias("geometry_wkb")))
+    right = (ev.where("event_id % 19 = 0")
+             .select(F.col("event_id").alias("gid"),
+                     _boxes(0.06)("lon", "lat").alias("geometry_wkb")))
+    out = generic_sjoin(left, right, strategy="broadcast")
     return out.select("lid", "gid")
 
 
@@ -352,7 +386,7 @@ def q_sjoin_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = (ev.where("event_id % 7 = 0")
              .select(F.col("event_id").alias("gid"),
                      _boxes(0.09)("lon", "lat").alias("geometry_wkb")))
-    out = generic_sjoin(left, right, predicate="within")
+    out = generic_sjoin(left, right, predicate="within", strategy="cell")
     return out.select("lid", "gid")
 
 
@@ -1250,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": q_embed_near_dups,
         "embed_ivf": q_embed_ivf,
         "sjoin_rects": q_sjoin_rects,
+        "sjoin_broadcast": q_sjoin_broadcast,
         "sjoin_within": q_sjoin_within,
         "ngram_jaccard": q_ngram_jaccard,
         "phash_near_dups": q_phash_near_dups,
@@ -2068,6 +2103,24 @@ FROM px GROUP BY 1, 2
             b AS (SELECT event_id AS gid, lon - 0.08 AS mnx, lon + 0.08 AS mxx,
                          lat - 0.08 AS mny, lat + 0.08 AS mxy
                   FROM p WHERE event_id % 29 = 0)
+            SELECT a.lid, b.gid
+            FROM a JOIN b
+              ON a.mnx <= b.mxx AND b.mnx <= a.mxx
+             AND a.mny <= b.mxy AND b.mny <= a.mxy
+        """,
+        "sjoin_broadcast": """
+            WITH p AS (
+              SELECT event_id,
+                     5.0 + (event_id * 37 % 100000) / 20000.0 AS lon,
+                     40.0 + (event_id * 7919 % 100000) / 20000.0 AS lat
+              FROM events
+            ),
+            a AS (SELECT event_id AS lid, lon - 0.04 AS mnx, lon + 0.04 AS mxx,
+                         lat - 0.04 AS mny, lat + 0.04 AS mxy
+                  FROM p WHERE event_id % 23 = 0),
+            b AS (SELECT event_id AS gid, lon - 0.06 AS mnx, lon + 0.06 AS mxx,
+                         lat - 0.06 AS mny, lat + 0.06 AS mxy
+                  FROM p WHERE event_id % 19 = 0)
             SELECT a.lid, b.gid
             FROM a JOIN b
               ON a.mnx <= b.mxx AND b.mnx <= a.mxx

@@ -182,8 +182,14 @@ def main() -> None:
     left = spark.createDataFrame(za[["gid", "geometry_wkb"]]) \
         .withColumnRenamed("gid", "lid")
     right = spark.createDataFrame(zb[["gid", "geometry_wkb"]])
-    n_sj = _timed("sjoin_poly", lambda: _count(generic_sjoin(left, right)))
+    n_sj = _timed("sjoin_poly", lambda: _count(generic_sjoin(
+        left, right, strategy="cell")))
     meta["sjoin_poly_rows"] = n_sj
+    # round-4 zero-shuffle strategy on the same layers (auto's pick at
+    # this size): broadcast CSR cell index + one-pass UDF refine
+    n_sb = _timed("sjoin_poly_bcast", lambda: _count(generic_sjoin(
+        left, right, strategy="broadcast")))
+    meta["sjoin_poly_bcast_rows"] = n_sb
 
     images.unpersist()
     total = round(sum(timings.values()), 3)

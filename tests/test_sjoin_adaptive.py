@@ -65,7 +65,7 @@ def test_adaptive_cover_res_split(spark):
 
 def test_sjoin_skewed_matches_bruteforce(spark):
     left, right, (cx, cy, s) = _skewed_layers(spark, n_small=3000)
-    out = sjoin(left, right, res_min=6, res_max=14)
+    out = sjoin(left, right, res_min=6, res_max=14, strategy="cell")
     got = {(r["lid"], r["gid"]) for r in out.select("lid", "gid").collect()}
     exp = set()
     for i in range(len(cx)):
@@ -78,9 +78,9 @@ def test_sjoin_skewed_matches_bruteforce(spark):
 
 def test_sjoin_salted_equals_unsalted(spark):
     left, right, _ = _skewed_layers(spark, n_small=3000)
-    base = sjoin(left, right, res_min=6, res_max=14)
+    base = sjoin(left, right, res_min=6, res_max=14, strategy="cell")
     salted = sjoin(left, right, res_min=6, res_max=14,
-                   salt_threshold=200)
+                   salt_threshold=200, strategy="cell")
     a = {(r["lid"], r["gid"]) for r in base.select("lid", "gid").collect()}
     b = {(r["lid"], r["gid"]) for r in salted.select("lid", "gid").collect()}
     assert a == b and len(a) > 3000
@@ -112,7 +112,8 @@ def test_sjoin_predicates_still_exact(spark):
     left, right, (cx, cy, s) = _skewed_layers(spark, n_small=400)
     w = sjoin(right, left, left_wkb="geometry_wkb",
               right_wkb="geometry_wkb", left_id="gid", right_id="lid",
-              predicate="within", res_min=6, res_max=14)
+              predicate="within", res_min=6, res_max=14,
+              strategy="cell")
     got = {(r["gid"], r["lid"]) for r in w.select("gid", "lid").collect()}
     exp = set()
     for i in range(len(cx)):
@@ -140,7 +141,7 @@ def test_sjoin_default_band_continent(spark):
     """The skew scenario at the DEFAULT res band: the continent coarsens
     below the band floor instead of exploding, and results stay exact."""
     left, right, (cx, cy, s) = _skewed_layers(spark, n_small=400)
-    out = sjoin(left, right)          # default res_min/res_max
+    out = sjoin(left, right, strategy="cell")  # default res band
     got = {(r["lid"], r["gid"]) for r in out.select("lid", "gid").collect()}
     exp = set()
     for i in range(len(cx)):
