@@ -427,7 +427,8 @@ def q_jpeg_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end lossy-codec gate (round-3 verdict next-round #1c):
     deterministic photo-like images seeded by doc_id are encoded as
     baseline 4:4:4 / 4:2:0, progressive, restart-interval JPEG,
-    lossless VP8L WebP and lossy VP8 WebP (variant = doc_id % 7; the
+    ARITHMETIC-coded JPEG (SOF9, round-4 raster/jpeg_arith.py),
+    lossless VP8L WebP and lossy VP8 WebP (variant = doc_id % 8; the
     lossy variant routes through the system libwebp when present,
     falling back to lossless deterministically), then flow through the REAL
     Arrow verify kernel (decode → phash match → re-encode PSNR≥40 →
@@ -450,8 +451,13 @@ def q_jpeg_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 prng = __import__("numpy").random.default_rng(d * 7_919 + 11)
                 arr = _gen_pixels(prng, 32, 32, "jpeg", sigma=1.5)
-                v = d % 7
-                if v == 6:
+                v = d % 8
+                if v == 7:
+                    # arithmetic entropy coding (T.81 QM coder)
+                    buf = jpeg.encode(arr, 95, arithmetic=True)
+                    dec = jpeg.decode(buf)
+                    fmt = "jpeg"
+                elif v == 6:
                     # lossy VP8 through the system libwebp (q100 floors
                     # PSNR-vs-original at ~45 dB on this content);
                     # deterministic lossless fallback when absent
@@ -1976,7 +1982,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jpeg_decode_verify": """
             SELECT doc_id,
-                   CAST(doc_id % 7 AS INTEGER) AS variant,
+                   CAST(doc_id % 8 AS INTEGER) AS variant,
                    TRUE AS ok_verify,
                    TRUE AS ok_psnr
             FROM documents

@@ -66,7 +66,8 @@ def _gen_pixels(prng: np.random.Generator, h: int, w: int, f: str,
 
 def _encode_image(prng: np.random.Generator, arr: np.ndarray, f: str):
     """Encode one fixture image → (buf, phash). jpeg rows sample the
-    real-world variant space (4:2:0, progressive, restart intervals) so
+    real-world variant space (4:2:0, progressive, restart intervals,
+    arithmetic entropy coding) so
     every decoder path runs at gate/bench volume; the stored phash is
     of the DECODED pixels — the per-row invariant all verify kernels
     check (lossless formats decode to the original, so it's the same
@@ -76,7 +77,10 @@ def _encode_image(prng: np.random.Generator, arr: np.ndarray, f: str):
 
         kw = ({}, {"subsampling": "420"}, {"progressive": True},
               {"subsampling": "420", "progressive": True},
-              {"restart_interval": 4})[int(prng.integers(0, 5))]
+              {"restart_interval": 4},
+              {"arithmetic": True},
+              {"subsampling": "420", "arithmetic": True},
+              )[int(prng.integers(0, 7))]
         buf = jpeg.encode(arr, 85, **kw)
         return buf, codec.phash64(jpeg.decode(buf))
     if f == "webp":

@@ -13,10 +13,12 @@ next-round items #1 and #2):
   emits a spectral-selection + successive-approximation scan script
   (DC Al=1 → DC refine; per-component AC 1-5/6-63 at Al=1 → AC refine)
   so every decoder path can be fuzzed against our own bytes.
-- ``decode(buf)``: baseline sequential (SOF0/1) and progressive (SOF2)
+- ``decode(buf)``: baseline sequential (SOF0/1), progressive (SOF2)
+  and arithmetic-coded sequential/progressive (SOF9/SOF10 — T.81
+  Annex D QM coder in raster/jpeg_arith.py, libjpeg-cross-conformed)
   scans, restart intervals, 1- and 3-component frames with arbitrary
-  sampling factors (4:4:4, 4:2:0, 4:2:2 …). Arithmetic coding,
-  lossless and hierarchical modes raise NotImplementedError.
+  sampling factors (4:4:4, 4:2:0, 4:2:2 …). Lossless and
+  hierarchical modes raise NotImplementedError.
 
 Throughput: the round-2 entropy coder was an interpreter-rate bit loop
 (round-3 verdict "What's wrong" #1). This version destuffs the scan
@@ -606,7 +608,7 @@ def _seg(marker: int, payload: bytes) -> bytes:
 
 
 def _headers(h, w, qts, comps, *, progressive: bool,
-             restart_interval: int) -> bytearray:
+             restart_interval: int, arithmetic: bool = False) -> bytearray:
     nc = len(comps)
     out = bytearray(b"\xFF\xD8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -615,16 +617,27 @@ def _headers(h, w, qts, comps, *, progressive: bool,
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
     for ci, c in enumerate(comps):
         sof += bytes([ci + 1, (c["hs"] << 4) | c["vs"], c["tq"]])
-    out += _seg(0xC2 if progressive else 0xC0, sof)
-    if progressive:
-        hts = ((0, _HT_DC_LUM, 0), (0, _HT_DC_CHR, 1), (1, _HT_AC_FLAT, 0))
+    if arithmetic:
+        out += _seg(0xC9, sof)  # extended sequential, arithmetic coding
+        # DAC: default conditioning made explicit (L=0, U=1, Kx=5)
+        dac = b""
+        for tid in range(1 if nc == 1 else 2):
+            dac += bytes([tid, 0x10])         # DC: U<<4 | L
+            dac += bytes([0x10 | tid, 5])     # AC: Kx
+        out += _seg(0xCC, dac)
     else:
-        hts = ((0, _HT_DC_LUM, 0), (1, _HT_AC_LUM, 0),
-               (0, _HT_DC_CHR, 1), (1, _HT_AC_CHR, 1))
-    for cls, (bits, vals), tid in hts:
-        if nc == 1 and tid == 1:
-            continue
-        out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+        out += _seg(0xC2 if progressive else 0xC0, sof)
+        if progressive:
+            hts = ((0, _HT_DC_LUM, 0), (0, _HT_DC_CHR, 1),
+                   (1, _HT_AC_FLAT, 0))
+        else:
+            hts = ((0, _HT_DC_LUM, 0), (1, _HT_AC_LUM, 0),
+                   (0, _HT_DC_CHR, 1), (1, _HT_AC_CHR, 1))
+        for cls, (bits, vals), tid in hts:
+            if nc == 1 and tid == 1:
+                continue
+            out += _seg(0xC4,
+                        bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     return out
@@ -641,15 +654,33 @@ def _sos(scan_comps: list[tuple[int, int, int]], ss: int, se: int,
 
 
 def encode(arr: np.ndarray, quality: int = 85, subsampling: str = "444",
-           restart_interval: int = 0, progressive: bool = False) -> bytes:
+           restart_interval: int = 0, progressive: bool = False,
+           arithmetic: bool = False) -> bytes:
     """JFIF encode. arr: (h,w) or (h,w,3) uint8.
 
     subsampling '420' downsamples chroma 2× (the dominant real-world
     layout); restart_interval>0 emits DRI + RSTn resync markers every
     that many MCUs; progressive=True emits a multi-scan SOF2 stream
     whose quantized coefficients are identical to the baseline
-    encoding — decode(progressive) == decode(baseline) bit-for-bit."""
+    encoding — decode(progressive) == decode(baseline) bit-for-bit.
+    arithmetic=True emits an SOF9 sequential stream through the T.81
+    QM coder (raster/jpeg_arith.py) — same quantized coefficients, so
+    decode(arithmetic) == decode(baseline) bit-for-bit too."""
     comps, h, w, qts = _quantized_components(arr, quality, subsampling)
+    if arithmetic:
+        if progressive:
+            raise NotImplementedError(
+                "progressive arithmetic encode unsupported (decode of "
+                "SOF10 streams is supported)")
+        from . import jpeg_arith as JA
+        scan = JA.encode_scan_seq(comps, restart_interval, {}, {})
+        out = _headers(h, w, qts, comps, progressive=False,
+                       restart_interval=restart_interval, arithmetic=True)
+        out += _sos([(ci + 1, 0 if ci == 0 else 1, 0 if ci == 0 else 1)
+                     for ci in range(len(comps))], 0, 63, 0, 0)
+        out += scan
+        out += b"\xFF\xD9"
+        return bytes(out)
     if progressive:
         return _encode_progressive(comps, h, w, qts, restart_interval)
 
@@ -1247,9 +1278,24 @@ def _reconstruct(comps, coefL, qts, h, w) -> np.ndarray:
 
 
 def decode(buf: bytes) -> np.ndarray:
-    """JFIF → (h,w,3) or (h,w) uint8. Baseline (SOF0/1) and progressive
-    (SOF2) with restart intervals; arithmetic/lossless/hierarchical
-    raise NotImplementedError."""
+    """JFIF → (h,w,3) or (h,w) uint8. Baseline (SOF0/1), progressive
+    (SOF2) and arithmetic-coded (SOF9/SOF10, T.81 Annex D QM coder in
+    raster/jpeg_arith.py) with restart intervals; lossless and
+    hierarchical modes raise NotImplementedError."""
+    return _decode_impl(buf)
+
+
+def decode_coefficients(buf: bytes):
+    """Entropy-exact quantized DCT coefficients, no dequant/IDCT:
+    returns (comps, coefL, qts, h, w) with coefL one dense int64 array
+    per component over the padded block grid, zigzag order within each
+    block. Conformance surface: lets tests compare this decoder's
+    entropy layer bit-for-bit against an independent decoder's
+    coefficient dump without either side's IDCT rounding."""
+    return _decode_impl(buf, want_coefs=True)
+
+
+def _decode_impl(buf: bytes, want_coefs: bool = False):
     buf = bytes(buf)  # accept memoryview/bytearray (Arrow zero-copy slices)
     if buf[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -1262,6 +1308,9 @@ def decode(buf: bytes) -> np.ndarray:
     h = w = 0
     mcux = mcuy = 0
     progressive = False
+    arith = False
+    dc_cond: dict[int, tuple] = {}
+    ac_cond: dict[int, int] = {}
     restart_interval = 0
     coefL: list[list] | None = None
     while pos < n - 1:
@@ -1293,8 +1342,9 @@ def decode(buf: bytes) -> np.ndarray:
                                       dtype=">u2").astype(np.int32)
                     p += 128
                 qts[tq] = q[_UNZZ].reshape(8, 8)
-        elif marker in (0xC0, 0xC1, 0xC2):
-            progressive = marker == 0xC2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             h = int.from_bytes(payload[1:3], "big")
             w = int.from_bytes(payload[3:5], "big")
             nc = payload[5]
@@ -1314,11 +1364,22 @@ def decode(buf: bytes) -> np.ndarray:
                 coefL = [[0] * (c["bwf"] * c["bhf"] * 64) for c in comps]
             else:
                 coefL = [[] for _ in comps]  # sparse (pos<<32 | val) pairs
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"unsupported JPEG mode (SOF marker {marker:#x}): only "
-                "baseline/extended sequential and progressive huffman")
+                "baseline/extended sequential and progressive, huffman "
+                "or arithmetic")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            p = 0
+            while p + 1 < len(payload):
+                tc, tb = payload[p] >> 4, payload[p] & 0xF
+                v = payload[p + 1]
+                if tc == 0:
+                    dc_cond[tb] = (v & 0xF, v >> 4)   # (L, U)
+                else:
+                    ac_cond[tb] = v                   # Kx
+                p += 2
         elif marker == 0xC4:
             p = 0
             while p < len(payload):
@@ -1346,6 +1407,33 @@ def decode(buf: bytes) -> np.ndarray:
             ah, al = ahal >> 4, ahal & 0xF
             scan_start = pos + ln
             segs, consumed = _entropy_segments(buf[scan_start:])
+            if arith:
+                from . import jpeg_arith as JA
+                if not progressive:
+                    JA.decode_scan_seq(segs, comps, scan_cis, dc_cond,
+                                       ac_cond, restart_interval, mcux,
+                                       mcuy, coefL, h, w, _ni_dims)
+                elif ss == 0:
+                    if ah == 0:
+                        JA.decode_scan_dc_first(
+                            segs, comps, scan_cis, dc_cond, ac_cond,
+                            restart_interval, mcux, mcuy, coefL, al,
+                            h, w, _ni_dims)
+                    else:
+                        JA.decode_scan_dc_refine(
+                            segs, comps, scan_cis, restart_interval,
+                            mcux, mcuy, coefL, al, h, w, _ni_dims)
+                else:
+                    if ns != 1:
+                        raise ValueError("progressive AC scan must be "
+                                         "single-component")
+                    fn = (JA.decode_scan_ac_refine if ah
+                          else JA.decode_scan_ac_first)
+                    fn(segs, comps, scan_cis[0], ac_cond,
+                       restart_interval, coefL, ss, se, al, h, w,
+                       _ni_dims)
+                pos = scan_start + consumed
+                continue
             rdr = _ScanReader(segs)
             luts_dc = {ci: _dec_lut(*dc_raw[comps[ci]["td"]])
                        for ci in scan_cis if comps[ci].get("td") in dc_raw}
@@ -1388,6 +1476,9 @@ def decode(buf: bytes) -> np.ndarray:
                     .view(np.int32)
             dense.append(arr)
         coefL = dense
+    if want_coefs:
+        coefL = [np.asarray(a, dtype=np.int64) for a in coefL]
+        return comps, coefL, qts, h, w
     return _reconstruct(comps, coefL, qts, h, w)
 
 

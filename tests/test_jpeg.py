@@ -110,7 +110,7 @@ def test_jpeg_unsupported_modes_rejected():
     buf = bytearray(jpeg.encode(_smooth_rgb(16, 16)))
     i = buf.find(b"\xff\xc0")
     assert i > 0
-    for sof in (0xC3, 0xC9, 0xCB):       # lossless / arithmetic
+    for sof in (0xC3, 0xC7, 0xCB):       # lossless / differential
         bad = bytearray(buf)
         bad[i + 1] = sof
         with pytest.raises(NotImplementedError):
