@@ -390,6 +390,32 @@ def q_sjoin_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lid", "gid")
 
 
+def q_zorder_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order bbox selection gate (sources/clustered.py, round-4):
+    the event points get the Morton key as pure column arithmetic
+    (cells.morton_column — interleaved-bit Z key, the range-clusterable
+    twin of the equi-join cell id) and the query window becomes the
+    union of adaptive-cover Z BETWEENs plus exact bounds — the
+    predicate shape parquet row-group statistics prune on a clustered
+    layout (physical prune ratio asserted in tests/test_clustered.py).
+    The DuckDB oracle is the trivially correct closed-form bbox filter,
+    so any error in the spread-bit arithmetic, the cover→range mapping
+    or the range merge changes the row set and breaks the hash."""
+    _tune(spark)
+    from gis_tools_spark import cells as C
+    from gis_tools_spark.sources.clustered import bbox_filter
+
+    ev = DT.events_points(spark, sf_dir)
+    df = ev.withColumn("zkey", C.morton_column(F.col("lon"),
+                                               F.col("lat"), 16))
+    out = bbox_filter(df, 6.25, 41.5, 7.75, 43.0)
+    return out.select("event_id",
+                      F.floor(F.col("lon") * 20000.0 + 0.5).cast("long")
+                      .alias("lon_u"),
+                      F.floor(F.col("lat") * 20000.0 + 0.5).cast("long")
+                      .alias("lat_u"))
+
+
 def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates the GENERALIZED 64-bit Hamming blocking
     (operators/dedup.hamming_near_dups — the machinery behind
@@ -1294,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sjoin_within": q_sjoin_within,
         "ngram_jaccard": q_ngram_jaccard,
         "phash_near_dups": q_phash_near_dups,
+        "zorder_bbox": q_zorder_bbox,
         "jpeg_decode_verify": q_jpeg_decode_verify,
         "pricing_summary": q_pricing_summary,
         "graph_components": q_graph_components,
@@ -1979,6 +2006,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
             FROM pairs WHERE hamming <= 3
+        """,
+        "zorder_bbox": """
+            WITH p AS (
+              SELECT event_id,
+                     5.0 + (event_id * 37 % 100000) / 20000.0 AS lon,
+                     40.0 + (event_id * 7919 % 100000) / 20000.0 AS lat
+              FROM events
+            )
+            SELECT event_id,
+                   CAST(floor(lon * 20000.0 + 0.5) AS BIGINT) AS lon_u,
+                   CAST(floor(lat * 20000.0 + 0.5) AS BIGINT) AS lat_u
+            FROM p
+            WHERE lon >= 6.25 AND lon <= 7.75
+              AND lat >= 41.5 AND lat <= 43.0
         """,
         "jpeg_decode_verify": """
             SELECT doc_id,

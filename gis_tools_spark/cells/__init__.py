@@ -169,6 +169,72 @@ def polygon_to_cells(geom: dict, res: int, exact: bool = True) -> np.ndarray:
     return np.array(keep, dtype=np.int64) if keep else cand[:1]
 
 
+# ----------------------------------------------------------- Z-order keys
+#
+# The cell id above is row-major (res | ix | iy) — ideal as an EQUI-join
+# key, useless as a RANGE key (a bbox is one ix-stripe per column). The
+# Morton (Z-order) key interleaves ix/iy bits, so every quadtree cell's
+# descendants at a finer res form ONE contiguous key range: sort a table
+# by zkey and any bbox becomes a handful of BETWEENs that parquet
+# row-group min/max statistics can prune (sources/clustered.py). Classic
+# public bit-interleaving via the 0x5555…/0x3333… spread masks.
+
+_SPREAD_MASKS = ((16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                 (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                 (1, 0x5555555555555555))
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, dtype=np.int64)
+    for sh, mask in _SPREAD_MASKS:
+        v = (v | (v << sh)) & mask
+    return v
+
+
+def morton_key(lon, lat, res: int):
+    """Vectorized numpy Z-order key at `res` (2*res bits, res ≤ 26)."""
+    n = 1 << res
+    ix = np.clip(np.floor((np.asarray(lon, dtype=np.float64) + 180.0)
+                          / 360.0 * n), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor((np.asarray(lat, dtype=np.float64) + 90.0)
+                          / 180.0 * n), 0, n - 1).astype(np.int64)
+    return (_spread_bits(ix) << 1) | _spread_bits(iy)
+
+
+def cell_morton_range(cell, zres: int) -> tuple[int, int]:
+    """Inclusive [lo, hi] range of res-`zres` Morton keys covered by
+    `cell` (requires zres ≥ the cell's own res)."""
+    c = int(cell)
+    res = c >> RES_SHIFT
+    d = zres - res
+    if d < 0:
+        raise ValueError(f"zres {zres} finer than cell res {res} required")
+    ix = (c >> IX_SHIFT) & ((1 << (RES_SHIFT - IX_SHIFT)) - 1)
+    iy = c & ((1 << IX_SHIFT) - 1)
+    z0 = int((_spread_bits(np.int64(ix)) << 1) | _spread_bits(np.int64(iy)))
+    lo = z0 << (2 * d)
+    return lo, lo + (1 << (2 * d)) - 1
+
+
+def morton_column(lon_col, lat_col, res: int):
+    """PySpark Column for morton_key — pure JVM bit arithmetic inside
+    whole-stage codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    n = 1 << res
+    ix = F.floor((lon_col + F.lit(180.0)) / 360.0 * n)
+    iy = F.floor((lat_col + F.lit(90.0)) / 180.0 * n)
+    ix = F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1)).cast("long")
+    iy = F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1)).cast("long")
+
+    def spread(col):
+        for sh, mask in _SPREAD_MASKS:
+            col = col.bitwiseOR(F.shiftleft(col, sh)).bitwiseAND(F.lit(mask))
+        return col
+
+    return F.shiftleft(spread(ix), 1).bitwiseOR(spread(iy))
+
+
 # ------------------------------------------------------------------ SQL/Column builders
 
 def cell_sql(lon_expr: str, lat_expr: str, res: int) -> str:
