@@ -317,9 +317,15 @@ def gen_audio(n: int = 8, sr: int = 8000, dur_s: float = 0.5,
     for i in range(n):
         amp = 0.1 * (i % 9 + 1)
         x = (amp * np.sin(2 * np.pi * 110.0 * (i + 1) * t)).astype(np.float32)
-        fmt = "pcm_f32" if i % 2 == 0 else "pcm_s16"
-        buf = x.tobytes() if fmt == "pcm_f32" else \
-            (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        fmt = ("pcm_f32", "pcm_s16", "mp3")[i % 3]
+        if fmt == "pcm_f32":
+            buf = x.tobytes()
+        elif fmt == "pcm_s16":
+            buf = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        else:
+            from .raster import mp3 as _mp3
+            buf = _mp3.encode(x.astype(np.float64), sr,
+                              bitrate=24000 if sr <= 12000 else 64000)
         rows.append((f"aud{i:06d}", buf, sr, fmt))
     return pd.DataFrame(rows, columns=["audio_id", "bytes", "sample_rate", "fmt"])
 

@@ -185,15 +185,21 @@ AUDIO_FEATURE_SCHEMA = ("audio_id string, duration_s double, rms double, "
 
 def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
     """float64 mono samples in [-1, 1]. Real: pcm_f32 (little-endian
-    float32), pcm_s16 (little-endian int16). mp3/flac/ogg/wav-adpcm are
-    wheel-bound."""
+    float32), pcm_s16 (little-endian int16), mp3 (from-scratch MPEG
+    Layer III, raster/mp3.py; stereo is mixed down; streams selecting
+    the unverifiable Huffman escape tables raise — see mp3.py
+    docstring). flac/ogg/wav-adpcm remain wheel-bound."""
     if fmt == "pcm_f32":
         return np.frombuffer(bytes(buf), dtype="<f4").astype(np.float64)
     if fmt == "pcm_s16":
         return np.frombuffer(bytes(buf), dtype="<i2").astype(np.float64) / 32768.0
+    if fmt == "mp3":
+        from . import mp3
+        pcm, _sr = mp3.decode(bytes(buf))
+        return pcm.mean(axis=1) if pcm.ndim == 2 else pcm
     raise NotImplementedError(
         f"audio codec {fmt!r} requires a decoder wheel absent in this "
-        "sandbox; supported here: pcm_f32, pcm_s16")
+        "sandbox; supported here: pcm_f32, pcm_s16, mp3")
 
 
 def audio_features(df: DataFrame, *, clip_level: float = 0.999) -> DataFrame:

@@ -55,7 +55,7 @@ def test_audio_decode_families():
     assert x0.dtype == np.float64 and len(x0) == 4000 and np.abs(x0).max() <= 1.0
     assert len(x1) == 4000
     with pytest.raises(NotImplementedError):
-        decode_audio(b"", "mp3")
+        decode_audio(b"", "flac")
 
 
 # --------------------------------------------------------------- spark
@@ -113,8 +113,16 @@ def test_audio_features_spark(spark):
         amp = 0.1 * (i % 9 + 1)
         f = 110.0 * (i + 1)
         r = out.loc[f"aud{i:06d}"]
-        assert r["duration_s"] == pytest.approx(0.5)
-        assert r["rms"] == pytest.approx(amp / np.sqrt(2), rel=5e-3)
-        assert r["peak"] == pytest.approx(amp, rel=5e-3)
-        assert r["zcr"] == pytest.approx(2 * f / 8000.0, rel=2e-2)
-        assert r["clip_ratio"] == 0.0
+        if i % 3 == 2:
+            # mp3 rows: lossy (~25 dB coder, see raster/mp3.py) and
+            # padded to granule + filterbank-delay boundaries
+            assert r["duration_s"] == pytest.approx(0.5, rel=0.1)
+            assert r["rms"] == pytest.approx(amp / np.sqrt(2), rel=0.15)
+            assert r["peak"] == pytest.approx(amp, rel=0.25)
+            assert r["zcr"] == pytest.approx(2 * f / 8000.0, rel=0.15)
+        else:
+            assert r["duration_s"] == pytest.approx(0.5)
+            assert r["rms"] == pytest.approx(amp / np.sqrt(2), rel=5e-3)
+            assert r["peak"] == pytest.approx(amp, rel=5e-3)
+            assert r["zcr"] == pytest.approx(2 * f / 8000.0, rel=2e-2)
+            assert r["clip_ratio"] == 0.0
