@@ -448,10 +448,10 @@ def _requantize(ix, g: _Granule, sf_long, sf_short, sfb_long, sfb_short):
                 e = 0.25 * (gg - 8 * g.subblock_gain[w]) - sfm * sf_short[bi, w]
                 xr[lo:hi] = mag[lo:hi] * 2.0 ** e
     else:
-        for bi in range(22):
-            lo, hi = sfb_long[bi], sfb_long[bi + 1]
-            e = 0.25 * gg - sfm * (sf_long[bi] + g.preflag * T.PRETAB[bi])
-            xr[lo:hi] = mag[lo:hi] * 2.0 ** e
+        widths = np.diff(np.asarray(sfb_long))
+        e = (0.25 * gg
+             - sfm * (sf_long[:22] + g.preflag * np.asarray(T.PRETAB)))
+        xr[:] = mag * np.repeat(2.0 ** e, widths)
     return xr
 
 
@@ -528,12 +528,11 @@ _CA = _ALIAS_C / np.sqrt(1.0 + _ALIAS_C ** 2)
 
 
 def _alias_reduce(xr, n_long_sb=32):
-    for sb in range(1, n_long_sb):
-        base = 18 * sb
-        lo = xr[base - 1 - np.arange(8)].copy()
-        hi = xr[base + np.arange(8)].copy()
-        xr[base - 1 - np.arange(8)] = lo * _CS - hi * _CA
-        xr[base + np.arange(8)] = hi * _CS + lo * _CA
+    a = xr.reshape(32, 18)
+    lo = a[:n_long_sb - 1, :-9:-1].copy()      # (n-1, 8): lines base-1-i
+    hi = a[1:n_long_sb, :8].copy()             # (n-1, 8): lines base+i
+    a[:n_long_sb - 1, :-9:-1] = lo * _CS - hi * _CA
+    a[1:n_long_sb, :8] = hi * _CS + lo * _CA
     return xr
 
 
@@ -575,6 +574,11 @@ _MDCT12 = _IMDCT12.T.copy()
 
 def _imdct_granule(xr, g: _Granule, overlap):
     """xr (576,) -> time samples (18, 32) + updated overlap (32, 18)."""
+    if g.block_type != 2:
+        # vectorized long-block path: one (36,18)x(18,32) matmul
+        blk = (_IMDCT36 @ xr.reshape(32, 18).T) * _WINDOWS[g.block_type][:, None]
+        out = blk[:18] + overlap.T
+        return out, blk[18:].T.copy()
     out = np.zeros((18, 32))
     for sb in range(32):
         xk = xr[18 * sb:18 * sb + 18]
@@ -623,26 +627,25 @@ class _Synth:
     def run(self, S: np.ndarray) -> np.ndarray:
         """S (t, 32) subband samples -> (t*32,) PCM."""
         t = len(S)
-        acc = np.zeros(t * 32 + 512 - 32)
-        acc[:512 - 32] = self.tail
         block = S @ _SYN_G                  # (t, 512)
-        idx = (np.arange(t) * 32)[:, None] + np.arange(512)[None, :]
-        np.add.at(acc, idx, block)
-        self.tail = acc[t * 32:].copy()
-        return acc[:t * 32]
+        acc = np.zeros((t + 15, 32))
+        acc[:15] = self.tail.reshape(15, 32)
+        for k in range(16):                 # strided overlap-add, hop 32
+            acc[k:k + t] += block[:, k * 32:(k + 1) * 32]
+        self.tail = acc[t:].ravel().copy()
+        return acc[:t].ravel()
 
 
 def analysis_filterbank(x: np.ndarray) -> np.ndarray:
     """Encoder-side 32-band analysis; x length multiple of 32 ->
-    (len/32, 32).  Exact dual of `_Synth` (PR-tested)."""
+    (len/32, 32).  Exact dual of `_Synth` (PR-tested).  Vectorized:
+    strided sliding windows x reversed prototype, fold, matmul."""
     nf = len(x) // 32
-    S = np.zeros((nf, 32))
-    buf = np.zeros(512)
-    for t in range(nf):
-        buf[32:] = buf[:-32]
-        buf[:32] = x[t * 32:(t + 1) * 32][::-1]
-        S[t] = _ANA_M @ ((_ANA_C * buf).reshape(8, 64).sum(0))
-    return S
+    xp = np.concatenate([np.zeros(480), np.asarray(x, dtype=np.float64)])
+    W = np.lib.stride_tricks.sliding_window_view(xp, 512)[::32][:nf]
+    Z = W * _ANA_C[::-1]                       # reversed buffer, folded in
+    Y = Z.reshape(nf, 8, 64)[:, :, ::-1].sum(1)
+    return Y @ _ANA_M.T
 
 
 # ------------------------------------------------------------------ decoder
