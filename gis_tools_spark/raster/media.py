@@ -212,7 +212,12 @@ def audio_features(df: DataFrame, *, clip_level: float = 0.999) -> DataFrame:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                x = decode_audio(r.bytes, r.fmt)
+                try:
+                    x = decode_audio(r.bytes, r.fmt)
+                except (ValueError, NotImplementedError):
+                    # crawl contract: corrupt/unsupported rows are
+                    # dropped, never kill the task (same as resize_images)
+                    continue
                 n = len(x)
                 sr = float(r.sample_rate)
                 if n == 0 or sr <= 0:

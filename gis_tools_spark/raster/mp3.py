@@ -686,9 +686,16 @@ def decode(data: bytes, max_frames: int | None = None):
     for off, hdr in _iter_frames(data):
         if sr is None:
             sr, nch_out = hdr.sr, hdr.nch
+        elif hdr.sr != sr or hdr.nch != nch_out:
+            continue                     # resync landed on a false header
         body = data[off + 4 + (2 if hdr.crc else 0):off + hdr.frame_len]
-        sb = _Bits(body)
-        mdb, scfsi, granules = _read_side_info(sb, hdr)
+        try:
+            sb = _Bits(body)
+            mdb, scfsi, granules = _read_side_info(sb, hdr)
+        except Mp3Unsupported:
+            raise
+        except Mp3Error:
+            continue                     # corrupt side info: skip frame
         side_bytes = (sb.pos + 7) // 8
         main = body[side_bytes:]
         if mdb > len(reservoir):
@@ -708,21 +715,30 @@ def decode(data: bytes, max_frames: int | None = None):
         for gi, chs in enumerate(granules):
             xr = np.zeros((hdr.nch, 576))
             sfs = []
-            for ch, g in enumerate(chs):
-                start = b.pos
-                if not hdr.lsf:
-                    sf_long, sf_short = _read_scalefac_mpeg1(
-                        b, g, scfsi[ch] if gi == 1 else [0] * 4,
-                        prev_long[ch])
-                    prev_long[ch] = sf_long
-                else:
-                    sf_long, sf_short = _read_scalefac_lsf(
-                        b, g, intensity_ch=(ch == 1 and hdr.i_stereo))
-                sfs.append((sf_long, sf_short))
-                limit = start + g.part2_3_length
-                ix = _decode_huffman(b, g, sfb_long, limit)
-                xr[ch] = _requantize(ix, g, sf_long, sf_short,
-                                     sfb_long, sfb_short)
+            try:
+                for ch, g in enumerate(chs):
+                    start = b.pos
+                    if not hdr.lsf:
+                        sf_long, sf_short = _read_scalefac_mpeg1(
+                            b, g, scfsi[ch] if gi == 1 else [0] * 4,
+                            prev_long[ch])
+                        prev_long[ch] = sf_long
+                    else:
+                        sf_long, sf_short = _read_scalefac_lsf(
+                            b, g, intensity_ch=(ch == 1 and hdr.i_stereo))
+                    sfs.append((sf_long, sf_short))
+                    limit = start + g.part2_3_length
+                    ix = _decode_huffman(b, g, sfb_long, limit)
+                    xr[ch] = _requantize(ix, g, sf_long, sf_short,
+                                         sfb_long, sfb_short)
+            except Mp3Unsupported:
+                raise                 # scope signal, never mask as corruption
+            except Mp3Error:
+                # corrupt granule (e.g. part2_3_length past the reservoir):
+                # emit silence for it, keep decoding subsequent frames
+                xr[:] = 0.0
+                sfs = [(np.zeros(22, dtype=np.int64),
+                        np.zeros((13, 3), dtype=np.int64))] * hdr.nch
             if hdr.nch == 2:
                 xr = _stereo(xr, hdr, chs[1], sfs[1][0], sfs[1][1],
                              sfb_long, sfb_short)
