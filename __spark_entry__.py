@@ -526,6 +526,72 @@ def q_jpeg_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("psnr_orig") >= F.lit(40.0)).alias("ok_psnr"))
 
 
+def q_audio_mp3_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audio-codec gate (round-4: from-scratch MPEG Layer
+    III, raster/mp3.py): deterministic sines seeded by doc_id are
+    mp3-encoded across the codec's feature matrix — variant =
+    doc_id % 6 covers MPEG-1 44.1k long / 44.1k forced window cycle /
+    MPEG-1 32k / MPEG-2 LSF 22.05k / MPEG-2.5 8k / MPEG-1 stereo MS —
+    then decoded and verified against the regenerated source: SNR >= 12
+    dB (the verified-table quantizer's floor is ~14 dB on two-tone
+    content), decoded length within one granule+delay of the input, and
+    zero-crossing rate within 15% of the closed form 2f/sr.  The
+    oracle states the invariant closed-form: every row verifies TRUE."""
+    _tune(spark)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 29 = 0").select("doc_id"))
+
+    def _gen(it):
+        import numpy as _np
+        from gis_tools_spark.raster import mp3 as _mp3
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 6
+                sr, br, kw = ((44100, 128000, {}),
+                              (44100, 128000, {"block_pattern": "cycle"}),
+                              (32000, 96000, {}),
+                              (22050, 64000, {}),
+                              (8000, 24000, {}),
+                              (44100, 192000, {"ms": True}))[v]
+                amp = 0.2 + 0.05 * (d % 7)
+                f = 110.0 * (1 + d % 9)
+                n = sr // 5
+                t = _np.arange(n) / sr
+                x = amp * _np.sin(2 * _np.pi * f * t)
+                if kw.get("ms"):
+                    x = _np.stack([x, 0.5 * x], axis=1)
+                buf = _mp3.encode(x, sr, bitrate=br, **kw)
+                pcm, got_sr = _mp3.decode(buf)
+                mono = pcm.mean(axis=1) if pcm.ndim == 2 else pcm
+                xm = x.mean(axis=1) if x.ndim == 2 else x
+                # align: scan the encoder+decoder delay range
+                best = (1e30, 0)
+                for delay in range(0, 2600, 1):
+                    nn = min(len(mono) - delay, n)
+                    if nn < n // 2:
+                        break
+                    e = float(_np.mean((mono[delay:delay + nn] - xm[:nn]) ** 2))
+                    if e < best[0]:
+                        best = (e, delay)
+                snr = 10 * _np.log10(_np.mean(xm ** 2) / max(best[0], 1e-30))
+                zc = _np.count_nonzero(_np.signbit(mono[1:])
+                                       != _np.signbit(mono[:-1]))
+                zcr = zc / max(len(mono) - 1, 1)
+                ok_len = n <= len(mono) <= n + 2 * 1152 + 2048
+                ok_zcr = abs(zcr - 2 * f / sr) <= 0.15 * (2 * f / sr)
+                rows.append((d, v, got_sr == sr and bool(snr >= 12.0),
+                             bool(ok_len), bool(ok_zcr)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "variant", "ok_snr", "ok_len", "ok_zcr"])
+
+    return docs.repartition(8).mapInPandas(
+        _gen, schema="doc_id long, variant int, ok_snr boolean, "
+                     "ok_len boolean, ok_zcr boolean")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-trigram Jaccard over MinHash-LSH-prefiltered candidate
     pairs (operators/dedup.py:ngram_jaccard_pairs) — the dedup family's
@@ -1322,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dups": q_phash_near_dups,
         "zorder_bbox": q_zorder_bbox,
         "jpeg_decode_verify": q_jpeg_decode_verify,
+        "audio_mp3_verify": q_audio_mp3_verify,
         "pricing_summary": q_pricing_summary,
         "graph_components": q_graph_components,
         "graph_shortest_paths": q_graph_shortest_paths,
@@ -2028,6 +2095,15 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ok_psnr
             FROM documents
             WHERE doc_id % 13 = 0
+        """,
+        "audio_mp3_verify": """
+            SELECT doc_id,
+                   CAST(doc_id % 6 AS INTEGER) AS variant,
+                   TRUE AS ok_snr,
+                   TRUE AS ok_len,
+                   TRUE AS ok_zcr
+            FROM documents
+            WHERE doc_id % 29 = 0
         """,
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),

@@ -173,6 +173,24 @@ def main() -> None:
             24, 24, method="bilinear")))
     meta["img_resize_rows"] = nr
 
+    # -------- audio feature extraction (round-4: from-scratch mp3 in
+    # the fixture mix — pcm_f32 / pcm_s16 / mp3 one-third each)
+    from gis_tools_spark.raster.media import audio_features
+
+    n_aud = max(96, N_IMAGES // 50)
+    base = spark.createDataFrame(fixtures.gen_audio(n=12, sr=16000,
+                                                    dur_s=1.0))
+    audio = (base.crossJoin(spark.range(n_aud // 12).withColumnRenamed(
+                 "id", "rep"))
+             .select(F.concat("audio_id", F.lit("_"), "rep")
+                     .alias("audio_id"),
+                     "bytes", "sample_rate", "fmt")
+             .repartition(CPUS).persist())
+    audio.count()          # materialize: generation excluded from timing
+    na = _timed("audio_features", lambda: _count(audio_features(audio)))
+    meta["audio_rows"] = na
+    audio.unpersist()
+
     # -------- generic polygon x polygon sjoin (vectorized batched refine;
     # round-3: the per-pair python refine was the round-2 verdict's #3)
     from gis_tools_spark.operators.sjoin import sjoin as generic_sjoin
