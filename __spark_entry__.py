@@ -727,6 +727,85 @@ def q_geotiff_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("mean_r"))
 
 
+def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoPackage source gate (round-4: sources/gpkg.py — from-scratch
+    SQLite b-tree parser over blob columns; fiona's flagship modern
+    format, reference layer.py:188-210): the closed-form zone layer is
+    written to an in-memory .gpkg via the stdlib-sqlite3 sink, parsed
+    back by the from-scratch page/record/overflow reader through the
+    gpkg_features operator, and per-zone ring bbox + vertex count are
+    checked against the nation-table closed form. Any drift in the
+    b-tree walk, varint records, rowid aliasing, or geometry-blob
+    unwrap breaks the hash."""
+    _tune(spark)
+    import os as _os
+    import tempfile as _tempfile
+    from typing import Iterator
+
+    import pandas as pd
+
+    zones = DT.nation_zones(spark, sf_dir)
+
+    def _pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gis_tools_spark.sources import gpkg as _G
+        for pdf in it:
+            if not len(pdf):
+                continue
+            rows = [{"fid": int(r["gid"]) + 1,
+                     "geometry_wkb": bytes(r["geometry_wkb"]),
+                     "properties": {"gid": int(r["gid"])}}
+                    for _, r in pdf.iterrows()]
+            path = _tempfile.mktemp(suffix=".gpkg")
+            try:
+                _G.to_gpkg(rows, path)
+                blob = open(path, "rb").read()
+            finally:
+                if _os.path.exists(path):
+                    _os.unlink(path)
+            yield pd.DataFrame({"doc_id": [int(pdf["gid"].min())],
+                                "bytes": [blob]})
+
+    packed = zones.select("gid", "geometry_wkb").repartition(4).mapInPandas(
+        _pack, schema="doc_id long, bytes binary")
+    from gis_tools_spark.sources.gpkg import gpkg_features
+    feats = gpkg_features(packed)
+
+    def _measure(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        import numpy as np
+
+        from gis_tools_spark.geom import wkb as _wkb
+
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                ring = np.asarray(
+                    _wkb.decode(bytes(r["geometry_wkb"]))["rings"][0])
+                # gpkg_features JSON-encodes the attribute row; our sink
+                # stored the user properties as a JSON string column
+                outer = _json.loads(r["properties"])
+                gid = int(_json.loads(outer["properties"])["gid"])
+                rows.append((gid, int(r["fid"]), int(len(ring)),
+                             int(r["srs_id"]),
+                             float(ring[:, 0].min()),
+                             float(ring[:, 1].min()),
+                             float(ring[:, 0].max()),
+                             float(ring[:, 1].max())))
+            yield pd.DataFrame(rows, columns=[
+                "gid", "fid", "nvert", "srs_id", "bminx", "bminy",
+                "bmaxx", "bmaxy"])
+
+    out = feats.where("ok").mapInPandas(
+        _measure, schema="gid int, fid int, nvert int, srs_id int, "
+                         "bminx double, bminy double, bmaxx double, "
+                         "bmaxy double")
+    return out.select("gid", "fid", "nvert", "srs_id",
+                      *[F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))
+                        .cast("long").alias(c + "_r")
+                        for c in ("bminx", "bminy", "bmaxx", "bmaxy")])
+
+
 def q_vector_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-file format gate (reference builds every layer through
     geopandas/fiona drivers, layer.py:188-210): the closed-form zone
@@ -1389,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_bbox": q_zorder_bbox,
         "jpeg_decode_verify": q_jpeg_decode_verify,
         "audio_mp3_verify": q_audio_mp3_verify,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
         "pricing_summary": q_pricing_summary,
         "graph_components": q_graph_components,
         "graph_shortest_paths": q_graph_shortest_paths,
@@ -2108,6 +2188,17 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "geotiff_zonal": _zonal_oracle_sql(),
+        "gpkg_roundtrip": """
+            SELECT n_nationkey AS gid,
+                   n_nationkey + 1 AS fid,
+                   5 AS nvert,
+                   4326 AS srs_id,
+                   CAST(floor((5.0 + (n_nationkey % 5) * 1.0) * 1000000.0 + 0.5) AS BIGINT) AS bminx_r,
+                   CAST(floor((40.0 + floor(n_nationkey / 5) * 1.0) * 1000000.0 + 0.5) AS BIGINT) AS bminy_r,
+                   CAST(floor((5.0 + (n_nationkey % 5) * 1.0 + 0.8) * 1000000.0 + 0.5) AS BIGINT) AS bmaxx_r,
+                   CAST(floor((40.0 + floor(n_nationkey / 5) * 1.0 + 0.8) * 1000000.0 + 0.5) AS BIGINT) AS bmaxy_r
+            FROM nation
+        """,
         "vector_file_roundtrip": """
             SELECT n_nationkey AS gid,
                    5 AS nvert,
