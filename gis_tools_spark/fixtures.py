@@ -302,8 +302,15 @@ def gen_videos(n: int = 8, n_frames: int = 24, w: int = 32, h: int = 24,
             base = ((xx * 3 + yy * 5 + i * 17 + f * 11) % 256).astype(np.uint8)
             base[f % h, (i + f) % w] = 255
             frames[f] = base
-        rows.append((f"vid{i:06d}", frames.tobytes(), n_frames, w, h,
-                     "rawvid", 12.0))
+        if i % 2 == 1:
+            from .raster import mp4 as _mp4
+            buf = _mp4.write_mp4([frames[f].tobytes()
+                                  for f in range(n_frames)],
+                                 w=w, h=h, fps=12.0)
+            rows.append((f"vid{i:06d}", buf, n_frames, w, h, "mp4", 12.0))
+        else:
+            rows.append((f"vid{i:06d}", frames.tobytes(), n_frames, w, h,
+                         "rawvid", 12.0))
     return pd.DataFrame(rows, columns=["video_id", "bytes", "n_frames",
                                        "w", "h", "fmt", "fps"])
 

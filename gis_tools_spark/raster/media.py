@@ -155,6 +155,35 @@ def sample_video_frames(df: DataFrame, *, every_n: int | None = None,
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
+                if r.fmt == "mp4":
+                    # container path (raster/mp4.py): only the SELECTED
+                    # samples are sliced out of mdat — an mp4 row never
+                    # decodes frames it does not keep
+                    from . import mp4 as _mp4
+
+                    info = _mp4.probe(r.bytes)
+                    v = next(t for t in info["tracks"] if t["kind"] == "vide")
+                    if v["codec"] != "rawg":
+                        raise NotImplementedError(
+                            f"mp4 codec {v['codec']!r} requires a decoder "
+                            "wheel absent in this sandbox (container "
+                            "probe/slice is supported — see video_probe)")
+                    nf, w, h = v["n_samples"], v["w"], v["h"]
+                    if every_n is not None:
+                        idx = np.arange(0, nf, every_n)
+                    else:
+                        idx = np.unique(np.linspace(0, nf - 1,
+                                                    min(n_samples, nf))
+                                        .astype(np.int64))
+                    payloads = _mp4.extract_samples(r.bytes, idx,
+                                                    v["track_id"])
+                    fps = v["n_samples"] / v["duration_s"] \
+                        if v["duration_s"] else 0.0
+                    for fi, payload in zip(idx, payloads):
+                        t = (fi / fps) if fps > 0 else float(fi)
+                        rows.append((r.video_id, int(fi), float(t),
+                                     payload, int(w), int(h), "raw_gray"))
+                    continue
                 nf = int(r.n_frames)
                 if nf <= 0:
                     continue

@@ -33,6 +33,14 @@ def test_resize_bilinear_exact_on_linear_ramp():
     assert np.allclose(r[inner], want[inner], atol=1e-9)
 
 
+def _frame(i: int, f: int, w: int, h: int) -> bytes:
+    """Closed-form fixture frame (mirrors fixtures.gen_videos)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 3 + yy * 5 + i * 17 + f * 11) % 256).astype(np.uint8)
+    base[f % h, (i + f) % w] = 255
+    return base.tobytes()
+
+
 def test_resize_upscale_preserves_constant_and_range():
     a = np.full((5, 7, 3), 200, dtype=np.uint8)
     r = resize_array(a, 21, 15, method="bilinear")
@@ -41,9 +49,17 @@ def test_resize_upscale_preserves_constant_and_range():
 
 def test_video_decode_roundtrip():
     vids = fixtures.gen_videos(n=2, n_frames=6, w=8, h=4)
-    r = vids.iloc[1]
+    r = vids.iloc[0]
+    assert r["fmt"] == "rawvid"
     frames = decode_video(r["bytes"], r["w"], r["h"], r["n_frames"], r["fmt"])
     assert frames.shape == (6, 4, 8)
+    # odd fixture rows are real ISO-BMFF containers with rawg samples
+    from gis_tools_spark.raster import mp4 as M
+    r1 = vids.iloc[1]
+    assert r1["fmt"] == "mp4"
+    info = M.probe(r1["bytes"])
+    assert info["tracks"][0]["n_samples"] == 6
+    assert M.extract_samples(r1["bytes"], [3])[0] == _frame(1, 3, 8, 4)
     with pytest.raises(NotImplementedError):
         decode_video(b"", 1, 1, 1, "h264")
 
@@ -88,12 +104,16 @@ def test_sample_video_frames_spark(spark):
     # frames 0,4,8 per video
     assert sorted(out["frame_index"].unique()) == [0, 4, 8]
     assert len(out) == 9
-    # payload equals the exact frame slice; t = frame/fps
+    # payload equals the exact frame slice; t = frame/fps.
+    # vid1 is an mp4 container row: the payload was SLICED out of mdat
+    # by the stbl tables, so equality proves the whole offset expansion
     r = out[(out.video_id == "vid000001") & (out.frame_index == 4)].iloc[0]
-    src = vids[vids.video_id == "vid000001"].iloc[0]
-    frames = decode_video(src["bytes"], 16, 8, 10, "rawvid")
-    assert bytes(r["bytes"]) == frames[4].tobytes()
+    assert bytes(r["bytes"]) == _frame(1, 4, 16, 8)
     assert r["t"] == pytest.approx(4 / 12.0)
+    r2 = out[(out.video_id == "vid000002") & (out.frame_index == 4)].iloc[0]
+    src = vids[vids.video_id == "vid000002"].iloc[0]
+    frames = decode_video(src["bytes"], 16, 8, 10, "rawvid")
+    assert bytes(r2["bytes"]) == frames[4].tobytes()
     # n_samples variant: first + last always in, k distinct
     out2 = sample_video_frames(df, n_samples=4).toPandas()
     per = out2.groupby("video_id")["frame_index"].agg(list)
