@@ -592,6 +592,56 @@ def q_audio_mp3_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "ok_len boolean, ok_zcr boolean")
 
 
+def q_exif_gps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF ingest gate (round-4: raster/exif.py — the crawl->geotable
+    step of the north-star pipeline): per doc_id a real JPEG gets an
+    APP1 EXIF block with closed-form GPS coordinates (every 4th doc
+    deliberately untagged), image_exif extracts them back through the
+    full TIFF-IFD walk, and the recovered micro-degree coordinates are
+    compared to the closed form.  DMS rational quantization error is
+    ~1.4e-10 deg, 3 decades below the 1e-6 rounding unit, so the
+    comparison is exact."""
+    _tune(spark)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 17 = 0").select("doc_id"))
+
+    def _gen(it):
+        import numpy as _np
+
+        from gis_tools_spark.fixtures import _gen_pixels
+        from gis_tools_spark.raster import exif as _E, jpeg as _jpeg
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                prng = _np.random.default_rng(d * 104_729 + 7)
+                buf = _jpeg.encode(_gen_pixels(prng, 16, 16, "jpeg",
+                                               sigma=1.5), 90)
+                if d % 4 != 3:
+                    lon = 5.0 + (d % 40) * 0.05 + 0.017
+                    lat = 41.0 + (d % 30) * 0.08 + 0.013
+                    buf = _E.embed_exif(buf, _E.build_exif(
+                        lon=lon, lat=lat, orientation=1 + d % 8))
+                rows.append((d, buf))
+            yield pd.DataFrame(rows, columns=["doc_id", "bytes"])
+
+    blobs = docs.repartition(8).mapInPandas(
+        _gen, schema="doc_id long, bytes binary")
+    from gis_tools_spark.raster.exif import image_exif
+    ex = image_exif(blobs, id_col="doc_id")
+    return ex.select(
+        F.col("image_id").cast("long").alias("doc_id"),
+        "ok", "has_gps",
+        F.when(F.col("has_gps"),
+               F.floor(F.col("lon") * 1e6 + F.lit(0.5)).cast("long"))
+        .alias("lon_r"),
+        F.when(F.col("has_gps"),
+               F.floor(F.col("lat") * 1e6 + F.lit(0.5)).cast("long"))
+        .alias("lat_r"),
+        F.col("orientation"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-trigram Jaccard over MinHash-LSH-prefiltered candidate
     pairs (operators/dedup.py:ngram_jaccard_pairs) — the dedup family's
@@ -1469,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_verify": q_jpeg_decode_verify,
         "audio_mp3_verify": q_audio_mp3_verify,
         "gpkg_roundtrip": q_gpkg_roundtrip,
+        "exif_gps": q_exif_gps,
         "pricing_summary": q_pricing_summary,
         "graph_components": q_graph_components,
         "graph_shortest_paths": q_graph_shortest_paths,
@@ -2188,6 +2239,24 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "geotiff_zonal": _zonal_oracle_sql(),
+        "exif_gps": """
+            SELECT doc_id,
+                   TRUE AS ok,
+                   (doc_id % 4 <> 3) AS has_gps,
+                   CASE WHEN doc_id % 4 <> 3
+                        THEN CAST(floor((5.0 + (doc_id % 40) * 0.05 + 0.017)
+                                        * 1000000.0 + 0.5) AS BIGINT)
+                   END AS lon_r,
+                   CASE WHEN doc_id % 4 <> 3
+                        THEN CAST(floor((41.0 + (doc_id % 30) * 0.08 + 0.013)
+                                        * 1000000.0 + 0.5) AS BIGINT)
+                   END AS lat_r,
+                   CASE WHEN doc_id % 4 <> 3
+                        THEN CAST(1 + doc_id % 8 AS INT)
+                   END AS orientation
+            FROM documents
+            WHERE doc_id % 17 = 0
+        """,
         "gpkg_roundtrip": """
             SELECT n_nationkey AS gid,
                    n_nationkey + 1 AS fid,
