@@ -408,7 +408,9 @@ def q_zorder_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = DT.events_points(spark, sf_dir)
     df = ev.withColumn("zkey", C.morton_column(F.col("lon"),
                                                F.col("lat"), 16))
-    out = bbox_filter(df, 6.25, 41.5, 7.75, 43.0)
+    # zkey is DERIVED here: the codegen-compact predicate form (a
+    # clustered table would store zkey and use pushdown=True)
+    out = bbox_filter(df, 6.25, 41.5, 7.75, 43.0, pushdown=False)
     return out.select("event_id",
                       F.floor(F.col("lon") * 20000.0 + 0.5).cast("long")
                       .alias("lon_u"),

@@ -64,16 +64,35 @@ def bbox_zranges(minx: float, miny: float, maxx: float, maxy: float, *,
 def bbox_filter(df: DataFrame, minx: float, miny: float, maxx: float,
                 maxy: float, *, lon: str = "lon", lat: str = "lat",
                 zkey_col: str = "zkey", zres: int = ZRES,
-                max_cells: int = 64) -> DataFrame:
+                max_cells: int = 64, pushdown: bool = True) -> DataFrame:
     """Exact bbox selection that a Z-clustered scan can prune: Z-range
     union (coarse, pushed to row-group stats) AND exact bounds (also
-    pushed; keeps edge cells exact)."""
+    pushed; keeps edge cells exact).
+
+    ``pushdown=True`` (clustered tables, where `zkey` is a STORED
+    column) emits the union of plain BETWEENs — the shape Catalyst
+    pushes into the parquet reader.  ``pushdown=False`` emits the
+    codegen-compact equivalent instead: the adaptive cover lives at a
+    single res, so membership in the range union is ONE shifted
+    equality `(zkey >> 2*(zres-r)) IN (cells)`.  Use it when `zkey` is
+    a DERIVED column: Catalyst inlines a derived zkey's whole
+    spread-bit expression into every comparison, and ~64 BETWEENs of it
+    exceed the JVM method limit, silently dropping the stage out of
+    whole-stage codegen (observed on the zorder_bbox gate)."""
     zc = F.col(zkey_col)
-    zpred = reduce(lambda a, b: a | b,
-                   [(zc >= F.lit(lo)) & (zc <= F.lit(hi))
-                    for lo, hi in bbox_zranges(minx, miny, maxx, maxy,
-                                               zres=zres,
-                                               max_cells=max_cells)])
+    if pushdown:
+        zpred = reduce(lambda a, b: a | b,
+                       [(zc >= F.lit(lo)) & (zc <= F.lit(hi))
+                        for lo, hi in bbox_zranges(minx, miny, maxx, maxy,
+                                                   zres=zres,
+                                                   max_cells=max_cells)])
+    else:
+        r = min(C.adaptive_res(minx, miny, maxx, maxy, 0, zres, max_cells),
+                zres)
+        cells = C.bbox_to_cells(minx, miny, maxx, maxy, r)
+        zvals = sorted(C.cell_morton_range(c, zres)[0] >> (2 * (zres - r))
+                       for c in cells.tolist())
+        zpred = F.shiftrightunsigned(zc, 2 * (zres - r)).isin(zvals)
     return df.where(zpred
                     & (F.col(lon) >= F.lit(minx)) & (F.col(lon) <= F.lit(maxx))
                     & (F.col(lat) >= F.lit(miny)) & (F.col(lat) <= F.lit(maxy)))

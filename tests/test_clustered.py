@@ -67,6 +67,12 @@ def test_bbox_filter_exact(spark):
          & (pdf["lat"] >= mny) & (pdf["lat"] <= mxy))
     exp = sorted(pdf["pid"][m].tolist())
     assert got == exp and len(exp) > 50
+    # the codegen-compact predicate form (derived-zkey case) is
+    # row-identical to the pushdown BETWEEN-union form
+    got2 = sorted(r["pid"] for r in
+                  CL.bbox_filter(df, *BBOX, pushdown=False)
+                  .select("pid").collect())
+    assert got2 == exp
 
 
 def test_clustered_scan_pushdown_and_prune(spark, tmp_path):
