@@ -59,6 +59,31 @@ class _BitWriter:
         for i in range(length - 1, -1, -1):
             self.write((code >> i) & 1, 1)
 
+    def write_codes(self, codes: np.ndarray, lens: np.ndarray) -> None:
+        """Vectorized write_code over arrays: expand every code to its
+        MSB-first bits, splice behind the current partial byte, and
+        pack LSB-first at numpy rate (bit-identical to the loop —
+        pinned by test_webp's stream equality)."""
+        codes = np.asarray(codes, dtype=np.int64)
+        lens = np.asarray(lens, dtype=np.int64)
+        ends = np.cumsum(lens)
+        total = int(ends[-1]) if len(ends) else 0
+        if not total:
+            return
+        j = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+        bits = ((np.repeat(codes, lens)
+                 >> (np.repeat(lens, lens) - 1 - j)) & 1).astype(np.uint8)
+        pre = np.frombuffer(bytes([self.acc & 0xFF]), dtype=np.uint8)
+        pre_bits = np.unpackbits(pre, bitorder="little")[:self.n]
+        allbits = np.concatenate([pre_bits, bits])
+        nfull = len(allbits) // 8
+        self.buf += np.packbits(allbits[:nfull * 8],
+                                bitorder="little").tobytes()
+        rem = allbits[nfull * 8:]
+        self.acc = int(np.packbits(rem, bitorder="little")[0]) if len(rem) \
+            else 0
+        self.n = len(rem)
+
     def bytes(self) -> bytes:
         out = bytearray(self.buf)
         if self.n:
@@ -306,17 +331,13 @@ def encode(arr: np.ndarray, lossy: bool = False,
     _write_simple_code(bw, 0)            # distance: never used
     chans.append((None, None))
 
-    gv, gk = chans[0]
-    rv, rk = chans[1]
-    bv, bk = chans[2]
-    for i in range(len(gv)):
-        if gk:
-            bw.write_code(int(gv[i]), 8)  # flat canonical: code == symbol
-        if rk:
-            bw.write_code(int(rv[i]), 8)
-        if bk:
-            bw.write_code(int(bv[i]), 8)
-        # alpha + distance are 0-bit simple codes
+    # flat canonical: code == symbol, always 8 bits; simple-code
+    # channels write nothing.  One interleaved vector pack per image.
+    cols = [v for v, k in chans[:3] if k]
+    if cols:
+        seq = np.stack(cols, axis=1).ravel().astype(np.int64)
+        bw.write_codes(seq, np.full(len(seq), 8, dtype=np.int64))
+    # alpha + distance are 0-bit simple codes
 
     payload = b"\x2f" + bw.bytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
