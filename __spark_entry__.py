@@ -644,6 +644,27 @@ def q_exif_gps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("orientation"))
 
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (operators/dedup.py
+    substring_dup_spans — the RefinedWeb/Pile 'duplicated span >= k
+    tokens' detector, the intra-document complement of the
+    document-level dedup family): every k-token window is md5-keyed
+    JVM-side, windows seen 2..10000 times survive, and per-document
+    overlapping starts merge into maximal spans via lag().  The DuckDB
+    oracle recomputes the identical md5 window keys and the identical
+    gaps-and-islands merge, so the value hash pins tokenization, window
+    hashing, the occurrence band, and the merge rule."""
+    _tune(spark)
+    from gis_tools_spark.operators.dedup import substring_dup_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = substring_dup_spans(docs, k=8)
+    return out.select(F.col("doc_id"),
+                      F.col("span_start").cast("long").alias("span_start"),
+                      F.col("span_end").cast("long").alias("span_end"),
+                      F.col("n_windows").cast("long").alias("n_windows"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-trigram Jaccard over MinHash-LSH-prefiltered candidate
     pairs (operators/dedup.py:ngram_jaccard_pairs) — the dedup family's
@@ -1522,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_mp3_verify": q_audio_mp3_verify,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "exif_gps": q_exif_gps,
+        "substring_spans": q_substring_spans,
         "pricing_summary": q_pricing_summary,
         "graph_components": q_graph_components,
         "graph_shortest_paths": q_graph_shortest_paths,
@@ -2241,6 +2263,40 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "geotiff_zonal": _zonal_oracle_sql(),
+        "substring_spans": """
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS toks
+              FROM documents
+            ), b AS (
+              SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= 8
+            ), w AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                     md5(array_to_string(toks[u.i:u.i + 7], chr(31))) AS whash
+              FROM b, UNNEST(range(1, n - 8 + 2)) AS u(i)
+            ), keep AS (
+              SELECT whash FROM w GROUP BY whash
+              HAVING count(*) BETWEEN 2 AND 10000
+            ), m AS (
+              SELECT w.doc_id, w.pos FROM w JOIN keep USING (whash)
+            ), g AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos - lag(pos, 1, -8)
+                              OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                          THEN 1 ELSE 0 END AS brk
+              FROM m
+            ), gg AS (
+              SELECT doc_id, pos,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS grp
+              FROM g
+            )
+            SELECT doc_id,
+                   MIN(pos) AS span_start,
+                   MAX(pos) + 7 AS span_end,
+                   COUNT(*) AS n_windows
+            FROM gg GROUP BY doc_id, grp
+        """,
         "exif_gps": """
             SELECT doc_id,
                    TRUE AS ok,

@@ -342,3 +342,56 @@ def _shingle_set_udf(n: int):
         return pd.Series(out)
 
     return _sh
+
+
+def substring_dup_spans(df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 8,
+                        min_occ: int = 2, max_occ: int = 10_000
+                        ) -> DataFrame:
+    """Exact repeated-substring spans: maximal token ranges whose every
+    k-token window also appears elsewhere in the corpus — the
+    RefinedWeb/Pile-style "duplicated span >= k tokens" detector that
+    complements the document-level families above (exact hash, MinHash,
+    SimHash, n-gram Jaccard all mark whole documents; this finds the
+    COPIED REGIONS inside otherwise-distinct documents).
+
+    Plan (100 % JVM columns, no Python): tokenize (whitespace split,
+    empties dropped), md5 every k-token window via
+    transform(sequence(...)) + slice (one array expression per row),
+    posexplode to (doc, start, window-hash), one groupBy(window-hash)
+    to keep hashes seen min_occ..max_occ times, join back, and merge
+    overlapping/adjacent starts per document with a lag() window
+    (gaps-and-islands).  Returns (doc_id, span_start, span_end,
+    n_windows) with 1-based inclusive token positions.
+
+    Scale: shuffle is O(total tokens) on the window-hash key.
+    ``max_occ`` is the boilerplate guard AND the skew guard — a phrase
+    in >max_occ windows ("all rights reserved") would otherwise
+    concentrate one reducer; RefinedWeb excludes such spans as
+    boilerplate for the same reason.  md5 (not xxhash64) so a DuckDB
+    oracle can recompute the identical keys value-for-value."""
+    sep = "\x1f"
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda x: x != F.lit(""))
+    base = (df.select(F.col(id_col), toks.alias("toks"))
+              .withColumn("n", F.size("toks"))
+              .where(F.col("n") >= k))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.col("n") - k + 1),
+        lambda i: F.md5(F.array_join(F.slice("toks", i, k), sep)))
+    win = base.select(F.col(id_col),
+                      F.posexplode(hashes).alias("p0", "whash"))
+    win = win.select(id_col, (F.col("p0") + 1).alias("pos"), "whash")
+    keep = (win.groupBy("whash").agg(F.count("*").alias("occ"))
+            .where((F.col("occ") >= min_occ) & (F.col("occ") <= max_occ)))
+    m = win.join(keep, "whash").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grp = (m.withColumn("brk", F.when(
+        F.col("pos") - F.lag("pos", 1, -k).over(w) > k, 1).otherwise(0))
+        .withColumn("grp", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (grp.groupBy(id_col, "grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + k - 1).alias("span_end"),
+                 F.count("*").alias("n_windows"))
+            .drop("grp"))
