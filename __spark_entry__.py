@@ -644,6 +644,26 @@ def q_exif_gps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("orientation"))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/textstats.py
+    repetition_stats): duplicate-line fraction and top-bigram fraction
+    per document, both pure JVM explode+groupBy shapes.  The DuckDB
+    oracle recomputes both signals from the same single-space/newline
+    tokenization; fractions compared in the house floor(x*1e6+0.5)
+    micro-units."""
+    _tune(spark)
+    from gis_tools_spark.operators.textstats import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id",
+        F.floor(F.col("dup_line_frac") * 1e6 + F.lit(0.5)).cast("long")
+        .alias("dup_line_u"),
+        F.floor(F.col("top_bigram_frac") * 1e6 + F.lit(0.5)).cast("long")
+        .alias("top_bigram_u"))
+
+
 def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-substring spans (operators/dedup.py
     substring_dup_spans — the RefinedWeb/Pile 'duplicated span >= k
@@ -1544,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "exif_gps": q_exif_gps,
         "substring_spans": q_substring_spans,
+        "repetition_stats": q_repetition_stats,
         "pricing_summary": q_pricing_summary,
         "graph_components": q_graph_components,
         "graph_shortest_paths": q_graph_shortest_paths,
@@ -2263,6 +2284,41 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "geotiff_zonal": _zonal_oracle_sql(),
+        "repetition_stats": """
+            WITH ln AS (
+              SELECT doc_id, l, count(*) AS c
+              FROM (SELECT doc_id, UNNEST(list_filter(
+                        string_split(text, chr(10)), t -> t <> '')) AS l
+                    FROM documents) q
+              GROUP BY doc_id, l
+            ), lf AS (
+              SELECT doc_id,
+                     COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0)
+                       * 1.0 / SUM(c) AS dup_line_frac
+              FROM ln GROUP BY doc_id
+            ), tk AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> t <> '') AS t
+              FROM documents
+            ), bg0 AS (
+              SELECT doc_id, t[u.i] || ' ' || t[u.i + 1] AS b
+              FROM (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) >= 2) q,
+                   UNNEST(range(1, n)) AS u(i)
+            ), bgc AS (
+              SELECT doc_id, b, count(*) AS c FROM bg0 GROUP BY doc_id, b
+            ), bf AS (
+              SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS top_bigram_frac
+              FROM bgc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(floor(COALESCE(lf.dup_line_frac, 0) * 1000000.0
+                              + 0.5) AS BIGINT) AS dup_line_u,
+                   CAST(floor(COALESCE(bf.top_bigram_frac, 0) * 1000000.0
+                              + 0.5) AS BIGINT) AS top_bigram_u
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN lf ON d.doc_id = lf.doc_id
+            LEFT JOIN bf ON d.doc_id = bf.doc_id
+        """,
         "substring_spans": """
             WITH d AS (
               SELECT doc_id,

@@ -83,3 +83,47 @@ def fingerprint(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.select("*", F.md5(norm).alias("fp_md5"),
                      F.xxhash64(norm).alias("fp64"))
+
+
+def repetition_stats(df: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document — the filter
+    columns a training-data pipeline drops repetitive boilerplate on:
+
+    * ``dup_line_frac`` — fraction of lines that occur more than once
+      within the document (lines split on \\n, empties dropped);
+    * ``top_bigram_frac`` — fraction of the document's word bigrams
+      taken by its single most frequent bigram.
+
+    Pure JVM plan: two explode+groupBy aggregations joined on the id —
+    shuffles are O(lines) and O(tokens) on (doc, value) keys, ordinary
+    partial-aggregated shapes at 100 TB.  Zero-line / zero-bigram
+    documents report 0.0 (never null), so the columns are directly
+    usable in a WHERE."""
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda x: x != F.lit(""))
+    ln = (df.select(F.col(id_col), F.explode(lines).alias("l"))
+            .groupBy(id_col, "l").agg(F.count("*").alias("c"))
+            .groupBy(id_col)
+            .agg((F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))),
+                             F.lit(0)) /
+                  F.sum("c")).alias("dup_line_frac")))
+    toks = F.filter(F.split(F.col(text_col), " "),
+                    lambda x: x != F.lit(""))
+    base = (df.select(F.col(id_col), toks.alias("t"))
+              .withColumn("n", F.size("t")).where(F.col("n") >= 2))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.col("n") - 1),
+        lambda i: F.concat(F.element_at("t", i), F.lit(" "),
+                           F.element_at("t", i + 1)))
+    bg = (base.select(F.col(id_col), F.explode(bigrams).alias("b"))
+          .groupBy(id_col, "b").agg(F.count("*").alias("c"))
+          .groupBy(id_col)
+          .agg((F.max("c") / F.sum("c")).alias("top_bigram_frac")))
+    ids = df.select(id_col).distinct()
+    return (ids.join(ln, id_col, "left").join(bg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("dup_line_frac", F.lit(0.0))
+                    .alias("dup_line_frac"),
+                    F.coalesce("top_bigram_frac", F.lit(0.0))
+                    .alias("top_bigram_frac")))

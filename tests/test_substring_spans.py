@@ -41,3 +41,17 @@ def test_short_docs_skipped(spark):
                          "text": ["too short", "also short"]})
     out = substring_dup_spans(spark.createDataFrame(docs), k=8).toPandas()
     assert len(out) == 0
+
+
+def test_repetition_stats(spark):
+    from gis_tools_spark.operators.textstats import repetition_stats
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": ["a b\na b\nc d", "x y x y x y",
+                                  "one line only"]})
+    out = (repetition_stats(spark.createDataFrame(docs))
+           .orderBy("doc_id").toPandas())
+    assert out["dup_line_frac"].tolist() == pytest.approx([2 / 3, 0.0, 0.0])
+    # single-space tokenization: newlines bind to tokens (doc1 bigrams
+    # all distinct); doc2 top bigram "x y" 3/5; doc3 1/2
+    assert out["top_bigram_frac"].tolist() == pytest.approx(
+        [1 / 3, 0.6, 0.5])
