@@ -644,6 +644,61 @@ def q_exif_gps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("orientation"))
 
 
+def q_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl front-end gate (sources/warc.py + operators/html.py):
+    closed-form HTML pages are packed into member-per-record .warc.gz
+    blobs (one archive per partition, Common Crawl's layout), ingested
+    back through warc_records (multi-member gunzip, WARC + HTTP header
+    parse) and html_extract (script/style drop, entity decode, block
+    newlines), and the recovered status / link / word counts are
+    compared to their closed forms.  Any drift in the gzip member
+    walk, header slicing, HTTP split, tag stripping, or tokenizing
+    changes the counts and breaks the hash."""
+    _tune(spark)
+    from typing import Iterator
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 23 = 0").select("doc_id"))
+
+    def _pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gis_tools_spark.sources import warc as _W
+        for pdf in it:
+            if not len(pdf):
+                continue
+            recs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                para = " ".join(f"tok{j}" for j in range(3 + d % 7))
+                html = (f"<html><head><title>Doc {d}</title>"
+                        f"<style>p{{x}}</style></head><body>"
+                        f"<h1>Doc &#{68};{d}</h1><p>{para}</p>"
+                        f"<script>var s='<p>no</p>';</script>"
+                        f"<a href='/x'>link</a></body></html>")
+                recs.append({"url": f"http://ex.com/{d}", "html": html})
+            blob = _W.write_warc(recs)
+            yield pd.DataFrame({"doc_id": [int(pdf['doc_id'].min())],
+                                "bytes": [blob]})
+
+    packed = docs.repartition(4).mapInPandas(
+        _pack, schema="doc_id long, bytes binary")
+    from gis_tools_spark.operators.html import html_extract
+    from gis_tools_spark.sources.warc import warc_records
+    recs = warc_records(packed).where("ok AND rec_type = 'response'")
+    pages = recs.select(
+        F.regexp_extract("url", r"/(\d+)$", 1).cast("long").alias("doc_id"),
+        "http_status",
+        F.col("payload").alias("html"))
+    ex = html_extract(pages, html_col="html").alias("ex")
+    joined = pages.select("doc_id", "http_status").join(ex, "doc_id")
+    # h1 text is "Doc D<d>" (entity &#68; = 'D'): 2 words; para 3+d%7;
+    # trailing link 1 word; title excluded from text
+    return joined.select(
+        "doc_id", "http_status", "n_links",
+        F.col("n_words").cast("long").alias("n_words"),
+        (F.col("title") == F.concat(F.lit("Doc "), F.col("doc_id")))
+        .alias("title_ok"))
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (operators/textstats.py
     repetition_stats): duplicate-line fraction and top-bigram fraction
@@ -1565,6 +1620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_gps": q_exif_gps,
         "substring_spans": q_substring_spans,
         "repetition_stats": q_repetition_stats,
+        "warc_pipeline": q_warc_pipeline,
         "pricing_summary": q_pricing_summary,
         "graph_components": q_graph_components,
         "graph_shortest_paths": q_graph_shortest_paths,
@@ -2284,6 +2340,15 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "geotiff_zonal": _zonal_oracle_sql(),
+        "warc_pipeline": """
+            SELECT doc_id,
+                   200 AS http_status,
+                   1 AS n_links,
+                   CAST(6 + doc_id % 7 AS BIGINT) AS n_words,
+                   TRUE AS title_ok
+            FROM documents
+            WHERE doc_id % 23 = 0
+        """,
         "repetition_stats": """
             WITH ln AS (
               SELECT doc_id, l, count(*) AS c
