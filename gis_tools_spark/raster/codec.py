@@ -61,42 +61,142 @@ def encode_png(arr: np.ndarray) -> bytes:
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def _png_unfilter(raw: bytes, pos: int, ph: int, rowbytes: int,
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Undo per-scanline filters 0-4 for one (sub)image; returns the
+    reconstructed (ph, rowbytes) bytes + new read position.  Sub/Up are
+    vectorized (uint8 add.accumulate wraps mod 256); Average/Paeth keep
+    their spec-sequential left dependence in a per-lane loop."""
+    out = np.zeros((ph, rowbytes), dtype=np.uint8)
+    nlanes = rowbytes // bpp
+    for y in range(ph):
+        if pos >= len(raw):
+            raise ValueError("truncated PNG scanlines")
+        f = raw[pos]
+        line = np.frombuffer(raw, np.uint8, rowbytes, pos + 1).copy()
+        pos += 1 + rowbytes
+        prev = out[y - 1] if y else np.zeros(rowbytes, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 1:                      # Sub: prefix sum per byte lane
+            lanes = line.reshape(nlanes, bpp)
+            out[y] = np.add.accumulate(lanes, axis=0,
+                                       dtype=np.uint8).reshape(-1)
+        elif f == 2:                      # Up
+            out[y] = line + prev
+        elif f == 3:                      # Average
+            cur = out[y]
+            up = prev.reshape(nlanes, bpp).astype(np.uint16)
+            ln16 = line.reshape(nlanes, bpp).astype(np.uint16)
+            left = np.zeros(bpp, dtype=np.uint16)
+            dst = cur.reshape(nlanes, bpp)
+            for i in range(nlanes):
+                left = (ln16[i] + ((left + up[i]) >> 1)) & 0xFF
+                dst[i] = left.astype(np.uint8)
+        elif f == 4:                      # Paeth
+            cur = out[y]
+            up = prev.reshape(nlanes, bpp).astype(np.int32)
+            ln32 = line.reshape(nlanes, bpp).astype(np.int32)
+            dst = cur.reshape(nlanes, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            for i in range(nlanes):
+                p = left + up[i] - ul
+                pa, pb, pc = (np.abs(p - left), np.abs(p - up[i]),
+                              np.abs(p - ul))
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, up[i], ul))
+                left = (ln32[i] + pred) & 0xFF
+                dst[i] = left.astype(np.uint8)
+                ul = up[i]
+        else:
+            raise ValueError(f"invalid PNG filter {f}")
+    return out, pos
+
+
+def _png_samples(rows: np.ndarray, pw: int, bit: int, nch: int
+                 ) -> np.ndarray:
+    """(ph, rowbytes) filtered-out bytes -> (ph, pw, nch) uint8 samples
+    (1/2/4-bit unpacked, 16-bit high byte)."""
+    ph = rows.shape[0]
+    if bit == 8:
+        return rows.reshape(ph, -1)[:, :pw * nch].reshape(ph, pw, nch)
+    if bit == 16:
+        return rows.reshape(ph, -1, 2)[:, :pw * nch, 0].reshape(ph, pw, nch)
+    bits = np.unpackbits(rows, axis=1)
+    per = bits.shape[1] // bit
+    vals = np.zeros((ph, per), dtype=np.uint8)
+    for k in range(bit):
+        vals = (vals << 1) | bits[:, k::bit][:, :per]
+    return vals[:, :pw * nch].reshape(ph, pw, nch)
+
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def decode_png(buf: bytes) -> np.ndarray:
+    """Full-spec PNG decode -> (h, w, 3) uint8 RGB: color types
+    0/2/3/4/6, bit depths 1/2/4/8/16 (16 keeps the high byte), filters
+    0-4, Adam7 interlace, PLTE expansion, alpha dropped.  Conformance:
+    pixel-exact against the JDK's javax.imageio on both directions
+    (tests/test_png_full.py)."""
     buf = bytes(buf)
-    assert buf[:8] == _PNG_SIG, "not a PNG"
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
     pos = 8
-    idat = b""
-    w = h = None
-    while pos < len(buf):
+    idat = []
+    plte = None
+    w = h = bit = ctype = interlace = None
+    while pos + 8 <= len(buf):
         (ln,) = struct.unpack_from(">I", buf, pos)
-        tag = buf[pos + 4 : pos + 8]
-        data = buf[pos + 8 : pos + 8 + ln]
+        tag = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + ln]
         pos += 12 + ln
         if tag == b"IHDR":
-            w, h, bit, ctype = struct.unpack_from(">IIBB", data)
-            assert bit == 8 and ctype == 2, "only 8-bit RGB supported"
+            w, h, bit, ctype, comp, filt, interlace = \
+                struct.unpack_from(">IIBBBBB", data)
+            if comp != 0 or filt != 0:
+                raise ValueError("bad IHDR compression/filter method")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
-            idat += data
+            idat.append(data)
         elif tag == b"IEND":
             break
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
-    filters = raw[:, 0]
-    out = raw[:, 1:].astype(np.int32).reshape(h, w, 3)
-    # undo per-row filters (we emit 0; accept 0/1/2 for robustness)
-    for y in range(h):
-        f = filters[y]
-        if f == 0:
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"invalid color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = max(1, nch * bit // 8)
+    img = np.zeros((h, w, nch), dtype=np.uint8)
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    rpos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
             continue
-        if f == 1:
-            for x in range(1, w):
-                out[y, x] = (out[y, x] + out[y, x - 1]) % 256
-        elif f == 2:
-            # Up filter: prior row of row 0 is defined as zeros (no-op)
-            if y > 0:
-                out[y] = (out[y] + out[y - 1]) % 256
-        else:
-            raise ValueError(f"unsupported PNG filter {f}")
-    return out.astype(np.uint8)
+        rowbytes = (pw * nch * bit + 7) // 8
+        rows, rpos = _png_unfilter(raw, rpos, ph, rowbytes, bpp)
+        img[y0::dy, x0::dx] = _png_samples(rows, pw, bit, nch)
+    # sample scaling + color model -> RGB
+    if bit < 8 and ctype != 3:
+        img = (img.astype(np.uint16) * 255 // ((1 << bit) - 1)) \
+            .astype(np.uint8)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        return plte[img[:, :, 0]]
+    if ctype == 0:
+        return np.repeat(img, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if ctype == 6:
+        return img[:, :, :3].copy()
+    return img
 
 
 # ----------------------------------------------------------------- dispatch
