@@ -228,6 +228,10 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from . import geotiff
 
         return geotiff.decode(buf)[0]
+    if fmt == "gif":
+        from . import gif
+
+        return gif.decode(buf)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -254,6 +258,10 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         from . import geotiff
 
         return geotiff.encode(arr)
+    if fmt == "gif":
+        from . import gif
+
+        return gif.encode(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
