@@ -68,7 +68,7 @@ class _Bits:
         return (chunk >> ((end << 3) - self.pos)) & ((1 << n) - 1)
 
     def peek(self, n: int) -> int:
-        p, v = self.pos, None
+        p = self.pos
         end = (p + n + 7) >> 3
         buf = self.data[p >> 3:end]
         if len(buf) < end - (p >> 3):   # past the end: zero-pad
@@ -402,8 +402,6 @@ def _decode_huffman(b: _Bits, g: _Granule, sfb_long, limit_bit: int):
         vals = [(quad >> 3) & 1, (quad >> 2) & 1, (quad >> 1) & 1, quad & 1]
         for k in range(4):
             if vals[k]:
-                if b.pos >= limit_bit + 1 and False:
-                    pass
                 vals[k] = -vals[k] if b.read(1) else vals[k]
         if b.pos > limit_bit:        # overran: discard this quad (spec app.)
             b.pos = mark
@@ -480,16 +478,20 @@ _IS_RATIO = np.tan(np.arange(7) * np.pi / 12.0)
 def _stereo(xr, hdr: FrameHeader, g_right: _Granule, sf_long_r, sf_short_r,
             sfb_long, sfb_short):
     """In-place MS / intensity processing of xr[2][576]."""
-    if hdr.ms_stereo:
-        m = xr[0].copy()
-        s = xr[1]
-        inv = 1.0 / np.sqrt(2.0)
-        xr[0] = (m + s) * inv
-        xr[1] = (m - s) * inv
+    # intensity bound first: with mode_ext == 3 (MS + intensity) the MS
+    # reconstruction applies only BELOW the intensity region — the
+    # encoder wrote plain mid values there, not (M+S)/sqrt(2) pairs
+    bound = 576
     if hdr.i_stereo:
-        # intensity bands: from the right channel's zero bound upward
         nz = np.nonzero(xr[1])[0]
         bound = (nz[-1] + 1) if len(nz) else 0
+    if hdr.ms_stereo:
+        m = xr[0, :bound].copy()
+        s = xr[1, :bound]
+        inv = 1.0 / np.sqrt(2.0)
+        xr[0, :bound] = (m + s) * inv
+        xr[1, :bound] = (m - s) * inv
+    if hdr.i_stereo:
         if g_right.block_type == 2:
             bands = [(3 * sfb_short[i], 3 * sfb_short[i + 1],
                       int(sf_short_r[i, 0])) for i in range(12)]
