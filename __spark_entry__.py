@@ -644,6 +644,86 @@ def q_exif_gps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("orientation"))
 
 
+def q_wds_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ingest gate (sources/webdataset.py): WebDataset tar
+    shards of (geotagged JPEG + caption + JSON meta) samples — the
+    exact input shape of the brief's image+caption corpus — are built
+    per partition from closed-form content, parsed back by
+    wds_samples, and every sample is verified end-to-end: image bytes
+    decode (raster/jpeg.py) to pixels whose PSNR vs the regenerated
+    source is >= 40 dB, the EXIF APP1 GPS coordinates come back at
+    their closed-form micro-degrees, and the caption is byte-equal —
+    the north rule's per-row invariant (decoded-pixel fidelity +
+    caption equality) applied to the crawl container itself."""
+    _tune(spark)
+    from typing import Iterator
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 19 = 0").select("doc_id"))
+
+    def _pack(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        from gis_tools_spark.fixtures import _gen_pixels
+        from gis_tools_spark.raster import exif as _E, jpeg as _jpeg
+        from gis_tools_spark.sources import webdataset as _WD
+        for pdf in it:
+            if not len(pdf):
+                continue
+            samples = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                prng = _np.random.default_rng(d * 60_013 + 3)
+                arr = _gen_pixels(prng, 32, 32, "jpeg", sigma=1.5)
+                buf = _jpeg.encode(arr, 95)
+                lon = 5.0 + (d % 50) * 0.04 + 0.011
+                lat = 41.0 + (d % 25) * 0.09 + 0.007
+                buf = _E.embed_exif(buf, _E.build_exif(lon=lon, lat=lat))
+                samples.append({"key": f"{d:09d}", "image": buf,
+                                "image_ext": "jpg",
+                                "caption": f"caption for doc {d}",
+                                "meta": {"doc_id": d}})
+            blob = _WD.write_wds(samples)
+            yield pd.DataFrame({"shard_id": [int(pdf['doc_id'].min())],
+                                "bytes": [blob]})
+
+    packed = docs.repartition(4).mapInPandas(
+        _pack, schema="shard_id long, bytes binary")
+    from gis_tools_spark.sources.webdataset import wds_samples
+    rows = wds_samples(packed).where("ok")
+
+    def _verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+
+        from gis_tools_spark.fixtures import _gen_pixels
+        from gis_tools_spark.raster import exif as _E, jpeg as _jpeg
+        from gis_tools_spark.raster.codec import psnr
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.sample_key)
+                prng = _np.random.default_rng(d * 60_013 + 3)
+                src = _gen_pixels(prng, 32, 32, "jpeg", sigma=1.5)
+                dec = _jpeg.decode(bytes(r.image))
+                e = _E.parse_exif(bytes(r.image))
+                import math as _math
+                out.append((
+                    d, r.image_fmt,
+                    bool(psnr(src, dec) >= 40.0),
+                    bool(r.caption == f"caption for doc {d}"),
+                    int(_math.floor(e["lon"] * 1e6 + 0.5))
+                    if "lon" in e else None,
+                    int(_math.floor(e["lat"] * 1e6 + 0.5))
+                    if "lat" in e else None))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "image_fmt", "psnr_ok", "caption_ok",
+                "lon_r", "lat_r"])
+
+    return rows.mapInPandas(
+        _verify, schema="doc_id long, image_fmt string, psnr_ok boolean, "
+                        "caption_ok boolean, lon_r long, lat_r long")
+
+
 def q_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl front-end gate (sources/warc.py + operators/html.py):
     closed-form HTML pages are packed into member-per-record .warc.gz
@@ -1621,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "repetition_stats": q_repetition_stats,
         "warc_pipeline": q_warc_pipeline,
+        "wds_pipeline": q_wds_pipeline,
         "pricing_summary": q_pricing_summary,
         "graph_components": q_graph_components,
         "graph_shortest_paths": q_graph_shortest_paths,
@@ -2340,6 +2421,18 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "geotiff_zonal": _zonal_oracle_sql(),
+        "wds_pipeline": """
+            SELECT doc_id,
+                   'jpeg' AS image_fmt,
+                   TRUE AS psnr_ok,
+                   TRUE AS caption_ok,
+                   CAST(floor((5.0 + (doc_id % 50) * 0.04 + 0.011)
+                              * 1000000.0 + 0.5) AS BIGINT) AS lon_r,
+                   CAST(floor((41.0 + (doc_id % 25) * 0.09 + 0.007)
+                              * 1000000.0 + 0.5) AS BIGINT) AS lat_r
+            FROM documents
+            WHERE doc_id % 19 = 0
+        """,
         "warc_pipeline": """
             SELECT doc_id,
                    200 AS http_status,
