@@ -29,7 +29,7 @@ from typing import Iterator
 
 _IMG_EXT = {"jpg", "jpeg", "png", "webp", "gif", "ppm", "bmp"}
 _MAGIC = ((b"\xff\xd8\xff", "jpeg"), (b"\x89PNG\r\n\x1a\n", "png"),
-          (b"RIFF", "webp"), (b"GIF8", "gif"))
+          (b"RIFF", "webp"), (b"GIF8", "gif"), (b"BM", "bmp"))
 
 
 def sniff_image_format(buf: bytes) -> str | None:
