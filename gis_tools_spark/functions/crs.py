@@ -699,11 +699,117 @@ class HotineObliqueMercator:
         return np.rad2deg(lam), np.rad2deg(phi)
 
 
+
+
+class _MeridianArc:
+    """Snyder meridional-arc series M(phi) + footpoint inverse —
+    shared by the Cassini-Soldner and Equidistant Cylindrical forms
+    (public closed forms, Snyder 1987 eq. 3-21/3-26 & 7-19)."""
+
+    def __init__(self, a: float, f_inv: float):
+        f = 1.0 / f_inv
+        self.a = a
+        e2 = 1 - (1 - f) ** 2
+        self.e2 = e2
+        self.c0 = 1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256
+        self.c2 = 3 * e2 / 8 + 3 * e2 ** 2 / 32 + 45 * e2 ** 3 / 1024
+        self.c4 = 15 * e2 ** 2 / 256 + 45 * e2 ** 3 / 1024
+        self.c6 = 35 * e2 ** 3 / 3072
+        se = np.sqrt(1 - e2)
+        e1 = (1 - se) / (1 + se)
+        self.f2 = 3 * e1 / 2 - 27 * e1 ** 3 / 32
+        self.f4 = 21 * e1 ** 2 / 16 - 55 * e1 ** 4 / 32
+        self.f6 = 151 * e1 ** 3 / 96
+        self.f8 = 1097 * e1 ** 4 / 512
+
+    def m(self, phi):
+        return self.a * (self.c0 * phi - self.c2 * np.sin(2 * phi)
+                         + self.c4 * np.sin(4 * phi)
+                         - self.c6 * np.sin(6 * phi))
+
+    def footpoint(self, m):
+        mu = m / (self.a * self.c0)
+        return (mu + self.f2 * np.sin(2 * mu) + self.f4 * np.sin(4 * mu)
+                + self.f6 * np.sin(6 * mu) + self.f8 * np.sin(8 * mu))
+
+    def nu(self, phi):
+        return self.a / np.sqrt(1 - self.e2 * np.sin(phi) ** 2)
+
+
+class Cassini:
+    """Cassini-Soldner (EPSG method 9806) on any ellipsoid — the
+    classic cadastral grid family (Trinidad, Palestine, old German
+    Soldner nets). reference: layer.py reprojects via pyproj."""
+
+    def __init__(self, lat0, lon0, fe, fn, a: float = R,
+                 f_inv: float = F_INV):
+        self.ma = _MeridianArc(a, f_inv)
+        self.lat0 = np.deg2rad(lat0)
+        self.lon0 = np.deg2rad(lon0)
+        self.fe, self.fn = fe, fn
+        self.m0 = float(self.ma.m(self.lat0))
+
+    def fwd(self, lon, lat):
+        phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+        lam = np.deg2rad(np.asarray(lon, dtype=np.float64)) - self.lon0
+        e2 = self.ma.e2
+        nu = self.ma.nu(phi)
+        T = np.tan(phi) ** 2
+        A = lam * np.cos(phi)
+        C = e2 * np.cos(phi) ** 2 / (1 - e2)
+        x = self.fe + nu * (A - T * A ** 3 / 6
+                            - (8 - T + 8 * C) * T * A ** 5 / 120)
+        M = self.ma.m(phi)
+        y = self.fn + (M - self.m0
+                       + nu * np.tan(phi) * (A ** 2 / 2
+                                             + (5 - T + 6 * C) * A ** 4 / 24))
+        return x, y
+
+    def inv(self, x, y):
+        e2 = self.ma.e2
+        m1 = self.m0 + (np.asarray(y, dtype=np.float64) - self.fn)
+        phi1 = self.ma.footpoint(m1)
+        nu1 = self.ma.nu(phi1)
+        rho1 = self.ma.a * (1 - e2) / (1 - e2 * np.sin(phi1) ** 2) ** 1.5
+        T1 = np.tan(phi1) ** 2
+        D = (np.asarray(x, dtype=np.float64) - self.fe) / nu1
+        phi = phi1 - (nu1 * np.tan(phi1) / rho1) * (
+            D ** 2 / 2 - (1 + 3 * T1) * D ** 4 / 24)
+        lam = (D - T1 * D ** 3 / 3
+               + (1 + 3 * T1) * T1 * D ** 5 / 15) / np.cos(phi1)
+        return np.rad2deg(self.lon0 + lam), np.rad2deg(phi)
+
+
+class EqCyl:
+    """Equidistant Cylindrical / Plate Carree (EPSG method 1028) on
+    any ellipsoid: x scales by the standard parallel's parallel
+    radius, y is the true meridional arc."""
+
+    def __init__(self, lat_ts, lon0, fe, fn, a: float = R,
+                 f_inv: float = F_INV):
+        self.ma = _MeridianArc(a, f_inv)
+        phi1 = np.deg2rad(lat_ts)
+        self.kx = float(self.ma.nu(phi1) * np.cos(phi1))
+        self.lon0 = np.deg2rad(lon0)
+        self.fe, self.fn = fe, fn
+
+    def fwd(self, lon, lat):
+        lam = np.deg2rad(np.asarray(lon, dtype=np.float64)) - self.lon0
+        phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+        return self.fe + self.kx * lam, self.fn + self.ma.m(phi)
+
+    def inv(self, x, y):
+        lam = (np.asarray(x, dtype=np.float64) - self.fe) / self.kx
+        phi = self.ma.footpoint(np.asarray(y, dtype=np.float64) - self.fn)
+        return np.rad2deg(self.lon0 + lam), np.rad2deg(phi)
+
+
 def register_crs(code, params: dict):
     """Declaratively register an EPSG code from a pyproj-style parameter
     dict — the no-wheel analog of the reference's any-CRS reprojection
     (layer.py:1196-1229 via pyproj). Supported families:
-    proj ∈ {tmerc, lcc, aea, laea, merc, stere, somerc, krovak, omerc};
+    proj ∈ {tmerc, lcc, aea, laea, merc, stere, somerc, krovak,
+    omerc, cass, eqc};
     keys lat_0/lat_1/lat_2/lon_0/lonc/alpha/gamma/no_uoff/
     x_0/y_0/k_0/lat_ts/ellps (named or (a, 1/f) tuple; tmerc and merc
     honor any ellipsoid, the conic/azimuthal forms are WGS84/GRS80-only
@@ -742,6 +848,10 @@ def register_crs(code, params: dict):
         p = PolarStereo(lat_ts, lon0, x0, y0, a, rf)
     elif proj == "somerc":
         p = SwissObliqueMercator(lat0, lon0, k0, x0, y0, a, rf)
+    elif proj == "cass":
+        p = Cassini(lat0, lon0, x0, y0, a, rf)
+    elif proj == "eqc":
+        p = EqCyl(float(params.get("lat_ts", lat0)), lon0, x0, y0, a, rf)
     elif proj == "krovak":
         p = Krovak(lat0, lon0, float(params.get("alpha", 30.28813972222222)),
                    float(params.get("lat_ps", 78.5)), k0, x0, y0, a, rf,
@@ -766,7 +876,7 @@ def register_crs(code, params: dict):
     else:
         raise NotImplementedError(
             f"proj={proj!r}: supported families are "
-            "tmerc/lcc/aea/laea/merc/stere/somerc/krovak/omerc")
+            "tmerc/lcc/aea/laea/merc/stere/somerc/krovak/omerc/cass/eqc")
     EPSG_REGISTRY[str(code)] = p
     return p
 
@@ -804,6 +914,11 @@ register_crs(21781, dict(proj="somerc", lat_0=_BERN_LAT, lon_0=_BERN_LON,  # CH1
                          k_0=1.0, x_0=600_000.0, y_0=200_000.0,
                          ellps="bessel"))
 # round-4 declarative families (verdict next-round #7): krovak + omerc
+register_crs(4087, dict(proj="eqc", lat_ts=0.0, lon_0=0.0,               # WGS84 / World Equidistant Cylindrical
+                        x_0=0.0, y_0=0.0, ellps="WGS84"))
+register_crs(30200, dict(proj="cass", lat_0=10.441666666667,             # Trinidad 1903 / Trinidad Grid
+                         lon_0=-61.333333333333, x_0=430000.0,           # (Clarke 1858, CLARKE'S LINKS)
+                         y_0=325000.0, ellps=(31706587.88, 294.2606764)))
 register_crs(5514, dict(proj="krovak", lat_0=49.5, lon_0=24.8333333333333,  # S-JTSK / Krovak East North
                         alpha=30.28813972222222, lat_ps=78.5, k_0=0.9999,
                         x_0=0.0, y_0=0.0, ellps="bessel"))

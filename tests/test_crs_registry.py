@@ -92,9 +92,9 @@ def test_3395_world_mercator():
 
 
 def test_register_crs_rejects_unknown_family():
-    # omerc is supported since round 4 — cassini-soldner is not
+    # cass/omerc joined in round 4 — NZ Map Grid's polynomial form has not
     with pytest.raises(NotImplementedError):
-        crs.register_crs(99999, dict(proj="cass", lat_0=4, lon_0=115))
+        crs.register_crs(99999, dict(proj="nzmg", lat_0=-41, lon_0=173))
     with pytest.raises(NotImplementedError):
         crs.register_crs(99998, dict(proj="lcc", lat_0=49, lon_0=-95,
                                      lat_1=49, lat_2=77, ellps="airy"))
@@ -303,3 +303,36 @@ def test_omerc_epsg_worked_example():
     k = np.hypot(float(ex - e0), float(nx - n0)) / (
         np.deg2rad(d) * nu * np.cos(np.deg2rad(4.0)))
     assert abs(k - 0.99984) < 1e-4
+
+
+def test_cassini_epsg_worked_example():
+    """EPSG guidance note 7-2, method 9806 (Trinidad 1903 / Trinidad
+    Grid, Clarke 1858 in Clarke's links): the published worked example
+    point reproduces to the published 0.01-link precision."""
+    from gis_tools_spark.functions.crs import EPSG_REGISTRY
+    p = EPSG_REGISTRY["30200"]
+    x, y = p.fwd(np.array([-62.0]), np.array([10.0]))
+    assert abs(x[0] - 66644.94) < 0.02
+    assert abs(y[0] - 82536.22) < 0.02
+    lon, lat = p.inv(x, y)
+    assert abs(lon[0] + 62.0) < 1e-9 and abs(lat[0] - 10.0) < 1e-9
+
+
+def test_eqc_matches_numeric_meridian_arc():
+    """EPSG 4087 (World Equidistant Cylindrical): x is exactly
+    a*lambda on the equator-referenced grid, and y equals the meridian
+    arc computed by NUMERIC INTEGRATION of the exact integrand — an
+    oracle independent of the Snyder series in the implementation."""
+    from gis_tools_spark.functions.crs import EPSG_REGISTRY
+    p = EPSG_REGISTRY["4087"]
+    a, f_inv = 6378137.0, 298.257223563
+    e2 = 1 - (1 - 1 / f_inv) ** 2
+    for lat in (0.0, 23.5, 55.0, -78.0):
+        phi = np.deg2rad(lat)
+        t = np.linspace(0.0, phi, 200001)
+        m_num = np.trapz(a * (1 - e2) / (1 - e2 * np.sin(t) ** 2) ** 1.5, t)
+        x, y = p.fwd(np.array([10.0]), np.array([lat]))
+        assert abs(x[0] - a * np.deg2rad(10.0)) < 1e-6
+        assert abs(y[0] - m_num) < 0.002          # series vs integration
+        lon2, lat2 = p.inv(x, y)
+        assert abs(lon2[0] - 10.0) < 1e-9 and abs(lat2[0] - lat) < 1e-7
