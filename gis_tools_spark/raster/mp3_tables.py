@@ -2,16 +2,20 @@
 
 All data here is transcribed from the public ISO standard's annex
 tables (bitrates, sample rates, scalefactor bands, Huffman code
-tables B.7, synthesis window D). No third-party MP3 decoder exists in
+tables B.7, polyphase prototype). No third-party MP3 decoder exists in
 this sandbox to diff against bit-for-bit, so every table is guarded by
 structural validation executed in tests (`validate_huffman_tables`):
 a Huffman table must be a COMPLETE prefix code (Kraft sum == 1, no
 duplicate and no prefix-nested codewords) — a single mistyped
-length or codeword almost surely breaks one of those invariants.
+length or codeword almost surely breaks one of those invariants, and
+transcription errors found that way in tables 11/13/15 were localized
+and FORCED by exact code-space tiling (the free slots admitted exactly
+one code-preserving fix).  Tables 16-31 did not survive this process
+and are not shipped (see the note at ESCAPE_LINBITS below).
 Scalefactor-band tables are checked for monotonicity and their fixed
-endpoints; the synthesis window is checked against the prototype
-filter's published spectral envelope (stopband < -85 dB), which a
-single significant typo would destroy.
+endpoints; the prototype filter is checked by smoothness and by its
+spectral envelope (half-power exactly at pi/64, stopband < -100 dB),
+which a single significant typo would destroy.
 
 Reference parity note: gis-tools has no audio operators; this module
 serves the brief's multimodal-pipeline scope (audio_features over a
