@@ -418,6 +418,41 @@ def q_zorder_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("lat_u"))
 
 
+def q_icetable_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style snapshot-table gate (sources/icetable.py, round-4:
+    the north rule's 'Iceberg tables' / 'snapshot checkpoints' made
+    real from scratch — atomic O_EXCL metadata commits, per-file
+    footer-stats manifests, time travel). The event points are
+    committed as TWO snapshots (even rows, then an append of odd rows,
+    both Morton-clustered so data files carry tight lon/lat/zkey
+    ranges), and a window query is answered through the manifest: files
+    whose stats are disjoint from the bbox never enter the Spark plan
+    (prune ratio asserted in tests/test_icetable.py), the residual
+    predicate restores exactness. The DuckDB oracle is the closed-form
+    bbox filter over ALL events — any error in commit atomicity, the
+    append's manifest merge, stats aggregation, or the prune/residual
+    algebra changes the row set and breaks the hash."""
+    _tune(spark)
+    import hashlib as _hashlib
+    import shutil as _shutil
+
+    from gis_tools_spark.sources import icetable as ice
+
+    ev = DT.events_points(spark, sf_dir)
+    root = "/tmp/gts_icetable_%s" % _hashlib.md5(
+        sf_dir.encode()).hexdigest()[:10]
+    _shutil.rmtree(root, ignore_errors=True)
+    ice.commit(ev.where("event_id % 2 = 0"), root,
+               cluster_by=("lon", "lat"), n_files=8)
+    ice.commit(ev.where("event_id % 2 = 1"), root, mode="append",
+               cluster_by=("lon", "lat"), n_files=8)
+    out = ice.scan(spark, root, bbox=(5.4, 40.8, 6.4, 42.2))
+    return out.select(
+        "event_id", "event_type",
+        F.floor(F.col("lon") * 20000.0 + 0.5).cast("long").alias("lon_u"),
+        F.floor(F.col("lat") * 20000.0 + 0.5).cast("long").alias("lat_u"))
+
+
 def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gates the GENERALIZED 64-bit Hamming blocking
     (operators/dedup.hamming_near_dups — the machinery behind
@@ -1694,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "phash_near_dups": q_phash_near_dups,
         "zorder_bbox": q_zorder_bbox,
+        "icetable_scan": q_icetable_scan,
         "jpeg_decode_verify": q_jpeg_decode_verify,
         "audio_mp3_verify": q_audio_mp3_verify,
         "gpkg_roundtrip": q_gpkg_roundtrip,
@@ -2400,6 +2436,20 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             WHERE lon >= 6.25 AND lon <= 7.75
               AND lat >= 41.5 AND lat <= 43.0
+        """,
+        "icetable_scan": """
+            WITH p AS (
+              SELECT event_id, event_type,
+                     5.0 + (event_id * 37 % 100000) / 20000.0 AS lon,
+                     40.0 + (event_id * 7919 % 100000) / 20000.0 AS lat
+              FROM events
+            )
+            SELECT event_id, event_type,
+                   CAST(floor(lon * 20000.0 + 0.5) AS BIGINT) AS lon_u,
+                   CAST(floor(lat * 20000.0 + 0.5) AS BIGINT) AS lat_u
+            FROM p
+            WHERE lon >= 5.4 AND lon <= 6.4
+              AND lat >= 40.8 AND lat <= 42.2
         """,
         "jpeg_decode_verify": """
             SELECT doc_id,

@@ -55,26 +55,48 @@ class Pipeline:
 
     def completed(self, name: str) -> bool:
         st = self._manifest()["stages"].get(name)
-        return bool(st and os.path.exists(os.path.join(st["path"], "_SUCCESS")))
+        if not st:
+            return False
+        if self.fmt == "icetable":
+            from ..sources import icetable as ice
+
+            return ice._current_version(st["path"]) > 0
+        return os.path.exists(os.path.join(st["path"], "_SUCCESS"))
 
     # ------------------------------------------------------------- stages
+
+    def _read_snapshot(self, path: str) -> DataFrame:
+        if self.fmt == "icetable":
+            from ..sources import icetable as ice
+
+            return ice.scan(self.spark, path)
+        return self.spark.read.parquet(path)
 
     def stage(self, name: str, build: Callable[[], DataFrame], *,
               cell_col: str | None = None, repartition_by: str | None = None) -> DataFrame:
         """Run (or resume) one stage: build → instrument → snapshot → read
         back. Reading back gives downstream stages a clean scan boundary
-        (column pruning + predicate pushdown against the snapshot)."""
+        (column pruning + predicate pushdown against the snapshot).
+
+        ``fmt='icetable'`` makes each stage snapshot a real snapshot
+        COMMIT on the from-scratch Iceberg-style table
+        (sources/icetable.py): atomic (a killed write is invisible —
+        resume re-runs the stage instead of reading a half-snapshot),
+        time-travelable, and manifest-prunable downstream."""
         path = os.path.join(self.root, name)
         if self.completed(name):
-            return self.spark.read.parquet(path)
+            return self._read_snapshot(path)
         df = build()
         df = instrument(df, self.metrics_dir, stage=name, cell_col=cell_col)
-        w = df.write.mode("overwrite")
         if repartition_by:
             df = df.repartition(repartition_by)
-            w = df.write.mode("overwrite")
-        w.parquet(path)
-        out = self.spark.read.parquet(path)
+        if self.fmt == "icetable":
+            from ..sources import icetable as ice
+
+            ice.commit(df, path, mode="overwrite")
+        else:
+            df.write.mode("overwrite").parquet(path)
+        out = self._read_snapshot(path)
         self._record(name, path, out.count())
         return out
 

@@ -1,0 +1,185 @@
+"""Iceberg-style snapshot table (sources/icetable.py): atomic commits,
+append/overwrite lineage, time travel, manifest-level stats pruning
+(value-exact vs full scan), crash invisibility, optimistic-concurrency
+races, schema guard, vacuum, and Pipeline-resume integration."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gis_tools_spark.sources import icetable as ice
+
+
+def _pts(spark, n=2000, seed=0):
+    return (spark.range(n)
+            .select(F.col("id").alias("pid"),
+                    ((F.col("id") * 37 + seed) % 100000 / 20000.0 + 5.0)
+                    .alias("lon"),
+                    ((F.col("id") * 7919 + seed) % 100000 / 20000.0 + 40.0)
+                    .alias("lat"),
+                    (F.col("id") % 7).cast("int").alias("kind")))
+
+
+def test_commit_read_roundtrip(spark, tmp_path):
+    root = str(tmp_path / "t")
+    df = _pts(spark)
+    sid = ice.commit(df, root, mode="overwrite")
+    assert sid in {s["id"] for s in ice.snapshots(root)}
+    got = ice.scan(spark, root)
+    assert got.count() == 2000
+    assert (got.agg(F.sum("pid")).first()[0]
+            == df.agg(F.sum("pid")).first()[0])
+
+
+def test_append_lineage_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    s1 = ice.commit(_pts(spark, 500, seed=0), root)
+    s2 = ice.commit(_pts(spark, 300, seed=1), root, mode="append")
+    s3 = ice.commit(_pts(spark, 100, seed=2), root, mode="overwrite")
+    snaps = ice.snapshots(root)
+    assert [s["id"] for s in snaps] == [s1, s2, s3]
+    assert snaps[1]["parent_id"] == s1 and snaps[2]["parent_id"] == s2
+    assert ice.scan(spark, root).count() == 100
+    assert ice.scan(spark, root, as_of=s2).count() == 800
+    assert ice.scan(spark, root, as_of=s1).count() == 500
+    # timestamp travel: any ts between s2 and s3 resolves to s2
+    ts = (snaps[1]["ts"] + snaps[2]["ts"]) / 2
+    assert ice.scan(spark, root, as_of=ts).count() == 800
+    with pytest.raises(LookupError):
+        ice.scan(spark, root, as_of=snaps[0]["ts"] - 10.0)
+
+
+def test_manifest_stats_prune_files_and_exactness(spark, tmp_path):
+    root = str(tmp_path / "t")
+    ice.commit(_pts(spark, 20000), root, cluster_by=("lon", "lat"),
+               n_files=16)
+    bbox = (6.2, 41.4, 6.8, 42.0)
+    flt = ice.bbox_filters(*bbox)
+    keep, total = ice.scan_files(root, filters=flt)
+    assert total == 16
+    assert 0 < len(keep) < total          # real file-level pruning
+    got = ice.scan(spark, root, bbox=bbox)
+    want = _pts(spark, 20000).where(
+        (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[2])
+        & (F.col("lat") >= bbox[1]) & (F.col("lat") <= bbox[3]))
+    assert got.count() == want.count() > 0
+    assert (got.agg(F.sum("pid")).first()[0]
+            == want.agg(F.sum("pid")).first()[0])
+    # a window outside the domain prunes everything and stays typed
+    empty = ice.scan(spark, root, bbox=(100.0, 0.0, 101.0, 1.0))
+    assert empty.count() == 0
+    assert "pid" in empty.columns and "zkey" in empty.columns
+
+
+def test_filter_ops_prune_and_match(spark, tmp_path):
+    root = str(tmp_path / "t")
+    ice.commit(_pts(spark, 5000).repartitionByRange(8, "pid")
+               .sortWithinPartitions("pid"), root)
+    for flt, cond in [
+        ([("pid", "<", 100)], F.col("pid") < 100),
+        ([("pid", ">=", 4900)], F.col("pid") >= 4900),
+        ([("pid", "=", 2500)], F.col("pid") == 2500),
+        ([("pid", "between", 1000, 1100)],
+         (F.col("pid") >= 1000) & (F.col("pid") <= 1100)),
+    ]:
+        keep, total = ice.scan_files(root, filters=flt)
+        assert len(keep) < total
+        got = ice.scan(spark, root, filters=flt).count()
+        want = _pts(spark, 5000).where(cond).count()
+        assert got == want > 0
+
+
+def test_crash_before_version_claim_is_invisible(spark, tmp_path):
+    root = str(tmp_path / "t")
+    s1 = ice.commit(_pts(spark, 400), root)
+    # simulate a writer dying after staging data + manifest but before
+    # claiming the metadata version: stage files directly
+    _pts(spark, 999, seed=9).write.parquet(
+        os.path.join(root, "data", "deadbeefdeadbeef"))
+    with open(os.path.join(root, "metadata",
+                           "snap-1.manifest.json"), "w") as f:
+        json.dump({"snapshot_id": 1, "files": []}, f)
+    assert ice.scan(spark, root).count() == 400
+    assert [s["id"] for s in ice.snapshots(root)] == [s1]
+    # and the table still accepts the next commit
+    ice.commit(_pts(spark, 50, seed=3), root, mode="append")
+    assert ice.scan(spark, root).count() == 450
+
+
+def test_optimistic_retry_wins_race(spark, tmp_path, monkeypatch):
+    """A racing writer claims the version between our read and our
+    O_EXCL create — the commit must re-read and land on the NEXT
+    version with the racer's rows still present (lost-update-free)."""
+    root = str(tmp_path / "t")
+    ice.commit(_pts(spark, 100, seed=0), root)
+
+    raced = {"done": False}
+    real_open = os.open
+
+    def race_once(path, flags, *a, **k):
+        if "metadata.json" in str(path) and not raced["done"]:
+            raced["done"] = True
+            ice.commit(_pts(spark, 70, seed=5), root, mode="append")
+        return real_open(path, flags, *a, **k)
+
+    monkeypatch.setattr(os, "open", race_once)
+    ice.commit(_pts(spark, 30, seed=7), root, mode="append")
+    monkeypatch.undo()
+    assert ice.scan(spark, root).count() == 200       # 100 + 70 + 30
+    snaps = ice.snapshots(root)
+    assert len(snaps) == 3
+    assert snaps[-1]["summary"]["total_rows"] == 200
+
+
+def test_append_schema_guard(spark, tmp_path):
+    root = str(tmp_path / "t")
+    ice.commit(_pts(spark, 10), root)
+    bad = _pts(spark, 10).withColumn("extra", F.lit(1))
+    with pytest.raises(ice.SchemaMismatch):
+        ice.commit(bad, root, mode="append")
+    ice.commit(bad, root, mode="overwrite")           # explicit replace ok
+    assert "extra" in ice.scan(spark, root).columns
+
+
+def test_vacuum_expires_history_keeps_current(spark, tmp_path):
+    root = str(tmp_path / "t")
+    ice.commit(_pts(spark, 200, seed=0), root)
+    ice.commit(_pts(spark, 200, seed=1), root, mode="overwrite")
+    s3 = ice.commit(_pts(spark, 200, seed=2), root, mode="overwrite")
+    n_before = len([p for d, _, fs in os.walk(os.path.join(root, "data"))
+                    for p in fs if p.endswith(".parquet")])
+    out = ice.vacuum(root, keep_last=1)
+    assert out["removed_snapshots"] == 2 and out["removed_files"] > 0
+    n_after = len([p for d, _, fs in os.walk(os.path.join(root, "data"))
+                   for p in fs if p.endswith(".parquet")])
+    assert n_after < n_before
+    snaps = ice.snapshots(root)
+    assert [s["id"] for s in snaps] == [s3]
+    assert ice.scan(spark, root).count() == 200
+    with pytest.raises(LookupError):
+        ice.scan(spark, root, as_of=0.0)
+
+
+def test_pipeline_icetable_resume(spark, tmp_path):
+    """Pipeline(fmt='icetable'): stage snapshots are table snapshots;
+    a re-run skips completed stages and reads the committed snapshot."""
+    from gis_tools_spark.plans.checkpoint import Pipeline
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return _pts(spark, 300)
+
+    p1 = Pipeline(spark, str(tmp_path / "ck"), run_id="r", fmt="icetable")
+    a = p1.stage("ingest", build)
+    assert a.count() == 300 and calls["n"] == 1
+    p2 = Pipeline(spark, str(tmp_path / "ck"), run_id="r", fmt="icetable")
+    b = p2.stage("ingest", build)
+    assert b.count() == 300 and calls["n"] == 1       # not recomputed
+    assert len(ice.snapshots(os.path.join(str(tmp_path / "ck"),
+                                          "r", "ingest"))) >= 1
