@@ -209,10 +209,20 @@ def _collect_stats(spark: SparkSession, files: list[str],
 
 # ----------------------------------------------------------------- commits
 
+def _find_dedup(root: str, dedup_key: str) -> int | None:
+    m = _load_metadata(root)
+    if m:
+        for s in m["snapshots"]:
+            if s.get("dedup_key") == dedup_key:
+                return s["id"]
+    return None
+
+
 def commit(df: DataFrame, root: str, *, mode: str = "append",
            cluster_by: tuple[str, str] | None = None,
            zres: int = 16, zkey_col: str = "zkey",
-           n_files: int | None = None, max_retries: int = 20) -> int:
+           n_files: int | None = None, max_retries: int = 20,
+           dedup_key: str | None = None) -> int:
     """Write ``df`` as a new table snapshot; returns the snapshot id.
 
     ``mode='append'`` adds the staged files to the current snapshot's
@@ -220,9 +230,19 @@ def commit(df: DataFrame, root: str, *, mode: str = "append",
     stores the Morton key and range-sorts by it so every data file
     covers a tight Z range — the layout that makes bbox pruning drop
     whole files. Commit is atomic and optimistic (see module doc).
+
+    ``dedup_key`` makes the commit IDEMPOTENT: if a snapshot already
+    carries the key, its id is returned and nothing is written — the
+    primitive that turns Structured Streaming's at-least-once
+    ``foreachBatch`` replay into exactly-once table appends
+    (streaming/sink.py keys each micro-batch by (query, batch_id)).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append|overwrite")
+    if dedup_key is not None:
+        prior = _find_dedup(root, dedup_key)
+        if prior is not None:
+            return prior
     spark = df.sparkSession
     if cluster_by is not None:
         lon, lat = cluster_by
@@ -251,6 +271,10 @@ def commit(df: DataFrame, root: str, *, mode: str = "append",
     # 2. claim the next metadata version (optimistic retry loop).
     for _ in range(max_retries):
         cur = _load_metadata(root)
+        if dedup_key is not None and cur is not None:
+            for s in cur["snapshots"]:       # racer landed the same batch
+                if s.get("dedup_key") == dedup_key:
+                    return s["id"]
         if cur is None:
             table_uuid, parent, base_files, version = \
                 uuid.uuid4().hex, None, [], 0
@@ -270,13 +294,16 @@ def commit(df: DataFrame, root: str, *, mode: str = "append",
                              "snap-%d.manifest.json" % snapshot_id)
         with open(mpath, "w") as f:
             json.dump(manifest, f)
-        snaps = (cur["snapshots"] if cur else []) + [{
+        snap_rec = {
             "id": snapshot_id, "parent_id": parent, "ts": time.time(),
             "operation": mode,
             "summary": {"added_files": len(entries),
                         "added_rows": added_rows,
                         "total_files": len(all_files),
-                        "total_rows": sum(e["rows"] for e in all_files)}}]
+                        "total_rows": sum(e["rows"] for e in all_files)}}
+        if dedup_key is not None:
+            snap_rec["dedup_key"] = dedup_key
+        snaps = (cur["snapshots"] if cur else []) + [snap_rec]
         meta = {"format_version": 1, "table_uuid": table_uuid,
                 "schema": schema_json if mode == "overwrite" or cur is None
                 else cur["schema"],

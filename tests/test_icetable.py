@@ -183,3 +183,47 @@ def test_pipeline_icetable_resume(spark, tmp_path):
     assert b.count() == 300 and calls["n"] == 1       # not recomputed
     assert len(ice.snapshots(os.path.join(str(tmp_path / "ck"),
                                           "r", "ingest"))) >= 1
+
+
+def test_streaming_exactly_once_sink(spark, tmp_path):
+    """foreachBatch replay (at-least-once) becomes exactly-once through
+    dedup-keyed snapshot commits: a replayed batch_id is a no-op, a
+    restart with one new source file ingests ONLY the new file."""
+    from gis_tools_spark.sources import icetable as ice
+    from gis_tools_spark.streaming import exactly_once_sink
+
+    src = tmp_path / "src"
+    root = str(tmp_path / "table")
+    ck = str(tmp_path / "ck")
+    _pts(spark, 120, seed=0).write.parquet(str(src / "f0"))
+    _pts(spark, 80, seed=1).write.parquet(str(src / "f1"))
+    schema = _pts(spark, 1).schema
+
+    stream = (spark.readStream.schema(schema).format("parquet")
+              .option("maxFilesPerTrigger", "1")
+              .load(str(src / "*")))
+    q = exactly_once_sink(stream, root, checkpoint_dir=ck,
+                          query_name="t", cluster_by=("lon", "lat"),
+                          n_files=2)
+    q.awaitTermination(120)
+    assert ice.scan(spark, root).count() == 200
+    n_snaps = len(ice.snapshots(root))
+    assert n_snaps >= 1
+
+    # simulate the crash-replay: re-commit an already-committed batch id
+    replay_id = ice.commit(_pts(spark, 120, seed=0), root, mode="append",
+                           dedup_key="t:0")
+    assert replay_id in {s["id"] for s in ice.snapshots(root)}
+    assert ice.scan(spark, root).count() == 200          # unchanged
+    assert len(ice.snapshots(root)) == n_snaps
+
+    # restart with the same checkpoint + one NEW file: only it lands
+    _pts(spark, 50, seed=2).write.parquet(str(src / "f2"))
+    stream2 = (spark.readStream.schema(schema).format("parquet")
+               .option("maxFilesPerTrigger", "1")
+               .load(str(src / "*")))
+    q2 = exactly_once_sink(stream2, root, checkpoint_dir=ck,
+                           query_name="t", cluster_by=("lon", "lat"),
+                           n_files=2)
+    q2.awaitTermination(120)
+    assert ice.scan(spark, root).count() == 250
