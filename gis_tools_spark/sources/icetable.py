@@ -209,6 +209,36 @@ def _collect_stats(spark: SparkSession, files: list[str],
 
 # ----------------------------------------------------------------- commits
 
+def _evolve_schema(old_json: str, new_json: str) -> str:
+    """Union schema for an append whose DataFrame schema differs.
+
+    Iceberg-style ADDITIVE evolution only: the append may add new
+    columns (recorded nullable — old files read as null for them) and
+    may omit existing columns (its files read as null for those), but a
+    column present in both must keep its exact type. Renames/drops/type
+    changes raise — use ``mode='overwrite'`` to replace the schema.
+    """
+    old = T.StructType.fromJson(json.loads(old_json))
+    new = T.StructType.fromJson(json.loads(new_json))
+    new_by_name = {f.name: f for f in new.fields}
+    fields = []
+    for f in old.fields:
+        g = new_by_name.pop(f.name, None)
+        if g is not None and g.dataType != f.dataType:
+            raise SchemaMismatch(
+                "column %r type change %s -> %s (append is additive-only; "
+                "overwrite to replace the schema)"
+                % (f.name, f.dataType.simpleString(),
+                   g.dataType.simpleString()))
+        fields.append(T.StructField(
+            f.name, f.dataType,
+            f.nullable or (g is None)))      # omitted → null for new rows
+    for g in new.fields:                      # added columns, append order
+        if g.name in new_by_name:
+            fields.append(T.StructField(g.name, g.dataType, True))
+    return T.StructType(fields).json()
+
+
 def _find_dedup(root: str, dedup_key: str) -> int | None:
     m = _load_metadata(root)
     if m:
@@ -280,9 +310,7 @@ def commit(df: DataFrame, root: str, *, mode: str = "append",
                 uuid.uuid4().hex, None, [], 0
         else:
             if cur["schema"] != schema_json and mode == "append":
-                raise SchemaMismatch(
-                    "append schema differs from table schema "
-                    "(overwrite to replace the schema)")
+                schema_json = _evolve_schema(cur["schema"], schema_json)
             table_uuid = cur["table_uuid"]
             parent = cur["current_snapshot_id"]
             base = _load_manifest(root, parent)["files"] if parent else []
@@ -296,7 +324,7 @@ def commit(df: DataFrame, root: str, *, mode: str = "append",
             json.dump(manifest, f)
         snap_rec = {
             "id": snapshot_id, "parent_id": parent, "ts": time.time(),
-            "operation": mode,
+            "operation": mode, "schema": schema_json,
             "summary": {"added_files": len(entries),
                         "added_rows": added_rows,
                         "total_files": len(all_files),
@@ -305,8 +333,7 @@ def commit(df: DataFrame, root: str, *, mode: str = "append",
             snap_rec["dedup_key"] = dedup_key
         snaps = (cur["snapshots"] if cur else []) + [snap_rec]
         meta = {"format_version": 1, "table_uuid": table_uuid,
-                "schema": schema_json if mode == "overwrite" or cur is None
-                else cur["schema"],
+                "schema": schema_json,
                 "current_snapshot_id": snapshot_id, "snapshots": snaps}
         try:
             fd = os.open(_version_path(root, version + 1),
@@ -436,13 +463,106 @@ def scan(spark: SparkSession, root: str, *,
         flt += bbox_filters(*bbox, lon=lon, lat=lat)
     keep, _total = scan_files(root, filters=flt, as_of=as_of)
     m = _load_metadata(root)
-    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    snap = _resolve_snapshot(root, as_of)
+    # read with the SNAPSHOT's schema (recorded per commit), so time
+    # travel across an overwrite/evolution sees that snapshot's columns;
+    # files missing an evolved column read as null (additive evolution)
+    schema = T.StructType.fromJson(
+        json.loads(snap.get("schema", m["schema"])))
     if not keep:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(
         *[os.path.join(root, e["path"]) for e in keep])
     pred = _residual(flt)
     return df.where(pred) if pred is not None else df
+
+
+# ---------------------------------------------------------------- delete
+
+def delete(spark: SparkSession, root: str, *, filters: list[tuple],
+           max_retries: int = 5) -> dict:
+    """Row-level DELETE, copy-on-write: remove every row matching the
+    ``filters`` conjunction (same tuples as :func:`scan`) and commit the
+    result as a new snapshot. Returns a summary dict.
+
+    The manifest stats do the heavy lifting: files PROVABLY disjoint
+    from the predicate are carried into the new snapshot untouched
+    (never read, never rewritten); only overlapping files are re-read
+    and rewritten without the matching rows. A takedown sweep over a
+    100 TB clustered table therefore rewrites a handful of files, not
+    the fleet — and time travel still reaches the pre-delete snapshot
+    until :func:`vacuum` expires it.
+    """
+    if not filters:
+        raise ValueError("delete without filters would drop the table; "
+                         "use commit(mode='overwrite') explicitly")
+    pred = _residual(filters)
+    for _ in range(max_retries):
+        cur = _load_metadata(root)
+        if cur is None:
+            raise FileNotFoundError("no committed snapshot under %s" % root)
+        parent = cur["current_snapshot_id"]
+        files = _load_manifest(root, parent)["files"]
+        touched = [e for e in files if _file_survives(e["stats"], filters)]
+        untouched = [e for e in files if not _file_survives(e["stats"],
+                                                            filters)]
+        if not touched:
+            return {"snapshot_id": parent, "deleted_rows": 0,
+                    "rewritten_files": 0, "untouched_files": len(files)}
+        schema = T.StructType.fromJson(json.loads(cur["schema"]))
+        src = spark.read.schema(schema).parquet(
+            *[os.path.join(root, e["path"]) for e in touched])
+        # delete WHERE pred; a row where pred is NULL (null in a
+        # filtered column) is NOT matched and must be kept
+        kept = src.where(~F.coalesce(pred, F.lit(False)))
+        commit_uuid = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(root, "data", commit_uuid)
+        kept.write.mode("overwrite").parquet(data_dir)
+        new_files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+        stat_cols = [f.name for f in schema.fields
+                     if isinstance(f.dataType, _STAT_TYPES)]
+        entries = [e for e in _collect_stats(spark, new_files, stat_cols)
+                   if e["rows"] > 0]          # fully-deleted files vanish
+        for e in entries:
+            e["path"] = os.path.relpath(e["path"], root)
+        n_before = sum(e["rows"] for e in touched)
+        n_after = sum(e["rows"] for e in entries)
+        all_files = untouched + entries
+        snapshot_id = int(time.time() * 1000) * 1000 + (os.getpid() % 1000)
+        manifest = {"snapshot_id": snapshot_id, "files": all_files}
+        with open(os.path.join(_meta_dir(root),
+                               "snap-%d.manifest.json" % snapshot_id),
+                  "w") as f:
+            json.dump(manifest, f)
+        snap_rec = {"id": snapshot_id, "parent_id": parent,
+                    "ts": time.time(), "operation": "delete",
+                    "schema": cur["schema"],
+                    "summary": {"deleted_rows": n_before - n_after,
+                                "rewritten_files": len(touched),
+                                "total_files": len(all_files),
+                                "total_rows": sum(e["rows"]
+                                                  for e in all_files)}}
+        meta = {"format_version": 1, "table_uuid": cur["table_uuid"],
+                "schema": cur["schema"],
+                "current_snapshot_id": snapshot_id,
+                "snapshots": cur["snapshots"] + [snap_rec]}
+        version = cur["_version"]
+        try:
+            fd = os.open(_version_path(root, version + 1),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue          # racer landed: re-derive the file split
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f, indent=1)
+        tmp = _hint_path(root) + ".tmp.%s" % commit_uuid
+        with open(tmp, "w") as f:
+            f.write(str(version + 1))
+        os.replace(tmp, _hint_path(root))
+        return {"snapshot_id": snapshot_id,
+                "deleted_rows": n_before - n_after,
+                "rewritten_files": len(touched),
+                "untouched_files": len(untouched)}
+    raise CommitConflict("delete lost %d races" % max_retries)
 
 
 # ---------------------------------------------------------------- vacuum

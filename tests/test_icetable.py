@@ -136,13 +136,14 @@ def test_optimistic_retry_wins_race(spark, tmp_path, monkeypatch):
 
 
 def test_append_schema_guard(spark, tmp_path):
+    """Non-additive changes (type change) raise; overwrite replaces."""
     root = str(tmp_path / "t")
     ice.commit(_pts(spark, 10), root)
-    bad = _pts(spark, 10).withColumn("extra", F.lit(1))
+    bad = _pts(spark, 10).withColumn("lon", F.col("lon").cast("string"))
     with pytest.raises(ice.SchemaMismatch):
         ice.commit(bad, root, mode="append")
     ice.commit(bad, root, mode="overwrite")           # explicit replace ok
-    assert "extra" in ice.scan(spark, root).columns
+    assert dict(ice.scan(spark, root).dtypes)["lon"] == "string"
 
 
 def test_vacuum_expires_history_keeps_current(spark, tmp_path):
@@ -227,3 +228,77 @@ def test_streaming_exactly_once_sink(spark, tmp_path):
                            n_files=2)
     q2.awaitTermination(120)
     assert ice.scan(spark, root).count() == 250
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """Append may ADD nullable columns (old files read null) and OMIT
+    existing ones (new files read null); type changes still raise."""
+    root = str(tmp_path / "t")
+    ice.commit(_pts(spark, 100, seed=0), root)
+    with_score = _pts(spark, 50, seed=1).withColumn(
+        "score", (F.col("pid") % 10).cast("double"))
+    ice.commit(with_score, root, mode="append")
+    got = ice.scan(spark, root)
+    assert set(got.columns) == {"pid", "lon", "lat", "kind", "score"}
+    assert got.count() == 150
+    assert got.where(F.col("score").isNull()).count() == 100
+    # append omitting a column: its rows read null for it
+    ice.commit(_pts(spark, 30, seed=2).drop("kind"), root, mode="append")
+    got = ice.scan(spark, root)
+    assert got.count() == 180
+    assert got.where(F.col("kind").isNull()).count() == 30
+    # type change is NOT additive
+    bad = _pts(spark, 5).withColumn("kind", F.col("kind").cast("string"))
+    with pytest.raises(ice.SchemaMismatch):
+        ice.commit(bad, root, mode="append")
+
+
+def test_time_travel_uses_snapshot_schema(spark, tmp_path):
+    """An overwrite that replaces the schema must not change what an
+    as-of read of the OLD snapshot returns."""
+    root = str(tmp_path / "t")
+    s1 = ice.commit(_pts(spark, 40, seed=0), root)
+    ice.commit(_pts(spark, 10, seed=1)
+               .select("pid", F.col("lon").alias("x")), root,
+               mode="overwrite")
+    old = ice.scan(spark, root, as_of=s1)
+    assert set(old.columns) == {"pid", "lon", "lat", "kind"}
+    assert old.count() == 40
+    assert set(ice.scan(spark, root).columns) == {"pid", "x"}
+
+
+def test_delete_copy_on_write(spark, tmp_path):
+    """Row-level delete rewrites ONLY stat-overlapping files; results
+    match an anti-filter; pre-delete snapshot still time-travels."""
+    root = str(tmp_path / "t")
+    s1 = ice.commit(_pts(spark, 8000).repartitionByRange(8, "pid")
+                    .sortWithinPartitions("pid"), root)
+    out = ice.delete(spark, root, filters=[("pid", "between", 1000, 1999)])
+    assert out["deleted_rows"] == 1000
+    assert 0 < out["rewritten_files"] < 8      # pruning really narrowed it
+    assert out["untouched_files"] > 0
+    got = ice.scan(spark, root)
+    assert got.count() == 7000
+    assert got.where((F.col("pid") >= 1000) & (F.col("pid") <= 1999)).count() == 0
+    assert ice.scan(spark, root, as_of=s1).count() == 8000   # time travel
+    # delete matching nothing is a no-op snapshot-wise
+    out2 = ice.delete(spark, root, filters=[("pid", ">", 10 ** 9)])
+    assert out2["deleted_rows"] == 0 and out2["rewritten_files"] == 0
+    # a file deleted in FULL disappears from the manifest
+    ice.delete(spark, root, filters=[("pid", "<", 3000)])
+    keep, total = ice.scan_files(root)
+    assert ice.scan(spark, root).count() == 5000
+    with pytest.raises(ValueError):
+        ice.delete(spark, root, filters=[])
+
+
+def test_delete_null_rows_survive(spark, tmp_path):
+    """Rows where the predicate is NULL are not matched — kept."""
+    root = str(tmp_path / "t")
+    df = _pts(spark, 20).withColumn(
+        "score", F.when(F.col("pid") < 10, F.col("pid").cast("double")))
+    ice.commit(df, root)
+    ice.delete(spark, root, filters=[("score", "<", 5.0)])
+    got = ice.scan(spark, root)
+    assert got.count() == 15                       # 5 deleted, 10 null kept
+    assert got.where(F.col("score").isNull()).count() == 10
