@@ -565,6 +565,89 @@ def delete(spark: SparkSession, root: str, *, filters: list[tuple],
     raise CommitConflict("delete lost %d races" % max_retries)
 
 
+# ------------------------------------------------------------ compaction
+
+def compact(spark: SparkSession, root: str, *, target_bytes: int = 128 << 20,
+            max_retries: int = 5) -> dict:
+    """Bin-pack small data files into ~``target_bytes`` files and commit
+    the result as a new snapshot (operation='compact'). Files already at
+    or above half the target are carried over untouched.
+
+    Streaming ingest (streaming/sink.py) commits one file set per
+    micro-batch, so a long-running stream accumulates small files —
+    the classic lakehouse problem. Periodic compaction keeps scans at
+    full parquet row-group efficiency without pausing ingest: a stream
+    batch landing mid-compaction wins or loses the version race and
+    either way no rows are lost (the loser retries on the new current
+    snapshot). Rows are re-sorted by zkey when present so the
+    compacted files keep tight manifest stats for pruning.
+    """
+    for _ in range(max_retries):
+        cur = _load_metadata(root)
+        if cur is None:
+            raise FileNotFoundError("no committed snapshot under %s" % root)
+        parent = cur["current_snapshot_id"]
+        files = _load_manifest(root, parent)["files"]
+        small = [e for e in files if e["bytes"] < target_bytes // 2]
+        big = [e for e in files if e["bytes"] >= target_bytes // 2]
+        if len(small) <= 1:
+            return {"snapshot_id": parent, "compacted_files": 0,
+                    "output_files": 0}
+        schema = T.StructType.fromJson(json.loads(cur["schema"]))
+        src = spark.read.schema(schema).parquet(
+            *[os.path.join(root, e["path"]) for e in small])
+        n_out = max(1, int(sum(e["bytes"] for e in small) // target_bytes)
+                    + 1)
+        if "zkey" in src.columns:
+            src = (src.repartitionByRange(n_out, "zkey")
+                   .sortWithinPartitions("zkey"))
+        else:
+            src = src.coalesce(n_out)
+        commit_uuid = uuid.uuid4().hex[:16]
+        data_dir = os.path.join(root, "data", commit_uuid)
+        src.write.mode("overwrite").parquet(data_dir)
+        new_files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+        stat_cols = [f.name for f in schema.fields
+                     if isinstance(f.dataType, _STAT_TYPES)]
+        entries = [e for e in _collect_stats(spark, new_files, stat_cols)
+                   if e["rows"] > 0]
+        for e in entries:
+            e["path"] = os.path.relpath(e["path"], root)
+        all_files = big + entries
+        snapshot_id = int(time.time() * 1000) * 1000 + (os.getpid() % 1000)
+        with open(os.path.join(_meta_dir(root),
+                               "snap-%d.manifest.json" % snapshot_id),
+                  "w") as f:
+            json.dump({"snapshot_id": snapshot_id, "files": all_files}, f)
+        snap_rec = {"id": snapshot_id, "parent_id": parent,
+                    "ts": time.time(), "operation": "compact",
+                    "schema": cur["schema"],
+                    "summary": {"compacted_files": len(small),
+                                "output_files": len(entries),
+                                "total_files": len(all_files),
+                                "total_rows": sum(e["rows"]
+                                                  for e in all_files)}}
+        meta = {"format_version": 1, "table_uuid": cur["table_uuid"],
+                "schema": cur["schema"],
+                "current_snapshot_id": snapshot_id,
+                "snapshots": cur["snapshots"] + [snap_rec]}
+        version = cur["_version"]
+        try:
+            fd = os.open(_version_path(root, version + 1),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f, indent=1)
+        tmp = _hint_path(root) + ".tmp.%s" % commit_uuid
+        with open(tmp, "w") as f:
+            f.write(str(version + 1))
+        os.replace(tmp, _hint_path(root))
+        return {"snapshot_id": snapshot_id, "compacted_files": len(small),
+                "output_files": len(entries)}
+    raise CommitConflict("compact lost %d races" % max_retries)
+
+
 # ---------------------------------------------------------------- vacuum
 
 def vacuum(root: str, *, keep_last: int = 1) -> dict:

@@ -302,3 +302,34 @@ def test_delete_null_rows_survive(spark, tmp_path):
     got = ice.scan(spark, root)
     assert got.count() == 15                       # 5 deleted, 10 null kept
     assert got.where(F.col("score").isNull()).count() == 10
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path):
+    """Many small streaming-style appends collapse into few files; rows
+    and values unchanged; pruning still works on the compacted layout;
+    pre-compaction snapshot still time-travels."""
+    root = str(tmp_path / "t")
+    for seed in range(6):
+        ice.commit(_pts(spark, 400, seed=seed), root, mode="append",
+                   cluster_by=("lon", "lat"), n_files=4)
+    pre_keep, pre_total = ice.scan_files(root)
+    assert pre_total == 24
+    pre_sum = ice.scan(spark, root).agg(F.sum("pid")).first()[0]
+    pre_snap = ice.snapshots(root)[-1]["id"]
+    out = ice.compact(spark, root, target_bytes=1 << 20)
+    assert out["compacted_files"] == 24
+    assert 0 < out["output_files"] < 24
+    keep, total = ice.scan_files(root)
+    assert total == out["output_files"]
+    got = ice.scan(spark, root)
+    assert got.count() == 2400
+    assert got.agg(F.sum("pid")).first()[0] == pre_sum
+    # zkey re-sort keeps manifest pruning effective (if multiple files)
+    if total > 1:
+        k2, t2 = ice.scan_files(
+            root, filters=ice.bbox_filters(5.0, 40.0, 5.5, 40.5))
+        assert len(k2) < t2 or t2 == 1
+    assert ice.scan(spark, root, as_of=pre_snap).count() == 2400
+    # idempotent: nothing further to compact
+    out2 = ice.compact(spark, root, target_bytes=1 << 20)
+    assert out2["compacted_files"] <= 1 or out2["output_files"] <= total
