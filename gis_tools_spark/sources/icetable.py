@@ -565,6 +565,128 @@ def delete(spark: SparkSession, root: str, *, filters: list[tuple],
     raise CommitConflict("delete lost %d races" % max_retries)
 
 
+# ----------------------------------------------------------------- upsert
+
+def upsert(df: DataFrame, root: str, *, key_col: str,
+           cluster_by: tuple[str, str] | None = None,
+           zres: int = 16, n_files: int | None = None,
+           max_retries: int = 5) -> dict:
+    """MERGE by key, copy-on-write, in ONE atomic snapshot: rows whose
+    ``key_col`` appears in ``df`` are replaced, new keys are inserted.
+    Returns a summary dict.
+
+    The re-crawl path of an image/document lake: a refreshed shard
+    upserts by image_id and readers switch atomically from the old rows
+    to the new ones — no window where both or neither are visible.
+    File-level pruning bounds the rewrite: only files whose key stats
+    overlap the incoming batch's [min, max] are re-read, and those are
+    anti-joined against the incoming keys (matched rows dropped, the
+    incoming version wins). Keep the table clustered by key (or commit
+    shards with tight key ranges) and an upsert touches few files.
+    """
+    spark = df.sparkSession
+    if cluster_by is not None:
+        lon, lat = cluster_by
+        df = df.withColumn("zkey", C.morton_column(F.col(lon), F.col(lat),
+                                                   zres))
+    kmin, kmax = df.agg(F.min(key_col), F.max(key_col)).first()
+    if kmin is None:
+        m = _load_metadata(root)
+        return {"snapshot_id": m["current_snapshot_id"] if m else None,
+                "replaced_rows": 0, "inserted_rows": 0,
+                "rewritten_files": 0}
+
+    # stage the incoming rows once (their files are snapshot-agnostic)
+    if n_files is not None:
+        df = df.repartition(n_files)
+    stage_uuid = uuid.uuid4().hex[:16]
+    stage_dir = os.path.join(root, "data", stage_uuid)
+    df.write.mode("overwrite").parquet(stage_dir)
+    schema_json = df.schema.json()
+    keys = spark.read.parquet(stage_dir).select(key_col).distinct()
+    n_incoming = keys.count()
+
+    for _ in range(max_retries):
+        cur = _load_metadata(root)
+        if cur is None:
+            raise FileNotFoundError(
+                "no committed snapshot under %s (use commit() to create)"
+                % root)
+        schema_json2 = (_evolve_schema(cur["schema"], schema_json)
+                        if cur["schema"] != schema_json else schema_json)
+        parent = cur["current_snapshot_id"]
+        files = _load_manifest(root, parent)["files"]
+        overlap = [(key_col, "between", _plain(kmin), _plain(kmax))]
+        touched = [e for e in files if _file_survives(e["stats"], overlap)]
+        untouched = [e for e in files
+                     if not _file_survives(e["stats"], overlap)]
+        schema = T.StructType.fromJson(json.loads(cur["schema"]))
+        stat_cols = [f.name for f in
+                     T.StructType.fromJson(json.loads(schema_json2)).fields
+                     if isinstance(f.dataType, _STAT_TYPES)]
+        rewritten: list[dict] = []
+        n_before = 0
+        if touched:
+            src = spark.read.schema(schema).parquet(
+                *[os.path.join(root, e["path"]) for e in touched])
+            kept = src.join(F.broadcast(keys) if n_incoming < 2_000_000
+                            else keys, on=key_col, how="left_anti")
+            rw_uuid = uuid.uuid4().hex[:16]
+            rw_dir = os.path.join(root, "data", rw_uuid)
+            kept.write.mode("overwrite").parquet(rw_dir)
+            rw_files = sorted(glob.glob(os.path.join(rw_dir, "*.parquet")))
+            rewritten = [e for e in _collect_stats(spark, rw_files,
+                                                   stat_cols)
+                         if e["rows"] > 0]
+            n_before = sum(e["rows"] for e in touched)
+        staged_files = sorted(glob.glob(os.path.join(stage_dir,
+                                                     "*.parquet")))
+        entries = [e for e in _collect_stats(spark, staged_files, stat_cols)
+                   if e["rows"] > 0]
+        for e in rewritten + entries:
+            e["path"] = os.path.relpath(
+                e["path"], root) if os.path.isabs(e["path"]) else e["path"]
+        n_kept = sum(e["rows"] for e in rewritten)
+        n_new = sum(e["rows"] for e in entries)
+        all_files = untouched + rewritten + entries
+        snapshot_id = int(time.time() * 1000) * 1000 + (os.getpid() % 1000)
+        with open(os.path.join(_meta_dir(root),
+                               "snap-%d.manifest.json" % snapshot_id),
+                  "w") as f:
+            json.dump({"snapshot_id": snapshot_id, "files": all_files}, f)
+        replaced = n_before - n_kept
+        snap_rec = {"id": snapshot_id, "parent_id": parent,
+                    "ts": time.time(), "operation": "upsert",
+                    "schema": schema_json2,
+                    "summary": {"replaced_rows": replaced,
+                                "inserted_rows": n_new - replaced,
+                                "rewritten_files": len(touched),
+                                "total_files": len(all_files),
+                                "total_rows": sum(e["rows"]
+                                                  for e in all_files)}}
+        meta = {"format_version": 1, "table_uuid": cur["table_uuid"],
+                "schema": schema_json2,
+                "current_snapshot_id": snapshot_id,
+                "snapshots": cur["snapshots"] + [snap_rec]}
+        version = cur["_version"]
+        try:
+            fd = os.open(_version_path(root, version + 1),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f, indent=1)
+        tmp = _hint_path(root) + ".tmp.%s" % stage_uuid
+        with open(tmp, "w") as f:
+            f.write(str(version + 1))
+        os.replace(tmp, _hint_path(root))
+        return {"snapshot_id": snapshot_id, "replaced_rows": replaced,
+                "inserted_rows": n_new - replaced,
+                "rewritten_files": len(touched),
+                "untouched_files": len(untouched)}
+    raise CommitConflict("upsert lost %d races" % max_retries)
+
+
 # ------------------------------------------------------------ compaction
 
 def compact(spark: SparkSession, root: str, *, target_bytes: int = 128 << 20,

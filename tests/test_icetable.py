@@ -333,3 +333,37 @@ def test_compact_bin_packs_small_files(spark, tmp_path):
     # idempotent: nothing further to compact
     out2 = ice.compact(spark, root, target_bytes=1 << 20)
     assert out2["compacted_files"] <= 1 or out2["output_files"] <= total
+
+
+def test_upsert_merge_by_key(spark, tmp_path):
+    """Upsert replaces matching keys, inserts new ones, rewrites only
+    key-range-overlapping files, all in ONE atomic snapshot."""
+    root = str(tmp_path / "t")
+    ice.commit(_pts(spark, 8000).repartitionByRange(8, "pid")
+               .sortWithinPartitions("pid"), root)
+    # refresh keys 2000-2099 with kind=99, insert keys 8000-8049
+    incoming = (spark.range(2000, 2100).union(spark.range(8000, 8050))
+                .select(F.col("id").alias("pid"),
+                        F.lit(0.0).alias("lon"), F.lit(0.0).alias("lat"),
+                        F.lit(99).cast("int").alias("kind")))
+    out = ice.upsert(incoming, root, key_col="pid")
+    assert out["replaced_rows"] == 100
+    assert out["inserted_rows"] == 50
+    assert 0 < out["rewritten_files"] < 8
+    got = ice.scan(spark, root)
+    assert got.count() == 8050
+    assert got.where("kind = 99").count() == 150
+    assert got.where("pid = 2050").select("kind").first()[0] == 99
+    assert got.where("pid = 1000").select("kind").first()[0] == 1000 % 7
+    # keys are unique after the merge
+    assert got.select("pid").distinct().count() == 8050
+    # upsert with evolved schema (extra column) works additively
+    extra = (spark.range(5).select(F.col("id").alias("pid"),
+                                   F.lit(1.0).alias("lon"),
+                                   F.lit(1.0).alias("lat"),
+                                   F.lit(7).cast("int").alias("kind"),
+                                   F.lit("v2").alias("rev")))
+    ice.upsert(extra, root, key_col="pid")
+    got = ice.scan(spark, root)
+    assert got.count() == 8050
+    assert got.where("rev = 'v2'").count() == 5
