@@ -84,15 +84,14 @@ def _encode_image(prng: np.random.Generator, arr: np.ndarray, f: str):
         buf = jpeg.encode(arr, 85, **kw)
         return buf, codec.phash64(jpeg.decode(buf))
     if f == "webp":
-        from .raster import native_webp, webp
+        from .raster import webp
 
-        # real tables are mostly lossy VP8: 60% of webp rows go through
-        # the system libwebp (when present), the rest through the
-        # from-scratch VP8L encoder. The draw happens UNCONDITIONALLY so
-        # the prng stream (and every other column) is identical whether
-        # or not libwebp exists.
+        # real tables are mostly lossy VP8: 60% of webp rows are lossy
+        # VP8 through the from-scratch encoder (raster/vp8.py —
+        # deterministic, no system-library dependence), the rest
+        # VP8L lossless.
         lossy = int(prng.integers(0, 5)) < 3
-        if lossy and native_webp.available():
+        if lossy:
             buf = webp.encode(arr, lossy=True, quality=85)
             return buf, codec.phash64(webp.decode(buf))
         buf = webp.encode(arr)

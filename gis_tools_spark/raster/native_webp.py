@@ -92,6 +92,75 @@ def decode(buf: bytes) -> np.ndarray:
     return rgba[:, :, :3]
 
 
+def decode_yuv(buf: bytes):
+    """WebP bytes → (y, u, v) uint8 planes straight from libwebp's
+    decoder (WebPDecodeYUV — pointer-returning, same ABI policy as the
+    other entry points). The plane-exact oracle for the from-scratch
+    VP8 decoder's conformance tests (tests/test_vp8.py)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libwebp not available")
+    try:
+        fn = lib.WebPDecodeYUV
+    except AttributeError:
+        raise RuntimeError("libwebp lacks WebPDecodeYUV")
+    fn.restype = ctypes.POINTER(ctypes.c_uint8)
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                   ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                   ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                   ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+                   ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    buf = bytes(buf)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    up = ctypes.POINTER(ctypes.c_uint8)()
+    vp = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uv_stride = ctypes.c_int()
+    yp = fn(buf, len(buf), ctypes.byref(w), ctypes.byref(h),
+            ctypes.byref(up), ctypes.byref(vp), ctypes.byref(stride),
+            ctypes.byref(uv_stride))
+    if not yp:
+        raise ValueError("libwebp: YUV decode failed")
+    try:
+        cw, ch = (w.value + 1) // 2, (h.value + 1) // 2
+        y = np.ctypeslib.as_array(yp, shape=(h.value, stride.value)) \
+            [:, :w.value].copy()
+        u = np.ctypeslib.as_array(up, shape=(ch, uv_stride.value)) \
+            [:, :cw].copy()
+        v = np.ctypeslib.as_array(vp, shape=(ch, uv_stride.value)) \
+            [:, :cw].copy()
+    finally:
+        lib.WebPFree(ctypes.cast(yp, ctypes.c_void_p))
+    return y, u, v
+
+
+def decode_rgb(buf: bytes) -> np.ndarray:
+    """WebP bytes → (h,w,3) RGB via libwebp's WebPDecodeRGB (the exact
+    fancy-upsampling output the pure decoder mirrors)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libwebp not available")
+    try:
+        fn = lib.WebPDecodeRGB
+    except AttributeError:
+        raise RuntimeError("libwebp lacks WebPDecodeRGB")
+    fn.restype = ctypes.POINTER(ctypes.c_uint8)
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                   ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    buf = bytes(buf)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    ptr = fn(buf, len(buf), ctypes.byref(w), ctypes.byref(h))
+    if not ptr:
+        raise ValueError("libwebp: decode failed")
+    try:
+        out = np.ctypeslib.as_array(ptr, shape=(h.value, w.value, 3)).copy()
+    finally:
+        lib.WebPFree(ctypes.cast(ptr, ctypes.c_void_p))
+    return out
+
+
 def encode(arr: np.ndarray, quality: float = 85.0,
            lossless: bool = False) -> bytes:
     """(h,w) or (h,w,3) uint8 → WebP bytes (lossy VP8 by default)."""

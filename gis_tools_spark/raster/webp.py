@@ -1,9 +1,14 @@
-"""From-scratch WebP-lossless (VP8L) codec — pure numpy/stdlib.
+"""From-scratch WebP codec — pure numpy/stdlib.
 
-Closes the reference's webp surface (gistools rasters round-trip through
-PIL/GDAL drivers; /root/reference/gistools/raster.py:99-141) without the
-PIL/libwebp wheel, the same way ``raster/jpeg.py`` closed JPEG: a real
-implementation of the public bitstream spec (RFC 9649 / VP8L format).
+This module carries the RIFF container plus the VP8L (lossless)
+coder; lossy VP8 encode/decode lives in ``raster/vp8.py`` (RFC 6386,
+bit-exact with libwebp — see test_vp8.py) and is dispatched from
+``decode``/``encode(lossy=True)`` here. Together they close the
+reference's webp surface (gistools rasters round-trip through PIL/GDAL
+drivers; /root/reference/gistools/raster.py:99-141) without the
+PIL/libwebp wheel, the same way ``raster/jpeg.py`` closed JPEG: real
+implementations of the public bitstream specs (RFC 9649 container +
+VP8L, RFC 6386 VP8).
 
 Encoder — spec-conformant subset chosen for simplicity, not ratio:
   * RIFF/WEBP/VP8L container, 14-bit dims, version 0
@@ -290,13 +295,20 @@ def encode(arr: np.ndarray, lossy: bool = False,
     """(h,w) or (h,w,3) uint8 → WebP bytes.
 
     Default is the from-scratch pure-python VP8L lossless stream;
-    ``lossy=True`` emits a real VP8 stream through the system libwebp
-    (raster/native_webp.py) and raises RuntimeError when the shared
-    library is absent."""
+    ``lossy=True`` emits a from-scratch VP8 keyframe stream
+    (raster/vp8.py — quality maps ~linearly onto the VP8 quantizer
+    index; libwebp-conformance pinned in test_vp8.py)."""
     if lossy:
-        from . import native_webp
+        from . import vp8
 
-        return native_webp.encode(arr, quality=quality)
+        q_index = int(round((100.0 - min(100.0, max(0.0, quality))) * 1.27))
+        payload = vp8.encode(np.asarray(arr, dtype=np.uint8),
+                             q_index=max(0, min(127, q_index)))
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        riff = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         r = g = b = arr
@@ -358,37 +370,48 @@ def _lz77_value(code: int, br: _BitReader) -> int:
 
 
 def decode(buf: bytes) -> np.ndarray:
-    """WebP-lossless bytes → (h,w,3) uint8 RGB.
+    """WebP bytes → (h,w,3) uint8 RGB.
 
-    Supports the entropy-coded image with any prefix codes, color
-    cache, LZ77 with linear distances, and the subtract-green
+    Lossless VP8L: the entropy-coded image with any prefix codes,
+    color cache, LZ77 with linear distances, and the subtract-green
     transform; predictor/color/palette transforms and neighbor-mapped
     distances raise NotImplementedError (never produced by
-    ``encode``)."""
+    ``encode``) and fall back to libwebp when present.
+    Lossy VP8: full from-scratch keyframe decode (raster/vp8.py,
+    bit-exact with libwebp). VP8X extended containers decode purely
+    when they carry no ALPH chunk; alpha routes to libwebp."""
     buf = bytes(buf)
     if buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12
     payload = None
+    has_alpha = False
+    vp8_payload = None
     while pos + 8 <= len(buf):
         tag = buf[pos:pos + 4]
         size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
         if tag == b"VP8L":
             payload = buf[pos + 8:pos + 8 + size]
             break
-        if tag in (b"VP8 ", b"VP8X"):
-            # lossy VP8 / extended container: route to the system
-            # libwebp (ctypes, raster/native_webp.py) when present
+        if tag == b"VP8 " and vp8_payload is None:
+            vp8_payload = buf[pos + 8:pos + 8 + size]
+        elif tag == b"ALPH":
+            has_alpha = True
+        pos += 8 + size + (size & 1)
+    if vp8_payload is not None and payload is None:
+        if has_alpha:
+            # alpha plane handling stays with libwebp (RGBA output)
             from . import native_webp
 
             if native_webp.available():
                 return native_webp.decode(buf)
             raise NotImplementedError(
-                "lossy/extended WebP requires libwebp (absent); "
-                "this pure codec implements VP8L lossless")
-        pos += 8 + size + (size & 1)
+                "WebP alpha (ALPH chunk) requires libwebp (absent)")
+        from . import vp8
+
+        return vp8.decode(vp8_payload)
     if payload is None:
-        raise ValueError("no VP8L chunk")
+        raise ValueError("no VP8/VP8L chunk")
     if payload[0] != 0x2F:
         raise ValueError("bad VP8L signature")
     try:
