@@ -19,15 +19,15 @@ Encoder — spec-conformant subset chosen for simplicity, not ratio:
     runs; constant channels (e.g. alpha=255) use the 1-symbol "simple
     code" form. Any conformant decoder reads these files.
 
-Decoder — the general entropy machinery plus the subset of features a
-conformant reader needs for such streams, and then some:
+Decoder — spec-complete VP8L (round-4 continuation-8):
   * simple and full code-length-coded prefix codes (incl. repeat codes
     16/17/18 and the max_symbol early-stop), canonical reconstruction
-  * color cache (any size), LZ77 length codes, linear distances
-  * subtract-green transform
-  * NOT implemented (clearly raised): predictor / color / palette
-    transforms and the 120 neighbor-mapped short distances — none are
-    emitted by this encoder.
+  * color cache (any size), LZ77 with linear AND the 120
+    neighbor-mapped short distances, meta prefix-code groups
+  * all four transforms: predictor (14 modes), color, subtract-green,
+    color-indexing (incl. sub-byte bundled indices)
+  * conformance: libwebp-lossless-encoded files round-trip
+    pixel-exactly (test_webp.py), no fallback needed.
 
 Bit order: LSB-first within bytes (DEFLATE-style); prefix-code bits are
 consumed root→leaf, so canonical codes are written MSB-of-code first.
@@ -372,14 +372,11 @@ def _lz77_value(code: int, br: _BitReader) -> int:
 def decode(buf: bytes) -> np.ndarray:
     """WebP bytes → (h,w,3) uint8 RGB.
 
-    Lossless VP8L: the entropy-coded image with any prefix codes,
-    color cache, LZ77 with linear distances, and the subtract-green
-    transform; predictor/color/palette transforms and neighbor-mapped
-    distances raise NotImplementedError (never produced by
-    ``encode``) and fall back to libwebp when present.
-    Lossy VP8: full from-scratch keyframe decode (raster/vp8.py,
-    bit-exact with libwebp). VP8X extended containers decode purely
-    when they carry no ALPH chunk; alpha routes to libwebp."""
+    Lossless VP8L: spec-complete (all transforms, meta prefix
+    groups, short distances). Lossy VP8: full from-scratch keyframe
+    decode (raster/vp8.py, bit-exact with libwebp). VP8X extended
+    containers decode purely; a lossy ALPH alpha plane does not
+    affect RGB and is ignored (decode_alpha_vp8l exposes the plane)."""
     buf = bytes(buf)
     if buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
@@ -399,14 +396,9 @@ def decode(buf: bytes) -> np.ndarray:
             has_alpha = True
         pos += 8 + size + (size & 1)
     if vp8_payload is not None and payload is None:
-        if has_alpha:
-            # alpha plane handling stays with libwebp (RGBA output)
-            from . import native_webp
-
-            if native_webp.available():
-                return native_webp.decode(buf)
-            raise NotImplementedError(
-                "WebP alpha (ALPH chunk) requires libwebp (absent)")
+        # ALPH (when present) carries a separate alpha plane that does
+        # not affect the RGB samples — the engine's (h,w,3) contract
+        # ignores it, exactly like the libwebp RGBA path's [:, :, :3].
         from . import vp8
 
         return vp8.decode(vp8_payload)
@@ -444,89 +436,173 @@ def is_lossy(buf: bytes) -> bool:
 
 
 def _decode_vp8l(payload: bytes) -> np.ndarray:
+    """Spec-complete VP8L decode (RFC 9649): all four transforms
+    (predictor, color, subtract-green, color-indexing incl. bundled
+    sub-byte indices), color cache, meta prefix-code groups, and the
+    full LZ77 distance mapping (linear + the 120 neighbor-mapped short
+    codes). Conformance: libwebp-lossless-encoded files round-trip
+    pixel-exactly (test_webp.py)."""
     br = _BitReader(payload[1:])
     w = br.read(14) + 1
     h = br.read(14) + 1
     br.read(1)                           # alpha hint
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
+    argb = _decode_transformed(br, w, h)
+    a = np.array(argb, dtype=np.uint32).reshape(h, w)
+    r = ((a >> 16) & 0xFF).astype(np.uint8)
+    g = ((a >> 8) & 0xFF).astype(np.uint8)
+    b = (a & 0xFF).astype(np.uint8)
+    return np.stack([r, g, b], axis=2)
 
-    subtract_green = False
-    while br.read_bit():                 # transforms
+
+def decode_alpha_vp8l(data: bytes, w: int, h: int) -> np.ndarray:
+    """Headerless VP8L stream of an ALPH chunk (compression method 1):
+    the alpha plane coded as the green channel of a w×h image."""
+    br = _BitReader(data)
+    argb = _decode_transformed(br, w, h)
+    return ((np.array(argb, dtype=np.uint32) >> 8) & 0xFF) \
+        .astype(np.uint8).reshape(h, w)
+
+
+def _decode_transformed(br: _BitReader, w: int, h: int) -> list:
+    """Transform list + entropy image + inverse transforms → flat ARGB
+    (python ints, row-major)."""
+    transforms = []
+    seen = set()
+    xsize = w
+    while br.read_bit():
         ttype = br.read(2)
-        if ttype == 2:                   # subtract-green
-            subtract_green = True
-            continue
-        raise NotImplementedError(
-            f"VP8L transform type {ttype} (predictor/color/palette) not "
-            "implemented in this from-scratch decoder")
+        if ttype in seen:
+            raise ValueError("repeated VP8L transform")
+        seen.add(ttype)
+        if ttype in (0, 1):              # predictor / color
+            bits = br.read(3) + 2
+            bw = (xsize + (1 << bits) - 1) >> bits
+            bh = (h + (1 << bits) - 1) >> bits
+            sub = _decode_entropy_image(br, bw, bh, allow_meta=False)
+            transforms.append((ttype, bits, sub, xsize))
+        elif ttype == 2:                 # subtract green
+            transforms.append((2, 0, None, xsize))
+        else:                            # color indexing (palette)
+            n_colors = br.read(8) + 1
+            pal = _decode_entropy_image(br, n_colors, 1, allow_meta=False)
+            # palette entries are per-channel delta-coded
+            acc = 0
+            palette = []
+            for px in pal:
+                acc = ((((acc >> 24) + (px >> 24)) & 0xFF) << 24) | \
+                      ((((acc >> 16) + (px >> 16)) & 0xFF) << 16) | \
+                      ((((acc >> 8) + (px >> 8)) & 0xFF) << 8) | \
+                      (((acc + px)) & 0xFF)
+                palette.append(acc)
+            if n_colors <= 2:
+                wb = 3
+            elif n_colors <= 4:
+                wb = 2
+            elif n_colors <= 16:
+                wb = 1
+            else:
+                wb = 0
+            transforms.append((3, wb, palette, xsize))
+            xsize = (xsize + (1 << wb) - 1) >> wb
+    argb = _decode_entropy_image(br, xsize, h, allow_meta=True)
 
-    cache_bits = 0
-    cache = None
-    if br.read_bit():                    # color cache
-        cache_bits = br.read(4)
-        cache = np.zeros(1 << cache_bits, dtype=np.uint32)
-    if br.read_bit():
-        raise NotImplementedError("meta prefix-code image not implemented")
+    for ttype, bits, data, tx in reversed(transforms):
+        if ttype == 3:
+            argb = _inv_palette(argb, data, bits, xsize, tx, h)
+            xsize = tx
+        elif ttype == 2:
+            argb = _inv_subtract_green(argb)
+        elif ttype == 1:
+            argb = _inv_color_transform(argb, data, bits, xsize, h)
+        else:
+            argb = _inv_predictor(argb, data, bits, xsize, h)
+    return argb
 
-    green_dec = _read_code(br, 256 + 24 + (1 << cache_bits if cache_bits else 0))
-    red_dec = _read_code(br, 256)
-    blue_dec = _read_code(br, 256)
-    alpha_dec = _read_code(br, 256)
-    dist_dec = _read_code(br, 40)
+
+def _decode_entropy_image(br: _BitReader, w: int, h: int,
+                          allow_meta: bool) -> list:
+    """One entropy-coded image (RFC 9649 §5): color cache, optional
+    meta prefix-code groups (top level only), 5 prefix codes per
+    group, literals / LZ77 / cache references. Returns flat ARGB."""
+    cache_bits = br.read(4) if br.read_bit() else 0
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
+
+    group_of = None
+    mbits = 0
+    ngroups = 1
+    if allow_meta and br.read_bit():
+        mbits = br.read(3) + 2
+        mw = (w + (1 << mbits) - 1) >> mbits
+        mh = (h + (1 << mbits) - 1) >> mbits
+        meta = _decode_entropy_image(br, mw, mh, allow_meta=False)
+        group_of = [((px >> 8) & 0xFFFF) for px in meta]
+        ngroups = max(group_of) + 1 if group_of else 1
+
+    groups = []
+    nlit = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    for _ in range(ngroups):
+        groups.append((_read_code(br, nlit), _read_code(br, 256),
+                       _read_code(br, 256), _read_code(br, 256),
+                       _read_code(br, 40)))
 
     n = w * h
     argb = [0] * n
-    cacheL = cache.tolist() if cache is not None else None
-    shift = 32 - cache_bits if cache_bits else 0
-    # hot loop: decoder LUTs, words and bit position hoisted to locals;
-    # every symbol is one list index, every raw-bit read one shift
-    words = br.words
-    p = br.pos
-    gl, gs = green_dec.lut, green_dec.single
-    rl, rs = red_dec.lut, red_dec.single
-    bl, bs = blue_dec.lut, blue_dec.single
-    al, as_ = alpha_dec.lut, alpha_dec.single
-    dl, ds = dist_dec.lut, dist_dec.single
-    gm = green_dec.mask if gl is not None else 0
-    rm = red_dec.mask if rl is not None else 0
-    bm = blue_dec.mask if bl is not None else 0
-    am = alpha_dec.mask if al is not None else 0
-    dm = dist_dec.mask if dl is not None else 0
     i = 0
+    words = br.words
+    mw_row = (w + (1 << mbits) - 1) >> mbits if group_of else 0
+    gsel = -1
+    gdec = rdec = bdec = adec = ddec = None
+    x = 0
+    y = 0
     while i < n:
-        if gl is None:
-            s = gs
+        if group_of is not None:
+            gi = group_of[(y >> mbits) * mw_row + (x >> mbits)]
         else:
-            e = gl[(words[p >> 3] >> (p & 7)) & gm]
+            gi = 0
+        if gi != gsel:
+            gdec, rdec, bdec, adec, ddec = groups[gi]
+            gsel = gi
+        p = br.pos
+        if gdec.single is not None:
+            s = gdec.single
+        else:
+            e = gdec.lut[(words[p >> 3] >> (p & 7)) & gdec.mask]
             if e == 0:
                 raise ValueError("invalid prefix code in stream")
             s = e & 0xFFF
             p += e >> 12
         if s < 256:                      # literal
-            if rl is None:
-                r = rs
+            if rdec.single is not None:
+                r = rdec.single
             else:
-                e = rl[(words[p >> 3] >> (p & 7)) & rm]
+                e = rdec.lut[(words[p >> 3] >> (p & 7)) & rdec.mask]
                 r = e & 0xFFF
                 p += e >> 12
-            if bl is None:
-                b = bs
+            if bdec.single is not None:
+                b = bdec.single
             else:
-                e = bl[(words[p >> 3] >> (p & 7)) & bm]
+                e = bdec.lut[(words[p >> 3] >> (p & 7)) & bdec.mask]
                 b = e & 0xFFF
                 p += e >> 12
-            if al is None:
-                a = as_
+            if adec.single is not None:
+                a = adec.single
             else:
-                e = al[(words[p >> 3] >> (p & 7)) & am]
+                e = adec.lut[(words[p >> 3] >> (p & 7)) & adec.mask]
                 a = e & 0xFFF
                 p += e >> 12
+            br.pos = p
             px = (a << 24) | (r << 16) | (s << 8) | b
             argb[i] = px
             i += 1
-            if cacheL is not None:
-                cacheL[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
+            if cache is not None:
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
         elif s < 280:                    # LZ77 backref
             code = s - 256
             if code < 4:
@@ -534,12 +610,13 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
             else:
                 nb = (code - 2) >> 1
                 length = (((2 + (code & 1)) << nb)
-                          + ((words[p >> 3] >> (p & 7)) & ((1 << nb) - 1)) + 1)
+                          + ((words[p >> 3] >> (p & 7)) & ((1 << nb) - 1))
+                          + 1)
                 p += nb
-            if dl is None:
-                dcode = ds
+            if ddec.single is not None:
+                dcode = ddec.single
             else:
-                e = dl[(words[p >> 3] >> (p & 7)) & dm]
+                e = ddec.lut[(words[p >> 3] >> (p & 7)) & ddec.mask]
                 dcode = e & 0xFFF
                 p += e >> 12
             if dcode < 4:
@@ -547,35 +624,200 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
             else:
                 nb = (dcode - 2) >> 1
                 plane = (((2 + (dcode & 1)) << nb)
-                         + ((words[p >> 3] >> (p & 7)) & ((1 << nb) - 1)) + 1)
+                         + ((words[p >> 3] >> (p & 7)) & ((1 << nb) - 1))
+                         + 1)
                 p += nb
-            if plane <= 120:
-                raise NotImplementedError(
-                    "neighbor-mapped short distances not implemented")
-            dist = plane - 120
+            br.pos = p
+            if plane > 120:
+                dist = plane - 120
+            else:
+                c = _CODE_TO_PLANE[plane - 1]
+                dist = (c >> 4) * w + (8 - (c & 0xF))
+                if dist < 1:
+                    dist = 1
+            if dist > i:
+                raise ValueError("VP8L backref before image start")
             length = min(length, n - i)
-            if cacheL is None and dist >= length:
-                # non-overlapping copy, no cache bookkeeping: one slice
+            if cache is None and group_of is None and dist >= length:
                 argb[i:i + length] = argb[i - dist:i - dist + length]
                 i += length
+                x += length
+                y += x // w
+                x %= w
             else:
                 for _ in range(length):
                     px = argb[i - dist]
                     argb[i] = px
-                    if cacheL is not None:
-                        cacheL[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
+                    if cache is not None:
+                        cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> shift] = px
                     i += 1
-        else:                            # color cache
-            px = cacheL[s - 280]
-            argb[i] = px
+                    x += 1
+                    if x == w:
+                        x = 0
+                        y += 1
+        else:                            # color cache reference
+            br.pos = p
+            argb[i] = cache[s - 280]
             i += 1
-    br.pos = p
+            x += 1
+            if x == w:
+                x = 0
+                y += 1
+    return argb
 
-    argb = np.array(argb, dtype=np.uint32).reshape(h, w)
-    r = ((argb >> 16) & 0xFF).astype(np.int64)
-    g = ((argb >> 8) & 0xFF).astype(np.int64)
-    b = (argb & 0xFF).astype(np.int64)
-    if subtract_green:
-        r = (r + g) & 0xFF
-        b = (b + g) & 0xFF
-    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+# RFC 9649 §5.2.2 short-distance neighbor map: entry = (dy<<4)|(8-dx)
+_CODE_TO_PLANE = (
+    24, 7, 23, 25, 40, 6, 39, 41, 22, 26, 38, 42, 56, 5, 55, 57, 21, 27,
+    54, 58, 37, 43, 72, 4, 71, 73, 20, 28, 53, 59, 70, 74, 36, 44, 88,
+    69, 75, 52, 60, 3, 87, 89, 19, 29, 86, 90, 35, 45, 68, 76, 85, 91,
+    51, 61, 104, 2, 103, 105, 18, 30, 102, 106, 34, 46, 84, 92, 67, 77,
+    101, 107, 50, 62, 120, 1, 119, 121, 83, 93, 17, 31, 100, 108, 66,
+    78, 118, 122, 33, 47, 117, 123, 49, 63, 99, 109, 82, 94, 0, 116,
+    124, 65, 79, 16, 32, 98, 110, 48, 115, 125, 81, 95, 64, 114, 126,
+    97, 111, 80, 113, 127, 96, 112)
+
+
+# ------------------------------------------------------ inverse transforms
+
+def _inv_subtract_green(argb: list) -> list:
+    a = np.array(argb, dtype=np.uint32)
+    g = (a >> 8) & 0xFF
+    r = (((a >> 16) & 0xFF) + g) & 0xFF
+    b = ((a & 0xFF) + g) & 0xFF
+    return ((a & 0xFF00FF00) | (r << 16) | b).tolist()
+
+
+def _inv_palette(argb: list, palette: list, wb: int, cur_w: int,
+                 orig_w: int, h: int) -> list:
+    """Color-indexing inverse: green channel holds palette indices,
+    sub-byte-bundled when the palette is small."""
+    npal = len(palette)
+    out = [0] * (orig_w * h)
+    if wb == 0:
+        for i, px in enumerate(argb):
+            idx = (px >> 8) & 0xFF
+            out[i] = palette[idx] if idx < npal else 0
+        return out
+    per = 1 << wb              # pixels per bundled byte
+    ibits = 8 >> wb            # bits per index
+    imask = (1 << ibits) - 1
+    for y in range(h):
+        row = y * cur_w
+        orow = y * orig_w
+        for cx in range(cur_w):
+            bundle = (argb[row + cx] >> 8) & 0xFF
+            base = cx * per
+            for k in range(per):
+                ox = base + k
+                if ox >= orig_w:
+                    break
+                idx = (bundle >> (k * ibits)) & imask
+                out[orow + ox] = palette[idx] if idx < npal else 0
+    return out
+
+
+def _inv_color_transform(argb: list, sub: list, bits: int, w: int,
+                         h: int) -> list:
+    """Per-block color transform inverse (RFC 9649 §4.2.1): the
+    sub-image pixel's blue/green/red bytes carry green_to_red,
+    green_to_blue, red_to_blue as signed 3.5 fixed-point factors."""
+    bw = (w + (1 << bits) - 1) >> bits
+    out = [0] * len(argb)
+    for y in range(h):
+        srow = (y >> bits) * bw
+        row = y * w
+        for x in range(w):
+            px = argb[row + x]
+            cte = sub[srow + (x >> bits)]
+            g2r = (cte & 0xFF) - 256 if (cte & 0xFF) > 127 else cte & 0xFF
+            t = (cte >> 8) & 0xFF
+            g2b = t - 256 if t > 127 else t
+            t = (cte >> 16) & 0xFF
+            r2b = t - 256 if t > 127 else t
+            g = (px >> 8) & 0xFF
+            gs = g - 256 if g > 127 else g
+            r = ((px >> 16) & 0xFF) + ((g2r * gs) >> 5)
+            rs = (r & 0xFF)
+            rs = rs - 256 if rs > 127 else rs
+            b = (px & 0xFF) + ((g2b * gs) >> 5) + ((r2b * rs) >> 5)
+            out[row + x] = (px & 0xFF00FF00) | ((r & 0xFF) << 16) | (b & 0xFF)
+    return out
+
+
+def _avg2_px(a: int, b: int) -> int:
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _inv_predictor(argb: list, sub: list, bits: int, w: int,
+                   h: int) -> list:
+    """Spatial predictor inverse (RFC 9649 §4.2.2): 14 modes, applied
+    per 2^bits block; row 0 is forced to mode 1 (left), column 0 to
+    mode 2 (top), pixel (0,0) to opaque black. Sequential by data
+    dependence (reconstructed neighbors feed the next prediction)."""
+    bw = (w + (1 << bits) - 1) >> bits
+    out = argb  # in place: residual + prediction per pixel
+    for i in range(len(out)):
+        y, x = divmod(i, w)
+        if i == 0:
+            pred = 0xFF000000
+        elif y == 0:
+            pred = out[i - 1]
+        elif x == 0:
+            pred = out[i - w]
+        else:
+            mode = (sub[(y >> bits) * bw + (x >> bits)] >> 8) & 0xFF
+            L = out[i - 1]
+            T = out[i - w]
+            TR = out[i - w + 1]   # x==w-1 wraps to row start (spec quirk)
+            TL = out[i - w - 1]
+            if mode == 0:
+                pred = 0xFF000000
+            elif mode == 1:
+                pred = L
+            elif mode == 2:
+                pred = T
+            elif mode == 3:
+                pred = TR
+            elif mode == 4:
+                pred = TL
+            elif mode == 5:
+                pred = _avg2_px(_avg2_px(L, TR), T)
+            elif mode == 6:
+                pred = _avg2_px(L, TL)
+            elif mode == 7:
+                pred = _avg2_px(L, T)
+            elif mode == 8:
+                pred = _avg2_px(TL, T)
+            elif mode == 9:
+                pred = _avg2_px(T, TR)
+            elif mode == 10:
+                pred = _avg2_px(_avg2_px(L, TL), _avg2_px(T, TR))
+            elif mode == 11:
+                pab = 0
+                for sh in (24, 16, 8, 0):
+                    tc = (T >> sh) & 0xFF
+                    lc = (L >> sh) & 0xFF
+                    tlc = (TL >> sh) & 0xFF
+                    pab += abs(lc - tlc) - abs(tc - tlc)
+                pred = T if pab <= 0 else L
+            elif mode == 12:
+                pred = 0
+                for sh in (24, 16, 8, 0):
+                    v = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) \
+                        - ((TL >> sh) & 0xFF)
+                    pred |= (0 if v < 0 else (255 if v > 255 else v)) << sh
+            else:  # mode 13
+                av = _avg2_px(L, T)
+                pred = 0
+                for sh in (24, 16, 8, 0):
+                    a = (av >> sh) & 0xFF
+                    d = a - ((TL >> sh) & 0xFF)
+                    v = a + (d // 2 if d >= 0 else -((-d) // 2))
+                    pred |= (0 if v < 0 else (255 if v > 255 else v)) << sh
+        px = out[i]
+        out[i] = ((((px >> 24) + (pred >> 24)) & 0xFF) << 24) | \
+                 ((((px >> 16) + (pred >> 16)) & 0xFF) << 16) | \
+                 ((((px >> 8) + (pred >> 8)) & 0xFF) << 8) | \
+                 ((px + pred) & 0xFF)
+    return out
