@@ -19,8 +19,11 @@ Reader — classic TIFF, II and MM byte orders:
   * geo: ModelPixelScale+ModelTiepoint or ModelTransformation →
     GDAL-style (x0, rx, 0, y0, 0, -ry); GeoKeyDirectory → EPSG
     (GeographicType 2048 / ProjectedCSType 3072); GDAL_NODATA
-  * BigTIFF, planar (PlanarConfig=2) and subsampled-YCbCr raise
-    NotImplementedError — honest limits, never a garbage parse.
+  * BigTIFF (43-magic, 8-byte offsets, LONG8/SLONG8/IFD8) — the
+    layout 100 TB-era rasters actually ship — both read and written
+    (encode(bigtiff=True)); planar (PlanarConfig=2) and
+    subsampled-YCbCr raise NotImplementedError — honest limits,
+    never a garbage parse.
 
 Writer — classic little-endian, single IFD, strips: none or deflate,
 1- or 3-sample, all reader dtypes, ModelPixelScale/Tiepoint +
@@ -48,28 +51,61 @@ _T_GEOKEYS, _T_GEODOUBLES, _T_GEOASCII = 34735, 34736, 34737
 _T_GDAL_NODATA = 42113
 
 _TYPE_FMT = {1: "B", 2: "s", 3: "H", 4: "I", 5: "II", 6: "b", 7: "B",
-             8: "h", 9: "i", 10: "ii", 11: "f", 12: "d"}
+             8: "h", 9: "i", 10: "ii", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
-              10: 8, 11: 4, 12: 8}
+              10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 
 
-def _read_ifd(buf: bytes, bo: str):
-    """First IFD → {tag: tuple(values)} (rationals as float)."""
-    off = struct.unpack(bo + "I", buf[4:8])[0]
-    if off + 2 > len(buf):
-        raise ValueError("truncated TIFF (no IFD)")
-    n = struct.unpack(bo + "H", buf[off:off + 2])[0]
-    if off + 2 + 12 * n > len(buf):
+def _sniff(buf: bytes):
+    """TIFF header → (byte order, is_bigtiff). Classic 42 and BigTIFF
+    43 headers (BigTIFF: 8-byte offsets, 20-byte IFD entries)."""
+    if buf[:4] == b"II*\0":
+        return "<", False
+    if buf[:4] == b"MM\0*":
+        return ">", False
+    if buf[:2] == b"II" and buf[2:4] == b"+\0":
+        bo = "<"
+    elif buf[:2] == b"MM" and buf[2:4] == b"\0+":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF file")
+    if struct.unpack(bo + "HH", buf[4:8]) != (8, 0):
+        raise ValueError("malformed BigTIFF header")
+    return bo, True
+
+
+def _read_ifd(buf: bytes, bo: str, big: bool = False):
+    """First IFD → {tag: tuple(values)} (rationals as float). Handles
+    classic (12-byte entries, 4-byte offsets) and BigTIFF (20-byte
+    entries, 8-byte offsets, LONG8/SLONG8/IFD8 types)."""
+    if big:
+        off = struct.unpack(bo + "Q", buf[8:16])[0]
+        if off + 8 > len(buf):
+            raise ValueError("truncated TIFF (no IFD)")
+        n = struct.unpack(bo + "Q", buf[off:off + 8])[0]
+        ent0, esz, inline = off + 8, 20, 8
+    else:
+        off = struct.unpack(bo + "I", buf[4:8])[0]
+        if off + 2 > len(buf):
+            raise ValueError("truncated TIFF (no IFD)")
+        n = struct.unpack(bo + "H", buf[off:off + 2])[0]
+        ent0, esz, inline = off + 2, 12, 4
+    if ent0 + esz * n > len(buf):
         raise ValueError("truncated TIFF (IFD overruns buffer)")
     tags: dict[int, tuple] = {}
     for i in range(n):
-        e = off + 2 + 12 * i
-        tag, typ, cnt = struct.unpack(bo + "HHI", buf[e:e + 8])
+        e = ent0 + esz * i
+        if big:
+            tag, typ, cnt = struct.unpack(bo + "HHQ", buf[e:e + 12])
+        else:
+            tag, typ, cnt = struct.unpack(bo + "HHI", buf[e:e + 8])
         if typ not in _TYPE_SIZE:
             continue
         size = _TYPE_SIZE[typ] * cnt
-        voff = e + 8 if size <= 4 else struct.unpack(bo + "I",
-                                                     buf[e + 8:e + 12])[0]
+        vpos = e + (12 if big else 8)
+        voff = vpos if size <= inline else struct.unpack(
+            bo + ("Q" if big else "I"), buf[vpos:vpos + inline])[0]
         raw = buf[voff:voff + size]
         if len(raw) < size:
             raise ValueError(f"truncated TIFF tag {tag}")
@@ -187,15 +223,8 @@ def read_info(buf: bytes) -> dict:
     epsg, nodata} without touching (or decompressing) a single pixel —
     the ingest path of a 100 TB tile table reads tags, not rasters."""
     buf = bytes(buf)
-    if buf[:4] == b"II*\0":
-        bo = "<"
-    elif buf[:4] == b"MM\0*":
-        bo = ">"
-    elif buf[:2] in (b"II", b"MM") and buf[2:4] in (b"+\0", b"\0+"):
-        raise NotImplementedError("BigTIFF")
-    else:
-        raise ValueError("not a TIFF file")
-    t = _read_ifd(buf, bo)
+    bo, big = _sniff(buf)
+    t = _read_ifd(buf, bo, big)
     bps = int(t.get(_T_BPS, (1,))[0])
     sfmt = int(t.get(_T_SFMT, (1,))[0])
     info = {"w": int(t[_T_WIDTH][0]), "h": int(t[_T_LENGTH][0]),
@@ -233,15 +262,8 @@ def decode(buf: bytes):
     and info = {gt_x0, gt_rx, gt_y0, gt_ry, epsg, nodata} (None where
     the file carries no such tag)."""
     buf = bytes(buf)
-    if buf[:4] == b"II*\0":
-        bo = "<"
-    elif buf[:4] == b"MM\0*":
-        bo = ">"
-    elif buf[:2] in (b"II", b"MM") and buf[2:4] in (b"+\0", b"\0+"):
-        raise NotImplementedError("BigTIFF")
-    else:
-        raise ValueError("not a TIFF file")
-    t = _read_ifd(buf, bo)
+    bo, big = _sniff(buf)
+    t = _read_ifd(buf, bo, big)
     w = int(t[_T_WIDTH][0])
     h = int(t[_T_LENGTH][0])
     spp = int(t.get(_T_SPP, (1,))[0])
@@ -342,10 +364,31 @@ def _entry(tag: int, typ: int, values, heap: bytearray, heap_base: int):
     return struct.pack("<HHII", tag, typ, cnt, off)
 
 
+def _entry_big(tag: int, typ: int, values, heap: bytearray,
+               heap_base: int):
+    """BigTIFF 20-byte IFD entry (8-byte count + inline value)."""
+    fmt = _TYPE_FMT[typ]
+    if typ == 2:
+        raw = values.encode("latin1") + b"\0"
+        cnt = len(raw)
+    else:
+        cnt = len(values)
+        raw = struct.pack("<%d%s" % (cnt, fmt), *values)
+    if len(raw) <= 8:
+        return struct.pack("<HHQ", tag, typ, cnt) + raw.ljust(8, b"\0")
+    off = heap_base + len(heap)
+    heap.extend(raw)
+    if len(heap) & 1:
+        heap.append(0)
+    return struct.pack("<HHQQ", tag, typ, cnt, off)
+
+
 def encode(arr: np.ndarray, gt: tuple | None = None,
            epsg: int | None = None, nodata: float | None = None,
-           compression: str = "deflate") -> bytes:
-    """(h,w) or (h,w,spp) array → classic little-endian GeoTIFF.
+           compression: str = "deflate", bigtiff: bool = False) -> bytes:
+    """(h,w) or (h,w,spp) array → little-endian GeoTIFF (classic, or
+    BigTIFF with ``bigtiff=True`` — 8-byte offsets, LONG8 strip
+    tables; the container huge mosaics need).
 
     gt is the engine's (gt_x0, gt_rx, gt_y0, gt_ry) — north-up GDAL
     transform; epsg 4326-style geographic codes land in GeographicType,
@@ -371,16 +414,20 @@ def encode(arr: np.ndarray, gt: tuple | None = None,
                       if compression == "deflate" else raw)
     comp = 8 if compression == "deflate" else 1
 
-    header = b"II*\0" + struct.pack("<I", 8)
-    # lay out: header(8) | IFD | heap | strip data
+    if bigtiff:
+        header = b"II+\0" + struct.pack("<HH", 8, 0) + struct.pack("<Q", 16)
+    else:
+        header = b"II*\0" + struct.pack("<I", 8)
+    off_typ = 16 if bigtiff else 4
+    # lay out: header | IFD | heap | strip data
     tags = [
         (_T_WIDTH, 3, (w,)), (_T_LENGTH, 3, (h,)),
         (_T_BPS, 3, (dtype.itemsize * 8,) * spp),
         (_T_COMP, 3, (comp,)),
         (_T_PHOTO, 3, (2 if spp >= 3 else 1,)),
-        (_T_STRIP_OFF, 4, [0] * len(strips)),        # patched below
+        (_T_STRIP_OFF, off_typ, [0] * len(strips)),   # patched below
         (_T_SPP, 3, (spp,)), (_T_RPS, 3, (rps,)),
-        (_T_STRIP_CNT, 4, [len(s) for s in strips]),
+        (_T_STRIP_CNT, off_typ, [len(s) for s in strips]),
         (_T_PLANAR, 3, (1,)), (_T_SFMT, 3, (sfmt,) * spp),
     ]
     if gt is not None:
@@ -401,8 +448,12 @@ def encode(arr: np.ndarray, gt: tuple | None = None,
     tags.sort(key=lambda e: e[0])
 
     nifd = len(tags)
-    ifd_size = 2 + 12 * nifd + 4
-    heap_base = 8 + ifd_size
+    if bigtiff:
+        ifd_size = 8 + 20 * nifd + 8
+        heap_base = 16 + ifd_size
+    else:
+        ifd_size = 2 + 12 * nifd + 4
+        heap_base = 8 + ifd_size
     # strip offsets depend on the total heap size, which is fixed by the
     # entry COUNT/SIZES alone: write a zero placeholder first (same byte
     # size as the real array), then patch once data_base is known
@@ -413,27 +464,34 @@ def encode(arr: np.ndarray, gt: tuple | None = None,
     for i, (tag, typ, vals) in enumerate(tags):
         if tag == _T_STRIP_OFF:
             strip_entry_idx = i
-            if len(strips) > 1:
+            if len(strips) > 1:      # single offset fits inline
                 strip_heap_pos = len(heap)
-        entries.append(_entry(tag, typ, vals, heap, heap_base))
+        entries.append((_entry_big if bigtiff else _entry)(
+            tag, typ, vals, heap, heap_base))
     data_base = heap_base + len(heap)
     offs = []
     pos = data_base
     for s in strips:
         offs.append(pos)
         pos += len(s) + (len(s) & 1)
+    osz = 8 if bigtiff else 4
+    ofmt = "Q" if bigtiff else "I"
     if strip_heap_pos is None:
-        entries[strip_entry_idx] = struct.pack("<HHII", _T_STRIP_OFF, 4,
-                                               1, offs[0])
+        if bigtiff:
+            entries[strip_entry_idx] = struct.pack(
+                "<HHQQ", _T_STRIP_OFF, off_typ, 1, offs[0])
+        else:
+            entries[strip_entry_idx] = struct.pack(
+                "<HHII", _T_STRIP_OFF, off_typ, 1, offs[0])
     else:
-        heap[strip_heap_pos:strip_heap_pos + 4 * len(offs)] = \
-            struct.pack("<%dI" % len(offs), *offs)
+        heap[strip_heap_pos:strip_heap_pos + osz * len(offs)] = \
+            struct.pack("<%d%s" % (len(offs), ofmt), *offs)
 
     out = bytearray(header)
-    out += struct.pack("<H", nifd)
+    out += struct.pack("<Q" if bigtiff else "<H", nifd)
     for e in entries:
         out += e
-    out += struct.pack("<I", 0)          # no next IFD
+    out += struct.pack("<" + ofmt, 0)    # no next IFD
     out += heap
     for s in strips:
         out += s

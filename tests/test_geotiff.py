@@ -60,8 +60,8 @@ def test_corrupt_and_unsupported_raise():
     buf = bytearray(G.encode(a))
     with pytest.raises(ValueError):
         G.decode(bytes(buf[:40]))
-    with pytest.raises(NotImplementedError):
-        G.decode(b"II+\0" + b"\0" * 40)   # BigTIFF
+    with pytest.raises(ValueError):
+        G.decode(b"II+\0" + b"\0" * 40)   # malformed BigTIFF header
 
 
 # ------------------------------------------------------- libtiff harness
@@ -134,8 +134,9 @@ def test_libtiff_reads_our_writer():
             os.unlink(path)
 
 
-def _libtiff_write(path, a, comp, predictor=None, tiled=False):
-    tif = _TIFF.TIFFOpen(path.encode(), b"w")
+def _libtiff_write(path, a, comp, predictor=None, tiled=False,
+                   bigtiff=False):
+    tif = _TIFF.TIFFOpen(path.encode(), b"w8" if bigtiff else b"w")
     assert tif
     t = ctypes.c_void_p(tif)
     h, w = a.shape
@@ -201,6 +202,64 @@ def test_our_reader_decodes_libtiff_files(comp, predictor, tiled, dtype):
             buf = f.read()
         out, _info = G.decode(buf)
         assert out.dtype == a.dtype
+        assert np.array_equal(out, a)
+    finally:
+        os.unlink(path)
+
+
+def test_bigtiff_roundtrip_self():
+    """BigTIFF (43-magic, 8-byte offsets) — the layout huge mosaics
+    ship — round-trips through encode(bigtiff=True)/decode with
+    georeferencing intact."""
+    for dtype in (np.uint8, np.uint16, np.float32):
+        a = _rand(dtype, (61, 43), seed=17)
+        buf = G.encode(a, gt=GT, epsg=32633, nodata=0.0, bigtiff=True)
+        assert buf[:4] == b"II+\0"
+        out, info = G.decode(buf)
+        assert np.array_equal(out, a)
+        assert info["epsg"] == 32633
+    info = G.read_info(buf)
+    assert (info["w"], info["h"]) == (43, 61)
+
+
+@needs_libtiff
+def test_libtiff_reads_our_bigtiff():
+    a = _rand(np.uint16, (37, 53), seed=9)
+    buf = G.encode(a, bigtiff=True, compression="deflate")
+    with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as f:
+        f.write(buf)
+        path = f.name
+    try:
+        tif = _TIFF.TIFFOpen(path.encode(), b"r")
+        assert tif, "libtiff refused our BigTIFF"
+        out = ctypes.create_string_buffer(53 * 37 * 2)
+        rows = []
+        strip = 0
+        got = 0
+        while got < 37:
+            n = _TIFF.TIFFReadEncodedStrip(ctypes.c_void_p(tif),
+                                           ctypes.c_uint32(strip), out,
+                                           ctypes.c_ssize_t(-1))
+            assert n > 0
+            rows.append(np.frombuffer(out.raw[:n], dtype=np.uint16).copy())
+            got += n // (53 * 2)
+            strip += 1
+        _TIFF.TIFFClose(ctypes.c_void_p(tif))
+        assert np.array_equal(np.concatenate(rows).reshape(37, 53), a)
+    finally:
+        os.unlink(path)
+
+
+@needs_libtiff
+def test_our_reader_decodes_libtiff_bigtiff():
+    a = _rand(np.float32, (37, 53), seed=11)
+    with tempfile.NamedTemporaryFile(suffix=".tif", delete=False) as f:
+        path = f.name
+    try:
+        _libtiff_write(path, a, 8, predictor=3, bigtiff=True)
+        with open(path, "rb") as f:
+            buf = f.read()
+        out, _info = G.decode(buf)
         assert np.array_equal(out, a)
     finally:
         os.unlink(path)
