@@ -23,10 +23,15 @@ public bitstream spec, no wheel needed. Constant tables live in
 raster/vp8_tables.py (RFC 6386 normative values).
 
 Scale notes: decode runs per-row inside Arrow-batched kernels
-(raster/kernels.py) like every other codec here; the scalar token
-loop follows the same local-variable discipline as the VP8L/JPEG
-scalar decoders. WebP rows are deliberately a small share of the
-fixture mix (fixtures.py FMT_P).
+(raster/kernels.py) like every other codec here. The token loop runs
+the boolean decoder inlined on local variables (reader state touched
+once per block) with python-int probability tables, and all of an
+MB's inverse DCTs go through one vectorized numpy batch — ~3x the
+naive method-call loop (PERF.md has measured rates vs libwebp; the
+arithmetic-coded stream is inherently serial, so the remaining gap
+to C is the interpreter, parallelized across rows by the kernel).
+WebP rows are deliberately a small share of the fixture mix
+(fixtures.py FMT_P).
 """
 
 from __future__ import annotations
@@ -59,6 +64,9 @@ _MB_TO_B = {DC_PRED: 0, V_PRED: 2, H_PRED: 3, TM_PRED: 1}
 
 _ZZ = ZIGZAG.tolist()
 _BANDS = list(COEFF_BANDS)
+_COEFF_PROBS_PY = COEFF_PROBS.tolist()
+_UPDATE_PROBS_PY = COEFF_UPDATE_PROBS.tolist()
+_BMODE_PROBS_PY = KF_BMODE_PROBS.tolist()
 
 
 # ------------------------------------------------------------ bool decoder
@@ -160,6 +168,44 @@ def _iwht4x4(coefs) -> list:
         out[ip + 2] = (a1 - b1 + 3) >> 3
         out[ip + 3] = (d1 - c1 + 3) >> 3
     return out
+
+
+def _iwht_batch(c: np.ndarray) -> np.ndarray:
+    """_iwht4x4 vectorized over (k, 16) int64 blocks (bit-exact)."""
+    c = c.reshape(-1, 4, 4)
+    a1 = c[:, 0] + c[:, 3]
+    b1 = c[:, 1] + c[:, 2]
+    c1 = c[:, 1] - c[:, 2]
+    d1 = c[:, 0] - c[:, 3]
+    t = np.stack([a1 + b1, c1 + d1, a1 - b1, d1 - c1], axis=1)
+    a1 = t[:, :, 0] + t[:, :, 3]
+    b1 = t[:, :, 1] + t[:, :, 2]
+    c1 = t[:, :, 1] - t[:, :, 2]
+    d1 = t[:, :, 0] - t[:, :, 3]
+    out = np.stack([(a1 + b1 + 3) >> 3, (c1 + d1 + 3) >> 3,
+                    (a1 - b1 + 3) >> 3, (d1 - c1 + 3) >> 3], axis=2)
+    return out.reshape(-1, 16)
+
+
+def _idct_batch(c: np.ndarray) -> np.ndarray:
+    """_idct4x4 vectorized over (k, 16) int64 blocks (bit-exact —
+    numpy >> is arithmetic, matching the scalar path)."""
+    c = c.reshape(-1, 4, 4)
+
+    def butterfly(r0, r1, r2, r3, rshift):
+        a1 = r0 + r2
+        b1 = r0 - r2
+        cc = ((r1 * 35468) >> 16) - (r3 + ((r3 * 20091) >> 16))
+        d1 = r1 + ((r1 * 20091) >> 16) + ((r3 * 35468) >> 16)
+        if rshift:
+            return ((a1 + d1 + 4) >> 3, (b1 + cc + 4) >> 3,
+                    (b1 - cc + 4) >> 3, (a1 - d1 + 4) >> 3)
+        return (a1 + d1, b1 + cc, b1 - cc, a1 - d1)
+
+    r = butterfly(c[:, 0], c[:, 1], c[:, 2], c[:, 3], False)
+    t = np.stack(r, axis=1)                      # (k, 4 rows, 4 cols)
+    r = butterfly(t[:, :, 0], t[:, :, 1], t[:, :, 2], t[:, :, 3], True)
+    return np.stack(r, axis=2).reshape(-1, 16)
 
 
 def _idct4x4(coefs) -> list:
@@ -311,16 +357,18 @@ def _parse_header(data: bytes):
     _parse_quant(bd, hdr)
     bd.bool(128)  # refresh_entropy_probs (irrelevant for stills)
 
-    # token probability updates (nested python lists for the hot loop)
-    probs = [[[list(COEFF_PROBS[i, j, k]) for k in range(3)]
+    # token probability updates (python-int nested lists for the hot
+    # loop — numpy scalars in the arithmetic would cost ~100x)
+    probs = [[[_COEFF_PROBS_PY[i][j][k][:] for k in range(3)]
               for j in range(8)] for i in range(4)]
-    upd = COEFF_UPDATE_PROBS
     for i in range(4):
         for j in range(8):
+            upd_j = _UPDATE_PROBS_PY[i][j]
             for k in range(3):
                 row = probs[i][j][k]
+                urow = upd_j[k]
                 for m in range(11):
-                    if bd.bool(int(upd[i, j, k, m])):
+                    if bd.bool(urow[m]):
                         row[m] = bd.literal(8)
     hdr.probs = probs
 
@@ -331,53 +379,127 @@ def _parse_header(data: bytes):
 
 # ------------------------------------------------------------ residuals
 
+# token tree walked inline (leaf ids: 0=EOB, 1=zero, 2..5=values 1..4,
+# 6..11 = cat1..6); prob index at node i is i >> 1
+_CT = (
+    0, 2,
+    -1, 4,
+    -2, 6,
+    8, 12,
+    -3, 10,
+    -4, -5,
+    14, 16,
+    -6, -7,
+    18, 20,
+    -8, -9,
+    -10, -11,
+)
+_CAT_EXTRA = tuple((CAT_BASE[c], CAT_PROBS[c]) for c in range(6))
+
+
 def _decode_coeffs(bd, probs2, ctx, first, qdc, qac, out):
     """One block's tokens (RFC 6386 §13.3) → dequantized coeffs in
-    `out` (natural order). Returns stop position n (EOB pos or 16)."""
+    `out` (natural order). Returns stop position n (EOB pos or 16).
+
+    Hot path: the boolean decoder runs inlined on local variables —
+    one attribute load/store of reader state per BLOCK, not per bool
+    (the round-3 JPEG scalar-loop discipline; ~4x the method-call
+    version, pinned bit-exact by the conformance tests)."""
+    value = bd.value
+    r = bd.range
+    bits = bd.bits
+    pos = bd.pos
+    buf = bd.buf
+    nb = bd.n
     n = first
     p = probs2[_BANDS[n]][ctx]
-    bdbool = bd.bool
+    start = 0
     while n < 16:
-        if not bdbool(p[0]):
-            return n
-        while not bdbool(p[1]):  # zero token (skips next EOB check)
+        i = start
+        while True:
+            pb = p[i >> 1]
+            split = 1 + (((r - 1) * pb) >> 8)
+            if value >= (split << 8):
+                value -= split << 8
+                r -= split
+                i = _CT[i + 1]
+            else:
+                r = split
+                i = _CT[i]
+            while r < 128:
+                value <<= 1
+                r <<= 1
+                bits += 1
+                if bits == 8:
+                    bits = 0
+                    if pos < nb:
+                        value |= buf[pos]
+                    pos += 1
+            if i <= 0:
+                tok = -i
+                break
+        if tok == 0:                     # EOB
+            break
+        if tok == 1:                     # zero run
             n += 1
             if n == 16:
-                return 16
+                break
             p = probs2[_BANDS[n]][0]
-        if not bdbool(p[2]):
-            v = 1
-            nctx = 1
+            start = 2                    # skip the EOB branch
+            continue
+        if tok < 6:
+            v = tok - 1
+            nctx = 1 if v == 1 else 2
         else:
             nctx = 2
-            if not bdbool(p[3]):
-                if not bdbool(p[4]):
-                    v = 2
+            base, cps = _CAT_EXTRA[tok - 6]
+            extra = 0
+            for pb in cps:               # extra magnitude bits, MSB first
+                split = 1 + (((r - 1) * pb) >> 8)
+                if value >= (split << 8):
+                    value -= split << 8
+                    r -= split
+                    extra = (extra << 1) | 1
                 else:
-                    v = 3 + bdbool(p[5])
-            else:
-                if not bdbool(p[6]):
-                    if not bdbool(p[7]):
-                        cat = 0
-                    else:
-                        cat = 1
-                else:
-                    if not bdbool(p[8]):
-                        cat = 2 + bdbool(p[9])
-                    else:
-                        cat = 4 + bdbool(p[10])
-                v = CAT_BASE[cat]
-                extra = 0
-                for pr in CAT_PROBS[cat]:
-                    extra = (extra << 1) | bdbool(pr)
-                v += extra
-        if bdbool(128):
+                    r = split
+                    extra <<= 1
+                while r < 128:
+                    value <<= 1
+                    r <<= 1
+                    bits += 1
+                    if bits == 8:
+                        bits = 0
+                        if pos < nb:
+                            value |= buf[pos]
+                        pos += 1
+            v = base + extra
+        # sign bit (prob 128)
+        split = 1 + (((r - 1) * 128) >> 8)
+        if value >= (split << 8):
+            value -= split << 8
+            r -= split
             v = -v
+        else:
+            r = split
+        while r < 128:
+            value <<= 1
+            r <<= 1
+            bits += 1
+            if bits == 8:
+                bits = 0
+                if pos < nb:
+                    value |= buf[pos]
+                pos += 1
         out[_ZZ[n]] = v * (qdc if n == 0 else qac)
         n += 1
         if n < 16:
             p = probs2[_BANDS[n]][nctx]
-    return 16
+        start = 0
+    bd.value = value
+    bd.range = r
+    bd.bits = bits
+    bd.pos = pos
+    return n
 
 
 # ------------------------------------------------------------ prediction
@@ -684,7 +806,7 @@ def decode_planes(data: bytes):
                         a = ab[sx] if sy == 0 else bmodes[(sy - 1) * 4 + sx]
                         lm = left_bm[sy] if sx == 0 else bmodes[sy * 4 + sx - 1]
                         bmodes[sy * 4 + sx] = bd.tree(
-                            BMODE_TREE, KF_BMODE_PROBS[a, lm])
+                            BMODE_TREE, _BMODE_PROBS_PY[a][lm])
             else:
                 bmodes = [_MB_TO_B[ymode]] * 16
             above_bm[mbx] = bmodes[12:16]
@@ -765,18 +887,25 @@ def decode_planes(data: bytes):
             yx, yy = 1 + mbx * 16, 1 + mby * 16
             cx, cy = 1 + mbx * 8, 1 + mby * 8
             have_a, have_l = mby > 0, mbx > 0
+            # batch all coded blocks' inverse DCTs for this MB at once
+            nz_bi = [bi for bi in range(24) if blocks[bi] is not None]
+            res4 = {}
+            if nz_bi:
+                batch = _idct_batch(np.array([blocks[bi] for bi in nz_bi],
+                                             dtype=np.int64))
+                for k, bi in enumerate(nz_bi):
+                    res4[bi] = batch[k]
+
             if ymode != B_PRED:
                 pred = _pred16(ymode, Y[yy - 1, yx:yx + 16],
                                Y[yy:yy + 16, yx - 1], Y[yy - 1, yx - 1],
                                have_a, have_l, 16)
                 for bi in range(16):
-                    blk = blocks[bi]
-                    if blk is None:
+                    if bi not in res4:
                         continue
                     r0, c0 = (bi >> 2) * 4, (bi & 3) * 4
-                    res = np.array(_idct4x4(blk),
-                                   dtype=np.int32).reshape(4, 4)
-                    pred[r0:r0 + 4, c0:c0 + 4] += res
+                    pred[r0:r0 + 4, c0:c0 + 4] += \
+                        res4[bi].reshape(4, 4).astype(np.int32)
                 Y[yy:yy + 16, yx:yx + 16] = np.clip(pred, 0, 255)
             else:
                 # working buffer rows -1..15, cols -1..19
@@ -801,9 +930,8 @@ def decode_planes(data: bytes):
                     lcol = wb[r0:r0 + 4, c0 - 1].tolist()
                     xal = int(wb[r0 - 1, c0 - 1])
                     p4 = _pred4(bmodes[bi], arow, lcol, xal)
-                    blk = blocks[bi]
-                    if blk is not None:
-                        res = _idct4x4(blk)
+                    if bi in res4:
+                        res = res4[bi].tolist()
                         for r in range(4):
                             pr = p4[r]
                             ro = r * 4
@@ -822,13 +950,11 @@ def decode_planes(data: bytes):
                                have_a, have_l, 8)
                 base = 16 + pl * 4
                 for bi in range(4):
-                    blk = blocks[base + bi]
-                    if blk is None:
+                    if base + bi not in res4:
                         continue
                     r0, c0 = (bi >> 1) * 4, (bi & 1) * 4
-                    res = np.array(_idct4x4(blk),
-                                   dtype=np.int32).reshape(4, 4)
-                    pred[r0:r0 + 4, c0:c0 + 4] += res
+                    pred[r0:r0 + 4, c0:c0 + 4] += \
+                        res4[base + bi].reshape(4, 4).astype(np.int32)
                 P[py:py + 8, px:px + 8] = np.clip(pred, 0, 255)
 
         # right pad for next row's above-right reads (replicates the
