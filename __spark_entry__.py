@@ -491,8 +491,9 @@ def q_jpeg_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic photo-like images seeded by doc_id are encoded as
     baseline 4:4:4 / 4:2:0, progressive, restart-interval JPEG,
     ARITHMETIC-coded JPEG (SOF9, round-4 raster/jpeg_arith.py),
-    lossless VP8L WebP and lossy VP8 WebP (variant = doc_id % 8; the
-    lossy variant routes through the system libwebp when present,
+    lossless VP8L WebP, lossy VP8 WebP, HEIC (HEVC-in-HEIF) and AVIF
+    (AV1) (variant = doc_id % 10; lossy VP8 routes through the system
+    libwebp and heic/avif through the system libheif when present,
     falling back to lossless deterministically), then flow through the REAL
     Arrow verify kernel (decode → phash match → re-encode PSNR≥40 →
     caption check) — plus a decode-vs-ORIGINAL-pixels PSNR≥40 check
@@ -514,8 +515,25 @@ def q_jpeg_decode_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 prng = __import__("numpy").random.default_rng(d * 7_919 + 11)
                 arr = _gen_pixels(prng, 32, 32, "jpeg", sigma=1.5)
-                v = d % 8
-                if v == 7:
+                v = d % 10
+                if v in (8, 9):
+                    # HEIC (HEVC) / AVIF (AV1) through the system
+                    # libheif (raster/native_heif.py); deterministic
+                    # lossless-png fallback when the codec is absent
+                    from gis_tools_spark.raster import native_heif
+
+                    fmt = "heic" if v == 8 else "avif"
+                    comp = (native_heif.HEVC if v == 8
+                            else native_heif.AV1)
+                    if (native_heif.available(comp)
+                            and native_heif.available(comp, encode=True)):
+                        buf = rcodec.encode(arr, fmt)
+                        dec = rcodec.decode(buf, 32, 32, fmt)
+                    else:
+                        fmt = "png"
+                        buf = rcodec.encode(arr, fmt)
+                        dec = rcodec.decode(buf, 32, 32, fmt)
+                elif v == 7:
                     # arithmetic entropy coding (T.81 QM coder)
                     buf = jpeg.encode(arr, 95, arithmetic=True)
                     dec = jpeg.decode(buf)
@@ -2453,7 +2471,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jpeg_decode_verify": """
             SELECT doc_id,
-                   CAST(doc_id % 8 AS INTEGER) AS variant,
+                   CAST(doc_id % 10 AS INTEGER) AS variant,
                    TRUE AS ok_verify,
                    TRUE AS ok_psnr
             FROM documents

@@ -28,11 +28,13 @@ N_HOTSPOTS = 12
 # ------------------------------------------------------------------ images
 
 # Default fixture format mix (round-4: jpeg/webp are now first-class in
-# the gate/bench image tables — round-3 verdict "What's missing" #1c).
+# the gate/bench image tables — round-3 verdict "What's missing" #1c;
+# this session adds heic/avif through the system libheif binding —
+# the two formats a 2020s crawl adds on top of the JPEG bulk).
 # Real crawls are mostly JPEG; webp is weighted low because the VP8L
 # decoder is the slowest kernel in the codec family.
-FMT_MIX = ("raw", "png", "jpeg", "webp")
-FMT_P = (0.25, 0.40, 0.30, 0.05)
+FMT_MIX = ("raw", "png", "jpeg", "webp", "heic", "avif")
+FMT_P = (0.22, 0.37, 0.30, 0.05, 0.03, 0.03)
 
 
 def _gen_pixels(prng: np.random.Generator, h: int, w: int, f: str,
@@ -40,7 +42,7 @@ def _gen_pixels(prng: np.random.Generator, h: int, w: int, f: str,
     """Deterministic pixels: a smooth sinusoid field for jpeg rows
     (photo-like content that quantizes to PSNR≥40, and a realistic
     entropy-decode workload) — uniform noise for lossless formats."""
-    if f in ("jpeg", "webp"):
+    if f in ("jpeg", "webp", "heic", "avif"):
         x, y = np.meshgrid(np.arange(w), np.arange(h))
         base = np.full((h, w), 127.0)
         # three harmonics with random orientation/frequency/phase keep
@@ -96,6 +98,12 @@ def _encode_image(prng: np.random.Generator, arr: np.ndarray, f: str):
             return buf, codec.phash64(webp.decode(buf))
         buf = webp.encode(arr)
         return buf, codec.phash64(arr)
+    if f in ("heic", "avif"):
+        # system-libheif lossy rows: stored phash is of the DECODED
+        # pixels (same contract as lossy jpeg/webp rows)
+        buf = codec.encode(arr, f)
+        return buf, codec.phash64(codec.decode(buf, arr.shape[1],
+                                               arr.shape[0], f))
     buf = codec.encode(arr, f)
     return buf, codec.phash64(arr)
 

@@ -236,6 +236,15 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         from . import bmp
 
         return bmp.decode(buf)
+    if fmt in ("heic", "avif"):
+        from . import native_heif
+
+        if not native_heif.available(
+                native_heif.AV1 if fmt == "avif" else native_heif.HEVC):
+            raise NotImplementedError(
+                f"{fmt}: system libheif (with the codec plugin) is "
+                "required — not present in this environment")
+        return native_heif.decode(buf)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -270,6 +279,16 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         from . import bmp
 
         return bmp.encode(arr)
+    if fmt in ("heic", "avif"):
+        from . import native_heif
+
+        if not native_heif.available(
+                native_heif.AV1 if fmt == "avif" else native_heif.HEVC,
+                encode=True):
+            raise NotImplementedError(
+                f"{fmt}: system libheif (with the codec plugin) is "
+                "required — not present in this environment")
+        return native_heif.encode(arr, codec=fmt)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -18,8 +18,10 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from . import codec
 
 # formats where decode(encode(x)) != x — the only ones the north-rule
-# PSNR>=40 re-encode check applies to
-LOSSY_FMTS = ("jpeg", "jpg", "dct")
+# PSNR>=40 re-encode check applies to (heic/avif route through system
+# libheif; their RGB→limited-range-YCbCr conversion makes even the
+# "lossless" encoder mode inexact, so they are always on this path)
+LOSSY_FMTS = ("jpeg", "jpg", "dct", "heic", "avif")
 
 
 def decode_phash_udf():

@@ -27,7 +27,8 @@ import posixpath
 import tarfile
 from typing import Iterator
 
-_IMG_EXT = {"jpg", "jpeg", "png", "webp", "gif", "ppm", "bmp"}
+_IMG_EXT = {"jpg", "jpeg", "png", "webp", "gif", "ppm", "bmp",
+            "heic", "heif", "avif"}
 _MAGIC = ((b"\xff\xd8\xff", "jpeg"), (b"\x89PNG\r\n\x1a\n", "png"),
           (b"RIFF", "webp"), (b"GIF8", "gif"), (b"BM", "bmp"))
 
@@ -36,6 +37,11 @@ def sniff_image_format(buf: bytes) -> str | None:
     for magic, fmt in _MAGIC:
         if buf[:len(magic)] == magic:
             return fmt
+    if len(buf) >= 12 and buf[4:8] == b"ftyp":
+        # ISO-BMFF still image (HEIC/AVIF) — brand check, no decode
+        from ..raster import native_heif
+
+        return native_heif.probe(buf)
     return None
 
 
