@@ -296,6 +296,15 @@ def gen_lines(n: int = 64, seed: int = SEED) -> pd.DataFrame:
 
 # ------------------------------------------------------------------ video / audio
 
+def _hevc_ok() -> bool:
+    """System HEVC codec path usable (libheif/x265 + libde265)?"""
+    try:
+        from .raster import native_hevc as _nh
+        return _nh.available() and _nh.available(encode=True)
+    except Exception:
+        return False
+
+
 def gen_videos(n: int = 8, n_frames: int = 24, w: int = 32, h: int = 24,
                seed: int = SEED) -> pd.DataFrame:
     """Deterministic ``rawvid`` fixtures: frame f of video i is a
@@ -309,7 +318,14 @@ def gen_videos(n: int = 8, n_frames: int = 24, w: int = 32, h: int = 24,
             base = ((xx * 3 + yy * 5 + i * 17 + f * 11) % 256).astype(np.uint8)
             base[f % h, (i + f) % w] = 255
             frames[f] = base
-        if i % 2 == 1:
+        if i % 4 == 3 and _hevc_ok():
+            # real compressed video (mp4 hvc1 track) when the system
+            # codec libraries are present; deterministic source frames
+            # stay the closed-form oracle (lossy: PSNR-checked)
+            from .raster import native_hevc as _nh
+            buf = _nh.encode_mp4_gray(list(frames), fps=12.0, quality=90)
+            rows.append((f"vid{i:06d}", buf, n_frames, w, h, "mp4", 12.0))
+        elif i % 2 == 1:
             from .raster import mp4 as _mp4
             buf = _mp4.write_mp4([frames[f].tobytes()
                                   for f in range(n_frames)],

@@ -12,9 +12,10 @@ which resizes geo-rasters) — the build brief asks for the media ops a
   output schema, so the plumbing (partitioning, batch shape, schema)
   is exactly what a real cluster runs;
 * decode is REAL for the engine's own codecs (raw/raw_f32/png/dct/
-  jpeg/webp images, ``rawvid`` concatenated-frame video,
-  ``pcm_f32``/``pcm_s16`` audio) and raises a clearly-marked
-  ``NotImplementedError`` for wheel-bound codecs (h264/vp9/mp3/flac) —
+  jpeg/webp images, ``rawvid`` concatenated-frame video, mp4 ``hvc1``
+  all-intra HEVC via raster/native_hevc.py (libde265),
+  ``pcm_f32``/``pcm_s16``/mp3 audio) and raises a clearly-marked
+  ``NotImplementedError`` for wheel-bound codecs (h264/vp9/flac) —
   the Spark-side plumbing is identical either way.
 """
 
@@ -163,7 +164,13 @@ def sample_video_frames(df: DataFrame, *, every_n: int | None = None,
 
                     info = _mp4.probe(r.bytes)
                     v = next(t for t in info["tracks"] if t["kind"] == "vide")
-                    if v["codec"] != "rawg":
+                    if v["codec"] == "hvc1":
+                        from . import native_hevc as _nh
+
+                        if not _nh.available():
+                            raise NotImplementedError(
+                                "mp4 hvc1 decode needs libde265 (absent)")
+                    elif v["codec"] != "rawg":
                         raise NotImplementedError(
                             f"mp4 codec {v['codec']!r} requires a decoder "
                             "wheel absent in this sandbox (container "
@@ -177,6 +184,14 @@ def sample_video_frames(df: DataFrame, *, every_n: int | None = None,
                                         .astype(np.int64))
                     payloads = _mp4.extract_samples(r.bytes, idx,
                                                     v["track_id"])
+                    if v["codec"] == "hvc1":
+                        # all-intra HEVC: only the kept samples are
+                        # sliced out of mdat and decoded
+                        hvcc = _mp4.sample_entry_config(
+                            r.bytes, b"hvcC", v["track_id"])
+                        payloads = [f.tobytes() for f in
+                                    _nh.decode_samples_gray(
+                                        payloads, hvcc, size=(h, w))]
                     fps = v["n_samples"] / v["duration_s"] \
                         if v["duration_s"] else 0.0
                     for fi, payload in zip(idx, payloads):

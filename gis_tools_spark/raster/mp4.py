@@ -231,14 +231,48 @@ def extract_samples(data: bytes, indices, track_id: int | None = None
     return out
 
 
+def sample_entry_config(data: bytes, fourcc: bytes,
+                        track_id: int | None = None) -> bytes:
+    """Payload of a codec-config child box (``hvcC``, ``avcC``, …)
+    inside a track's stsd visual sample entry. Child boxes start after
+    the 78 fixed VisualSampleEntry bytes (86 with the box header)."""
+    data = bytes(data)
+    moov = _find(data, 0, len(data), b"moov")
+    if moov is None:
+        raise Mp4Error("missing moov")
+    for ta, tb in _find_all(data, moov[0], moov[1], b"trak"):
+        tkhd = _find(data, ta, tb, b"tkhd")
+        ver, p = _fullbox(data, tkhd[0])
+        tid_off = p + (16 if ver == 1 else 8)
+        tid = int.from_bytes(data[tid_off:tid_off + 4], "big")
+        if track_id is not None and tid != track_id:
+            continue
+        stsd = _find(data, ta, tb, b"mdia", b"minf", b"stbl", b"stsd")
+        if stsd is None or int.from_bytes(data[stsd[0] + 4:stsd[0] + 8],
+                                          "big") < 1:
+            raise Mp4Error("missing stsd entry")
+        ea = stsd[0] + 8
+        esz = int.from_bytes(data[ea:ea + 4], "big")
+        for typ, a, b in _boxes(data, ea + 86, ea + esz):
+            if typ == fourcc:
+                return data[a:b]
+        raise Mp4Error(f"no {fourcc!r} box in sample entry")
+    raise Mp4Error(f"track {track_id!r} not found")
+
+
 # ------------------------------------------------------------------ writer
 
 def write_mp4(frames: list[bytes], *, codec: str = "rawg", w: int, h: int,
               fps: float = 12.0, timescale: int = 1200,
-              keyframe_every: int = 8, chunk_sizes=(3, 5)) -> bytes:
+              keyframe_every: int = 8, chunk_sizes=(3, 5),
+              sample_entry_extra: bytes = b"") -> bytes:
     """Minimal single-video-track ISO-BMFF writer (fixtures + sink).
     Non-trivial chunking (alternating chunk sizes) and stss marks so
-    the reader's stsc/stco/stss expansion is genuinely exercised."""
+    the reader's stsc/stco/stss expansion is genuinely exercised.
+
+    ``sample_entry_extra`` is appended inside the visual sample entry —
+    the codec-config child box (e.g. a complete ``hvcC`` box for an
+    ``hvc1`` track, built by raster/native_hevc.py)."""
 
     def box(typ: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + typ + payload
@@ -273,12 +307,14 @@ def write_mp4(frames: list[bytes], *, codec: str = "rawg", w: int, h: int,
         keys = list(range(1, n + 1, keyframe_every))
         stss = box(b"stss", struct.pack(">II", 0, len(keys))
                    + b"".join(struct.pack(">I", k) for k in keys))
-        entry = (struct.pack(">I", 86) + codec.encode("latin1")[:4].ljust(4)
+        entry = (struct.pack(">I", 86 + len(sample_entry_extra))
+                 + codec.encode("latin1")[:4].ljust(4)
                  + b"\x00" * 6 + struct.pack(">H", 1)
                  + b"\x00" * 16 + struct.pack(">HH", w, h)
                  + struct.pack(">II", 0x480000, 0x480000)
                  + struct.pack(">I", 0) + struct.pack(">H", 1)
-                 + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+                 + b"\x00" * 32 + struct.pack(">Hh", 24, -1)
+                 + sample_entry_extra)
         stsd = box(b"stsd", struct.pack(">II", 0, 1) + entry)
         stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
         url = box(b"url ", struct.pack(">I", 1))
