@@ -647,6 +647,97 @@ def q_audio_mp3_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "ok_len boolean, ok_zcr boolean")
 
 
+def _video_frames_for(doc_id: int, n: int = 6, h: int = 32,
+                      w: int = 48) -> list:
+    """Deterministic smooth photo-like gray frames seeded by doc_id
+    (smooth content so lossy-HEVC PSNR is a meaningful invariant)."""
+    import numpy as np
+
+    x = np.linspace(0, 4 * np.pi, w)
+    y = np.linspace(0, 4 * np.pi, h)
+    prng = np.random.default_rng(doc_id * 6_271 + 3)
+    a1, a2 = prng.uniform(0.4, 1.1, 2)
+    out = []
+    for k in range(n):
+        f = 127 + 80 * (np.sin(x[None, :] * a1 + k * 0.7)
+                        * np.cos(y[:, None] * a2 + k))
+        out.append(np.clip(f, 0, 255).astype(np.uint8))
+    return out
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end compressed-video gate (round-4: raster/native_hevc.py
+    + raster/mp4.py + media.sample_video_frames): deterministic gray
+    frame sequences seeded by doc_id are encoded as all-intra HEVC and
+    packaged into real mp4 ``hvc1`` tracks (x265 via the system
+    libheif; when either codec library is absent the row falls back
+    deterministically to the engine's lossless ``rawvid`` container, so
+    the gate's invariant is unchanged), then flow through the REAL
+    distributed frame-sampling operator — mp4 probe, sample-table
+    slice of ONLY the kept frames out of mdat, libde265 decode — and
+    each sampled frame is verified against the regenerated source at
+    PSNR >= 40 dB, which fails on any container-offset, bitstream or
+    reconstruction corruption. Covers the build brief's video
+    frame-sample multimodal op (the reference has no video path —
+    raster.py:158-165 is its closest raster-decode analog). The oracle
+    states the invariant closed-form: frames 0/2/4 of every video
+    verify TRUE."""
+    _tune(spark)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 7 = 0").select("doc_id"))
+
+    def _gen(it):
+        from gis_tools_spark.raster import native_hevc as _nh
+
+        have = _nh.available() and _nh.available(encode=True)
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = _video_frames_for(d)
+                if have:
+                    buf = _nh.encode_mp4_gray(frames, fps=6.0, quality=92)
+                    fmt = "mp4"
+                else:
+                    buf = b"".join(f.tobytes() for f in frames)
+                    fmt = "rawvid"
+                rows.append((f"vid{d:09d}", buf, len(frames),
+                             48, 32, fmt, 6.0, d))
+            yield pd.DataFrame(rows, columns=[
+                "video_id", "bytes", "n_frames", "w", "h", "fmt",
+                "fps", "doc_id"])
+
+    vids = docs.repartition(8).mapInPandas(
+        _gen, schema="video_id string, bytes binary, n_frames int, "
+                     "w int, h int, fmt string, fps double, doc_id long")
+
+    from gis_tools_spark.raster.media import sample_video_frames
+
+    fr = sample_video_frames(vids, every_n=2)
+
+    def _check(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.video_id[3:])
+                fi = int(r.frame_index)
+                orig = _video_frames_for(d)[fi]
+                dec = np.frombuffer(bytes(r.bytes), np.uint8).reshape(
+                    int(r.h), int(r.w))
+                mse = float(np.mean((orig.astype(float)
+                                     - dec.astype(float)) ** 2))
+                psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+                rows.append((d, fi, bool(psnr >= 40.0)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_index", "ok_psnr"])
+
+    return fr.mapInPandas(
+        _check, schema="doc_id long, frame_index int, ok_psnr boolean")
+
+
 def q_exif_gps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF ingest gate (round-4: raster/exif.py — the crawl->geotable
     step of the north-star pipeline): per doc_id a real JPEG gets an
@@ -1750,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icetable_scan": q_icetable_scan,
         "jpeg_decode_verify": q_jpeg_decode_verify,
         "audio_mp3_verify": q_audio_mp3_verify,
+        "video_frames": q_video_frames,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "exif_gps": q_exif_gps,
         "substring_spans": q_substring_spans,
@@ -2476,6 +2568,13 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ok_psnr
             FROM documents
             WHERE doc_id % 13 = 0
+        """,
+        "video_frames": """
+            SELECT doc_id,
+                   CAST(t.fi AS INTEGER) AS frame_index,
+                   TRUE AS ok_psnr
+            FROM documents, (VALUES (0), (2), (4)) AS t(fi)
+            WHERE doc_id % 7 = 0
         """,
         "audio_mp3_verify": """
             SELECT doc_id,
