@@ -964,6 +964,49 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_windows").cast("long").alias("n_windows"))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over documents (operators/pii.py) —
+    the training-pipeline scrubber, 100% JVM codegen (regexp_extract_all
+    + higher-order Luhn filter; zero Python, zero shuffle).  The
+    documents fixture text is digit-free, so deterministic per-doc_id
+    injections (email / valid+invalid credit card / ipv4 / ssn / phone)
+    control every detector; the DuckDB oracle rebuilds the identical
+    augmented text, re-counts every class with the same regexes —
+    including the Luhn checksum via list_transform/list_aggregate — and
+    re-runs the identical redaction chain (pii_redact_sql), so the
+    value hash pins match boundaries, checksum validation, AND the
+    placeholder substitution order.  Luhn split: doc_id%3 injects a
+    valid card (counted + redacted), doc_id%5 an invalid one (redacted
+    only — the redactor fails closed, the counter does not)."""
+    _tune(spark)
+    from gis_tools_spark.operators.pii import pii_redact, pii_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+
+    def when_mod(m: int, col):
+        return F.when(did % m == 0, col).otherwise(F.lit(""))
+
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            when_mod(2, F.concat(F.lit(" contact u"), did.cast("string"),
+                                 F.lit("@example.com"))),
+            when_mod(3, F.lit(" card 4111 1111 1111 1111")),
+            when_mod(5, F.lit(" card 4111111111111112")),
+            when_mod(4, F.concat(F.lit(" ip 10.1.2."),
+                                 (did % 256).cast("string"))),
+            when_mod(7, F.lit(" ssn 123-45-6789")),
+            when_mod(6, F.concat(F.lit(" tel +1 (415) 555-"),
+                                 F.lpad((did % 10000).cast("string"),
+                                        4, "0"))),
+        ).alias("text"))
+    out = pii_redact(pii_stats(aug))
+    return out.select("doc_id", "n_emails", "n_ipv4", "n_ssn", "n_cc",
+                      "n_phones", "has_pii", F.md5("text").alias("red_fp"))
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-trigram Jaccard over MinHash-LSH-prefiltered candidate
     pairs (operators/dedup.py:ngram_jaccard_pairs) — the dedup family's
@@ -1846,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_gps": q_exif_gps,
         "substring_spans": q_substring_spans,
         "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         "warc_pipeline": q_warc_pipeline,
         "wds_pipeline": q_wds_pipeline,
         "pricing_summary": q_pricing_summary,
@@ -1866,6 +1910,67 @@ FROM documents
 """
 
 _MOD64 = "18446744073709551616::HUGEINT"
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB mirror of q_pii_scrub, composed from the SAME pattern
+    constants as the Spark side (operators/pii.py) so they can never
+    drift: rebuild the augmented text, count each class with RE2 (Java
+    and RE2 agree on these lookaround-free patterns), re-validate Luhn
+    with list_transform/list_aggregate, and re-run the identical
+    redaction chain via pii_redact_sql."""
+    from gis_tools_spark.operators.pii import (
+        CC_RE, EMAIL_RE, IPV4_RE, PHONE_RE, SSN_RE, pii_redact_sql)
+
+    luhn = """
+        length(d) >= 13 AND
+        list_aggregate(list_transform(range(1, length(d) + 1), i ->
+          CASE WHEN i % 2 = 0 THEN
+            CASE WHEN 2 * CAST(substr(reverse(d), i, 1) AS INT) > 9
+                 THEN 2 * CAST(substr(reverse(d), i, 1) AS INT) - 9
+                 ELSE 2 * CAST(substr(reverse(d), i, 1) AS INT) END
+          ELSE CAST(substr(reverse(d), i, 1) AS INT) END), 'sum') % 10 = 0
+    """
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 2 = 0 THEN ' contact u'
+                 || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+            || CASE WHEN doc_id % 3 = 0
+                 THEN ' card 4111 1111 1111 1111' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                 THEN ' card 4111111111111112' ELSE '' END
+            || CASE WHEN doc_id % 4 = 0 THEN ' ip 10.1.2.'
+                 || CAST(doc_id % 256 AS VARCHAR) ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+            || CASE WHEN doc_id % 6 = 0 THEN ' tel +1 (415) 555-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+            AS text
+          FROM documents
+        ), c AS (
+          SELECT doc_id, text,
+            CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT)
+              AS n_emails,
+            CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS INT)
+              AS n_ipv4,
+            CAST(len(regexp_extract_all(text, '{SSN_RE}')) AS INT) AS n_ssn,
+            CAST(len(list_filter(
+              list_transform(regexp_extract_all(text, '{CC_RE}'),
+                             m -> regexp_replace(m, '[^0-9]', '', 'g')),
+              d -> {luhn})) AS INT) AS n_cc,
+            CAST(len(list_filter(
+              list_transform(regexp_extract_all(text, '{PHONE_RE}'),
+                             m -> regexp_replace(m, '[^0-9]', '', 'g')),
+              d -> length(d) BETWEEN 9 AND 15)) AS INT) AS n_phones
+          FROM aug
+        )
+        SELECT doc_id, n_emails, n_ipv4, n_ssn, n_cc, n_phones,
+          (n_emails + n_ipv4 + n_ssn + n_cc + n_phones) > 0 AS has_pii,
+          md5({pii_redact_sql("text")}) AS red_fp
+        FROM c
+    """
 
 
 def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 8,
@@ -2609,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 23 = 0
         """,
+        "pii_scrub": _pii_oracle_sql(),
         "repetition_stats": """
             WITH ln AS (
               SELECT doc_id, l, count(*) AS c
