@@ -1007,6 +1007,24 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_phones", "has_pii", F.md5("text").alias("red_fp"))
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): flag every
+    training document sharing ≥1 distinct word 8-gram with an eval set
+    (here the doc_id%17 slice of the corpus — verbatim members are
+    trivially contaminated; the interesting rows are the OTHER docs the
+    fixture's repeated spans pull in).  Gate runs the ``key='text'``
+    family so DuckDB mirrors the gram join verbatim; the production
+    ``key='xxhash'`` long-key family is agreement-tested against it in
+    test_decontam.py (same md5_oracle/xxhash split as MinHash).  Plan:
+    broadcast eval grams, shuffle-free probe + partial count."""
+    _tune(spark)
+    from gis_tools_spark.operators.decontam import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where("doc_id % 17 = 0")
+    return decontaminate(docs, ev, n=8, key="text")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-trigram Jaccard over MinHash-LSH-prefiltered candidate
     pairs (operators/dedup.py:ngram_jaccard_pairs) — the dedup family's
@@ -1890,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
+        "decontam": q_decontam,
         "warc_pipeline": q_warc_pipeline,
         "wds_pipeline": q_wds_pipeline,
         "pricing_summary": q_pricing_summary,
@@ -2715,6 +2734,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 23 = 0
         """,
         "pii_scrub": _pii_oracle_sql(),
+        "decontam": f"""
+            WITH docs AS ({_DOCS_WORDS_SQL.strip()}),
+            g AS (
+              SELECT DISTINCT doc_id, array_to_string(words[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, words,
+                           unnest(generate_series(1, len(words) - 7)) AS i
+                    FROM docs WHERE len(words) >= 8)
+              UNION
+              SELECT doc_id, array_to_string(words, ' ')
+              FROM docs WHERE len(words) < 8
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+            hits AS (
+              SELECT g.doc_id, count(*) AS n
+              FROM g JOIN ev USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+                   coalesce(h.n, 0) >= 1 AS contaminated
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN hits h USING (doc_id)
+        """,
         "repetition_stats": """
             WITH ln AS (
               SELECT doc_id, l, count(*) AS c
