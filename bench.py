@@ -105,7 +105,8 @@ def main() -> None:
                 "dwithin_count", "zonal_event_stats", "zonal_raster_stats",
                 "raster_burn", "raster_contour",
                 "shared_area", "dedup_exact", "minhash_pairs", "simhash_dups",
-                "ngram_jaccard", "substring_spans", "text_stats", "embed_top1", "embed_ann_lsh",
+                "ngram_jaccard", "substring_spans", "text_stats",
+                "pii_scrub", "decontam", "embed_top1", "embed_ann_lsh",
                 "events_sessionize", "pricing_summary"]
     qs = E.queries()
     for name in headline:
