@@ -1025,6 +1025,57 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, ev, n=8, key="text")
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL gate (operators/urlfilter.py): parse scheme/host/port/
+    path/query, reduce host to its registrable domain through the
+    multi-part public-suffix table, and classify every row with a
+    first-match block reason (scheme → ip_host → domain blocklist →
+    path regex).  One codegen projection, zero joins, zero Python —
+    the literal-isin blocklist family (the broadcast-DataFrame family
+    is agreement-tested in test_urlfilter.py).  URLs are synthesized
+    deterministically from doc_id so every branch is exercised: ftp
+    schemes (%19), raw-IP hosts (%23), www prefixes (%3), five TLDs
+    incl. the co.uk multi-part suffix (%5), ports (%11), query strings
+    (%4), and three blocklisted domains; the DuckDB oracle rebuilds the
+    same URLs and mirrors every regex (RE2-safe, no lookarounds) plus
+    the suffix-reduction array logic."""
+    _tune(spark)
+    from gis_tools_spark.operators.urlfilter import url_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    scheme = (F.when(did % 19 == 0, F.lit("ftp://"))
+              .when(did % 2 == 0, F.lit("https://"))
+              .otherwise(F.lit("http://")))
+    tlds = F.array(F.lit(".com"), F.lit(".org"), F.lit(".co.uk"),
+                   F.lit(".io"), F.lit(".net"))
+    host = F.when(
+        did % 23 == 0,
+        F.concat(F.lit("93.184."), (did % 256).cast("string"),
+                 F.lit(".34"))
+    ).otherwise(F.concat(
+        F.when(did % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"), (did % 37).cast("string"),
+        F.element_at(tlds, (did % 5 + 1).cast("int"))))
+    port = F.when(did % 11 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    tail = F.concat(
+        F.lit("/p/"), did.cast("string"),
+        F.when(did % 4 == 0, F.concat(F.lit("?ref="),
+                                      (did % 10).cast("string")))
+        .otherwise(F.lit("")))
+    urls = docs.select(
+        "doc_id", F.concat(scheme, host, port, tail).alias("url"))
+    out = url_filter(urls,
+                     blocked_domains=["site3.com", "site7.co.uk",
+                                      "site11.net"],
+                     blocked_path_re=r"^/p/.*0$")
+    return out.select(
+        "doc_id", "scheme", "host", "port", "path", "query",
+        "registered_domain", "is_ip",
+        F.coalesce("block_reason", F.lit("")).alias("block_reason"),
+        "blocked")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-trigram Jaccard over MinHash-LSH-prefiltered candidate
     pairs (operators/dedup.py:ngram_jaccard_pairs) — the dedup family's
@@ -1909,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "decontam": q_decontam,
+        "url_filter": q_url_filter,
         "warc_pipeline": q_warc_pipeline,
         "wds_pipeline": q_wds_pipeline,
         "pricing_summary": q_pricing_summary,
@@ -1989,6 +2041,73 @@ def _pii_oracle_sql() -> str:
           (n_emails + n_ipv4 + n_ssn + n_cc + n_phones) > 0 AS has_pii,
           md5({pii_redact_sql("text")}) AS red_fp
         FROM c
+    """
+
+
+def _url_filter_oracle_sql() -> str:
+    """DuckDB mirror of q_url_filter, composed from the SAME regex and
+    suffix-table constants as operators/urlfilter.py."""
+    from gis_tools_spark.operators.urlfilter import (
+        HOST_RE, IPV4_HOST_RE, MULTIPART_SUFFIXES, PATH_RE, PORT_RE,
+        QUERY_RE, SCHEME_RE)
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 19 = 0 THEN 'ftp://'
+                  WHEN doc_id % 2 = 0 THEN 'https://'
+                  ELSE 'http://' END)
+            || (CASE WHEN doc_id % 23 = 0
+                  THEN '93.184.' || CAST(doc_id % 256 AS VARCHAR) || '.34'
+                  ELSE (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                    || 'site' || CAST(doc_id % 37 AS VARCHAR)
+                    || (['.com', '.org', '.co.uk', '.io', '.net'])
+                       [CAST(doc_id % 5 AS INT) + 1] END)
+            || (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END)
+            || '/p/' || CAST(doc_id AS VARCHAR)
+            || (CASE WHEN doc_id % 4 = 0
+                  THEN '?ref=' || CAST(doc_id % 10 AS VARCHAR)
+                  ELSE '' END)
+            AS url
+          FROM documents
+        ), p AS (
+          SELECT doc_id,
+            regexp_extract(lower(url), '{SCHEME_RE}', 1) AS scheme,
+            regexp_extract(lower(url), '{HOST_RE}', 1) AS host,
+            regexp_extract(lower(url), '{PORT_RE}', 1) AS port,
+            regexp_extract(lower(url), '{PATH_RE}', 1) AS path,
+            regexp_extract(lower(url), '{QUERY_RE}', 1) AS query
+          FROM u
+        ), r AS (
+          SELECT *,
+            CASE WHEN regexp_matches(host, '{IPV4_HOST_RE}') THEN host
+                 WHEN len(string_split(host, '.')) <= 2 THEN host
+                 WHEN array_to_string(string_split(host, '.')[-2:], '.')
+                      IN ({suffixes})
+                 THEN array_to_string(string_split(host, '.')[-3:], '.')
+                 ELSE array_to_string(string_split(host, '.')[-2:], '.')
+            END AS registered_domain,
+            regexp_matches(host, '{IPV4_HOST_RE}') AS is_ip
+          FROM p
+        )
+        SELECT doc_id, scheme, host, port, path, query,
+          registered_domain, is_ip,
+          CASE WHEN scheme NOT IN ('http', 'https') THEN 'scheme'
+               WHEN is_ip THEN 'ip_host'
+               WHEN registered_domain IN
+                    ('site3.com', 'site7.co.uk', 'site11.net')
+                 THEN 'domain'
+               WHEN regexp_matches(path, '^/p/.*0$') THEN 'path'
+               ELSE '' END AS block_reason,
+          CASE WHEN scheme NOT IN ('http', 'https') THEN 'scheme'
+               WHEN is_ip THEN 'ip_host'
+               WHEN registered_domain IN
+                    ('site3.com', 'site7.co.uk', 'site11.net')
+                 THEN 'domain'
+               WHEN regexp_matches(path, '^/p/.*0$') THEN 'path'
+               ELSE '' END <> '' AS blocked
+        FROM r
     """
 
 
@@ -2734,6 +2853,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 23 = 0
         """,
         "pii_scrub": _pii_oracle_sql(),
+        "url_filter": _url_filter_oracle_sql(),
         "decontam": f"""
             WITH docs AS ({_DOCS_WORDS_SQL.strip()}),
             g AS (
