@@ -255,6 +255,15 @@ def encode(arr: np.ndarray, quality: int = 95, codec: str = "heic",
             # init+RDO; veryfast measures 48 ms at PSNR 51 dB (>45 floor)
             lib.heif_encoder_set_parameter_string(enc, b"preset",
                                                   b"veryfast")
+            # x265 spins a pool sized to ALL logical cores per encode
+            # call; under 32 concurrent Spark workers that is 1000+
+            # threads created/joined per Arrow batch. Tile encodes are
+            # single-frame and tiny — run them on the calling thread
+            # (pools=none implies frame-threads=1, wpp off).
+            lib.heif_encoder_set_parameter_string(enc, b"x265:pools",
+                                                  b"none")
+            lib.heif_encoder_set_parameter_string(
+                enc, b"x265:frame-threads", b"1")
         err = lib.heif_context_encode_image(ctx, img, enc, None,
                                             ctypes.byref(handle))
         if err.code:
