@@ -111,6 +111,9 @@ def _load():
         lib.heif_encoder_set_parameter_string.restype = E
         lib.heif_encoder_set_parameter_string.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
+        lib.heif_encoder_set_parameter_integer.restype = E
+        lib.heif_encoder_set_parameter_integer.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
         lib.heif_encoder_release.restype = None
         lib.heif_encoder_release.argtypes = [ctypes.c_void_p]
         lib.heif_context_encode_image.restype = E
@@ -264,6 +267,12 @@ def encode(arr: np.ndarray, quality: int = 95, codec: str = "heic",
                                                   b"none")
             lib.heif_encoder_set_parameter_string(
                 enc, b"x265:frame-threads", b"1")
+        elif comp == AV1:
+            # same disease, aom flavor: its worker pool defaults to the
+            # core count per encode call. threads=1 measures 13.7→5.1
+            # ms/img at IDENTICAL psnr (47.3 dB); speed presets are left
+            # alone — they change the bitstream.
+            lib.heif_encoder_set_parameter_integer(enc, b"threads", 1)
         err = lib.heif_context_encode_image(ctx, img, enc, None,
                                             ctypes.byref(handle))
         if err.code:
