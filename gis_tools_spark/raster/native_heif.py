@@ -172,6 +172,11 @@ def decode(buf: bytes) -> np.ndarray:
     ctx = lib.heif_context_alloc()
     if not ctx:
         raise RuntimeError("heif_context_alloc failed")
+    # NOTE: decode-side thread pinning was tried and reverted —
+    # heif_context_set_max_decoding_threads resolves in this libheif
+    # build but segfaults when called; measured decode contention is
+    # mild (avif 5.8→6.8-8.3 ms at 16-way) so the knob isn't worth a
+    # version-sniffing dance.
     handle = ctypes.c_void_p()
     img = ctypes.c_void_p()
     try:
