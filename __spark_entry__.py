@@ -1025,6 +1025,22 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, ev, n=8, key="text")
 
 
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): documents → 128-token
+    training blocks via the DISTRIBUTED prefix-sum (bucketed cumsum +
+    driver-side bucket offsets — no single-partition global window),
+    documents straddling chunk boundaries GPT-style.  The DuckDB oracle
+    computes the same spans with a plain global window cumsum, so the
+    value hash pins tokenization, the exclusive prefix, the chunk
+    explosion, and the span arithmetic; bucketing invariance
+    (n_buckets 1/7/64 identical) is pytest-gated."""
+    _tune(spark)
+    from gis_tools_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, 128)
+
+
 def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl URL gate (operators/urlfilter.py): parse scheme/host/port/
     path/query, reduce host to its registrable domain through the
@@ -1961,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontam": q_decontam,
         "url_filter": q_url_filter,
+        "seq_pack": q_seq_pack,
         "warc_pipeline": q_warc_pipeline,
         "wds_pipeline": q_wds_pipeline,
         "pricing_summary": q_pricing_summary,
@@ -2854,6 +2871,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_oracle_sql(),
         "url_filter": _url_filter_oracle_sql(),
+        "seq_pack": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '')) + 1 AS BIGINT) AS n
+              FROM documents
+            ), o AS (
+              SELECT doc_id, n,
+                CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS off
+              FROM t
+            ), c AS (
+              SELECT doc_id, n, off,
+                unnest(generate_series(off // 128, (off + n - 1) // 128))
+                  AS chunk_id
+              FROM o
+            )
+            SELECT chunk_id, doc_id,
+              GREATEST(0, chunk_id * 128 - off) AS tok_start,
+              LEAST(n, (chunk_id + 1) * 128 - off) AS tok_end,
+              GREATEST(0, off - chunk_id * 128) AS chunk_pos
+            FROM c
+        """,
         "decontam": f"""
             WITH docs AS ({_DOCS_WORDS_SQL.strip()}),
             g AS (
