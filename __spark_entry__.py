@@ -1041,6 +1041,30 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, 128)
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (operators/mixing.py): per-source token
+    totals → budget·weight/total sampling rates (capped at 1 — small
+    sources are taken whole, never upsampled) → deterministic
+    hash-Bernoulli row selection that is a pure function of (doc_id,
+    seed): reproducible across re-runs, resumes, and repartitioning.
+    Gate runs the ``family='md5'`` oracle hash; DuckDB recomputes the
+    totals, the rate algebra, and the identical keep-predicate
+    (sample_sql_predicate — kept in the module so it can't drift), so
+    the value hash pins the EXACT sampled row set, not just counts.
+    The production xxhash family is rate-agreement-tested in
+    test_mixing.py."""
+    _tune(spark)
+    from gis_tools_spark.operators.mixing import mix_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mix_corpus(docs, {"src1": 0.3, "src4": 0.2, "src7": 0.5},
+                     2000, seed=11, family="md5")
+    return out.select(
+        "doc_id", "source", "n_tokens",
+        (F.floor(F.col("sample_rate") * 1e9 + F.lit(0.5)))
+        .cast("long").alias("rate_r"))
+
+
 def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl URL gate (operators/urlfilter.py): parse scheme/host/port/
     path/query, reduce host to its registrable domain through the
@@ -1978,6 +2002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "url_filter": q_url_filter,
         "seq_pack": q_seq_pack,
+        "corpus_mix": q_corpus_mix,
         "warc_pipeline": q_warc_pipeline,
         "wds_pipeline": q_wds_pipeline,
         "pricing_summary": q_pricing_summary,
@@ -2058,6 +2083,36 @@ def _pii_oracle_sql() -> str:
           (n_emails + n_ipv4 + n_ssn + n_cc + n_phones) > 0 AS has_pii,
           md5({pii_redact_sql("text")}) AS red_fp
         FROM c
+    """
+
+
+def _corpus_mix_oracle_sql() -> str:
+    """DuckDB mirror of q_corpus_mix: same token counts, same rate
+    algebra (IEEE double, same operation order), same md5
+    keep-predicate via mixing.sample_sql_predicate."""
+    from gis_tools_spark.operators.mixing import sample_sql_predicate
+
+    pred = sample_sql_predicate("t.doc_id", 11, "r.sample_rate")
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, source,
+            CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '')) + 1 AS BIGINT) AS n_tokens
+          FROM documents
+        ), tot AS (
+          SELECT source, SUM(n_tokens) AS tot FROM t GROUP BY 1
+        ), r AS (
+          SELECT source,
+            LEAST(1.0, 2000 * (CASE source WHEN 'src1' THEN 0.3
+                                           WHEN 'src4' THEN 0.2
+                                           WHEN 'src7' THEN 0.5 END)
+                       / tot) AS sample_rate
+          FROM tot WHERE source IN ('src1', 'src4', 'src7')
+        )
+        SELECT t.doc_id, t.source, t.n_tokens,
+          CAST(floor(r.sample_rate * 1e9 + 0.5) AS BIGINT) AS rate_r
+        FROM t JOIN r USING (source)
+        WHERE {pred}
     """
 
 
@@ -2871,6 +2926,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pii_scrub": _pii_oracle_sql(),
         "url_filter": _url_filter_oracle_sql(),
+        "corpus_mix": _corpus_mix_oracle_sql(),
         "seq_pack": r"""
             WITH t AS (
               SELECT doc_id,
