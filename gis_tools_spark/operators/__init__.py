@@ -51,4 +51,9 @@ from .simsearch import (  # noqa: F401
     lsh_topk,
 )
 from .textstats import fingerprint, lang_scores, quality_scores  # noqa: F401
+from .pii import pii_redact, pii_stats  # noqa: F401
+from .decontam import decontaminate  # noqa: F401
+from .urlfilter import parse_urls, url_filter  # noqa: F401
+from .packing import pack_sequences  # noqa: F401
+from .mixing import deterministic_sample, mix_corpus  # noqa: F401
 from . import network  # noqa: F401
