@@ -1193,6 +1193,21 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, num_hashes=32, bands=8, threshold=0.5)
 
 
+def q_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup DECISION (gate 66): the same md5-family
+    MinHash+LSH pairs as `minhash_pairs`, then pointer-jumping connected
+    components over the duplicate graph, then keep-one-per-cluster
+    (canonical = min doc_id). One row per corpus doc with
+    (cluster_id, keep) — the rows a training pipeline writes onward.
+    The oracle recomputes the identical pairs in DuckDB and resolves
+    components with an independent recursive CTE."""
+    _tune(spark)
+    from gis_tools_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return near_dup_clusters(docs, num_hashes=32, bands=8, threshold=0.5)
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups (Hamming ≤ 3) over documents. md5-based word
     hashes make the 64-bit simhash and Hamming filter SQL-expressible;
@@ -1960,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_region_area": q_dissolve_region_area,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
+        "near_dup_keep": q_near_dup_keep,
         "simhash_dups": q_simhash_dups,
         "zonal_raster_stats": q_zonal_raster_stats,
         "geotiff_zonal": q_geotiff_zonal,
@@ -2233,6 +2249,35 @@ est AS (
   GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= {threshold}
+"""
+
+
+def _near_dup_keep_oracle_sql(num_hashes: int = 32, bands: int = 8,
+                              threshold: float = 0.5) -> str:
+    """DuckDB mirror of q_near_dup_keep: the exact _minhash_oracle_sql
+    pair set (nested CTE), components resolved by an INDEPENDENT
+    recursive min-reachability CTE (vs the engine's pointer jumping),
+    then the same left-join keep decision over the full corpus."""
+    pairs_sql = _minhash_oracle_sql(num_hashes, bands, threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql.strip()}),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+reach AS (
+  SELECT node, node AS comp FROM nodes
+  UNION
+  SELECT e.a AS node, r.comp FROM e JOIN reach r ON e.b = r.node
+),
+comp AS (SELECT node, min(comp) AS cluster FROM reach GROUP BY node)
+SELECT d.doc_id,
+       CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
@@ -2829,6 +2874,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "minhash_pairs": _minhash_oracle_sql(),
+        "near_dup_keep": _near_dup_keep_oracle_sql(),
         "ngram_jaccard": _ngram_oracle_sql(),
         "phash_near_dups": """
             WITH ids AS (SELECT event_id FROM events WHERE event_id % 199 = 0),

@@ -395,3 +395,49 @@ def substring_dup_spans(df: DataFrame, *, text_col: str = "text",
                  (F.max("pos") + k - 1).alias("span_end"),
                  F.count("*").alias("n_windows"))
             .drop("grp"))
+
+
+# ------------------------------------------------- near-dup cluster + keep
+
+def near_dup_clusters(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 64,
+                      bands: int = 16, shingle_size: int = 3,
+                      threshold: float = 0.7,
+                      hash_family: str = "md5_oracle",
+                      max_iter: int = 64) -> DataFrame:
+    """End-to-end near-dup dedup DECISION: LSH pairs → connected
+    components → keep-one-per-cluster (the RefinedWeb / SlimPajama
+    policy, reference has no analog — brief-scope training-pipeline op).
+
+    Returns one row per input id: ``(id, cluster_id, keep)`` where
+    ``cluster_id`` is the minimum id of the duplicate cluster the doc
+    belongs to (its own id when it has no verified near-dup) and
+    ``keep`` marks the canonical survivor — exactly the rows a
+    training pipeline writes onward.
+
+    Scale plan: pairs are LSH-bounded (shuffle O(rows × bands), never
+    O(rows²)); the duplicate GRAPH is orders of magnitude smaller than
+    the corpus and only it enters the iterative pointer-jumping
+    component stage (O(log diameter) rounds); the final decision is a
+    single left join of the corpus scan against the component labels.
+    At 100 TB the corpus scan dominates and stays one pass.
+    """
+    from .network import connected_components
+
+    pairs = minhash_lsh_pairs(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_size=shingle_size, threshold=threshold,
+        hash_family=hash_family)
+    edges = pairs.select(F.col("id_a").alias("src_key"),
+                         F.col("id_b").alias("dst_key"))
+    comps = connected_components(edges, max_iter=max_iter)
+    # min-label propagation converges to the minimum node id per
+    # component, so `component` doubles as the canonical keep id
+    out = (df.select(F.col(id_col))
+           .join(comps.withColumnRenamed("node", id_col), on=id_col,
+                 how="left")
+           .select(F.col(id_col),
+                   F.coalesce(F.col("component"), F.col(id_col))
+                   .alias("cluster_id")))
+    return out.withColumn(
+        "keep", (F.col("cluster_id") == F.col(id_col)).cast("int"))

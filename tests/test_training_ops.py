@@ -259,3 +259,38 @@ def test_image_near_dups_phash(spark):
     paired = {a for a, _ in got} | {b for _, b in got}
     assert sum(1 for i in range(0, 30, 3)
                if f"dup{i:03d}" in paired and f"src{i:03d}" in paired) >= 8
+
+
+def test_near_dup_clusters_keep_decision(docs, docs_pd):
+    """End-to-end dedup decision: clusters agree with a brute-force
+    union-find over the SAME LSH pair set, every doc appears exactly
+    once, cluster_id is the component minimum, and keep marks it."""
+    from gis_tools_spark.operators.dedup import near_dup_clusters
+
+    out = near_dup_clusters(docs, num_hashes=64, bands=16,
+                            threshold=0.3).toPandas()
+    assert sorted(out["doc_id"]) == sorted(docs_pd["doc_id"])
+
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                              threshold=0.3).toPandas()
+    parent = {int(i): int(i) for i in docs_pd["doc_id"]}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, r in pairs.iterrows():
+        ra, rb = find(int(r.id_a)), find(int(r.id_b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+
+    got = dict(zip(out["doc_id"].astype(int), out["cluster_id"].astype(int)))
+    assert got == want
+    # keep = 1 exactly when the doc is its cluster's canonical min id
+    for _, r in out.iterrows():
+        assert int(r.keep) == int(int(r.doc_id) == int(r.cluster_id))
+    # exact duplicate of doc 0 (doc 12) must be dropped
+    assert got[12] == 0 and int(out[out.doc_id == 12]["keep"].iloc[0]) == 0
