@@ -964,6 +964,56 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_windows").cast("long").alias("n_windows"))
 
 
+# Gopher-filter gate fixtures: one degenerate document per rule branch,
+# shared verbatim by the Spark query and the DuckDB oracle so the two
+# engines can never drift on the fixture text.  Branch index = doc_id%9;
+# branches 7/8 keep the corpus text (7 appends the stopword suffix).
+_GOPHER_AUG = [
+    "\n".join(["• item alpha beta"] * 20),                    # bullet_lines
+    "\n".join(["one two three four five six seven eight nine soon..."] * 4
+              + ["one two three four five six seven eight nine ten"] * 6),
+    " ".join(["alpha beta gamma delta #tag"] * 12),           # symbol_ratio
+    " ".join(["pneumonoultramicroscopic"] * 50),              # mean_word_len
+    "tiny doc only",                                          # word_count
+    " ".join(["12345 67890 24680 alpha"] * 15),               # alpha_words
+    "\n".join(["the cat of house alpha beta gamma delta"] * 9),  # dup_lines
+]
+_GOPHER_SUFFIX = " the of and that have with be to"
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher heuristic quality-filter DECISION (operators/textstats.py
+    gopher_filter): the published rule set — word-count band, mean-word-
+    length band, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, required stopwords, duplicate-line fraction — composed into
+    a first-match accept/reject with ONE reason per doc.  doc_id%9 swaps
+    in a degenerate fixture doc per rule branch (shared constants with
+    the oracle) so every reason is exercised; the DuckDB oracle rebuilds
+    the identical augmented corpus and re-evaluates the identical rule
+    chain, so the value hash pins tokenization, every signal, and the
+    rule ORDER."""
+    _tune(spark)
+    from gis_tools_spark.operators.textstats import gopher_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = (F.col("doc_id") % 9).cast("int")
+    text = F.col("text")
+    for i, doc in enumerate(_GOPHER_AUG):
+        text = F.when(b == F.lit(i), F.lit(doc)).otherwise(text)
+    text = F.when(b == F.lit(7),
+                  F.concat(F.col("text"), F.lit(_GOPHER_SUFFIX))) \
+            .otherwise(text)
+    aug = docs.select("doc_id", text.alias("text"))
+    out = gopher_filter(aug)
+    return out.select(
+        "doc_id",
+        F.col("wc"),
+        F.floor(F.col("chsum") * 1000000.0 / F.col("wc") + F.lit(0.5))
+        .cast("long").alias("mean_wl_u"),
+        F.col("n_stop"),
+        "accept", "reject_reason")
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection + redaction over documents (operators/pii.py) —
     the training-pipeline scrubber, 100% JVM codegen (regexp_extract_all
@@ -2014,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_gps": q_exif_gps,
         "substring_spans": q_substring_spans,
         "repetition_stats": q_repetition_stats,
+        "gopher_filter": q_gopher_filter,
         "pii_scrub": q_pii_scrub,
         "decontam": q_decontam,
         "url_filter": q_url_filter,
@@ -2249,6 +2300,83 @@ est AS (
   GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= {threshold}
+"""
+
+
+def _gopher_oracle_sql() -> str:
+    """DuckDB mirror of q_gopher_filter: rebuild the identical augmented
+    corpus from the SAME _GOPHER_AUG/_GOPHER_SUFFIX constants, recompute
+    every signal (words/lines tokenization, symbol counts, bullet and
+    ellipsis line tests, alpha-word regex, stopword containment,
+    duplicate-line fraction) and re-run the identical first-match rule
+    chain from operators/textstats.py GOPHER_RULES order."""
+    from gis_tools_spark.operators.textstats import GOPHER_STOPWORDS
+
+    branches = "\n      ".join(
+        f"WHEN {i} THEN '{doc}'" for i, doc in enumerate(_GOPHER_AUG))
+    stop_terms = "\n       + ".join(
+        f"(CASE WHEN list_contains(lwords, '{sw}') THEN 1 ELSE 0 END)"
+        for sw in GOPHER_STOPWORDS)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 9 AS INT)
+      {branches}
+      WHEN 7 THEN text || '{_GOPHER_SUFFIX}'
+      ELSE text END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words,
+    list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+  FROM aug
+), s AS (
+  SELECT doc_id,
+    len(words) AS wc,
+    list_sum(list_transform(words, x -> length(x))) AS chsum,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    length(text) - length(replace(text, '…', '')) AS n_uell,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS n_aell,
+    len(lines) AS nl,
+    len(list_filter(lines, l -> substring(l, 1, 2) IN ('• ', '- ', '* '))) AS n_bullet,
+    len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS n_ell_line,
+    len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_w,
+    {stop_terms} AS n_stop
+  FROM (SELECT *, list_transform(words, x -> lower(x)) AS lwords FROM w)
+), ln AS (
+  SELECT doc_id, l, count(*) AS c
+  FROM (SELECT doc_id, UNNEST(list_filter(string_split(text, chr(10)),
+                                          t -> t <> '')) AS l FROM aug) q
+  GROUP BY doc_id, l
+), lf AS (
+  SELECT doc_id,
+         COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) * 1.0 / SUM(c)
+           AS dup_line_frac
+  FROM ln GROUP BY doc_id
+), j AS (
+  SELECT s.*, COALESCE(lf.dup_line_frac, 0) AS dup_line_frac
+  FROM s LEFT JOIN lf ON s.doc_id = lf.doc_id
+), r AS (
+  SELECT doc_id, wc, chsum, n_stop,
+    CASE
+      WHEN wc < 50 OR wc > 100000 THEN 'word_count'
+      WHEN chsum * 1.0 / wc < 3.0 OR chsum * 1.0 / wc > 10.0 THEN 'mean_word_len'
+      WHEN (n_hash + n_uell + n_aell) * 1.0 / wc > 0.1 THEN 'symbol_ratio'
+      WHEN nl > 0 AND n_bullet * 1.0 / nl > 0.9 THEN 'bullet_lines'
+      WHEN nl > 0 AND n_ell_line * 1.0 / nl > 0.3 THEN 'ellipsis_lines'
+      WHEN n_alpha_w * 1.0 / wc < 0.8 THEN 'alpha_words'
+      WHEN n_stop < 2 THEN 'stopwords'
+      WHEN dup_line_frac > 0.3 THEN 'dup_lines'
+      ELSE 'ok' END AS reject_reason
+  FROM j
+)
+SELECT doc_id, CAST(wc AS BIGINT) AS wc,
+       CAST(floor(chsum * 1000000.0 / wc + 0.5) AS BIGINT) AS mean_wl_u,
+       CAST(n_stop AS BIGINT) AS n_stop,
+       CAST(CASE WHEN reject_reason = 'ok' THEN 1 ELSE 0 END AS INTEGER)
+         AS accept,
+       reject_reason
+FROM r
 """
 
 
@@ -2970,6 +3098,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 23 = 0
         """,
+        "gopher_filter": _gopher_oracle_sql(),
         "pii_scrub": _pii_oracle_sql(),
         "url_filter": _url_filter_oracle_sql(),
         "corpus_mix": _corpus_mix_oracle_sql(),

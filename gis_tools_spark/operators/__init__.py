@@ -41,6 +41,7 @@ from .topography import get_horizon  # noqa: F401
 from .dedup import (  # noqa: F401
     dedup_exact,
     minhash_lsh_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_near_dups,
 )
@@ -50,7 +51,13 @@ from .simsearch import (  # noqa: F401
     ivf_topk,
     lsh_topk,
 )
-from .textstats import fingerprint, lang_scores, quality_scores  # noqa: F401
+from .textstats import (  # noqa: F401
+    fingerprint,
+    gopher_filter,
+    lang_scores,
+    quality_scores,
+    repetition_stats,
+)
 from .pii import pii_redact, pii_stats  # noqa: F401
 from .decontam import decontaminate  # noqa: F401
 from .urlfilter import parse_urls, url_filter  # noqa: F401

@@ -127,3 +127,102 @@ def repetition_stats(df: DataFrame, *, text_col: str = "text",
                     .alias("dup_line_frac"),
                     F.coalesce("top_bigram_frac", F.lit(0.0))
                     .alias("top_bigram_frac")))
+
+
+# Gopher rule-set stopwords (Rae et al. 2021, table A1; same list the
+# public Dolma / RedPajama-Data implementations use)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# first-match rule order — the filter reports ONE reason per rejected doc
+GOPHER_RULES = ("word_count", "mean_word_len", "symbol_ratio",
+                "bullet_lines", "ellipsis_lines", "alpha_words",
+                "stopwords", "dup_lines")
+
+
+def gopher_filter(df: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  min_words: int = 50, max_words: int = 100_000,
+                  min_mean_word_len: float = 3.0,
+                  max_mean_word_len: float = 10.0,
+                  max_symbol_ratio: float = 0.1,
+                  max_bullet_frac: float = 0.9,
+                  max_ellipsis_frac: float = 0.3,
+                  min_alpha_word_frac: float = 0.8,
+                  min_stopwords: int = 2,
+                  max_dup_line_frac: float = 0.3) -> DataFrame:
+    """Gopher-style heuristic quality FILTER decision (the accept/reject
+    gate a training pipeline runs after PII/url filtering and before
+    dedup) — reference has no analog; brief-scope training-pipeline op.
+    Rules and default thresholds follow the published Gopher rule set:
+    word-count band, mean-word-length band, symbol-to-word ratio
+    (``#``, ``…``, ``...``), bullet-line and ellipsis-line fractions,
+    fraction of words containing an alphabetic character, required-
+    stopword presence, and duplicate-line fraction.
+
+    Returns the input ids plus the signal columns and the decision:
+    ``accept`` (1/0) and ``reject_reason`` — the FIRST rule that fired
+    in ``GOPHER_RULES`` order, or ``'ok'``.
+
+    Scale plan: every signal except ``dup_line_frac`` is a pure column
+    expression over the scan (whole-stage codegen, zero shuffle, zero
+    Python); ``dup_line_frac`` reuses :func:`repetition_stats` (an
+    O(lines) explode+groupBy) joined back on the id — so the op costs
+    one corpus pass plus one lines-shaped aggregation at 100 TB.
+    """
+    txt = F.col(text_col)
+    words = F.filter(F.split(F.trim(txt), r"\s+"),
+                     lambda x: x != F.lit(""))
+    lines = F.filter(F.split(txt, "\n"), lambda x: x != F.lit(""))
+
+    sig = df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("wc"),
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda a, x: a + F.length(x)).alias("chsum"),
+        (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+         ).alias("n_hash"),
+        (F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+         ).alias("n_uell"),
+        ((F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / 3
+         ).alias("n_aell"),
+        F.size(lines).cast("long").alias("nl"),
+        F.size(F.filter(lines, lambda l: F.substring(l, 1, 2)
+                        .isin("• ", "- ", "* "))).alias("n_bullet"),
+        F.size(F.filter(lines, lambda l: l.endswith("...")
+                        | l.endswith("…"))).alias("n_ell_line"),
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+        .alias("n_alpha_w"),
+        sum((F.array_contains(F.transform(words, F.lower), sw).cast("int")
+             for sw in GOPHER_STOPWORDS), F.lit(0)).cast("long")
+        .alias("n_stop"),
+    )
+    rep = repetition_stats(df.select(id_col, text_col),
+                           text_col=text_col, id_col=id_col) \
+        .select(id_col, "dup_line_frac")
+    sig = sig.join(rep, on=id_col, how="left") \
+             .withColumn("dup_line_frac",
+                         F.coalesce("dup_line_frac", F.lit(0.0)))
+
+    mean_wl = F.col("chsum") / F.col("wc")
+    sym_ratio = (F.col("n_hash") + F.col("n_uell") + F.col("n_aell")) / F.col("wc")
+    reason = (
+        F.when((F.col("wc") < min_words) | (F.col("wc") > max_words),
+               "word_count")
+        .when((mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
+              "mean_word_len")
+        .when(sym_ratio > max_symbol_ratio, "symbol_ratio")
+        .when((F.col("nl") > 0)
+              & (F.col("n_bullet") / F.col("nl") > max_bullet_frac),
+              "bullet_lines")
+        .when((F.col("nl") > 0)
+              & (F.col("n_ell_line") / F.col("nl") > max_ellipsis_frac),
+              "ellipsis_lines")
+        .when(F.col("n_alpha_w") / F.col("wc") < min_alpha_word_frac,
+              "alpha_words")
+        .when(F.col("n_stop") < min_stopwords, "stopwords")
+        .when(F.col("dup_line_frac") > max_dup_line_frac, "dup_lines")
+    )
+    return (sig
+            .withColumn("reject_reason", F.coalesce(reason, F.lit("ok")))
+            .withColumn("accept",
+                        (F.col("reject_reason") == "ok").cast("int")))

@@ -294,3 +294,34 @@ def test_near_dup_clusters_keep_decision(docs, docs_pd):
         assert int(r.keep) == int(int(r.doc_id) == int(r.cluster_id))
     # exact duplicate of doc 0 (doc 12) must be dropped
     assert got[12] == 0 and int(out[out.doc_id == 12]["keep"].iloc[0]) == 0
+
+
+def test_gopher_filter_rules_and_order(spark):
+    """Every rule branch fires with its own first-match reason; clean
+    docs accept; signals match a hand computation."""
+    from gis_tools_spark.operators.textstats import gopher_filter
+
+    rows = [
+        (0, " ".join(["the cat of house alpha beta gamma delta"] * 9)),
+        (1, "tiny doc only"),
+        (2, " ".join(["pneumonoultramicroscopic"] * 50)),
+        (3, " ".join(["alpha beta gamma delta #tag"] * 12)),
+        (4, "\n".join(["• item alpha beta"] * 20)),
+        (5, "\n".join(["one two three four five six seven eight nine soon..."] * 4
+                      + ["one two three four five six seven eight nine ten"] * 6)),
+        (6, " ".join(["12345 67890 24680 alpha"] * 15)),
+        (7, " ".join(["zebra quilt mango velvet"] * 15)),
+        (8, "\n".join(["the cat of house alpha beta gamma delta"] * 9)),
+        # word_count outranks bullet_lines (first-match order)
+        (9, "\n".join(["• item alpha beta"] * 3)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = gopher_filter(df).orderBy("doc_id").toPandas()
+    want = ["ok", "word_count", "mean_word_len", "symbol_ratio",
+            "bullet_lines", "ellipsis_lines", "alpha_words", "stopwords",
+            "dup_lines", "word_count"]
+    assert list(out["reject_reason"]) == want
+    assert list(out["accept"]) == [1] + [0] * 9
+    r0 = out[out.doc_id == 0].iloc[0]
+    assert int(r0.wc) == 72 and int(r0.n_stop) == 2
+    assert int(r0.chsum) == sum(len(w) for w in rows[0][1].split())
