@@ -964,6 +964,23 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_windows").cast("long").alias("n_windows"))
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunker (operators/packing.py
+    chunk_documents — the RAG/long-doc context-window splitter): chunk
+    16 / overlap 4 over the documents corpus so the 10-99-word fixture
+    docs produce 1-8 chunks each.  The DuckDB oracle recomputes the
+    identical tokenization, the identical closed-form chunk count
+    (floor((max(n-16,0)+11)/12)+1) and the identical 1-based list
+    slices; md5 of each chunk's text pins span boundaries AND content."""
+    _tune(spark)
+    from gis_tools_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    return out.select("doc_id", "chunk_idx", "tok_start", "tok_end",
+                      "n_tok", F.md5("chunk_text").alias("chunk_md5"))
+
+
 # Gopher-filter gate fixtures: one degenerate document per rule branch,
 # shared verbatim by the Spark query and the DuckDB oracle so the two
 # engines can never drift on the fixture text.  Branch index = doc_id%9;
@@ -2064,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_gps": q_exif_gps,
         "substring_spans": q_substring_spans,
         "repetition_stats": q_repetition_stats,
+        "doc_chunks": q_doc_chunks,
         "gopher_filter": q_gopher_filter,
         "pii_scrub": q_pii_scrub,
         "decontam": q_decontam,
@@ -3097,6 +3115,32 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS title_ok
             FROM documents
             WHERE doc_id % 23 = 0
+        """,
+        "doc_chunks": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), n AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     1 + CAST(floor((greatest(len(toks) - 16, 0) + 11)
+                                    / 12.0) AS BIGINT) AS n_chunks
+              FROM d
+            ), c AS (
+              SELECT doc_id, toks, n,
+                     UNNEST(range(0, n_chunks)) AS chunk_idx
+              FROM n
+            )
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(chunk_idx * 12 AS BIGINT) AS tok_start,
+                   CAST(least(chunk_idx * 12 + 16, n) AS BIGINT) AS tok_end,
+                   CAST(least(chunk_idx * 12 + 16, n) - chunk_idx * 12
+                        AS BIGINT) AS n_tok,
+                   md5(array_to_string(
+                       toks[chunk_idx * 12 + 1 :
+                            least(chunk_idx * 12 + 16, n)], ' ')) AS chunk_md5
+            FROM c
         """,
         "gopher_filter": _gopher_oracle_sql(),
         "pii_scrub": _pii_oracle_sql(),

@@ -61,6 +61,6 @@ from .textstats import (  # noqa: F401
 from .pii import pii_redact, pii_stats  # noqa: F401
 from .decontam import decontaminate  # noqa: F401
 from .urlfilter import parse_urls, url_filter  # noqa: F401
-from .packing import pack_sequences  # noqa: F401
+from .packing import chunk_documents, pack_sequences  # noqa: F401
 from .mixing import deterministic_sample, mix_corpus  # noqa: F401
 from . import network  # noqa: F401

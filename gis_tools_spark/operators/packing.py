@@ -102,3 +102,48 @@ def pack_sequences(df: DataFrame, block_size: int, *,
         tok_start.cast("long").alias("tok_start"),
         tok_end.cast("long").alias("tok_end"),
         chunk_pos.cast("long").alias("chunk_pos"))
+
+
+def chunk_documents(df: DataFrame, *, chunk_tokens: int = 256,
+                    overlap: int = 32, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split every document into fixed-size OVERLAPPING token windows —
+    the context-window chunker (RAG indexing / long-doc pretraining
+    prep), the sliding-window complement of :func:`pack_sequences`'
+    straddling layout.  Reference has no analog; build-brief scope.
+
+    Chunk ``i`` covers tokens ``[i*stride, min(i*stride+chunk_tokens,
+    n))`` with ``stride = chunk_tokens - overlap``; the chunk count is
+    ``1 + ceil(max(n - chunk_tokens, 0) / stride)`` so the final window
+    always reaches the last token and no window starts past ``n``.
+    Returns one row per chunk: ``(id, chunk_idx, tok_start, tok_end,
+    n_tok, chunk_text)`` with ``tok_end`` exclusive.
+
+    Scale plan: pure column arithmetic — tokenize, a closed-form chunk
+    count, ``sequence``+``explode``, and an array ``slice`` per chunk.
+    Zero Python, zero shuffle beyond the scan; output rows ≈
+    input_tokens/stride, the same order of growth as the corpus itself.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda w: w != F.lit(""))
+    n = F.size(toks).cast("long")
+    n_chunks = (F.lit(1) + F.floor(
+        (F.greatest(n - chunk_tokens, F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)).cast("long"))
+    base = df.select(F.col(id_col), toks.alias("_toks"), n.alias("_n"),
+                     F.explode(F.sequence(F.lit(0).cast("long"),
+                                          n_chunks - 1)).alias("chunk_idx"))
+    start = F.col("chunk_idx") * stride
+    end = F.least(start + chunk_tokens, F.col("_n"))
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        start.alias("tok_start"),
+        end.alias("tok_end"),
+        (end - start).alias("n_tok"),
+        F.array_join(
+            F.slice("_toks", (start + 1).cast("int"),
+                    (end - start).cast("int")), " ").alias("chunk_text"))

@@ -83,3 +83,39 @@ def test_empty_and_sparse_ids(spark):
         (1, 70, 0, 2, 0),
         (1, 1000, 0, 1, 2),
     ]
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Windows tile the token stream: first starts at 0, consecutive
+    windows overlap by exactly `overlap`, the last reaches the final
+    token, and reassembling non-overlap segments reproduces the doc."""
+    from gis_tools_spark.operators.packing import chunk_documents
+
+    texts = [(0, " ".join(f"t{i}" for i in range(37))),
+             (1, " ".join(f"u{i}" for i in range(8))),   # shorter than chunk
+             (2, " ".join(f"v{i}" for i in range(16))),  # exactly one chunk
+             (3, " ".join(f"w{i}" for i in range(17)))]  # one token over
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = (chunk_documents(df, chunk_tokens=16, overlap=4)
+           .orderBy("doc_id", "chunk_idx").toPandas())
+
+    for did, text in texts:
+        toks = text.split()
+        ch = out[out.doc_id == did].reset_index(drop=True)
+        assert ch.tok_start.iloc[0] == 0
+        assert ch.tok_end.iloc[-1] == len(toks)
+        for i in range(1, len(ch)):
+            assert ch.tok_start.iloc[i] == ch.tok_start.iloc[i - 1] + 12
+        for _, r in ch.iterrows():
+            assert r.chunk_text == " ".join(toks[r.tok_start:r.tok_end])
+        rebuilt = ch.chunk_text.iloc[0].split()
+        for i in range(1, len(ch)):
+            rebuilt += ch.chunk_text.iloc[i].split()[4:]
+        assert rebuilt == toks
+    # doc 1: single short chunk; doc 3: 17 tokens -> 2 chunks
+    assert len(out[out.doc_id == 1]) == 1
+    assert len(out[out.doc_id == 2]) == 1
+    assert len(out[out.doc_id == 3]) == 2
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
