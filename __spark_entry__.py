@@ -964,6 +964,40 @@ def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_windows").cast("long").alias("n_windows"))
 
 
+def q_img_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup DECISION (operators/dedup.py
+    hamming_dedup_clusters): the same synthetic md5-derived phash corpus
+    as `phash_near_dups` (base row + ≤3-low-bits-flipped row per
+    event), pigeonhole-blocked Hamming pairs → connected components →
+    keep-one-per-cluster on string image ids.  The DuckDB oracle
+    recomputes the pairs by brute-force Hamming join and resolves
+    components with an independent recursive CTE."""
+    _tune(spark)
+    from gis_tools_spark.operators.dedup import hamming_dedup_clusters
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where("event_id % 199 = 0").select("event_id"))
+
+    @F.pandas_udf("long")
+    def _h(ids: pd.Series) -> pd.Series:
+        import hashlib
+        out = []
+        for i in ids:
+            v = int.from_bytes(hashlib.md5(str(int(i)).encode()).digest()[:8],
+                               "big")
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out, dtype="int64")
+
+    base = ev.select(F.concat(F.lit("b"), F.col("event_id")).alias("image_id"),
+                     _h("event_id").alias("phash"))
+    dup = ev.select(F.concat(F.lit("d"), F.col("event_id")).alias("image_id"),
+                    _h("event_id").bitwiseXOR(F.col("event_id") % 8)
+                    .alias("phash"))
+    df = base.unionByName(dup)
+    return hamming_dedup_clusters(df, hash_col="phash", id_col="image_id",
+                                  max_hamming=3)
+
+
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunker (operators/packing.py
     chunk_documents — the RAG/long-doc context-window splitter): chunk
@@ -2081,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_gps": q_exif_gps,
         "substring_spans": q_substring_spans,
         "repetition_stats": q_repetition_stats,
+        "img_dedup_keep": q_img_dedup_keep,
         "doc_chunks": q_doc_chunks,
         "gopher_filter": q_gopher_filter,
         "pii_scrub": q_pii_scrub,
@@ -3115,6 +3150,39 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS title_ok
             FROM documents
             WHERE doc_id % 23 = 0
+        """,
+        "img_dedup_keep": """
+            WITH RECURSIVE ids AS (
+              SELECT event_id FROM events WHERE event_id % 199 = 0
+            ), h AS (
+              SELECT event_id,
+                     ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 16))::UBIGINT AS hv
+              FROM ids
+            ), rows_ AS (
+              SELECT 'b' || event_id AS image_id, hv FROM h
+              UNION ALL
+              SELECT 'd' || event_id, xor(hv, (event_id % 8)::UBIGINT) FROM h
+            ), pairs AS (
+              SELECT a.image_id AS id_a, b.image_id AS id_b
+              FROM rows_ a JOIN rows_ b ON a.image_id < b.image_id
+              WHERE bit_count(xor(a.hv, b.hv)) <= 3
+            ), e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ), nodes AS (SELECT DISTINCT a AS node FROM e
+            ), reach AS (
+              SELECT node, node AS comp FROM nodes
+              UNION
+              SELECT e.a AS node, r.comp FROM e JOIN reach r ON e.b = r.node
+            ), comp AS (
+              SELECT node, min(comp) AS cluster FROM reach GROUP BY node
+            )
+            SELECT d.image_id,
+                   COALESCE(c.cluster, d.image_id) AS cluster_id,
+                   CAST(CASE WHEN COALESCE(c.cluster, d.image_id) = d.image_id
+                             THEN 1 ELSE 0 END AS INTEGER) AS keep
+            FROM rows_ d LEFT JOIN comp c ON c.node = d.image_id
         """,
         "doc_chunks": r"""
             WITH d AS (

@@ -40,6 +40,7 @@ from .geocoding import all_addresses  # noqa: F401
 from .topography import get_horizon  # noqa: F401
 from .dedup import (  # noqa: F401
     dedup_exact,
+    hamming_dedup_clusters,
     minhash_lsh_pairs,
     near_dup_clusters,
     ngram_jaccard_pairs,

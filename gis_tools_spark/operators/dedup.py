@@ -422,12 +422,20 @@ def near_dup_clusters(df: DataFrame, *, text_col: str = "text",
     single left join of the corpus scan against the component labels.
     At 100 TB the corpus scan dominates and stays one pass.
     """
-    from .network import connected_components
-
     pairs = minhash_lsh_pairs(
         df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
         bands=bands, shingle_size=shingle_size, threshold=threshold,
         hash_family=hash_family)
+    return _cluster_and_keep(df, pairs, id_col, max_iter)
+
+
+def _cluster_and_keep(df: DataFrame, pairs: DataFrame, id_col: str,
+                      max_iter: int) -> DataFrame:
+    """Shared pairs→decision tail: connected components over the
+    (id_a, id_b) duplicate graph, then one row per corpus id with
+    (cluster_id = component minimum, keep = is-canonical)."""
+    from .network import connected_components
+
     edges = pairs.select(F.col("id_a").alias("src_key"),
                          F.col("id_b").alias("dst_key"))
     comps = connected_components(edges, max_iter=max_iter)
@@ -441,3 +449,24 @@ def near_dup_clusters(df: DataFrame, *, text_col: str = "text",
                    .alias("cluster_id")))
     return out.withColumn(
         "keep", (F.col("cluster_id") == F.col(id_col)).cast("int"))
+
+
+def hamming_dedup_clusters(df: DataFrame, *, hash_col: str,
+                           id_col: str, max_hamming: int = 3,
+                           n_blocks: int | None = None,
+                           max_iter: int = 64) -> DataFrame:
+    """Image/audio near-dup dedup DECISION: the Hamming analog of
+    :func:`near_dup_clusters` for 64-bit perceptual hashes —
+    :func:`hamming_near_dups` pairs → connected components →
+    keep-one-per-cluster (canonical = minimum id).  One row per input
+    id: ``(id, cluster_id, keep)``.
+
+    Scale plan identical to the text decision: the pair set is
+    pigeonhole-blocked (O(rows·C(n_blocks,d)) candidates, never
+    O(rows²)), only the (much smaller) duplicate graph enters the
+    O(log diameter) component rounds, and the decision is one left
+    join against the corpus scan.  Collapse exact hash duplicates
+    first on mass-duplicated corpora (see hamming_near_dups note)."""
+    pairs = hamming_near_dups(df, hash_col=hash_col, id_col=id_col,
+                              max_hamming=max_hamming, n_blocks=n_blocks)
+    return _cluster_and_keep(df, pairs, id_col, max_iter)

@@ -325,3 +325,33 @@ def test_gopher_filter_rules_and_order(spark):
     r0 = out[out.doc_id == 0].iloc[0]
     assert int(r0.wc) == 72 and int(r0.n_stop) == 2
     assert int(r0.chsum) == sum(len(w) for w in rows[0][1].split())
+
+
+def test_hamming_dedup_clusters_keep(spark):
+    """Image-hash dedup decision: flipped-low-bit duplicates cluster
+    under the lexicographically-minimum id; distant hashes survive."""
+    from gis_tools_spark.operators.dedup import hamming_dedup_clusters
+
+    import hashlib
+
+    def h64(s):
+        v = int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = []
+    for i in range(12):
+        base = h64(f"img{i}")
+        rows.append((f"a{i:02d}", base))
+        if i % 2 == 0:  # near-dup: flip two low bits
+            rows.append((f"z{i:02d}", base ^ 0b11))
+    df = spark.createDataFrame(rows, ["image_id", "phash"])
+    out = hamming_dedup_clusters(df, hash_col="phash", id_col="image_id",
+                                 max_hamming=3).toPandas()
+    assert sorted(out.image_id) == sorted(r[0] for r in rows)
+    got = dict(zip(out.image_id, out.cluster_id))
+    for i in range(12):
+        if i % 2 == 0:
+            assert got[f"z{i:02d}"] == f"a{i:02d}"
+        assert got[f"a{i:02d}"] == f"a{i:02d}"
+    keep = set(out[out.keep == 1].image_id)
+    assert keep == {f"a{i:02d}" for i in range(12)}
