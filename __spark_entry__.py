@@ -1282,6 +1282,35 @@ def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("cosine"), 6).alias("cos_r")))
 
 
+SEM_M = 8          # semdedup coarse-quantizer cells for the gate
+SEM_THRESH = 0.35  # rounded-cosine duplicate threshold
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup DECISION (gate 70): semantic dedup over the embedding
+    table — nearest-centroid assignment confines the all-pairs cosine
+    comparison to clusters, threshold-passing pairs form the duplicate
+    graph, pointer-jumping components + keep-one-per-cluster produce one
+    decision row per vector (the published cluster-bounded semantic-dedup
+    recipe; reference has no analog — brief-scope pipeline op). The gate
+    injects the deterministic modulo quantizer (same construction as the
+    embed_ivf gate) so centroid build, rounded-dot top-1 assignment,
+    within-cluster rounded-cosine pairing, AND the component resolution
+    are all mirrored value-level in DuckDB (components via an independent
+    recursive CTE vs the engine's pointer jumping)."""
+    _tune(spark)
+    from gis_tools_spark.operators.simsearch import modulo_centroids, semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    C = modulo_centroids(emb, n_centroids=SEM_M, round_dp=6)
+    out = semdedup(emb, threshold=SEM_THRESH, centroids=C, round_dp=6)
+    return (out.select(F.col("vec_id"),
+                       F.col("sem_cluster").cast("int").alias("sem_cluster"),
+                       F.col("cluster_id").cast("long").alias("cluster_id"),
+                       F.col("keep").cast("int").alias("keep"))
+            .orderBy("vec_id"))
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over documents. The md5-based base
     hash + affine permutations are exactly reproducible in DuckDB, so
@@ -2101,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ann_lsh": q_embed_ann_lsh,
         "embed_near_dups": q_embed_near_dups,
         "embed_ivf": q_embed_ivf,
+        "semdedup": q_semdedup,
         "sjoin_rects": q_sjoin_rects,
         "sjoin_broadcast": q_sjoin_broadcast,
         "sjoin_within": q_sjoin_within,
@@ -2459,6 +2489,64 @@ SELECT d.doc_id,
        CAST(CASE WHEN coalesce(c.cluster, d.doc_id) = d.doc_id
                  THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+def _semdedup_oracle_sql(m: int = 8, threshold: float = 0.35) -> str:
+    """DuckDB mirror of q_semdedup: modulo-centroid construction and
+    rounded-dot top-1 assignment copied from the embed_ivf oracle
+    (rn = 1), within-cluster pairs kept at round(cosine, 6) >= threshold,
+    duplicate components resolved by an independent recursive
+    min-reachability CTE, then the keep decision + sem_cluster join."""
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), n AS (
+  SELECT vec_id, CAST(vec_id % {m} AS INT) AS c,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+  FROM e
+), dims AS (
+  SELECT unnest(generate_series(1, 64)) AS d
+), cm AS (
+  SELECT c, d, avg(vn[d]) AS m FROM n CROSS JOIN dims GROUP BY c, d
+), cn AS (
+  SELECT cm.c, cm.d, round(cm.m / sqrt(t.s2), 6) AS cmr
+  FROM cm JOIN (SELECT c, sum(m * m) AS s2 FROM cm GROUP BY c) t
+    ON cm.c = t.c
+), dots AS (
+  SELECT n.vec_id, cn.c, round(sum(n.vn[cn.d] * cn.cmr), 6) AS dot
+  FROM n CROSS JOIN cn GROUP BY n.vec_id, cn.c
+), assign AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+    FROM dots) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.c = b.c AND a.vec_id < b.vec_id
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN n nb ON nb.vec_id = b.vec_id
+  WHERE round(list_dot_product(na.vn, nb.vn), 6) >= {threshold}
+), ed AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+), nodes AS (SELECT DISTINCT a AS node FROM ed),
+reach AS (
+  SELECT node, node AS comp FROM nodes
+  UNION
+  SELECT ed.a AS node, r.comp FROM ed JOIN reach r ON ed.b = r.node
+),
+comp AS (SELECT node, min(comp) AS cluster FROM reach GROUP BY node)
+SELECT e.vec_id,
+       CAST(a.c AS INTEGER) AS sem_cluster,
+       CAST(coalesce(c.cluster, e.vec_id) AS BIGINT) AS cluster_id,
+       CAST(CASE WHEN coalesce(c.cluster, e.vec_id) = e.vec_id
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM e
+JOIN assign a ON a.vec_id = e.vec_id
+LEFT JOIN comp c ON c.node = e.vec_id
+ORDER BY e.vec_id
 """
 
 
@@ -3056,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_oracle_sql(),
         "near_dup_keep": _near_dup_keep_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(SEM_M, SEM_THRESH),
         "ngram_jaccard": _ngram_oracle_sql(),
         "phash_near_dups": """
             WITH ids AS (SELECT event_id FROM events WHERE event_id % 199 = 0),

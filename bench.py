@@ -127,6 +127,15 @@ def main() -> None:
     n_ivf = _timed("embed_ivf", lambda: _count(ivf_topk(emb, emb, k=1, n_centroids=m, nprobe=3)))
     meta["embed_ivf_rows"] = n_ivf
 
+    # -------- SemDeDup decision in production shape (k-means quantizer
+    # sized so clusters hold ~40 vectors; the gate pins the tiny modulo
+    # quantizer for SQL mirroring)
+    from gis_tools_spark.operators.simsearch import semdedup
+
+    n_sem = _timed("semdedup", lambda: _count(
+        semdedup(emb, threshold=0.5, n_clusters=m, seed=11)))
+    meta["semdedup_rows"] = n_sem
+
     # -------- image-table workload (BASELINE.json metric)
     images = fixtures.gen_images_spark(spark, N_IMAGES, with_pixels=True)
     images = images.persist()

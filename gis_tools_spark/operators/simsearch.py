@@ -404,3 +404,136 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, *, k: int = 10,
             .withColumn("rank", F.row_number().over(w) - 1)
             .where(F.col("rank") < k)
             .select(id_col, "neighbor_id", "cosine", "rank"))
+
+
+def _top1_assign_udf(bc, round_dp: int | None):
+    """Top-1 centroid assignment with the same rounded-dot +
+    centroid-id-ascending tie-break semantics as :func:`ivf_topk`."""
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        C_ = bc.value
+        V = np.array(list(vecs), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ C_.T
+        if round_dp is not None:
+            S = np.round(S, round_dp)
+        # stable argsort keeps the lowest centroid id on rounded-dot ties
+        return pd.Series(
+            np.argsort(-S, axis=1, kind="stable")[:, 0].astype("int32"))
+
+    return _assign
+
+
+def semdedup_pairs(df: DataFrame, *, threshold: float = 0.95,
+                   n_clusters: int = 16, vec_col: str = "embedding",
+                   id_col: str = "vec_id", seed: int = 42,
+                   centroids: np.ndarray | None = None,
+                   round_dp: int | None = None) -> DataFrame:
+    """SemDeDup candidate pairs (semantic dedup, the cluster-bounded
+    published recipe): assign every vector to its single nearest coarse
+    centroid, then compare vectors ONLY within a cluster, keeping pairs
+    with exact cosine ≥ threshold (6-dp rounded). Returns
+    (id_a, id_b, sem_cluster, cos_r) with id_a < id_b.
+
+    Scale plan: the all-pairs comparison is confined to clusters — one
+    shuffle on the cluster key, and each cluster is scored by ONE
+    cogrouped BLAS matmul that ships every vector once per cluster
+    (O(n·dim) movement) and emits only threshold-passing pairs, never
+    materializing candidate rows. Choosing k ∝ corpus size keeps the
+    per-cluster quadratic term bounded (the published setting is ~0.1–1k
+    vectors per cluster at billions of rows); a skewed giant cluster is
+    a quantizer-quality problem — raise n_clusters — not a join problem.
+    ``centroids``/``round_dp`` inject a deterministic quantizer (see
+    :func:`modulo_centroids`) so the full plan is SQL-mirrorable;
+    production uses the k-means sample quantizer.
+    """
+    C = centroids if centroids is not None else train_centroids(
+        df, n_centroids=n_clusters, vec_col=vec_col, seed=seed)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+    b = (df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+         .withColumn("sem_cluster", _top1_assign_udf(bc, round_dp)(F.col("v"))))
+
+    id_t = df.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("id_a", id_t), T.StructField("id_b", id_t),
+        T.StructField("sem_cluster", T.IntegerType()),
+        T.StructField("cos_r", T.DoubleType()),
+    ])
+
+    def _pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "sem_cluster": [], "cos_r": []})
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf["v"].to_numpy())
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = np.round(Vn @ Vn.T, 6)
+        ia, ib = np.nonzero(np.triu(S >= threshold, k=1))
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi,
+                             "sem_cluster": np.full(len(lo), key[0],
+                                                    dtype="int32"),
+                             "cos_r": S[ia, ib]})
+
+    return b.groupBy("sem_cluster").applyInPandas(_pairs, schema=out_schema)
+
+
+def semdedup(df: DataFrame, *, threshold: float = 0.95,
+             n_clusters: int = 16, vec_col: str = "embedding",
+             id_col: str = "vec_id", seed: int = 42,
+             centroids: np.ndarray | None = None,
+             round_dp: int | None = None, max_iter: int = 64) -> DataFrame:
+    """SemDeDup DECISION: one row per input vector with
+    ``(id, sem_cluster, cluster_id, keep)`` — ``sem_cluster`` is the
+    coarse-quantizer cell the vector was compared within, ``cluster_id``
+    the minimum id of its semantic-duplicate component (its own id when
+    unduplicated), ``keep`` the canonical-survivor flag. This is the
+    embedding-space member of the dedup-decision family next to
+    :func:`gis_tools_spark.operators.dedup.near_dup_clusters` (MinHash
+    text) and ``hamming_dedup_clusters`` (perceptual image hashes).
+
+    Scale plan: pairs are cluster-bounded (see :func:`semdedup_pairs`);
+    only the duplicate graph enters the O(log diameter) pointer-jumping
+    component rounds; the decision is one left join against the corpus
+    scan plus one broadcast-sized join to re-attach ``sem_cluster``.
+    """
+    from .core import persist_scoped
+    from .dedup import _cluster_and_keep
+
+    C = centroids if centroids is not None else train_centroids(
+        df, n_centroids=n_clusters, vec_col=vec_col, seed=seed)
+    bc = df.sparkSession.sparkContext.broadcast(C)
+    assigned = (df.select(id_col,
+                          F.col(vec_col).cast("array<double>").alias("v"))
+                .withColumn("sem_cluster",
+                            _top1_assign_udf(bc, round_dp)(F.col("v")))
+                .persist())
+    # reuse the already-assigned frame rather than calling semdedup_pairs
+    # (which would re-run the assign UDF on an unassigned input)
+    id_t = df.schema[id_col].dataType
+    pair_schema = T.StructType([
+        T.StructField("id_a", id_t), T.StructField("id_b", id_t),
+        T.StructField("cos_r", T.DoubleType()),
+    ])
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_r": []})
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf["v"].to_numpy())
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = np.round(Vn @ Vn.T, 6)
+        ia, ib = np.nonzero(np.triu(S >= threshold, k=1))
+        lo = np.minimum(ids[ia], ids[ib])
+        hi = np.maximum(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos_r": S[ia, ib]})
+
+    pairs = (assigned.groupBy("sem_cluster")
+             .applyInPandas(lambda key, pdf: _pairs(pdf),
+                            schema=pair_schema))
+    dec = _cluster_and_keep(assigned, pairs, id_col, max_iter)
+    out = dec.join(assigned.select(id_col, "sem_cluster"), on=id_col)
+    return persist_scoped(assigned,
+                          out.select(id_col, "sem_cluster", "cluster_id",
+                                     "keep"))

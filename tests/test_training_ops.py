@@ -355,3 +355,83 @@ def test_hamming_dedup_clusters_keep(spark):
         assert got[f"a{i:02d}"] == f"a{i:02d}"
     keep = set(out[out.keep == 1].image_id)
     assert keep == {f"a{i:02d}" for i in range(12)}
+
+
+def test_semdedup_decision_vs_bruteforce(emb):
+    """SemDeDup (cluster-bounded semantic dedup): the decision agrees
+    with a local union-find over brute-force within-cluster cosine
+    pairs, computed from the SAME injected deterministic quantizer; the
+    tight 3-cluster fixture collapses to roughly one survivor per
+    semantic cluster at a 0.95 threshold."""
+    from gis_tools_spark.operators.simsearch import (
+        modulo_centroids, semdedup, semdedup_pairs)
+
+    df, rows = emb
+    C = modulo_centroids(df, n_centroids=4, round_dp=6)
+    out = semdedup(df, threshold=0.95, centroids=C, round_dp=6).toPandas()
+    assert sorted(out["vec_id"]) == [r[0] for r in rows]
+
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S0 = np.round(Vn @ C.T, 6)
+    assign = np.argsort(-S0, axis=1, kind="stable")[:, 0]
+    S = np.round(Vn @ Vn.T, 6)
+
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_pairs = 0
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if assign[i] == assign[j] and S[i, j] >= 0.95:
+                n_pairs += 1
+                ra, rb = find(int(ids[i])), find(int(ids[j]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+
+    got = dict(zip(out["vec_id"].astype(int), out["cluster_id"].astype(int)))
+    assert got == want
+    got_sem = dict(zip(out["vec_id"].astype(int), out["sem_cluster"]))
+    assert all(got_sem[int(ids[k])] == assign[k] for k in range(len(ids)))
+    for _, r in out.iterrows():
+        assert int(r.keep) == int(int(r.vec_id) == int(r.cluster_id))
+    # tight clusters (sigma 0.05) deduplicate hard: ≤ 12 survivors of 90
+    assert out["keep"].sum() <= 12
+
+    p = semdedup_pairs(df, threshold=0.95, centroids=C, round_dp=6).count()
+    assert p == n_pairs
+
+
+def test_semdedup_repartition_invariant(emb):
+    """The decision is a pure function of the data — physical layout
+    (partition count/order) must not change any row."""
+    from gis_tools_spark.operators.simsearch import modulo_centroids, semdedup
+
+    df, _ = emb
+    C = modulo_centroids(df, n_centroids=4, round_dp=6)
+    a = (semdedup(df, threshold=0.95, centroids=C, round_dp=6)
+         .toPandas().sort_values("vec_id").reset_index(drop=True))
+    b = (semdedup(df.repartition(7), threshold=0.95, centroids=C, round_dp=6)
+         .toPandas().sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_semdedup_kmeans_production_path(emb):
+    """The k-means quantizer path (no injected centroids) still returns
+    one decision row per vector and respects the keep contract."""
+    from gis_tools_spark.operators.simsearch import semdedup
+
+    df, rows = emb
+    out = semdedup(df, threshold=0.95, n_clusters=3, seed=11).toPandas()
+    assert len(out) == len(rows)
+    for _, r in out.iterrows():
+        assert int(r.keep) == int(int(r.vec_id) == int(r.cluster_id))
+    # 3 trained centroids on 3 tight blobs: heavy dedup expected
+    assert out["keep"].sum() <= 12
