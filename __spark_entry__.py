@@ -1282,6 +1282,39 @@ def q_embed_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("cosine"), 6).alias("cos_r")))
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 keywords per document (gate 71): per-doc term
+    frequencies (one shuffle with map-side combine), corpus document
+    frequencies (second reduction of the tf table), smoothed-idf weight
+    ``tf·(ln((N+1)/(df+1))+1)`` rounded to 6 dp, deterministic rank
+    (rounded score desc, word asc). The DuckDB oracle recomputes every
+    count and weight from the same whitespace tokenization — tf, df,
+    score AND rank are value-checked. Reference has no text operators;
+    brief-scope training-pipeline op (corpus-statistics family next to
+    the heuristic gopher/repetition filters)."""
+    _tune(spark)
+    from gis_tools_spark.operators.tfidf import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=3).orderBy("doc_id", "rank")
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality score (gate 72, the CCNet-style
+    published crawl-quality recipe): corpus bigram/context counts (two
+    shuffled aggregations), add-0.5 smoothing over vocab+1, per-doc
+    average bigram log-probability and perplexity, both 6-dp rounded.
+    Gate scores the corpus under its own statistics so every count,
+    every log-probability, and both aggregates are mirrored value-level
+    in DuckDB from the same tokenization (BOS-prefixed whitespace
+    tokens)."""
+    _tune(spark)
+    from gis_tools_spark.operators.lmscore import perplexity_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return perplexity_scores(docs).orderBy("doc_id")
+
+
 SEM_M = 8          # semdedup coarse-quantizer cells for the gate
 SEM_THRESH = 0.35  # rounded-cosine duplicate threshold
 
@@ -2131,6 +2164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dups": q_embed_near_dups,
         "embed_ivf": q_embed_ivf,
         "semdedup": q_semdedup,
+        "tfidf_topk": q_tfidf,
+        "doc_perplexity": q_doc_perplexity,
         "sjoin_rects": q_sjoin_rects,
         "sjoin_broadcast": q_sjoin_broadcast,
         "sjoin_within": q_sjoin_within,
@@ -2547,6 +2582,70 @@ FROM e
 JOIN assign a ON a.vec_id = e.vec_id
 LEFT JOIN comp c ON c.node = e.vec_id
 ORDER BY e.vec_id
+"""
+
+
+def _tfidf_oracle_sql(k: int = 3) -> str:
+    """DuckDB mirror of q_tfidf: identical tokenization, tf / df counts,
+    smoothed-idf weight with the corpus size computed in-query, 6-dp
+    rounding BEFORE ranking, and the same (score desc, word asc)
+    deterministic tie-break."""
+    return f"""
+WITH docs AS ({_DOCS_WORDS_SQL.strip()}),
+nd AS (SELECT count(*) AS n FROM documents),
+tf AS (
+  SELECT doc_id, w AS word, count(*) AS tf
+  FROM (SELECT doc_id, unnest(words) AS w FROM docs)
+  GROUP BY doc_id, w
+),
+dft AS (SELECT word, count(*) AS df_t FROM tf GROUP BY word),
+s AS (
+  SELECT tf.doc_id, tf.word, tf.tf, dft.df_t,
+         round(tf.tf * (ln(CAST(nd.n + 1 AS DOUBLE) / (dft.df_t + 1)) + 1),
+               6) AS score_r
+  FROM tf JOIN dft USING (word) CROSS JOIN nd
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_r DESC, word) AS rnk
+  FROM s
+)
+SELECT doc_id, word, tf, df_t, score_r, CAST(rnk AS INTEGER) AS "rank"
+FROM r WHERE rnk <= {k}
+"""
+
+
+def _perplexity_oracle_sql(alpha: float = 0.5) -> str:
+    """DuckDB mirror of q_doc_perplexity: BOS-prefixed bigrams, corpus
+    bigram/context counts, vocabulary size computed in-query, add-alpha
+    smoothing, per-doc average natural-log probability and perplexity
+    rounded to 6 dp. Self-trained with min_count=1, so every scored
+    bigram exists in the counts (the engine's left-join floors never
+    engage — the mirror is exact)."""
+    return f"""
+WITH docs AS ({_DOCS_WORDS_SQL.strip()}),
+t AS (SELECT doc_id, list_prepend('<s>', words) AS toks FROM docs),
+bg AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(words) AS w FROM docs)),
+lp AS (
+  SELECT bg.doc_id,
+         ln((c2.c2 + {alpha}) / (c1.c1 + {alpha} * (v.v + 1))) AS lp
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+),
+a AS (SELECT doc_id, count(*) AS n_bigrams, avg(lp) AS avg_lp
+      FROM lp GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       round(avg_lp, 6) AS logprob_r,
+       round(exp(-avg_lp), 6) AS ppl_r
+FROM a
 """
 
 
@@ -3145,6 +3244,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_oracle_sql(),
         "near_dup_keep": _near_dup_keep_oracle_sql(),
         "semdedup": _semdedup_oracle_sql(SEM_M, SEM_THRESH),
+        "tfidf_topk": _tfidf_oracle_sql(3),
+        "doc_perplexity": _perplexity_oracle_sql(0.5),
         "ngram_jaccard": _ngram_oracle_sql(),
         "phash_near_dups": """
             WITH ids AS (SELECT event_id FROM events WHERE event_id % 199 = 0),

@@ -106,6 +106,7 @@ def main() -> None:
                 "raster_burn", "raster_contour",
                 "shared_area", "dedup_exact", "minhash_pairs", "simhash_dups",
                 "ngram_jaccard", "substring_spans", "text_stats",
+                "tfidf_topk", "doc_perplexity",
                 "gopher_filter", "near_dup_keep", "doc_chunks",
                 "pii_scrub", "decontam", "seq_pack", "url_filter", "corpus_mix",
                 "embed_top1", "embed_ann_lsh",

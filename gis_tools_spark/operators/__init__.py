@@ -51,7 +51,11 @@ from .simsearch import (  # noqa: F401
     exact_topk_blocked,
     ivf_topk,
     lsh_topk,
+    semdedup,
+    semdedup_pairs,
 )
+from .tfidf import bm25_scores, tfidf_topk  # noqa: F401
+from .lmscore import perplexity_scores, train_bigram_lm  # noqa: F401
 from .textstats import (  # noqa: F401
     fingerprint,
     gopher_filter,
