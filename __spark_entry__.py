@@ -1315,6 +1315,35 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_scores(docs).orderBy("doc_id")
 
 
+# WordPiece gate vocabulary: every fixture character except 'q' (raw +
+# continuation form) so words containing q exercise the [UNK] path, plus
+# multi-character pieces that make longest-match segmentation
+# non-trivial. Shared verbatim with the DuckDB oracle's VALUES table.
+WP_CHARS = list("abcdefghijklmnoprstuvwy")
+WP_VOCAB = (WP_CHARS + ["##" + c for c in WP_CHARS]
+            + ["the", "data", "spark", "sc", "jo", "ha", "ro", "ba", "fil",
+               "##an", "##in", "##sh", "##er", "##w", "##tch", "##ter"])
+
+
+def q_doc_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenization (gate 73): greedy longest-match subword
+    segmentation of every document against a fixed vocabulary —
+    the value-gated member of the tokenizer family (BPE train/apply is
+    pytest-gated; its pair-priority loop is not SQL-expressible).
+    Distinct words tokenize once in an Arrow UDF, a join re-expands to
+    document order; the oracle replays the exact greedy scan as a
+    recursive CTE over precomputed longest matches and md5-pins the full
+    piece stream per document."""
+    _tune(spark)
+    from gis_tools_spark.operators.tokenizer import wordpiece_tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = wordpiece_tokenize(docs, WP_VOCAB)
+    return (out.select("doc_id", "n_pieces", "n_unk",
+                       F.md5(F.concat_ws(" ", "pieces")).alias("pieces_md5"))
+            .orderBy("doc_id"))
+
+
 SEM_M = 8          # semdedup coarse-quantizer cells for the gate
 SEM_THRESH = 0.35  # rounded-cosine duplicate threshold
 
@@ -2166,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "tfidf_topk": q_tfidf,
         "doc_perplexity": q_doc_perplexity,
+        "doc_wordpiece": q_doc_wordpiece,
         "sjoin_rects": q_sjoin_rects,
         "sjoin_broadcast": q_sjoin_broadcast,
         "sjoin_within": q_sjoin_within,
@@ -2582,6 +2612,66 @@ FROM e
 JOIN assign a ON a.vec_id = e.vec_id
 LEFT JOIN comp c ON c.node = e.vec_id
 ORDER BY e.vec_id
+"""
+
+
+def _wordpiece_oracle_sql() -> str:
+    """DuckDB mirror of q_doc_wordpiece: the greedy longest-match scan
+    replayed exactly — precompute the longest vocabulary match at every
+    (word, position) (continuation pieces carry the '##' prefix from
+    position 2 on), then a recursive CTE walks each distinct word
+    left-to-right consuming best matches; a position with no match
+    collapses the word to [UNK] (BERT semantics). Pieces re-expand to
+    document order and the full stream is md5-pinned."""
+    vocab_rows = ", ".join(f"('{v}')" for v in WP_VOCAB)
+    return f"""
+WITH RECURSIVE docs AS ({_DOCS_WORDS_SQL.strip()}),
+vocab(key) AS (VALUES {vocab_rows}),
+w AS (SELECT DISTINCT unnest(words) AS word FROM docs),
+pos AS (SELECT word, unnest(generate_series(1, len(word))) AS i FROM w),
+cand AS (
+  SELECT p.word, p.i, ln.ln,
+         CASE WHEN p.i = 1 THEN substr(p.word, p.i, ln.ln)
+              ELSE '##' || substr(p.word, p.i, ln.ln) END AS key
+  FROM pos p CROSS JOIN (
+    SELECT unnest(generate_series(1,
+      (SELECT max(len(replace(key, '##', ''))) FROM vocab))) AS ln) ln
+  WHERE p.i + ln.ln - 1 <= len(p.word)
+),
+hit AS (SELECT c.word, c.i, c.ln, c.key
+        FROM cand c JOIN vocab v ON v.key = c.key),
+best AS (SELECT word, i, max_by(key, ln) AS key, max(ln) AS ln
+         FROM hit GROUP BY word, i),
+walk AS (
+  SELECT word, 1 AS i, CAST('' AS VARCHAR) AS pieces, 0 AS np,
+         false AS unk
+  FROM w
+  UNION ALL
+  SELECT wk.word,
+         CASE WHEN b.word IS NULL THEN len(wk.word) + 1
+              ELSE wk.i + b.ln END AS i,
+         CASE WHEN b.word IS NULL THEN '[UNK]'
+              WHEN wk.pieces = '' THEN b.key
+              ELSE wk.pieces || ' ' || b.key END AS pieces,
+         CASE WHEN b.word IS NULL THEN 1 ELSE wk.np + 1 END AS np,
+         (b.word IS NULL) AS unk
+  FROM walk wk LEFT JOIN best b ON b.word = wk.word AND b.i = wk.i
+  WHERE wk.i <= len(wk.word) AND NOT wk.unk
+),
+final AS (SELECT word, pieces, np, unk FROM walk
+          WHERE i = len(word) + 1),
+dw AS (
+  SELECT doc_id, i AS pos, words[i] AS word
+  FROM (SELECT doc_id, words,
+               unnest(generate_series(1, len(words))) AS i
+        FROM docs WHERE len(words) > 0)
+)
+SELECT d.doc_id,
+       CAST(sum(f.np) AS INTEGER) AS n_pieces,
+       CAST(sum(CASE WHEN f.unk THEN 1 ELSE 0 END) AS INTEGER) AS n_unk,
+       md5(string_agg(f.pieces, ' ' ORDER BY d.pos)) AS pieces_md5
+FROM dw d JOIN final f ON f.word = d.word
+GROUP BY d.doc_id
 """
 
 
@@ -3246,6 +3336,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_oracle_sql(SEM_M, SEM_THRESH),
         "tfidf_topk": _tfidf_oracle_sql(3),
         "doc_perplexity": _perplexity_oracle_sql(0.5),
+        "doc_wordpiece": _wordpiece_oracle_sql(),
         "ngram_jaccard": _ngram_oracle_sql(),
         "phash_near_dups": """
             WITH ids AS (SELECT event_id FROM events WHERE event_id % 199 = 0),

@@ -106,7 +106,7 @@ def main() -> None:
                 "raster_burn", "raster_contour",
                 "shared_area", "dedup_exact", "minhash_pairs", "simhash_dups",
                 "ngram_jaccard", "substring_spans", "text_stats",
-                "tfidf_topk", "doc_perplexity",
+                "tfidf_topk", "doc_perplexity", "doc_wordpiece",
                 "gopher_filter", "near_dup_keep", "doc_chunks",
                 "pii_scrub", "decontam", "seq_pack", "url_filter", "corpus_mix",
                 "embed_top1", "embed_ann_lsh",
@@ -136,6 +136,16 @@ def main() -> None:
     n_sem = _timed("semdedup", lambda: _count(
         semdedup(emb, threshold=0.5, n_clusters=m, seed=11)))
     meta["semdedup_rows"] = n_sem
+
+    # -------- BPE in production shape: train merges on the corpus
+    # (distributed word counts; driver-side merge learning on the
+    # bounded vocab) then tokenize every document
+    from gis_tools_spark.operators.tokenizer import bpe_tokenize, train_bpe
+
+    docs_bpe = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_bpe = _timed("bpe_train_apply", lambda: _count(
+        bpe_tokenize(docs_bpe, train_bpe(docs_bpe, n_merges=64))))
+    meta["bpe_train_apply_rows"] = n_bpe
 
     # -------- image-table workload (BASELINE.json metric)
     images = fixtures.gen_images_spark(spark, N_IMAGES, with_pixels=True)
