@@ -1315,6 +1315,75 @@ def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_scores(docs).orderBy("doc_id")
 
 
+# line_dedup gate: deterministic multi-line documents rebuilt from the
+# documents table (fixture texts are single-line) — a constant header on
+# every doc, 6-word body chunks, a promo line on doc_id % 7 == 0, and a
+# per-source footer; engine and oracle construct the identical lines.
+LD_HDR = "hdr shared boilerplate banner"
+LD_PROMO = "promo line buy now"
+LD_CHUNK = 6
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (gate 74, the RefinedWeb/CCNet
+    recipe): lines appearing in ≥ min_docs distinct documents are
+    dropped from every document, surviving lines re-join in order. The
+    gate synthesizes multi-line docs deterministically (header + 6-word
+    chunks + conditional promo + per-source footer) so removal hits the
+    header everywhere, the promo on its 1-in-7 docs, and each source's
+    footer, while natural body chunks survive; the oracle rebuilds the
+    identical line set and md5-pins each cleaned document."""
+    _tune(spark)
+    from gis_tools_spark.operators.dedup import dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.filter(F.split(F.trim(F.lower("text")), r"\s+"),
+                     lambda x: x != F.lit(""))
+    nch = F.ceil(F.size("w") / F.lit(float(LD_CHUNK))).cast("int")
+    # guard: sequence(1, 0) would count DOWN in Spark — empty docs get
+    # an empty chunk list instead
+    chunks = F.when(F.col("nch") > 0, F.transform(
+        F.sequence(F.lit(1), F.col("nch")),
+        lambda i: F.array_join(
+            F.slice("w", (i - 1) * LD_CHUNK + 1, LD_CHUNK), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    built = (docs.select("doc_id", "source", words.alias("w"))
+             .withColumn("nch", nch)
+             .select("doc_id", F.concat_ws(
+                 "\n",
+                 F.concat(F.array(F.lit(LD_HDR)), chunks,
+                          F.when(F.col("doc_id") % 7 == 0,
+                                 F.array(F.lit(LD_PROMO)))
+                          .otherwise(F.array().cast("array<string>")),
+                          F.array(F.concat(F.lit("src "), F.col("source")))))
+                 .alias("text")))
+    out = dedup_lines(built, min_docs=2)
+    return (out.select("doc_id",
+                       F.col("n_lines").cast("long").alias("n_lines"),
+                       F.col("n_removed").cast("long").alias("n_removed"),
+                       F.md5("clean_text").alias("clean_md5"))
+            .orderBy("doc_id"))
+
+
+def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact duplicate spans (gate 75, the published
+    remove-substrings-already-seen-elsewhere dedup): maximal token
+    ranges whose every 8-token window also occurs in a DIFFERENT
+    document, reported only for non-canonical copies (the minimum
+    doc_id holding a window keeps it). Same md5 window keys and
+    gaps-and-islands merge as substring_spans, with ownership resolved
+    by one distinct-doc + min-id aggregate, all mirrored in DuckDB."""
+    _tune(spark)
+    from gis_tools_spark.operators.dedup import cross_dup_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cross_dup_spans(docs, k=8)
+    return out.select(F.col("doc_id"),
+                      F.col("span_start").cast("long").alias("span_start"),
+                      F.col("span_end").cast("long").alias("span_end"),
+                      F.col("n_windows").cast("long").alias("n_windows"))
+
+
 # WordPiece gate vocabulary: every fixture character except 'q' (raw +
 # continuation form) so words containing q exercise the [UNK] path, plus
 # multi-character pieces that make longest-match segmentation
@@ -2196,6 +2265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf,
         "doc_perplexity": q_doc_perplexity,
         "doc_wordpiece": q_doc_wordpiece,
+        "line_dedup": q_line_dedup,
+        "cross_doc_spans": q_cross_doc_spans,
         "sjoin_rects": q_sjoin_rects,
         "sjoin_broadcast": q_sjoin_broadcast,
         "sjoin_within": q_sjoin_within,
@@ -2612,6 +2683,93 @@ FROM e
 JOIN assign a ON a.vec_id = e.vec_id
 LEFT JOIN comp c ON c.node = e.vec_id
 ORDER BY e.vec_id
+"""
+
+
+def _line_dedup_oracle_sql(min_docs: int = 2) -> str:
+    """DuckDB mirror of q_line_dedup: rebuild the identical line set
+    (header / 6-word chunks / conditional promo / per-source footer)
+    with explicit positions, count distinct documents per line, drop
+    lines at ≥ min_docs, and md5 the order-preserved rejoin."""
+    return f"""
+WITH docs AS ({_DOCS_WORDS_SQL.strip()}),
+src AS (SELECT doc_id, source FROM documents),
+built AS (
+  SELECT d.doc_id,
+         ['{LD_HDR}']
+         || (CASE WHEN len(d.words) > 0 THEN (
+               SELECT list(array_to_string(
+                        d.words[(i - 1) * {LD_CHUNK} + 1 : i * {LD_CHUNK}],
+                        ' ') ORDER BY i)
+               FROM unnest(generate_series(
+                      1, CAST(ceil(len(d.words) / {LD_CHUNK}.0) AS INT)))
+                    AS t(i)
+             ) ELSE [] END)
+         || (CASE WHEN d.doc_id % 7 = 0 THEN ['{LD_PROMO}'] ELSE [] END)
+         || ['src ' || s.source] AS lines
+  FROM docs d JOIN src s USING (doc_id)
+),
+ln AS (
+  SELECT doc_id, u.i AS pos, lines[u.i] AS line
+  FROM built, unnest(generate_series(1, len(lines))) AS u(i)
+),
+cnt AS (SELECT line, count(DISTINCT doc_id) AS n_docs
+        FROM ln GROUP BY line),
+fl AS (
+  SELECT ln.doc_id, ln.pos, ln.line,
+         CASE WHEN cnt.n_docs >= {min_docs} THEN 1 ELSE 0 END AS rm
+  FROM ln JOIN cnt USING (line)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(rm) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN rm = 0 THEN line END, chr(10)
+                               ORDER BY pos), '')) AS clean_md5
+FROM fl GROUP BY doc_id
+"""
+
+
+def _cross_doc_spans_oracle_sql(k: int = 8) -> str:
+    """DuckDB mirror of q_cross_doc_spans: the substring_spans window
+    machinery (identical md5 keys, identical islands merge) with the
+    keep rule swapped for cross-document ownership — windows in ≥2
+    distinct docs, reported for every doc except the minimum-id
+    owner."""
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> t <> '') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) >= {k}
+), w AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+         md5(array_to_string(toks[u.i:u.i + {k - 1}], chr(31))) AS whash
+  FROM b, UNNEST(range(1, n - {k} + 2)) AS u(i)
+), own AS (
+  SELECT whash, min(doc_id) AS owner
+  FROM w GROUP BY whash
+  HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= 10000
+), m AS (
+  SELECT w.doc_id, w.pos FROM w JOIN own USING (whash)
+  WHERE w.doc_id <> own.owner
+), g AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos, 1, -{k})
+                  OVER (PARTITION BY doc_id ORDER BY pos) > {k}
+              THEN 1 ELSE 0 END AS brk
+  FROM m
+), gg AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM g
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + {k - 1} AS span_end,
+       COUNT(*) AS n_windows
+FROM gg GROUP BY doc_id, grp
 """
 
 
@@ -3337,6 +3495,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": _tfidf_oracle_sql(3),
         "doc_perplexity": _perplexity_oracle_sql(0.5),
         "doc_wordpiece": _wordpiece_oracle_sql(),
+        "line_dedup": _line_dedup_oracle_sql(2),
+        "cross_doc_spans": _cross_doc_spans_oracle_sql(8),
         "ngram_jaccard": _ngram_oracle_sql(),
         "phash_near_dups": """
             WITH ids AS (SELECT event_id FROM events WHERE event_id % 199 = 0),

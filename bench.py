@@ -105,7 +105,8 @@ def main() -> None:
                 "dwithin_count", "zonal_event_stats", "zonal_raster_stats",
                 "raster_burn", "raster_contour",
                 "shared_area", "dedup_exact", "minhash_pairs", "simhash_dups",
-                "ngram_jaccard", "substring_spans", "text_stats",
+                "ngram_jaccard", "substring_spans", "cross_doc_spans",
+                "line_dedup", "text_stats",
                 "tfidf_topk", "doc_perplexity", "doc_wordpiece",
                 "gopher_filter", "near_dup_keep", "doc_chunks",
                 "pii_scrub", "decontam", "seq_pack", "url_filter", "corpus_mix",

@@ -39,12 +39,15 @@ from .sampling import add_z_from_raster, sample_points_in_polygons  # noqa: F401
 from .geocoding import all_addresses  # noqa: F401
 from .topography import get_horizon  # noqa: F401
 from .dedup import (  # noqa: F401
+    cross_dup_spans,
     dedup_exact,
+    dedup_lines,
     hamming_dedup_clusters,
     minhash_lsh_pairs,
     near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_near_dups,
+    substring_dup_spans,
 )
 from .simsearch import (  # noqa: F401
     brute_force_topk,

@@ -370,6 +370,17 @@ def substring_dup_spans(df: DataFrame, *, text_col: str = "text",
     concentrate one reducer; RefinedWeb excludes such spans as
     boilerplate for the same reason.  md5 (not xxhash64) so a DuckDB
     oracle can recompute the identical keys value-for-value."""
+    win = _window_hashes(df, text_col, id_col, k)
+    keep = (win.groupBy("whash").agg(F.count("*").alias("occ"))
+            .where((F.col("occ") >= min_occ) & (F.col("occ") <= max_occ)))
+    m = win.join(keep, "whash").select(id_col, "pos")
+    return _merge_islands(m, id_col, k)
+
+
+def _window_hashes(df: DataFrame, text_col: str, id_col: str,
+                   k: int) -> DataFrame:
+    """(id, pos, whash) for every k-token window, 1-based positions;
+    md5 keys so DuckDB oracles can recompute them value-for-value."""
     sep = "\x1f"
     toks = F.filter(F.split(F.col(text_col), " "),
                     lambda x: x != F.lit(""))
@@ -381,10 +392,12 @@ def substring_dup_spans(df: DataFrame, *, text_col: str = "text",
         lambda i: F.md5(F.array_join(F.slice("toks", i, k), sep)))
     win = base.select(F.col(id_col),
                       F.posexplode(hashes).alias("p0", "whash"))
-    win = win.select(id_col, (F.col("p0") + 1).alias("pos"), "whash")
-    keep = (win.groupBy("whash").agg(F.count("*").alias("occ"))
-            .where((F.col("occ") >= min_occ) & (F.col("occ") <= max_occ)))
-    m = win.join(keep, "whash").select(id_col, "pos")
+    return win.select(id_col, (F.col("p0") + 1).alias("pos"), "whash")
+
+
+def _merge_islands(m: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Merge kept window starts into maximal spans per document
+    (gaps-and-islands with a lag window)."""
     w = Window.partitionBy(id_col).orderBy("pos")
     grp = (m.withColumn("brk", F.when(
         F.col("pos") - F.lag("pos", 1, -k).over(w) > k, 1).otherwise(0))
@@ -395,6 +408,79 @@ def substring_dup_spans(df: DataFrame, *, text_col: str = "text",
                  (F.max("pos") + k - 1).alias("span_end"),
                  F.count("*").alias("n_windows"))
             .drop("grp"))
+
+
+def cross_dup_spans(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8,
+                    max_occ: int = 10_000) -> DataFrame:
+    """CROSS-document exact duplicate spans (the published
+    train-data-dedup recipe of removing every ≥k-token substring that
+    already occurs in another document): maximal token ranges whose
+    every k-token window also appears in a DIFFERENT document, reported
+    only for non-canonical copies (canonical = minimum id holding the
+    window — that copy survives, so dedup never deletes all
+    occurrences). Returns (doc_id, span_start, span_end, n_windows),
+    1-based inclusive token positions — the spans a pipeline cuts out
+    of doc ``doc_id``.
+
+    Plan mirrors :func:`substring_dup_spans` — O(total tokens) shuffle
+    on md5 window keys — with ownership resolved by one extra aggregate
+    (distinct-doc count + min id per window). ``max_occ`` stays the
+    boilerplate/skew guard. Canonical-ownership is per-window (greedy):
+    overlapping windows owned by different documents each keep their
+    own canonical copy, the standard approximation of the exact
+    suffix-array formulation.
+    """
+    win = _window_hashes(df, text_col, id_col, k)
+    own = (win.groupBy("whash")
+           .agg(F.countDistinct(id_col).alias("n_docs"),
+                F.min(id_col).alias("owner"),
+                F.count("*").alias("occ"))
+           .where((F.col("n_docs") >= 2) & (F.col("occ") <= max_occ)))
+    m = (win.join(own, "whash")
+         .where(F.col(id_col) != F.col("owner"))
+         .select(id_col, "pos"))
+    return _merge_islands(m, id_col, k)
+
+
+def dedup_lines(df: DataFrame, *, text_col: str = "text",
+                id_col: str = "doc_id", min_docs: int = 2
+                ) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb/CCNet recipe of
+    dropping lines that repeat across many documents — headers,
+    footers, cookie banners): any line appearing in at least
+    ``min_docs`` DISTINCT documents is removed from every document.
+    Returns one row per input document:
+    ``(id, n_lines, n_removed, clean_text)`` with surviving lines
+    re-joined by newline in their original order (empty string when
+    everything was boilerplate).
+
+    Plan (pure Catalyst, no Python): explode lines with positions, ONE
+    shuffled aggregate for per-line distinct-doc counts, a join back on
+    the line key, and per-document reassembly via
+    collect_list(struct(pos, ...)) + array_sort — order restored
+    without a second window shuffle. Documents with no lines at all
+    (empty text) are preserved with n_lines = 0. At 100 TB the line
+    count table shards on the line key; a hash key variant
+    (xxhash64(line)) halves shuffle width when oracle mirroring is not
+    needed."""
+    lines_arr = F.filter(F.split(F.col(text_col), "\n"),
+                         lambda x: F.trim(x) != F.lit(""))
+    ln = (df.select(F.col(id_col),
+                    F.posexplode_outer(lines_arr).alias("pos", "line")))
+    counts = (ln.where(F.col("line").isNotNull())
+              .groupBy("line")
+              .agg(F.countDistinct(id_col).alias("n_docs")))
+    flagged = (ln.join(counts, on="line", how="left")
+               .withColumn("rm", (F.col("n_docs") >= min_docs)
+                           .cast("int")))
+    return (flagged.groupBy(id_col)
+            .agg(F.count("line").alias("n_lines"),
+                 F.coalesce(F.sum("rm"), F.lit(0)).alias("n_removed"),
+                 F.concat_ws("\n", F.array_sort(F.collect_list(
+                     F.when(F.col("rm") == 0,
+                            F.struct("pos", "line")))).line)
+                 .alias("clean_text")))
 
 
 # ------------------------------------------------- near-dup cluster + keep

@@ -435,3 +435,48 @@ def test_semdedup_kmeans_production_path(emb):
         assert int(r.keep) == int(int(r.vec_id) == int(r.cluster_id))
     # 3 trained centroids on 3 tight blobs: heavy dedup expected
     assert out["keep"].sum() <= 12
+
+
+def test_dedup_lines_boilerplate_removal(spark):
+    """Lines in ≥2 distinct docs are removed everywhere; unique lines
+    survive in order; empty docs are preserved with zero counts."""
+    from gis_tools_spark.operators.dedup import dedup_lines
+
+    rows = [(0, "HDR\nalpha beta\ngamma delta\nFOOT"),
+            (1, "HDR\nepsilon zeta\nFOOT"),
+            (2, "HDR\nunique line here\nFOOT"),
+            (3, ""),
+            (4, "only unique content")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (dedup_lines(df, min_docs=2).orderBy("doc_id").toPandas()
+           .set_index("doc_id"))
+    assert out.loc[0, "clean_text"] == "alpha beta\ngamma delta"
+    assert out.loc[0, "n_lines"] == 4 and out.loc[0, "n_removed"] == 2
+    assert out.loc[3, "n_lines"] == 0 and out.loc[3, "clean_text"] == ""
+    assert out.loc[4, "clean_text"] == "only unique content"
+    # a line repeated WITHIN one doc only is not boilerplate
+    df2 = spark.createDataFrame([(9, "same\nsame\nother")],
+                                "doc_id long, text string")
+    o2 = dedup_lines(df2, min_docs=2).toPandas()
+    assert o2.n_removed.iloc[0] == 0
+
+
+def test_cross_dup_spans_canonical_keeps(spark):
+    """The copied region is reported only for the non-canonical doc,
+    with exact 1-based token bounds; disjoint docs report nothing."""
+    from gis_tools_spark.operators.dedup import cross_dup_spans
+
+    rows = [(5, "a b c d e f g h i j k l"),
+            (10, "x y z a b c d e f g h i j q r"),
+            (11, "p q r s t u v w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cross_dup_spans(df, k=4).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.doc_id), int(r.span_start), int(r.span_end)) == (10, 4, 13)
+    # symmetric copy in BOTH directions still keeps exactly one owner
+    df2 = spark.createDataFrame(
+        [(1, "m n o p q r s t"), (2, "m n o p q r s t")],
+        "doc_id long, text string")
+    o2 = cross_dup_spans(df2, k=4).toPandas()
+    assert list(o2.doc_id) == [2] and int(o2.span_start.iloc[0]) == 1
