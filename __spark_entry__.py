@@ -1384,6 +1384,63 @@ def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_windows").cast("long").alias("n_windows"))
 
 
+# c4_filter gate: deterministic multi-line docs with per-line suffix
+# punctuation and rule-triggering injected lines, shared with the oracle.
+C4_JS_LINE = "this page uses javascript heavily today."
+C4_LOREM_LINE = "lorem ipsum dolor sit amet here."
+C4_CURLY_LINE = "config { braces appear here today."
+C4_BAD_LINE = "contains badword in plain sight today."
+
+
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-rules cleanup decision (gate 76): line stage (terminal
+    punctuation, ≥5 words, no 'javascript') then first-match document
+    rejection (lorem ipsum / curly brace / bad word / <3 sentence
+    enders). The gate rebuilds deterministic multi-line documents on
+    both engines — 6-word body chunks whose suffix cycles . ! (none) ?
+    by (doc_id+i)%4, all-punctuation-stripped docs at doc_id%19==0, and
+    injected rule-trigger lines at doc_id%11/13/17/23 — so every line
+    rule and every document reason branch is value-checked, with the
+    cleaned text md5-pinned."""
+    _tune(spark)
+    from gis_tools_spark.operators.textstats import c4_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.filter(F.split(F.trim(F.lower("text")), r"\s+"),
+                     lambda x: x != F.lit(""))
+    nch = F.ceil(F.size("w") / F.lit(float(LD_CHUNK))).cast("int")
+    m = F.col("doc_id")
+
+    def _suffix(i):
+        cyc = (m + i) % 4
+        return (F.when(m % 19 == 0, "")
+                .when(cyc == 0, ".").when(cyc == 1, "!")
+                .when(cyc == 3, "?").otherwise(""))
+
+    body = F.when(F.col("nch") > 0, F.transform(
+        F.sequence(F.lit(1), F.col("nch")),
+        lambda i: F.concat(F.array_join(
+            F.slice("w", (i - 1) * LD_CHUNK + 1, LD_CHUNK), " "),
+            _suffix(i)))).otherwise(F.array().cast("array<string>"))
+
+    def _maybe(mod, line):
+        return (F.when(m % mod == 0, F.array(F.lit(line)))
+                .otherwise(F.array().cast("array<string>")))
+
+    built = (docs.select("doc_id", words.alias("w"))
+             .withColumn("nch", nch)
+             .select("doc_id", F.concat_ws(
+                 "\n", F.concat(body, _maybe(11, C4_JS_LINE),
+                                _maybe(13, C4_LOREM_LINE),
+                                _maybe(17, C4_CURLY_LINE),
+                                _maybe(23, C4_BAD_LINE))).alias("text")))
+    out = c4_filter(built)
+    return (out.select("doc_id", "n_lines", "n_kept", "n_sent",
+                       F.md5("clean_text").alias("clean_md5"),
+                       "reject_reason", "accept")
+            .orderBy("doc_id"))
+
+
 # WordPiece gate vocabulary: every fixture character except 'q' (raw +
 # continuation form) so words containing q exercise the [UNK] path, plus
 # multi-character pieces that make longest-match segmentation
@@ -2267,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_wordpiece": q_doc_wordpiece,
         "line_dedup": q_line_dedup,
         "cross_doc_spans": q_cross_doc_spans,
+        "c4_filter": q_c4_filter,
         "sjoin_rects": q_sjoin_rects,
         "sjoin_broadcast": q_sjoin_broadcast,
         "sjoin_within": q_sjoin_within,
@@ -2770,6 +2828,86 @@ SELECT doc_id,
        MAX(pos) + {k - 1} AS span_end,
        COUNT(*) AS n_windows
 FROM gg GROUP BY doc_id, grp
+"""
+
+
+def _c4_oracle_sql() -> str:
+    """DuckDB mirror of q_c4_filter: identical document construction
+    (6-word chunks + cycling suffixes + injected rule lines), the same
+    line predicate (terminal punct, ≥5 words, no 'javascript'), the
+    same replace-chain sentence count, and the same first-match reason
+    order; cleaned text md5-pinned in line order."""
+    return f"""
+WITH docs AS ({_DOCS_WORDS_SQL.strip()}),
+built AS (
+  SELECT d.doc_id,
+         (CASE WHEN len(d.words) > 0 THEN (
+            SELECT list(
+              array_to_string(
+                d.words[(i - 1) * {LD_CHUNK} + 1 : i * {LD_CHUNK}], ' ')
+              || (CASE WHEN d.doc_id % 19 = 0 THEN ''
+                       WHEN (d.doc_id + i) % 4 = 0 THEN '.'
+                       WHEN (d.doc_id + i) % 4 = 1 THEN '!'
+                       WHEN (d.doc_id + i) % 4 = 3 THEN '?'
+                       ELSE '' END)
+              ORDER BY i)
+            FROM unnest(generate_series(
+                   1, CAST(ceil(len(d.words) / {LD_CHUNK}.0) AS INT)))
+                 AS t(i)
+          ) ELSE [] END)
+         || (CASE WHEN d.doc_id % 11 = 0 THEN ['{C4_JS_LINE}'] ELSE [] END)
+         || (CASE WHEN d.doc_id % 13 = 0 THEN ['{C4_LOREM_LINE}'] ELSE [] END)
+         || (CASE WHEN d.doc_id % 17 = 0 THEN ['{C4_CURLY_LINE}'] ELSE [] END)
+         || (CASE WHEN d.doc_id % 23 = 0 THEN ['{C4_BAD_LINE}'] ELSE [] END)
+         AS lines
+  FROM docs d
+),
+ln AS (
+  SELECT doc_id, u.i AS pos, trim(lines[u.i]) AS line
+  FROM built, unnest(generate_series(1, len(lines))) AS u(i)
+  WHERE trim(lines[u.i]) <> ''
+),
+fl AS (
+  SELECT doc_id, pos, line,
+         CASE WHEN right(line, 1) IN ('.', '!', '?', '"')
+                   AND len(list_filter(string_split_regex(line, '\\s+'),
+                                       x -> x <> '')) >= 5
+                   AND position('javascript' IN lower(line)) = 0
+              THEN 1 ELSE 0 END AS keep_line
+  FROM ln
+),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(keep_line) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN keep_line = 1 THEN line END,
+                             chr(10) ORDER BY pos), '') AS clean_text
+  FROM fl GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, n_lines, n_kept, clean_text,
+         CAST(len(clean_text)
+              - len(replace(replace(replace(clean_text, '.', ''),
+                                    '!', ''), '?', '')) AS BIGINT) AS n_sent
+  FROM agg
+)
+SELECT doc_id, n_lines, n_kept, n_sent,
+       md5(clean_text) AS clean_md5,
+       CASE WHEN position('lorem ipsum' IN lower(clean_text)) > 0
+              THEN 'lorem_ipsum'
+            WHEN position('{{' IN clean_text) > 0
+                 OR position('}}' IN clean_text) > 0 THEN 'curly_brace'
+            WHEN position('badword' IN lower(clean_text)) > 0
+              THEN 'bad_word'
+            WHEN n_sent < 3 THEN 'too_few_sentences'
+            ELSE 'ok' END AS reject_reason,
+       CAST(CASE WHEN position('lorem ipsum' IN lower(clean_text)) = 0
+                  AND position('{{' IN clean_text) = 0
+                  AND position('}}' IN clean_text) = 0
+                  AND position('badword' IN lower(clean_text)) = 0
+                  AND n_sent >= 3
+                 THEN 1 ELSE 0 END AS INTEGER) AS accept
+FROM sig
 """
 
 
@@ -3497,6 +3635,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_wordpiece": _wordpiece_oracle_sql(),
         "line_dedup": _line_dedup_oracle_sql(2),
         "cross_doc_spans": _cross_doc_spans_oracle_sql(8),
+        "c4_filter": _c4_oracle_sql(),
         "ngram_jaccard": _ngram_oracle_sql(),
         "phash_near_dups": """
             WITH ids AS (SELECT event_id FROM events WHERE event_id % 199 = 0),

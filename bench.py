@@ -108,7 +108,7 @@ def main() -> None:
                 "ngram_jaccard", "substring_spans", "cross_doc_spans",
                 "line_dedup", "text_stats",
                 "tfidf_topk", "doc_perplexity", "doc_wordpiece",
-                "gopher_filter", "near_dup_keep", "doc_chunks",
+                "gopher_filter", "c4_filter", "near_dup_keep", "doc_chunks",
                 "pii_scrub", "decontam", "seq_pack", "url_filter", "corpus_mix",
                 "embed_top1", "embed_ann_lsh",
                 "events_sessionize", "pricing_summary"]

@@ -61,6 +61,7 @@ from .tfidf import bm25_scores, tfidf_topk  # noqa: F401
 from .lmscore import perplexity_scores, train_bigram_lm  # noqa: F401
 from .tokenizer import bpe_tokenize, train_bpe, wordpiece_tokenize  # noqa: F401
 from .textstats import (  # noqa: F401
+    c4_filter,
     fingerprint,
     gopher_filter,
     lang_scores,

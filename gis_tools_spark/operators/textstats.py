@@ -226,3 +226,71 @@ def gopher_filter(df: DataFrame, *, text_col: str = "text",
             .withColumn("reject_reason", F.coalesce(reason, F.lit("ok")))
             .withColumn("accept",
                         (F.col("reject_reason") == "ok").cast("int")))
+
+
+C4_BAD_WORDS = ("badword",)
+C4_RULES = ("lorem_ipsum", "curly_brace", "bad_word", "too_few_sentences")
+
+
+def c4_filter(df: DataFrame, *, text_col: str = "text",
+              id_col: str = "doc_id", min_words_per_line: int = 5,
+              min_sentences: int = 3,
+              bad_words: tuple[str, ...] = C4_BAD_WORDS) -> DataFrame:
+    """C4-style cleanup (the other published heuristic family next to
+    :func:`gopher_filter`): a LINE stage keeps only trimmed lines that
+    end in terminal punctuation (``. ! ? \"``), carry at least
+    ``min_words_per_line`` whitespace words, and do not mention
+    ``javascript``; then a DOCUMENT stage rejects the cleaned text on
+    the first matching rule in ``C4_RULES`` order — ``lorem ipsum``
+    occurrence, any curly brace, any listed bad word, or fewer than
+    ``min_sentences`` sentence enders (``.!?`` count over the kept
+    text). Returns one row per document:
+    ``(id, n_lines, n_kept, n_sent, clean_text, reject_reason,
+    accept)`` with ``reject_reason = 'ok'`` on acceptance.
+
+    Scale plan: the whole op is ONE codegen projection over the scan —
+    line filtering is an array lambda, every document signal is a
+    column expression; zero shuffles, zero Python, so it runs at
+    ingest rate like pii_stats/url_filter.
+    """
+    txt = F.col(text_col)
+    lines = F.transform(F.split(txt, "\n"), F.trim)
+    lines = F.filter(lines, lambda x: x != F.lit(""))
+
+    def _ok(l):
+        nw = F.size(F.filter(F.split(l, r"\s+"),
+                             lambda x: x != F.lit("")))
+        term = (l.endswith(".") | l.endswith("!") | l.endswith("?")
+                | l.endswith('"'))
+        return (term & (nw >= min_words_per_line)
+                & ~F.lower(l).contains("javascript"))
+
+    kept = F.filter(lines, _ok)
+    clean = F.array_join(kept, "\n")
+
+    sig = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        clean.alias("clean_text"))
+    ct = F.col("clean_text")
+    n_sent = (F.length(ct) - F.length(
+        F.replace(F.replace(F.replace(ct, F.lit("."), F.lit("")),
+                            F.lit("!"), F.lit("")),
+                  F.lit("?"), F.lit("")))).cast("long")
+    lower_ct = F.lower(ct)
+    has_bad = None
+    for w in bad_words:
+        c = lower_ct.contains(w)
+        has_bad = c if has_bad is None else (has_bad | c)
+    reason = (
+        F.when(lower_ct.contains("lorem ipsum"), "lorem_ipsum")
+        .when(ct.contains("{") | ct.contains("}"), "curly_brace")
+        .when(has_bad if has_bad is not None else F.lit(False), "bad_word")
+        .when(n_sent < min_sentences, "too_few_sentences"))
+    return (sig.withColumn("n_sent", n_sent)
+            .withColumn("reject_reason", F.coalesce(reason, F.lit("ok")))
+            .withColumn("accept",
+                        (F.col("reject_reason") == "ok").cast("int"))
+            .select(id_col, "n_lines", "n_kept", "n_sent", "clean_text",
+                    "reject_reason", "accept"))

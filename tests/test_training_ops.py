@@ -480,3 +480,50 @@ def test_cross_dup_spans_canonical_keeps(spark):
         "doc_id long, text string")
     o2 = cross_dup_spans(df2, k=4).toPandas()
     assert list(o2.doc_id) == [2] and int(o2.span_start.iloc[0]) == 1
+
+
+def test_c4_filter_line_and_doc_rules(spark):
+    """Line stage: terminal punctuation, >=5 words, no javascript.
+    Doc stage: first-match reason order lorem > curly > bad > sentences."""
+    from gis_tools_spark.operators.textstats import c4_filter
+
+    rows = [
+        (0, "one two three four five.\nshort line.\nno terminal punct here"
+            "\nthis page uses javascript heavily today.\n"
+            "six seven eight nine ten!\neleven twelve one two three?"),
+        (1, "lorem ipsum dolor sit amet here.\n"
+            "alpha beta gamma delta epsilon.\n"
+            "zeta eta theta iota kappa.\nmu nu xi omicron pi."),
+        (2, "config { braces appear here today.\n"
+            "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa.\n"
+            "mu nu xi omicron pi."),
+        (3, "contains badword in plain sight today.\n"
+            "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa.\n"
+            "mu nu xi omicron pi."),
+        (4, "only one good sentence right here."),
+        (5, "alpha beta gamma delta epsilon.\nzeta eta theta iota kappa!\n"
+            "mu nu xi omicron pi?"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (c4_filter(df).orderBy("doc_id").toPandas()
+           .set_index("doc_id"))
+    # doc 0: 6 lines; kept = line 1, 5, 6 (short/no-punct/js dropped)
+    assert out.loc[0, "n_lines"] == 6 and out.loc[0, "n_kept"] == 3
+    assert out.loc[0, "reject_reason"] == "ok" and out.loc[0, "accept"] == 1
+    assert out.loc[1, "reject_reason"] == "lorem_ipsum"
+    assert out.loc[2, "reject_reason"] == "curly_brace"
+    assert out.loc[3, "reject_reason"] == "bad_word"
+    assert out.loc[4, "reject_reason"] == "too_few_sentences"
+    assert out.loc[5, "reject_reason"] == "ok"
+    # doc 1 mixes lorem AND 3+ sentences: lorem wins (first match)
+    assert out.loc[1, "n_sent"] >= 3
+    # cleaned text keeps document order
+    assert out.loc[5, "clean_text"].startswith("alpha beta")
+
+
+def test_c4_filter_plan_is_python_free(spark):
+    from gis_tools_spark.operators.textstats import c4_filter
+
+    df = spark.createDataFrame([(0, "a.\nb.")], "doc_id long, text string")
+    plan = c4_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
