@@ -1384,6 +1384,32 @@ def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_windows").cast("long").alias("n_windows"))
 
 
+PYR_RES_MIN = 12
+PYR_RES_MAX = 15
+
+
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-pyramid rollup (gate 77): counts + value sums per qcell at
+    every resolution 12..15, where only the finest level touches the
+    point scan and each coarser level aggregates the previous level's
+    cells via bit-math parent keys (4→1). The oracle recomputes every
+    level INDEPENDENTLY from the raw points with the shared cell_sql
+    encoding — so the engine's child-rollup path is value-checked
+    against direct per-level aggregation, pinning the parent bit math
+    and the level-invariant totals."""
+    _tune(spark)
+    from gis_tools_spark.operators.pyramid import tile_pyramid
+
+    pts = DT.events_points(spark, sf_dir)
+    out = tile_pyramid(pts, res_min=PYR_RES_MIN, res_max=PYR_RES_MAX,
+                       weight_col="value")
+    return (out.select(F.col("res").cast("int").alias("res"),
+                       F.col("cell").cast("long").alias("cell"),
+                       F.col("n").cast("long").alias("n"),
+                       F.round("wsum", 4).alias("wsum_r"))
+            .orderBy("res", "cell"))
+
+
 # c4_filter gate: deterministic multi-line docs with per-line suffix
 # punctuation and rule-triggering injected lines, shared with the oracle.
 C4_JS_LINE = "this page uses javascript heavily today."
@@ -2325,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "cross_doc_spans": q_cross_doc_spans,
         "c4_filter": q_c4_filter,
+        "tile_pyramid": q_tile_pyramid,
         "sjoin_rects": q_sjoin_rects,
         "sjoin_broadcast": q_sjoin_broadcast,
         "sjoin_within": q_sjoin_within,
@@ -2829,6 +2856,21 @@ SELECT doc_id,
        COUNT(*) AS n_windows
 FROM gg GROUP BY doc_id, grp
 """
+
+
+def _tile_pyramid_oracle_sql(res_min: int = 12, res_max: int = 15) -> str:
+    """DuckDB mirror of q_tile_pyramid: every level re-aggregated
+    directly from the raw points with the shared cell_sql encoding —
+    an independent path vs the engine's child-rollup."""
+    parts = []
+    for r in range(res_min, res_max + 1):
+        cell = C.cell_sql("p.lon", "p.lat", r)
+        parts.append(f"""
+SELECT {r} AS res, {cell} AS cell,
+       count(*) AS n, round(sum(p.value), 4) AS wsum_r
+FROM ({DT.POINTS_SQL.strip()}) p
+GROUP BY cell""")
+    return "\nUNION ALL\n".join(parts)
 
 
 def _c4_oracle_sql() -> str:
@@ -3636,6 +3678,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_oracle_sql(2),
         "cross_doc_spans": _cross_doc_spans_oracle_sql(8),
         "c4_filter": _c4_oracle_sql(),
+        "tile_pyramid": _tile_pyramid_oracle_sql(PYR_RES_MIN, PYR_RES_MAX),
         "ngram_jaccard": _ngram_oracle_sql(),
         "phash_near_dups": """
             WITH ids AS (SELECT event_id FROM events WHERE event_id % 199 = 0),

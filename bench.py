@@ -102,7 +102,8 @@ def main() -> None:
     # -------- driver-table headline queries
     headline = ["pip_zone_counts", "pip_pairs", "pip_pairs_salted",
                 "knn_nearest_zone", "tile_assignment", "fishnet_tiles",
-                "dwithin_count", "zonal_event_stats", "zonal_raster_stats",
+                "dwithin_count", "tile_pyramid",
+                "zonal_event_stats", "zonal_raster_stats",
                 "raster_burn", "raster_contour",
                 "shared_area", "dedup_exact", "minhash_pairs", "simhash_dups",
                 "ngram_jaccard", "substring_spans", "cross_doc_spans",

@@ -73,4 +73,5 @@ from .decontam import decontaminate  # noqa: F401
 from .urlfilter import parse_urls, url_filter  # noqa: F401
 from .packing import chunk_documents, pack_sequences  # noqa: F401
 from .mixing import deterministic_sample, mix_corpus  # noqa: F401
+from .pyramid import tile_pyramid  # noqa: F401
 from . import network  # noqa: F401
