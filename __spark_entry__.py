@@ -1384,6 +1384,33 @@ def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_windows").cast("long").alias("n_windows"))
 
 
+PR_ITERS = 20
+PR_DAMP = 0.85
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank power iteration (gate 78, operators/network.pagerank):
+    20 damping-0.85 rounds with uniform dangling-mass redistribution on
+    a deterministic directed graph from the events table (u = id%60 →
+    v = (13id+7)%60, self-loops dropped, distinct). The DuckDB oracle
+    replays the identical iteration as a recursive CTE — per-round
+    contribution aggregation, dangling scalar, same float formula — so
+    every round's vector is pinned, not just the fixpoint."""
+    _tune(spark)
+    from gis_tools_spark.operators.network import pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = (ev.where(F.col("event_id") % 11 == 0)
+             .select((F.col("event_id") % 60).alias("src"),
+                     ((F.col("event_id") * 13 + 7) % 60).alias("dst"))
+             .where(F.col("src") != F.col("dst"))
+             .distinct())
+    out = pagerank(edges, damping=PR_DAMP, iters=PR_ITERS)
+    return (out.select(F.col("node").cast("long").alias("node"),
+                       F.round("pr", 6).alias("pr_r"))
+            .orderBy("node"))
+
+
 PYR_RES_MIN = 12
 PYR_RES_MAX = 15
 
@@ -2352,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_doc_spans": q_cross_doc_spans,
         "c4_filter": q_c4_filter,
         "tile_pyramid": q_tile_pyramid,
+        "graph_pagerank": q_graph_pagerank,
         "sjoin_rects": q_sjoin_rects,
         "sjoin_broadcast": q_sjoin_broadcast,
         "sjoin_within": q_sjoin_within,
@@ -2855,6 +2883,53 @@ SELECT doc_id,
        MAX(pos) + {k - 1} AS span_end,
        COUNT(*) AS n_windows
 FROM gg GROUP BY doc_id, grp
+"""
+
+
+def _pagerank_oracle_sql(iters: int = 20, damping: float = 0.85) -> str:
+    """DuckDB mirror of q_graph_pagerank: identical edge synthesis,
+    then the power iteration replayed as a recursive CTE — the
+    recursive term re-derives per-node contributions (join + group) and
+    the dangling scalar from the previous round's vector with the same
+    (1-d)/N + d·(contrib + dang/N) arithmetic."""
+    return f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT event_id % 60 AS u, (event_id * 13 + 7) % 60 AS v
+  FROM events
+  WHERE event_id % 11 = 0 AND event_id % 60 <> (event_id * 13 + 7) % 60
+),
+nodes AS (
+  -- explicit dedup: under WITH RECURSIVE DuckDB gives two-branch UNION
+  -- CTEs recursive union semantics and skips the global distinct
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0)
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT u, count(*) AS outdeg FROM e0 GROUP BY u),
+nd AS (SELECT node, coalesce(od.outdeg, 0) AS outdeg
+       FROM nodes LEFT JOIN od ON od.u = nodes.node),
+it AS (
+  SELECT 0 AS k, node, outdeg,
+         CAST(1.0 / (SELECT n FROM nn) AS DOUBLE) AS pr
+  FROM nd
+  UNION ALL
+  SELECT p.k + 1, p.node, p.outdeg,
+         CAST((1.0 - {damping}) / (SELECT n FROM nn) AS DOUBLE)
+         + {damping} * (coalesce(c.contrib, 0.0)
+                        + d.dang / (SELECT n FROM nn))
+  FROM it p
+  LEFT JOIN (
+    SELECT e0.v AS node, sum(q.pr / q.outdeg) AS contrib
+    FROM it q JOIN e0 ON e0.u = q.node GROUP BY e0.v
+  ) c ON c.node = p.node
+  CROSS JOIN (
+    SELECT coalesce(sum(CASE WHEN outdeg = 0 THEN pr END), 0.0) AS dang
+    FROM it
+  ) d
+  WHERE p.k < {iters}
+)
+SELECT CAST(node AS BIGINT) AS node, round(pr, 6) AS pr_r
+FROM it WHERE k = {iters}
 """
 
 
@@ -3679,6 +3754,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_doc_spans": _cross_doc_spans_oracle_sql(8),
         "c4_filter": _c4_oracle_sql(),
         "tile_pyramid": _tile_pyramid_oracle_sql(PYR_RES_MIN, PYR_RES_MAX),
+        "graph_pagerank": _pagerank_oracle_sql(PR_ITERS, PR_DAMP),
         "ngram_jaccard": _ngram_oracle_sql(),
         "phash_near_dups": """
             WITH ids AS (SELECT event_id FROM events WHERE event_id % 199 = 0),

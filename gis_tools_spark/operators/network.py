@@ -560,3 +560,56 @@ def merge_degree2(lines: DataFrame, *, wkb_col: str = "geometry_wkb",
     comp = connected_components(e)
     grouped = e.join(comp.withColumnRenamed("node", "src_key"), on="src_key")
     return linemerge(grouped, "component", wkb_col=wkb_col)
+
+
+def pagerank(edges: DataFrame, *, src_col: str = "src",
+             dst_col: str = "dst", damping: float = 0.85,
+             iters: int = 20) -> DataFrame:
+    """PageRank by power iteration over a directed edge list (edges are
+    used as given — parallel edges weight their target accordingly;
+    callers wanting simple-graph semantics distinct() first). Dangling
+    mass (nodes with no out-edges) redistributes uniformly each round,
+    so sum(pr) == 1 is invariant:
+
+        pr'(v) = (1-d)/N + d·(Σ_{u→v} pr(u)/outdeg(u) + dangling/N)
+
+    Returns ``(node, pr)`` after exactly ``iters`` rounds (fixed
+    iteration count keeps the result deterministic and SQL-mirrorable;
+    PR is a contraction so 20 rounds ≈ 1e-3·d^20 residual).
+
+    Scale plan: one shuffled contribution aggregation per round keyed
+    on dst (map-side combined), the dangling scalar rides a 1-row
+    crossJoin (no driver action per round), and eager localCheckpoint
+    truncates the iteration lineage exactly like the component/kNN
+    loops. At 1000 executors each round is one shuffle of the live
+    rank vector — the canonical distributed formulation."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst")).persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = (e.groupBy("src").agg(F.count("*").alias("outdeg"))
+              .withColumnRenamed("src", "node"))
+    nd = (nodes.join(outdeg, on="node", how="left")
+          .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")))
+    n = nd.count()
+    pr = (nd.withColumn("pr", F.lit(1.0 / n))).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        dang = pr.select(F.coalesce(F.sum(F.when(
+            F.col("outdeg") == 0, F.col("pr"))), F.lit(0.0)).alias("dang"))
+        contrib = (pr.join(e, pr["node"] == e["src"])
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("pr") / F.col("outdeg"))
+                        .alias("contrib"))
+                   .withColumnRenamed("dst", "node"))
+        pr = (pr.select("node", "outdeg")
+              .join(contrib, on="node", how="left")
+              .crossJoin(dang)
+              .select("node", "outdeg",
+                      (F.lit(base) + F.lit(damping)
+                       * (F.coalesce("contrib", F.lit(0.0))
+                          + F.col("dang") / F.lit(float(n))))
+                      .alias("pr"))).localCheckpoint()
+    e.unpersist()
+    return pr.select("node", "pr")

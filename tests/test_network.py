@@ -105,3 +105,49 @@ def test_shortest_paths_match_networkx(road_edges):
     assert set(got) == set(want)
     for n, d in want.items():
         assert got[n] == pytest.approx(d, abs=1e-9)
+
+
+def test_pagerank_fixed_point_and_replay(spark):
+    """Power iteration with dangling redistribution: ranks sum to 1,
+    the converged vector satisfies the PageRank fixed-point equation to
+    1e-9 (an algorithm-independent check), and a numpy replay of the
+    fixed-iteration contract matches to 1e-12."""
+    import numpy as np
+
+    from gis_tools_spark.operators.network import pagerank
+
+    rng = np.random.default_rng(11)
+    E = {(int(a), int(b)) for a, b in rng.integers(0, 40, (120, 2))
+         if a != b}
+    df = spark.createDataFrame(sorted(E), "src long, dst long")
+    out = pagerank(df, iters=40).toPandas()
+    got = dict(zip(out.node.astype(int), out.pr))
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # fixed-point residual: pr ≈ (1-d)/N + d (A^T pr + dang/N)
+    nodes0 = sorted(got)
+    idx0 = {v: i for i, v in enumerate(nodes0)}
+    n0 = len(nodes0)
+    v = np.array([got[x] for x in nodes0])
+    deg = np.zeros(n0)
+    for a, b in E:
+        deg[idx0[a]] += 1
+    nxt = np.full(n0, 0.15 / n0) + 0.85 * v[deg == 0].sum() / n0
+    for a, b in E:
+        nxt[idx0[b]] += 0.85 * v[idx0[a]] / deg[idx0[a]]
+    assert np.max(np.abs(nxt - v)) < 1e-9
+
+    # exact replay of the fixed-iteration contract
+    nodes = sorted(got)
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, v in E:
+        outdeg[idx[u]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(40):
+        new = np.full(n, 0.15 / n) + 0.85 * pr[outdeg == 0].sum() / n
+        for u, v in E:
+            new[idx[v]] += 0.85 * pr[idx[u]] / outdeg[idx[u]]
+        pr = new
+    assert all(abs(got[v] - pr[idx[v]]) < 1e-12 for v in nodes)
