@@ -2199,6 +2199,42 @@ def q_raster_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(_pixels, schema="gix long, giy long, aspect_v double")
 
 
+def q_raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hillshade variant of q_raster_slope (gate 79): Lambertian shaded
+    relief 255·max(0, sin(alt)·cos(s) + cos(alt)·sin(s)·cos(az−aspect))
+    at the default 315°/45° sun, through the SAME cross-tile halo
+    exchange; the oracle composes the identical trig over the global
+    edge-clamped grid, both sides rounding through float32."""
+    _tune(spark)
+    import pandas as pd
+    from typing import Iterator
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.stitch import slope_aspect_stitched
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+    out = slope_aspect_stitched(ras, mode="hillshade")
+
+    def _pixels(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+                _, tx, ty = r.image_id.split("_")
+                rows_, cols_ = np.nonzero(arr != codec.NO_DATA_F32)
+                recs.append(pd.DataFrame(
+                    {"gix": int(tx) * int(r.w) + cols_,
+                     "giy": int(ty) * int(r.h) + rows_,
+                     "shade_v": arr[rows_, cols_].astype(np.float64)}))
+            if recs:
+                yield pd.concat(recs, ignore_index=True)
+
+    return out.mapInPandas(_pixels, schema="gix long, giy long, shade_v double")
+
+
 def q_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """360° horizon extraction from DEM tiles, gated against a DuckDB
     brute-force oracle over the same closed-form pixels (azimuth/
@@ -2359,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_resample": q_raster_resample,
         "raster_slope": q_raster_slope,
         "raster_aspect": q_raster_aspect,
+        "raster_hillshade": q_raster_hillshade,
         "raster_polygonize": q_raster_polygonize,
         "buffer_area": q_buffer_area,
         "katana_split": q_katana_split,
@@ -3326,6 +3363,56 @@ FROM s
 """
 
 
+def _hillshade_oracle_sql() -> str:
+    """Hillshade over the same Horn-derivative CTE as the slope oracle:
+    s = atan(hypot), aspect = atan2(dzdy, -dzdx), shade = 255·max(0,
+    sin(45°)cos(s) + cos(45°)sin(s)cos(315° − aspect)), cast through
+    REAL like the kernel's float32 output."""
+    return """
+WITH px AS (
+  SELECT gix, giy,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+         ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+  FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b
+), n AS (
+  SELECT c.gix, c.giy,
+    max(CASE WHEN d.dx=-1 AND d.dy=-1 THEN p2.val END) AS zmm,
+    max(CASE WHEN d.dx= 0 AND d.dy=-1 THEN p2.val END) AS z0m,
+    max(CASE WHEN d.dx= 1 AND d.dy=-1 THEN p2.val END) AS zpm,
+    max(CASE WHEN d.dx=-1 AND d.dy= 0 THEN p2.val END) AS zm0,
+    max(CASE WHEN d.dx= 1 AND d.dy= 0 THEN p2.val END) AS zp0,
+    max(CASE WHEN d.dx=-1 AND d.dy= 1 THEN p2.val END) AS zmp,
+    max(CASE WHEN d.dx= 0 AND d.dy= 1 THEN p2.val END) AS z0p,
+    max(CASE WHEN d.dx= 1 AND d.dy= 1 THEN p2.val END) AS zpp
+  FROM px c
+  CROSS JOIN (SELECT * FROM (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(1,0),
+                                    (-1,1),(0,1),(1,1)) t(dx, dy)) d
+  JOIN px p2
+    ON p2.gix = least(greatest(c.gix + d.dx, 0), 127)
+   AND p2.giy = least(greatest(c.giy + d.dy, 0), 127)
+  GROUP BY c.gix, c.giy
+), s AS (
+  SELECT gix, giy,
+    ((zpm + 2*zp0 + zpp) - (zmm + 2*zm0 + zmp)) / 8.0 AS dzdx,
+    ((zmp + 2*z0p + zpp) - (zmm + 2*z0m + zpm)) / 8.0 AS dzdy
+  FROM n
+  WHERE zmm IS NOT NULL AND z0m IS NOT NULL AND zpm IS NOT NULL
+    AND zm0 IS NOT NULL AND zp0 IS NOT NULL
+    AND zmp IS NOT NULL AND z0p IS NOT NULL AND zpp IS NOT NULL
+), h AS (
+  SELECT gix, giy,
+    sin(radians(45.0)) * cos(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+    + cos(radians(45.0)) * sin(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))
+      * cos(radians(315.0) - atan2(dzdy, -dzdx)) AS hs
+  FROM s
+)
+SELECT CAST(gix AS BIGINT) AS gix, CAST(giy AS BIGINT) AS giy,
+       CAST(CAST(255.0 * greatest(hs, 0.0) AS REAL) AS DOUBLE) AS shade_v
+FROM h
+"""
+
+
 def _contour_oracle_sql() -> str:
     """Mirror contour_bins(interval=100, pmin=0, pmax=100) over the
     gen_rasters_exact(2,2,64) pixels: thresholds = exact global min/max,
@@ -4146,6 +4233,7 @@ FROM regions GROUP BY v
         "raster_aspect": _slope_oracle_sql().replace(
             "degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))",
             "degrees(atan2(dzdy, -dzdx))").replace("AS slope_v", "AS aspect_v"),
+        "raster_hillshade": _hillshade_oracle_sql(),
         "raster_resample": """
 WITH px AS (
   SELECT gix, giy,

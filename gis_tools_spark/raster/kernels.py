@@ -391,11 +391,36 @@ def _block_mode(blocks: np.ndarray) -> np.ndarray:
     return out
 
 
+def horn_output(dzdx: np.ndarray, dzdy: np.ndarray, mode: str,
+                azimuth: float = 315.0, altitude: float = 45.0
+                ) -> np.ndarray:
+    """Shared Horn-derivative → output map: 'slope' (degrees), 'aspect'
+    (degrees, atan2(dzdy, -dzdx)), or 'hillshade' — Lambertian shaded
+    relief ``255·max(0, sin(alt)·cos(s) + cos(alt)·sin(s)·cos(az −
+    aspect))`` with the sun at (azimuth°, altitude°), pixel-unit slopes
+    like the slope mode (no z-factor/cellsize scaling)."""
+    if mode == "slope":
+        return np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+    if mode == "aspect":
+        return np.degrees(np.arctan2(dzdy, -dzdx))
+    if mode == "hillshade":
+        az, alt = np.radians(azimuth), np.radians(altitude)
+        s = np.arctan(np.hypot(dzdx, dzdy))
+        asp = np.arctan2(dzdy, -dzdx)
+        hs = (np.sin(alt) * np.cos(s)
+              + np.cos(alt) * np.sin(s) * np.cos(az - asp))
+        return 255.0 * np.maximum(hs, 0.0)
+    raise ValueError(f"unknown mode {mode!r}")
+
+
 def slope_aspect(df: DataFrame, *, mode: str = "slope",
-                 no_data: float = codec.NO_DATA_F32) -> DataFrame:
-    """Horn 3×3 slope/aspect per tile (reference raster.py:794-824 via
-    gdal.DEMProcessing). Interior-exact; tile borders use edge-replicate
-    (cross-tile halo exchange is the stitching pass, SURVEY §7.3)."""
+                 no_data: float = codec.NO_DATA_F32,
+                 azimuth: float = 315.0,
+                 altitude: float = 45.0) -> DataFrame:
+    """Horn 3×3 slope/aspect/hillshade per tile (reference
+    raster.py:794-824 via gdal.DEMProcessing). Interior-exact; tile
+    borders use edge-replicate (cross-tile halo exchange is the
+    stitching pass, SURVEY §7.3)."""
     def _kernel(arr: np.ndarray) -> np.ndarray:
         a = arr.astype(np.float64)
         a = np.where(a == no_data, np.nan, a)
@@ -404,10 +429,7 @@ def slope_aspect(df: DataFrame, *, mode: str = "slope",
                 - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])) / 8.0
         dzdy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
                 - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])) / 8.0
-        if mode == "slope":
-            out = np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
-        else:
-            out = np.degrees(np.arctan2(dzdy, -dzdx))
+        out = horn_output(dzdx, dzdy, mode, azimuth, altitude)
         out = np.where(np.isnan(out), no_data, out)
         return out.astype(np.float32)
 

@@ -44,9 +44,12 @@ def _grid_indexed(df: DataFrame):
 
 
 def slope_aspect_stitched(df: DataFrame, *, mode: str = "slope",
-                          no_data: float = codec.NO_DATA_F32) -> DataFrame:
-    """Horn slope/aspect with cross-tile halo exchange: exact at interior
-    tile borders (equals the single-global-array computation there)."""
+                          no_data: float = codec.NO_DATA_F32,
+                          azimuth: float = 315.0,
+                          altitude: float = 45.0) -> DataFrame:
+    """Horn slope/aspect/hillshade with cross-tile halo exchange: exact
+    at interior tile borders (equals the single-global-array
+    computation there)."""
     t, _, _ = _grid_indexed(df)
 
     strip_schema = T.StructType([
@@ -141,10 +144,8 @@ def slope_aspect_stitched(df: DataFrame, *, mode: str = "slope",
                         - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])) / 8.0
                 dzdy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
                         - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])) / 8.0
-                if mode == "slope":
-                    o = np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
-                else:
-                    o = np.degrees(np.arctan2(dzdy, -dzdx))
+                from .kernels import horn_output
+                o = horn_output(dzdx, dzdy, mode, azimuth, altitude)
                 o = np.where(np.isnan(o), no_data, o)
                 bufs.append(codec.encode(o.astype(np.float32), r["fmt"]))
             out = pdf[out_cols].copy()

@@ -108,3 +108,43 @@ def test_contour_bins(spark):
     res = codec.decode_raw_f32(out["bytes"].iloc[0], 16, 16)
     # binned values form few distinct levels
     assert len(np.unique(res)) <= 12
+
+
+def test_hillshade_matches_global_array(spark):
+    """Stitched hillshade on a 2x2 mosaic equals the single-global-array
+    computation everywhere (borders through the halo exchange), and the
+    formula matches a direct numpy evaluation."""
+    import numpy as np
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.kernels import horn_output
+    from gis_tools_spark.raster.stitch import slope_aspect_stitched
+
+    ras_pd = fixtures.gen_rasters_exact(2, 2, 32)
+    out = slope_aspect_stitched(spark.createDataFrame(ras_pd),
+                                mode="hillshade").toPandas()
+
+    # rebuild the global array
+    G = np.zeros((64, 64), dtype=np.float64)
+    for r in ras_pd.itertuples(index=False):
+        arr = codec.decode(r.bytes, int(r.w), int(r.h), r.fmt)
+        _, tx, ty = r.image_id.split("_")
+        G[int(ty)*32:(int(ty)+1)*32, int(tx)*32:(int(tx)+1)*32] = arr
+    G = np.where(G == codec.NO_DATA_F32, np.nan, G)
+    p = np.pad(G, 1, mode="edge")
+    dzdx = ((p[:-2, 2:] + 2*p[1:-1, 2:] + p[2:, 2:])
+            - (p[:-2, :-2] + 2*p[1:-1, :-2] + p[2:, :-2])) / 8.0
+    dzdy = ((p[2:, :-2] + 2*p[2:, 1:-1] + p[2:, 2:])
+            - (p[:-2, :-2] + 2*p[:-2, 1:-1] + p[:-2, 2:])) / 8.0
+    want = horn_output(dzdx, dzdy, "hillshade").astype(np.float32)
+    assert 0.0 <= np.nanmin(want) and np.nanmax(want) <= 255.0
+
+    for r in out.itertuples(index=False):
+        arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+        _, tx, ty = r.image_id.split("_")
+        blk = want[int(ty)*32:(int(ty)+1)*32, int(tx)*32:(int(tx)+1)*32]
+        got = np.where(arr == codec.NO_DATA_F32, np.nan, arr)
+        m = ~np.isnan(blk)
+        assert np.array_equal(got[m], blk[m]), r.image_id
+        assert np.isnan(got[~m]).all()
