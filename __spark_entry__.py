@@ -1384,6 +1384,24 @@ def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_windows").cast("long").alias("n_windows"))
 
 
+def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encode (gate 80): the interop member of the cell-index
+    family next to qcell and Morton — standard base32 geohash (published
+    worked examples pytest-pinned) as a pure-codegen column, plus a
+    precision-4 prefix rollup. The oracle runs the SQL generator built
+    from the SAME per-character bit plan (cells._geohash_char_terms), so
+    the two expressions cannot drift."""
+    _tune(spark)
+    from gis_tools_spark import cells as CC
+
+    pts = DT.events_points(spark, sf_dir)
+    out = pts.select(
+        "event_id",
+        CC.geohash_column(F.col("lon"), F.col("lat"), 8).alias("gh8"),
+        CC.geohash_column(F.col("lon"), F.col("lat"), 4).alias("gh4"))
+    return out.orderBy("event_id")
+
+
 PR_ITERS = 20
 PR_DAMP = 0.85
 
@@ -2417,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_filter": q_c4_filter,
         "tile_pyramid": q_tile_pyramid,
         "graph_pagerank": q_graph_pagerank,
+        "geohash_encode": q_geohash_encode,
         "sjoin_rects": q_sjoin_rects,
         "sjoin_broadcast": q_sjoin_broadcast,
         "sjoin_within": q_sjoin_within,
@@ -3842,6 +3861,12 @@ def oracle_sql() -> dict[str, str]:
         "c4_filter": _c4_oracle_sql(),
         "tile_pyramid": _tile_pyramid_oracle_sql(PYR_RES_MIN, PYR_RES_MAX),
         "graph_pagerank": _pagerank_oracle_sql(PR_ITERS, PR_DAMP),
+        "geohash_encode": f"""
+            SELECT p.event_id,
+                   {C.geohash_sql('p.lon', 'p.lat', 8)} AS gh8,
+                   {C.geohash_sql('p.lon', 'p.lat', 4)} AS gh4
+            FROM ({DT.POINTS_SQL.strip()}) p
+        """,
         "ngram_jaccard": _ngram_oracle_sql(),
         "phash_near_dups": """
             WITH ids AS (SELECT event_id FROM events WHERE event_id % 199 = 0),

@@ -256,3 +256,100 @@ def cell_column(lon_col, lat_col, res: int):
     ix = F.least(F.greatest(ix, F.lit(0)), F.lit(n - 1)).cast("long")
     iy = F.least(F.greatest(iy, F.lit(0)), F.lit(n - 1)).cast("long")
     return (F.lit(res).cast("long") * F.lit(1 << RES_SHIFT) + ix * F.lit(1 << IX_SHIFT) + iy)
+
+
+# ------------------------------------------------------------------ geohash
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lon, lat, precision: int = 8):
+    """Vectorized numpy geohash encode (standard base32 geohash:
+    alternating lon/lat bisection, MSB = longitude)."""
+    bits = 5 * precision
+    nlon = (bits + 1) // 2
+    nlat = bits // 2
+    ix = np.clip(np.floor((np.asarray(lon, dtype=np.float64) + 180.0)
+                          / 360.0 * (1 << nlon)), 0, (1 << nlon) - 1
+                 ).astype(np.int64)
+    iy = np.clip(np.floor((np.asarray(lat, dtype=np.float64) + 90.0)
+                          / 180.0 * (1 << nlat)), 0, (1 << nlat) - 1
+                 ).astype(np.int64)
+    flat_ix, flat_iy = np.atleast_1d(ix), np.atleast_1d(iy)
+    out = []
+    for a, b in zip(flat_ix.tolist(), flat_iy.tolist()):
+        s = []
+        for c in range(precision):
+            v = 0
+            for j in range(5):
+                k = 5 * c + j
+                bit = ((a >> (nlon - 1 - k // 2)) if k % 2 == 0
+                       else (b >> (nlat - 1 - k // 2))) & 1
+                v = (v << 1) | bit
+            s.append(GEOHASH32[v])
+        out.append("".join(s))
+    return out[0] if np.isscalar(lon) else np.array(out)
+
+
+def _geohash_char_terms(precision: int):
+    """Per-character (j, source, index) bit plans shared by the Column
+    and SQL builders — guarantees the two stay identical."""
+    bits = 5 * precision
+    nlon = (bits + 1) // 2
+    nlat = bits // 2
+    plans = []
+    for c in range(precision):
+        terms = []
+        for j in range(5):
+            k = 5 * c + j
+            if k % 2 == 0:
+                terms.append(("x", nlon - 1 - k // 2, 4 - j))
+            else:
+                terms.append(("y", nlat - 1 - k // 2, 4 - j))
+        plans.append(terms)
+    return nlon, nlat, plans
+
+
+def geohash_column(lon_col, lat_col, precision: int = 8):
+    """PySpark Column: standard geohash string, pure codegen (floor +
+    shifts + substring on the base32 alphabet literal — no UDF)."""
+    from pyspark.sql import functions as F
+
+    nlon, nlat, plans = _geohash_char_terms(precision)
+    ix = F.floor((lon_col + F.lit(180.0)) / 360.0 * (1 << nlon))
+    iy = F.floor((lat_col + F.lit(90.0)) / 180.0 * (1 << nlat))
+    ix = F.least(F.greatest(ix, F.lit(0)),
+                 F.lit((1 << nlon) - 1)).cast("long")
+    iy = F.least(F.greatest(iy, F.lit(0)),
+                 F.lit((1 << nlat) - 1)).cast("long")
+    chars = []
+    for terms in plans:
+        v = F.lit(0)
+        for src, sh, out_sh in terms:
+            bit = F.shiftright(ix if src == "x" else iy, sh) \
+                .bitwiseAND(F.lit(1))
+            v = v + F.shiftleft(bit, out_sh)
+        chars.append(F.substring(F.lit(GEOHASH32), F.lit(1) + v.cast("int"),
+                                 F.lit(1)))
+    return F.concat(*chars)
+
+
+def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 8) -> str:
+    """ANSI-SQL mirror of geohash_column (identical bit plan — both are
+    generated from _geohash_char_terms)."""
+    nlon, nlat, plans = _geohash_char_terms(precision)
+    ix = (f"CAST(least(greatest(floor((({lon_expr}) + 180.0) / 360.0 "
+          f"* {1 << nlon}), 0), {(1 << nlon) - 1}) AS BIGINT)")
+    iy = (f"CAST(least(greatest(floor((({lat_expr}) + 90.0) / 180.0 "
+          f"* {1 << nlat}), 0), {(1 << nlat) - 1}) AS BIGINT)")
+    chars = []
+    for terms in plans:
+        parts = []
+        for src, sh, out_sh in terms:
+            base = "__gx" if src == "x" else "__gy"
+            parts.append(f"((({base} >> {sh}) & 1) << {out_sh})")
+        v = " + ".join(parts)
+        chars.append(f"substr('{GEOHASH32}', CAST(({v}) AS INT) + 1, 1)")
+    concat = " || ".join(chars)
+    return (f"(SELECT {concat} FROM (SELECT {ix} AS __gx, {iy} AS __gy)"
+            f" AS __g)")

@@ -54,3 +54,29 @@ def test_sql_equivalence_with_duckdb():
             "SELECT " + C.cell_sql("lon", "lat", res) + " FROM pts").fetchnumpy()
         key = list(got.keys())[0]
         assert (got[key] == want).all()
+
+
+def test_geohash_published_examples_and_parity(spark):
+    """Published geohash worked examples (ezs42; u4pruydqqvj for
+    57.64911,10.40744) plus three-way agreement: numpy == pure-codegen
+    Spark Column == generated SQL (all built from the same bit plan)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gis_tools_spark.cells import geohash, geohash_column
+
+    assert geohash(-5.6, 42.6, 5) == "ezs42"
+    assert geohash(10.40744, 57.64911, 11) == "u4pruydqqvj"
+
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    want = list(geohash(lon, lat, 8))
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)],
+        "lon double, lat double")
+    sel = df.select(geohash_column(F.col("lon"), F.col("lat"), 8)
+                    .alias("gh"))
+    assert [r.gh for r in sel.collect()] == want
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
