@@ -1402,6 +1402,39 @@ def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL surface (gate 81): the st_* function registration
+    (functions/sql_api.register_sql_functions) drives area, centroid,
+    buffer, point construction, containment, and type inspection from a
+    PURE SQL STRING over a WKB view — the PostGIS-style entry point for
+    SQL-only clients, backed by the same Arrow kernels as the DataFrame
+    ops. Closed-form oracle on the rectangular zone fixtures (HALF_UP
+    micro-units; buffer via the convex A + P·r + inscribed-64-gon
+    form validated by the buffer_area gate)."""
+    _tune(spark)
+    from gis_tools_spark.functions.sql_api import register_sql_functions
+
+    register_sql_functions(spark)
+    DT.nation_zones(spark, sf_dir).createOrReplaceTempView("__sql_api_zones")
+    return spark.sql("""
+        SELECT gid,
+          CAST(floor(st_area(geometry_wkb) * 1000000.0 + 0.5) AS BIGINT)
+            AS area_c,
+          CAST(floor(st_centroid(geometry_wkb).cx * 1000000.0 + 0.5)
+               AS BIGINT) AS cx_c,
+          CAST(floor(st_centroid(geometry_wkb).cy * 1000000.0 + 0.5)
+               AS BIGINT) AS cy_c,
+          CAST(floor(st_area(st_buffer(geometry_wkb, 0.15)) * 1000000.0
+                     + 0.5) AS BIGINT) AS buf_area_c,
+          CAST(st_contains(geometry_wkb,
+                           st_point(st_centroid(geometry_wkb).cx,
+                                    st_centroid(geometry_wkb).cy))
+               AS INT) AS c_in,
+          st_geometry_type(geometry_wkb) AS gt
+        FROM __sql_api_zones ORDER BY gid
+    """)
+
+
 PR_ITERS = 20
 PR_DAMP = 0.85
 
@@ -2436,6 +2469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "graph_pagerank": q_graph_pagerank,
         "geohash_encode": q_geohash_encode,
+        "sql_api": q_sql_api,
         "sjoin_rects": q_sjoin_rects,
         "sjoin_broadcast": q_sjoin_broadcast,
         "sjoin_within": q_sjoin_within,
@@ -3866,6 +3900,22 @@ def oracle_sql() -> dict[str, str]:
                    {C.geohash_sql('p.lon', 'p.lat', 8)} AS gh8,
                    {C.geohash_sql('p.lon', 'p.lat', 4)} AS gh4
             FROM ({DT.POINTS_SQL.strip()}) p
+        """,
+        "sql_api": f"""
+            SELECT gid,
+              CAST(floor((zmaxx - zminx) * (zmaxy - zminy) * 1000000.0
+                         + 0.5) AS BIGINT) AS area_c,
+              CAST(floor((zminx + zmaxx) / 2 * 1000000.0 + 0.5) AS BIGINT)
+                AS cx_c,
+              CAST(floor((zminy + zmaxy) / 2 * 1000000.0 + 0.5) AS BIGINT)
+                AS cy_c,
+              CAST(floor(((zmaxx - zminx) * (zmaxy - zminy)
+                + 2.0 * ((zmaxx - zminx) + (zmaxy - zminy)) * 0.15
+                + 0.5 * 0.15 * 0.15 * 64 * sin(2 * pi() / 64))
+                * 1000000.0 + 0.5) AS BIGINT) AS buf_area_c,
+              CAST(1 AS INTEGER) AS c_in,
+              'Polygon' AS gt
+            FROM ({DT.ZONES_SQL.strip()}) z
         """,
         "ngram_jaccard": _ngram_oracle_sql(),
         "phash_near_dups": """

@@ -100,3 +100,30 @@ def test_geodesy_columns(spark):
                                          F.col("lon2"), F.col("lat2")))._jdf \
         .queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_sql_api_registration_and_queries(spark):
+    """register_sql_functions makes the st_* surface callable from pure
+    SQL text; spot-check behavior on known geometries."""
+    from gis_tools_spark.functions.sql_api import register_sql_functions
+    from gis_tools_spark.geom import wkb
+
+    names = register_sql_functions(spark)
+    assert "st_area" in names and "st_contains" in names
+    sq = wkb.polygon([[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0),
+                       (0.0, 0.0)]])
+    df = spark.createDataFrame([(sq,)], "g binary")
+    df.createOrReplaceTempView("__t_sqlapi")
+    row = spark.sql("""
+        SELECT st_area(g) AS a, st_length(g) AS l,
+               st_centroid(g).cx AS cx, st_is_valid(g) AS ok,
+               st_geometry_type(g) AS gt,
+               st_contains(g, st_point(1.0, 1.0)) AS inside,
+               st_contains(g, st_point(5.0, 1.0)) AS outside,
+               st_distance(g, st_point(5.0, 1.0)) AS d
+        FROM __t_sqlapi""").collect()[0]
+    assert row.a == pytest.approx(4.0) and row.l == pytest.approx(8.0)
+    assert row.cx == pytest.approx(1.0)
+    assert row.ok and row.gt == "Polygon"
+    assert row.inside and not row.outside
+    assert row.d == pytest.approx(3.0)
