@@ -2286,6 +2286,43 @@ def q_raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(_pixels, schema="gix long, giy long, shade_v double")
 
 
+def q_raster_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal 3×3 mean (gate 82): nan-aware moving-window average over
+    the edge-clamped window through the SAME cross-tile halo exchange
+    as slope — the standard neighborhood-smoothing raster op. The
+    oracle averages the non-NULL slots of the identical clamped window
+    per pixel (available-neighbor semantics: no-data slots excluded,
+    matching nanmean); both sides round through float32."""
+    _tune(spark)
+    import pandas as pd
+    from typing import Iterator
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.stitch import focal_stats_stitched
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+    out = focal_stats_stitched(ras, stat="mean")
+
+    def _pixels(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+                _, tx, ty = r.image_id.split("_")
+                rows_, cols_ = np.nonzero(arr != codec.NO_DATA_F32)
+                recs.append(pd.DataFrame(
+                    {"gix": int(tx) * int(r.w) + cols_,
+                     "giy": int(ty) * int(r.h) + rows_,
+                     "mean_v": arr[rows_, cols_].astype(np.float64)}))
+            if recs:
+                yield pd.concat(recs, ignore_index=True)
+
+    return out.mapInPandas(_pixels, schema="gix long, giy long, mean_v double")
+
+
 def q_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """360° horizon extraction from DEM tiles, gated against a DuckDB
     brute-force oracle over the same closed-form pixels (azimuth/
@@ -2447,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_slope": q_raster_slope,
         "raster_aspect": q_raster_aspect,
         "raster_hillshade": q_raster_hillshade,
+        "raster_focal_mean": q_raster_focal_mean,
         "raster_polygonize": q_raster_polygonize,
         "buffer_area": q_buffer_area,
         "katana_split": q_katana_split,
@@ -3416,6 +3454,48 @@ FROM s
 """
 
 
+def _focal_mean_oracle_sql() -> str:
+    """Focal 3×3 mean over the same clamped-neighbor CTE as the slope
+    oracle: avg of the non-NULL window slots (center + 8 clamped
+    neighbors), cast through REAL like the kernel's float32 output.
+    NULL slots are excluded (nanmean semantics), NOT pixel-dropping
+    like the derivative gates."""
+    return """
+WITH px AS (
+  SELECT gix, giy,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+         ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+  FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b
+), n AS (
+  SELECT c.gix, c.giy, c.val,
+    max(CASE WHEN d.dx=-1 AND d.dy=-1 THEN p2.val END) AS zmm,
+    max(CASE WHEN d.dx= 0 AND d.dy=-1 THEN p2.val END) AS z0m,
+    max(CASE WHEN d.dx= 1 AND d.dy=-1 THEN p2.val END) AS zpm,
+    max(CASE WHEN d.dx=-1 AND d.dy= 0 THEN p2.val END) AS zm0,
+    max(CASE WHEN d.dx= 1 AND d.dy= 0 THEN p2.val END) AS zp0,
+    max(CASE WHEN d.dx=-1 AND d.dy= 1 THEN p2.val END) AS zmp,
+    max(CASE WHEN d.dx= 0 AND d.dy= 1 THEN p2.val END) AS z0p,
+    max(CASE WHEN d.dx= 1 AND d.dy= 1 THEN p2.val END) AS zpp
+  FROM px c
+  CROSS JOIN (SELECT * FROM (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(1,0),
+                                    (-1,1),(0,1),(1,1)) t(dx, dy)) d
+  JOIN px p2
+    ON p2.gix = least(greatest(c.gix + d.dx, 0), 127)
+   AND p2.giy = least(greatest(c.giy + d.dy, 0), 127)
+  GROUP BY c.gix, c.giy, c.val
+)
+SELECT CAST(gix AS BIGINT) AS gix, CAST(giy AS BIGINT) AS giy,
+       CAST(CAST(list_aggregate(
+              list_filter([zmm, z0m, zpm, zm0, val, zp0, zmp, z0p, zpp],
+                          x -> x IS NOT NULL), 'avg') AS REAL) AS DOUBLE)
+         AS mean_v
+FROM n
+WHERE len(list_filter([zmm, z0m, zpm, zm0, val, zp0, zmp, z0p, zpp],
+                      x -> x IS NOT NULL)) > 0
+"""
+
+
 def _hillshade_oracle_sql() -> str:
     """Hillshade over the same Horn-derivative CTE as the slope oracle:
     s = atan(hypot), aspect = atan2(dzdy, -dzdx), shade = 255·max(0,
@@ -4309,6 +4389,7 @@ FROM regions GROUP BY v
             "degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))",
             "degrees(atan2(dzdy, -dzdx))").replace("AS slope_v", "AS aspect_v"),
         "raster_hillshade": _hillshade_oracle_sql(),
+        "raster_focal_mean": _focal_mean_oracle_sql(),
         "raster_resample": """
 WITH px AS (
   SELECT gix, giy,

@@ -50,6 +50,54 @@ def slope_aspect_stitched(df: DataFrame, *, mode: str = "slope",
     """Horn slope/aspect/hillshade with cross-tile halo exchange: exact
     at interior tile borders (equals the single-global-array
     computation there)."""
+    from .kernels import horn_output
+
+    def _fn(p: np.ndarray) -> np.ndarray:
+        dzdx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+                - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])) / 8.0
+        dzdy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+                - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])) / 8.0
+        return horn_output(dzdx, dzdy, mode, azimuth, altitude)
+
+    return stitched_apply(df, _fn, no_data=no_data)
+
+
+def focal_stats_stitched(df: DataFrame, *, stat: str = "mean",
+                         no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """Focal (moving-window 3×3) statistics with the same cross-tile
+    halo exchange as slope: per-pixel nan-aware mean/min/max/sum/range
+    over the 8 edge-clamped neighbors + center — the standard raster
+    smoothing/neighborhood-analysis op. Available-neighbor semantics:
+    no-data slots are simply excluded (a pixel is no-data in the output
+    only when its whole window is)."""
+    ops = {"mean": np.nanmean, "min": np.nanmin, "max": np.nanmax,
+           "sum": np.nansum,
+           "range": lambda s, axis: np.nanmax(s, axis=axis)
+           - np.nanmin(s, axis=axis)}
+    if stat not in ops:
+        raise ValueError(f"unknown stat {stat!r}")
+
+    def _fn(p: np.ndarray) -> np.ndarray:
+        stack = np.stack([p[1 + dy:p.shape[0] - 1 + dy,
+                            1 + dx:p.shape[1] - 1 + dx]
+                          for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+        with np.errstate(invalid="ignore"):
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                return ops[stat](stack, axis=0)
+
+    return stitched_apply(df, _fn, no_data=no_data)
+
+
+def stitched_apply(df: DataFrame, padded_fn, *,
+                   no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """Generic 1-px halo-exchange pass: decode each tile, exchange edge
+    strips/corners with grid neighbors, hand ``padded_fn`` the (h+2,
+    w+2) edge-clamped+halo'd float64 array (no-data as NaN), and
+    re-encode its (h, w) float32 result (NaN → no-data). The shuffle is
+    4 strips + 4 corner pixels per tile, never whole tiles."""
     t, _, _ = _grid_indexed(df)
 
     strip_schema = T.StructType([
@@ -140,12 +188,7 @@ def slope_aspect_stitched(df: DataFrame, *, mode: str = "slope",
                 }.items():
                     if v is not None:
                         p[py, px] = v
-                dzdx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
-                        - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2])) / 8.0
-                dzdy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
-                        - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:])) / 8.0
-                from .kernels import horn_output
-                o = horn_output(dzdx, dzdy, mode, azimuth, altitude)
+                o = padded_fn(p)
                 o = np.where(np.isnan(o), no_data, o)
                 bufs.append(codec.encode(o.astype(np.float32), r["fmt"]))
             out = pdf[out_cols].copy()

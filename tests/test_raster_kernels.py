@@ -148,3 +148,42 @@ def test_hillshade_matches_global_array(spark):
         m = ~np.isnan(blk)
         assert np.array_equal(got[m], blk[m]), r.image_id
         assert np.isnan(got[~m]).all()
+
+
+def test_focal_stats_modes_match_global(spark):
+    """Focal mean/min/max/range on a 2x2 mosaic equal the global-array
+    nan-aware window stats everywhere (borders through the halo)."""
+    import numpy as np
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.stitch import focal_stats_stitched
+
+    ras_pd = fixtures.gen_rasters_exact(2, 2, 32)
+    G = np.zeros((64, 64), dtype=np.float64)
+    for r in ras_pd.itertuples(index=False):
+        arr = codec.decode(r.bytes, int(r.w), int(r.h), r.fmt)
+        _, tx, ty = r.image_id.split("_")
+        G[int(ty)*32:(int(ty)+1)*32, int(tx)*32:(int(tx)+1)*32] = arr
+    G = np.where(G == codec.NO_DATA_F32, np.nan, G)
+    p = np.pad(G, 1, mode="edge")
+    stack = np.stack([p[1+dy:p.shape[0]-1+dy, 1+dx:p.shape[1]-1+dx]
+                      for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+
+    import warnings
+    for stat, fn in (("mean", np.nanmean), ("min", np.nanmin),
+                     ("max", np.nanmax),
+                     ("range", lambda s, axis: np.nanmax(s, axis=axis)
+                      - np.nanmin(s, axis=axis))):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            want = fn(stack, axis=0).astype(np.float32)
+        out = focal_stats_stitched(spark.createDataFrame(ras_pd),
+                                   stat=stat).toPandas()
+        for r in out.itertuples(index=False):
+            arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+            _, tx, ty = r.image_id.split("_")
+            blk = want[int(ty)*32:(int(ty)+1)*32, int(tx)*32:(int(tx)+1)*32]
+            got = np.where(arr == codec.NO_DATA_F32, np.nan, arr)
+            m = ~np.isnan(blk)
+            assert np.array_equal(got[m], blk[m]), (stat, r.image_id)
