@@ -1402,6 +1402,28 @@ def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
+def q_crs_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS reprojection driver gate (gate 83): 4326 → Web Mercator
+    (EPSG 3857) through the engine registry path
+    (functions/crs.transform_points → transform_xy), the one projection
+    family with an exact ANSI-SQL closed form — the oracle recomputes
+    x = R·radians(lon), y = R·ln(tan(π/4 + radians(clip(lat))/2)) and
+    both sides round through float32 (numpy-vs-DuckDB libm differences
+    ~1e-9 m sit far under a float32 ulp at 1e7 m). The ellipsoidal
+    families (UTM Krüger, LCC/AEA/LAEA, somerc, Krovak, omerc, …) have
+    no SQL closed form and stay pytest-gated on published EPSG worked
+    examples (test_crs_registry)."""
+    _tune(spark)
+    from gis_tools_spark.functions.crs import transform_points
+
+    pts = DT.events_points(spark, sf_dir)
+    out = transform_points(pts, src="4326", dst="3857")
+    return (out.select("event_id",
+                       F.col("x").cast("float").cast("double").alias("x_r"),
+                       F.col("y").cast("float").cast("double").alias("y_r"))
+            .orderBy("event_id"))
+
+
 def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark SQL surface (gate 81): the st_* function registration
     (functions/sql_api.register_sql_functions) drives area, centroid,
@@ -2508,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "geohash_encode": q_geohash_encode,
         "sql_api": q_sql_api,
+        "crs_webmercator": q_crs_webmercator,
         "sjoin_rects": q_sjoin_rects,
         "sjoin_broadcast": q_sjoin_broadcast,
         "sjoin_within": q_sjoin_within,
@@ -3979,6 +4002,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id,
                    {C.geohash_sql('p.lon', 'p.lat', 8)} AS gh8,
                    {C.geohash_sql('p.lon', 'p.lat', 4)} AS gh4
+            FROM ({DT.POINTS_SQL.strip()}) p
+        """,
+        "crs_webmercator": f"""
+            SELECT p.event_id,
+              CAST(CAST(radians(p.lon) * 6378137.0 AS REAL) AS DOUBLE)
+                AS x_r,
+              CAST(CAST(6378137.0 * ln(tan(pi() / 4.0
+                + radians(least(greatest(p.lat, -89.9999), 89.9999))
+                  / 2.0)) AS REAL) AS DOUBLE) AS y_r
             FROM ({DT.POINTS_SQL.strip()}) p
         """,
         "sql_api": f"""

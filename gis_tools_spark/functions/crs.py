@@ -950,3 +950,24 @@ def _resolve(code: str):
         f"CRS {code}: not in the built-in set (4326, 3857, utm:N, "
         f"EPSG 326xx/327xx/2972/{'/'.join(EPSG_REGISTRY)}); extend "
         f"EPSG_REGISTRY with LCC/AEA/LAEA parameters")
+
+
+def transform_points(df, *, lon_col: str = "lon", lat_col: str = "lat",
+                     src="4326", dst="3857", out_x: str = "x",
+                     out_y: str = "y"):
+    """Reproject a point table between registry CRS ids: a struct
+    pandas UDF over exactly the two coordinate columns (everything else
+    stays JVM-side, pruning/codegen hold around the stage — the
+    scalar-UDF enrich pattern from PLANS.md)."""
+    @F.pandas_udf(T.StructType([T.StructField("x", T.DoubleType()),
+                                T.StructField("y", T.DoubleType())]))
+    def _t(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        x, y = transform_xy(lon.to_numpy(dtype=np.float64),
+                            lat.to_numpy(dtype=np.float64), src, dst)
+        return pd.DataFrame({"x": x, "y": y})
+
+    tmp = "__crs_xy"
+    return (df.withColumn(tmp, _t(F.col(lon_col), F.col(lat_col)))
+            .withColumn(out_x, F.col(tmp + ".x"))
+            .withColumn(out_y, F.col(tmp + ".y"))
+            .drop(tmp))
