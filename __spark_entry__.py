@@ -647,6 +647,82 @@ def q_audio_mp3_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "ok_len boolean, ok_zcr boolean")
 
 
+def q_audio_containers_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless audio-container gate (round-4: raster/wavaiff.py +
+    raster/flac.py): deterministic sines seeded by doc_id are encoded
+    across the container matrix — variant = doc_id % 6 covers WAV
+    pcm16 / WAV pcm24 / WAV float32 / AIFF pcm16 / FLAC 16-bit mono /
+    FLAC 24-bit stereo mid-side — then decoded through the engine's
+    decode_audio path and verified EXACTLY against the closed-form
+    quantized source (these codecs are lossless, so the invariant is
+    sample equality, not a PSNR floor), the FLAC rows additionally
+    through the format's own CRC-8/CRC-16/MD5 integrity chain (decode
+    enforces them) and a compression check (smaller than raw PCM on
+    tonal content).  The oracle states the invariant closed-form:
+    every row verifies TRUE."""
+    _tune(spark)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 23 = 0").select("doc_id"))
+
+    def _gen(it):
+        import numpy as _np
+        from gis_tools_spark.raster import flac as _fl
+        from gis_tools_spark.raster import wavaiff as _wa
+        from gis_tools_spark.raster.media import decode_audio as _da
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 6
+                sr = (8000, 16000, 22050, 11025, 8000, 16000)[v]
+                amp = 0.15 + 0.05 * (d % 7)
+                f = 110.0 * (1 + d % 9)
+                n = sr // 5
+                t = _np.arange(n) / sr
+                x = amp * _np.sin(2 * _np.pi * f * t)
+                ok_comp = True
+                if v == 0:
+                    buf, fmt = _wa.encode_wav(x, sr, bps=16), "wav"
+                    q = _np.clip(_np.rint(x * 32768.0), -32768, 32767)
+                    want = q / 32768.0
+                elif v == 1:
+                    buf, fmt = _wa.encode_wav(x, sr, bps=24), "wav"
+                    s = float(1 << 23)
+                    q = _np.clip(_np.rint(x * s), -s, s - 1)
+                    want = q / s
+                elif v == 2:
+                    buf, fmt = _wa.encode_wav(x, sr, float32=True), "wav"
+                    want = x.astype(_np.float32).astype(_np.float64)
+                elif v == 3:
+                    buf, fmt = _wa.encode_aiff(x, sr, bps=16), "aiff"
+                    q = _np.clip(_np.rint(x * 32768.0), -32768, 32767)
+                    want = q / 32768.0
+                elif v == 4:
+                    buf, fmt = _fl.encode(x, sr, bps=16), "flac"
+                    q = _np.clip(_np.rint(x * 32768.0), -32768, 32767)
+                    want = q / 32768.0
+                    ok_comp = len(buf) < 2 * n  # beats raw pcm_s16
+                else:
+                    st = _np.stack([x, 0.5 * x], axis=1)
+                    buf, fmt = _fl.encode(st, sr, bps=24,
+                                          mid_side=True), "flac"
+                    s = float(1 << 23)
+                    q = _np.clip(_np.rint(st * s), -s, s - 1)
+                    want = (q / s).mean(axis=1)  # decode_audio mixes down
+                    ok_comp = len(buf) < 6 * n
+                got = _da(buf, fmt)
+                ok_exact = (len(got) == n
+                            and bool(_np.array_equal(got, want)))
+                rows.append((d, v, bool(ok_exact), bool(ok_comp)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "variant", "ok_exact", "ok_comp"])
+
+    return docs.repartition(8).mapInPandas(
+        _gen, schema="doc_id long, variant int, ok_exact boolean, "
+                     "ok_comp boolean")
+
+
 def _video_frames_for(doc_id: int, n: int = 6, h: int = 32,
                       w: int = 48) -> list:
     """Deterministic smooth photo-like gray frames seeded by doc_id
@@ -2540,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "icetable_scan": q_icetable_scan,
         "jpeg_decode_verify": q_jpeg_decode_verify,
         "audio_mp3_verify": q_audio_mp3_verify,
+        "audio_containers_verify": q_audio_containers_verify,
         "video_frames": q_video_frames,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "exif_gps": q_exif_gps,
@@ -4099,6 +4176,14 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ok_zcr
             FROM documents
             WHERE doc_id % 29 = 0
+        """,
+        "audio_containers_verify": """
+            SELECT doc_id,
+                   CAST(doc_id % 6 AS INTEGER) AS variant,
+                   TRUE AS ok_exact,
+                   TRUE AS ok_comp
+            FROM documents
+            WHERE doc_id % 23 = 0
         """,
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),

@@ -347,11 +347,20 @@ def gen_audio(n: int = 8, sr: int = 8000, dur_s: float = 0.5,
     for i in range(n):
         amp = 0.1 * (i % 9 + 1)
         x = (amp * np.sin(2 * np.pi * 110.0 * (i + 1) * t)).astype(np.float32)
-        fmt = ("pcm_f32", "pcm_s16", "mp3")[i % 3]
+        fmt = ("pcm_f32", "pcm_s16", "mp3", "wav", "flac", "aiff")[i % 6]
         if fmt == "pcm_f32":
             buf = x.tobytes()
         elif fmt == "pcm_s16":
             buf = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        elif fmt == "wav":
+            from .raster import wavaiff as _wa
+            buf = _wa.encode_wav(x.astype(np.float64), sr, bps=16)
+        elif fmt == "aiff":
+            from .raster import wavaiff as _wa
+            buf = _wa.encode_aiff(x.astype(np.float64), sr, bps=16)
+        elif fmt == "flac":
+            from .raster import flac as _fl
+            buf = _fl.encode(x.astype(np.float64), sr, bps=16)
         else:
             from .raster import mp3 as _mp3
             buf = _mp3.encode(x.astype(np.float64), sr,

@@ -230,9 +230,12 @@ AUDIO_FEATURE_SCHEMA = ("audio_id string, duration_s double, rms double, "
 def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
     """float64 mono samples in [-1, 1]. Real: pcm_f32 (little-endian
     float32), pcm_s16 (little-endian int16), mp3 (from-scratch MPEG
-    Layer III, raster/mp3.py; stereo is mixed down; streams selecting
-    the unverifiable Huffman escape tables raise — see mp3.py
-    docstring). flac/ogg/wav-adpcm remain wheel-bound."""
+    Layer III, raster/mp3.py; streams selecting the unverifiable
+    Huffman escape tables raise — see mp3.py docstring), wav / aiff
+    (raster/wavaiff.py, stdlib-conformance-tested containers) and flac
+    (raster/flac.py, from-scratch lossless codec with CRC/MD5
+    enforcement). Multichannel is mixed down. ogg/aac remain
+    wheel-bound."""
     if fmt == "pcm_f32":
         return np.frombuffer(bytes(buf), dtype="<f4").astype(np.float64)
     if fmt == "pcm_s16":
@@ -241,9 +244,20 @@ def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
         from . import mp3
         pcm, _sr = mp3.decode(bytes(buf))
         return pcm.mean(axis=1) if pcm.ndim == 2 else pcm
+    if fmt in ("wav", "aiff", "flac"):
+        if fmt == "wav":
+            from . import wavaiff
+            pcm, _sr = wavaiff.decode_wav(bytes(buf))
+        elif fmt == "aiff":
+            from . import wavaiff
+            pcm, _sr = wavaiff.decode_aiff(bytes(buf))
+        else:
+            from . import flac
+            pcm, _sr = flac.decode_float(bytes(buf))
+        return pcm.mean(axis=1) if pcm.ndim == 2 else pcm
     raise NotImplementedError(
         f"audio codec {fmt!r} requires a decoder wheel absent in this "
-        "sandbox; supported here: pcm_f32, pcm_s16, mp3")
+        "sandbox; supported here: pcm_f32, pcm_s16, mp3, wav, aiff, flac")
 
 
 def audio_features(df: DataFrame, *, clip_level: float = 0.999) -> DataFrame:

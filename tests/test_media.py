@@ -71,7 +71,7 @@ def test_audio_decode_families():
     assert x0.dtype == np.float64 and len(x0) == 4000 and np.abs(x0).max() <= 1.0
     assert len(x1) == 4000
     with pytest.raises(NotImplementedError):
-        decode_audio(b"", "flac")
+        decode_audio(b"", "aac")
 
 
 # --------------------------------------------------------------- spark
@@ -133,7 +133,7 @@ def test_audio_features_spark(spark):
         amp = 0.1 * (i % 9 + 1)
         f = 110.0 * (i + 1)
         r = out.loc[f"aud{i:06d}"]
-        if i % 3 == 2:
+        if i % 6 == 2:
             # mp3 rows: lossy (~25 dB coder, see raster/mp3.py) and
             # padded to granule + filterbank-delay boundaries
             assert r["duration_s"] == pytest.approx(0.5, rel=0.1)

@@ -170,7 +170,7 @@ def test_external_real_world_stream():
 # --------------------------------------------------------------- pipeline wiring
 
 def test_decode_audio_mp3_and_features(spark):
-    aud = fixtures.gen_audio(n=6)
+    aud = fixtures.gen_audio(n=12)
     mp3_rows = aud[aud.fmt == "mp3"]
     assert len(mp3_rows) == 2
     x = decode_audio(mp3_rows.iloc[0]["bytes"], "mp3")
