@@ -729,8 +729,16 @@ class _MeridianArc:
 
     def footpoint(self, m):
         mu = m / (self.a * self.c0)
-        return (mu + self.f2 * np.sin(2 * mu) + self.f4 * np.sin(4 * mu)
-                + self.f6 * np.sin(6 * mu) + self.f8 * np.sin(8 * mu))
+        phi = (mu + self.f2 * np.sin(2 * mu) + self.f4 * np.sin(4 * mu)
+               + self.f6 * np.sin(6 * mu) + self.f8 * np.sin(8 * mu))
+        # polish the series with Newton on the exact arc: d(m)/d(phi)
+        # is the meridian radius rho — removes the ~1e-9 rad series
+        # truncation that tan(phi) amplifies in high-latitude inverses
+        for _ in range(2):
+            s2 = np.sin(phi) ** 2
+            rho = self.a * (1 - self.e2) / (1 - self.e2 * s2) ** 1.5
+            phi = phi - (self.m(phi) - m) / rho
+        return phi
 
     def nu(self, phi):
         return self.a / np.sqrt(1 - self.e2 * np.sin(phi) ** 2)
@@ -804,12 +812,87 @@ class EqCyl:
         return np.rad2deg(self.lon0 + lam), np.rad2deg(phi)
 
 
+class Sinusoidal:
+    """Sinusoidal (Sanson-Flamsteed) — equal-area, the MODIS land-grid
+    projection (spherical, R=6371007.181) and ESRI:54008 World
+    Sinusoidal (ellipsoidal): x = nu(phi)*cos(phi)*lam, y = M(phi).
+    Snyder 1987 eq. 30-8/30-9; reference does any CRS via pyproj
+    (layer.py:1196-1229)."""
+
+    def __init__(self, lon0, fe, fn, a: float = R, f_inv: float = F_INV):
+        self.ma = _MeridianArc(a, f_inv)
+        self.lon0 = np.deg2rad(lon0)
+        self.fe, self.fn = fe, fn
+
+    def fwd(self, lon, lat):
+        phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+        lam = np.deg2rad(np.asarray(lon, dtype=np.float64)) - self.lon0
+        x = self.ma.nu(phi) * np.cos(phi) * lam
+        return self.fe + x, self.fn + self.ma.m(phi)
+
+    def inv(self, x, y):
+        phi = self.ma.footpoint(np.asarray(y, dtype=np.float64) - self.fn)
+        denom = self.ma.nu(phi) * np.cos(phi)
+        lam = np.where(np.abs(denom) > 1e-9,
+                       (np.asarray(x, dtype=np.float64) - self.fe)
+                       / np.where(np.abs(denom) > 1e-9, denom, 1.0),
+                       0.0)
+        return np.rad2deg(self.lon0 + lam), np.rad2deg(phi)
+
+
+class Mollweide:
+    """Mollweide — equal-area pseudocylindrical (spherical, like
+    PROJ's ``moll`` which zeroes eccentricity): solve
+    2*theta + sin(2*theta) = pi*sin(phi) by Newton, then
+    x = (2*sqrt(2)/pi) R lam cos(theta), y = sqrt(2) R sin(theta)."""
+
+    def __init__(self, lon0, fe, fn, a: float = R):
+        self.r = a
+        self.lon0 = np.deg2rad(lon0)
+        self.fe, self.fn = fe, fn
+
+    def _theta(self, phi):
+        rhs = np.pi * np.sin(phi)
+        th = np.array(phi, dtype=np.float64, copy=True)
+        for _ in range(12):
+            f = 2 * th + np.sin(2 * th) - rhs
+            d = 2 + 2 * np.cos(2 * th)
+            step = np.where(np.abs(d) > 1e-14, f / np.where(
+                np.abs(d) > 1e-14, d, 1.0), 0.0)
+            th -= step
+        # poles: d -> 0 with th -> ±pi/2 exactly
+        return np.where(np.abs(phi) >= np.pi / 2 - 1e-12,
+                        np.sign(phi) * np.pi / 2, th)
+
+    def fwd(self, lon, lat):
+        phi = np.deg2rad(np.asarray(lat, dtype=np.float64))
+        lam = np.deg2rad(np.asarray(lon, dtype=np.float64)) - self.lon0
+        th = self._theta(phi)
+        x = (2.0 * np.sqrt(2.0) / np.pi) * self.r * lam * np.cos(th)
+        y = np.sqrt(2.0) * self.r * np.sin(th)
+        return self.fe + x, self.fn + y
+
+    def inv(self, x, y):
+        th = np.arcsin(np.clip(
+            (np.asarray(y, dtype=np.float64) - self.fn)
+            / (np.sqrt(2.0) * self.r), -1.0, 1.0))
+        phi = np.arcsin(np.clip((2 * th + np.sin(2 * th)) / np.pi,
+                                -1.0, 1.0))
+        cth = np.cos(th)
+        lam = np.where(np.abs(cth) > 1e-12,
+                       np.pi * (np.asarray(x, dtype=np.float64) - self.fe)
+                       / (2 * np.sqrt(2.0) * self.r
+                          * np.where(np.abs(cth) > 1e-12, cth, 1.0)),
+                       0.0)
+        return np.rad2deg(self.lon0 + lam), np.rad2deg(phi)
+
+
 def register_crs(code, params: dict):
     """Declaratively register an EPSG code from a pyproj-style parameter
     dict — the no-wheel analog of the reference's any-CRS reprojection
     (layer.py:1196-1229 via pyproj). Supported families:
     proj ∈ {tmerc, lcc, aea, laea, merc, stere, somerc, krovak,
-    omerc, cass, eqc};
+    omerc, cass, eqc, sinu, moll};
     keys lat_0/lat_1/lat_2/lon_0/lonc/alpha/gamma/no_uoff/
     x_0/y_0/k_0/lat_ts/ellps (named or (a, 1/f) tuple; tmerc and merc
     honor any ellipsoid, the conic/azimuthal forms are WGS84/GRS80-only
@@ -852,6 +935,10 @@ def register_crs(code, params: dict):
         p = Cassini(lat0, lon0, x0, y0, a, rf)
     elif proj == "eqc":
         p = EqCyl(float(params.get("lat_ts", lat0)), lon0, x0, y0, a, rf)
+    elif proj == "sinu":
+        p = Sinusoidal(lon0, x0, y0, a, rf)
+    elif proj == "moll":
+        p = Mollweide(lon0, x0, y0, a)
     elif proj == "krovak":
         p = Krovak(lat0, lon0, float(params.get("alpha", 30.28813972222222)),
                    float(params.get("lat_ps", 78.5)), k0, x0, y0, a, rf,
@@ -876,7 +963,8 @@ def register_crs(code, params: dict):
     else:
         raise NotImplementedError(
             f"proj={proj!r}: supported families are "
-            "tmerc/lcc/aea/laea/merc/stere/somerc/krovak/omerc/cass/eqc")
+            "tmerc/lcc/aea/laea/merc/stere/somerc/krovak/omerc/cass/eqc/"
+            "sinu/moll")
     EPSG_REGISTRY[str(code)] = p
     return p
 
@@ -930,6 +1018,14 @@ register_crs(3375, dict(proj="omerc", lat_0=4.0, lonc=102.25,               # GD
                         alpha=323.0257964666666, gamma=323.1301023611111,
                         k_0=0.99984, x_0=804_671.0, y_0=0.0,
                         ellps="GRS80", no_uoff=True))
+
+# round-4: equal-area pseudocylindrical families (remote-sensing grids)
+register_crs("54008", dict(proj="sinu", lon_0=0.0, x_0=0.0, y_0=0.0,     # ESRI World Sinusoidal (ellipsoidal)
+                           ellps="WGS84"))
+register_crs("54009", dict(proj="moll", lon_0=0.0, x_0=0.0, y_0=0.0,     # ESRI World Mollweide (spherical, a=6378137)
+                           ellps="WGS84"))
+register_crs("modis_sinu", dict(proj="sinu", lon_0=0.0, x_0=0.0,         # MODIS land grid: sphere R=6371007.181
+                                y_0=0.0, ellps=(6_371_007.181, float("inf"))))
 
 
 def _resolve(code: str):

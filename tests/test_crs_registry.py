@@ -336,3 +336,78 @@ def test_eqc_matches_numeric_meridian_arc():
         assert abs(y[0] - m_num) < 0.002          # series vs integration
         lon2, lat2 = p.inv(x, y)
         assert abs(lon2[0] - 10.0) < 1e-9 and abs(lat2[0] - lat) < 1e-7
+
+
+# ------------------------------------------------- sinusoidal / mollweide
+
+def test_modis_sinusoidal_closed_form():
+    """MODIS land grid: spherical sinusoidal on R=6371007.181 —
+    x = R*lam*cos(phi), y = R*phi exactly; the grid's published extent
+    (half the sphere circumference, +/-20015109.354 m) follows."""
+    R = 6_371_007.181
+    lon = np.array([-180.0, -65.3, 0.0, 103.7, 180.0])
+    lat = np.array([0.0, 12.5, 48.0, -33.25, 0.0])
+    x, y = crs.transform_xy(lon.copy(), lat.copy(), "4326", "modis_sinu")
+    np.testing.assert_allclose(
+        x, R * np.deg2rad(lon) * np.cos(np.deg2rad(lat)), rtol=1e-12)
+    np.testing.assert_allclose(y, R * np.deg2rad(lat), rtol=1e-12)
+    assert x[0] == pytest.approx(-20015109.354, abs=1e-2)
+    lon2, lat2 = crs.transform_xy(x, y, "modis_sinu", "4326")
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def _numeric_jacobian(p, lon, lat, d=1e-6):
+    x0, y0 = p.fwd(np.array([lon]), np.array([lat]))
+    xl, yl = p.fwd(np.array([lon + d]), np.array([lat]))
+    xp, yp = p.fwd(np.array([lon]), np.array([lat + d]))
+    dd = np.deg2rad(d)
+    return ((xl[0] - x0[0]) / dd * (yp[0] - y0[0]) / dd
+            - (xp[0] - x0[0]) / dd * (yl[0] - y0[0]) / dd)
+
+
+def test_54008_sinusoidal_equal_area_on_ellipsoid():
+    """Ellipsoidal sinusoidal is exactly equal-area: the numeric
+    Jacobian must equal the ellipsoid area element
+    a^2 (1-e^2) cos(phi) / (1 - e^2 sin^2 phi)^2."""
+    p = crs.EPSG_REGISTRY["54008"]
+    a, rf = crs.ELLIPSOIDS["WGS84"]
+    e2 = 1 - (1 - 1 / rf) ** 2
+    for lon, lat in [(0.0, 0.0), (45.0, 30.0), (-120.0, 67.5), (9.0, -48.0)]:
+        s = np.sin(np.deg2rad(lat))
+        want = a * a * (1 - e2) * np.cos(np.deg2rad(lat)) / (1 - e2 * s * s) ** 2
+        got = _numeric_jacobian(p, lon, lat)
+        assert got == pytest.approx(want, rel=1e-5)
+    _roundtrip("54008", 103.7, -33.25)
+    _roundtrip("54008", -179.0, 81.0)
+
+
+def test_54009_mollweide_invariants():
+    """Mollweide closed-form anchors: y(+/-90) = +/- sqrt(2) R with
+    x = 0; the equator maps to x = (2 sqrt(2)/pi) R lam, y = 0; the
+    whole map is equal-area at the sphere's area element R^2 cos(phi)."""
+    p = crs.EPSG_REGISTRY["54009"]
+    Rs = crs.ELLIPSOIDS["WGS84"][0]  # PROJ moll zeroes eccentricity
+    x, y = p.fwd(np.array([0.0, 0.0, 77.0]), np.array([90.0, -90.0, 0.0]))
+    assert y[0] == pytest.approx(np.sqrt(2) * Rs, abs=1e-3)
+    assert y[1] == pytest.approx(-np.sqrt(2) * Rs, abs=1e-3)
+    assert abs(x[0]) < 1e-3 and abs(x[1]) < 1e-3
+    assert x[2] == pytest.approx(
+        2 * np.sqrt(2) / np.pi * Rs * np.deg2rad(77.0), rel=1e-12)
+    assert y[2] == pytest.approx(0.0, abs=1e-6)
+    for lon, lat in [(0.0, 0.0), (45.0, 30.0), (-120.0, 67.5), (9.0, -48.0)]:
+        want = Rs * Rs * np.cos(np.deg2rad(lat))
+        got = _numeric_jacobian(p, lon, lat)
+        assert got == pytest.approx(want, rel=1e-4)
+    _roundtrip("54009", 103.7, -33.25, tol=1e-7)
+    _roundtrip("54009", -179.0, 81.0, tol=1e-7)
+
+
+def test_mollweide_newton_converges_near_pole():
+    p = crs.EPSG_REGISTRY["54009"]
+    lon = np.array([10.0, 10.0, 10.0])
+    lat = np.array([89.999, 89.9999999, 90.0])
+    x, y = p.fwd(lon, lat)
+    assert np.all(np.isfinite(x)) and np.all(np.isfinite(y))
+    assert y[2] == pytest.approx(np.sqrt(2) * crs.ELLIPSOIDS["WGS84"][0],
+                                 abs=1e-3)
