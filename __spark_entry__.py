@@ -647,6 +647,73 @@ def q_audio_mp3_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "ok_len boolean, ok_zcr boolean")
 
 
+def q_img_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image quality-signal gate (round-4: media.image_quality — the
+    brightness/contrast/blur/entropy filter columns an image training
+    pipeline scores first): deterministic 32x32 images seeded by doc_id
+    are built so every metric has an EXACT closed form — variant =
+    doc_id % 4 covers a constant field (raw), a two-value checkerboard
+    (png: Laplacian is +/-4d on the interior, variance exactly 16d^2),
+    a horizontal gradient (raw: linear, so interior Laplacian is
+    exactly 0; 32 equiprobable values, so entropy is exactly 5 bits)
+    and width-1 vertical stripes (lossless webp: Laplacian +/-2d,
+    variance 4d^2) — decoded through the REAL operator (exercising the
+    raw/png/VP8L decode paths) and every metric is integer-pinned at
+    1e-3 against the oracle's closed form."""
+    _tune(spark)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 31 = 0").select("doc_id"))
+
+    def _gen(it):
+        import numpy as _np
+        from gis_tools_spark.raster import codec as _codec
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 4
+                if v == 0:
+                    c = (d * 37) % 256
+                    arr = _np.full((32, 32), c, dtype=_np.uint8)
+                    fmt = "raw"
+                elif v == 1:
+                    a = (d * 13) % 96
+                    dd = 64 + d % 64
+                    yy, xx = _np.mgrid[0:32, 0:32]
+                    arr = (a + dd * ((xx + yy) % 2)).astype(_np.uint8)
+                    fmt = "png"
+                elif v == 2:
+                    arr = _np.tile((8 * _np.arange(32, dtype=_np.uint8)),
+                                   (32, 1))
+                    fmt = "raw"
+                else:
+                    a = (d * 7) % 100
+                    dd = 40 + d % 80
+                    xx = _np.arange(32)
+                    arr = _np.tile((a + dd * (xx % 2)).astype(_np.uint8),
+                                   (32, 1))
+                    fmt = "webp"
+                rgb = _np.repeat(arr[:, :, None], 3, axis=2)
+                rows.append((d, v, _codec.encode(rgb, fmt), 32, 32, fmt))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "variant", "bytes", "w", "h", "fmt"])
+
+    imgs = docs.repartition(8).mapInPandas(
+        _gen, schema="doc_id long, variant int, bytes binary, w int, "
+                     "h int, fmt string")
+    from gis_tools_spark.raster.media import image_quality
+    q = image_quality(imgs)
+    r = lambda c: F.floor(F.col(c) * 1000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    return q.select(
+        "doc_id", "variant",
+        r("brightness").alias("brightness_r"),
+        r("contrast").alias("contrast_r"),
+        r("lap_var").alias("lap_var_r"),
+        r("entropy_bits").alias("entropy_r"),
+        r("dyn_range").alias("dyn_r"))
+
+
 def q_audio_containers_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless audio-container gate (round-4: raster/wavaiff.py +
     raster/flac.py): deterministic sines seeded by doc_id are encoded
@@ -2617,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_verify": q_jpeg_decode_verify,
         "audio_mp3_verify": q_audio_mp3_verify,
         "audio_containers_verify": q_audio_containers_verify,
+        "img_quality": q_img_quality,
         "video_frames": q_video_frames,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "exif_gps": q_exif_gps,
@@ -4184,6 +4252,54 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ok_comp
             FROM documents
             WHERE doc_id % 23 = 0
+        """,
+        "img_quality": """
+            WITH p AS (
+                SELECT doc_id,
+                       CAST(doc_id % 4 AS INTEGER) AS variant,
+                       (doc_id * 37) % 256 AS c,
+                       (doc_id * 13) % 96 AS a1,
+                       64 + doc_id % 64 AS d1,
+                       (doc_id * 7) % 100 AS a3,
+                       40 + doc_id % 80 AS d3
+                FROM documents
+                WHERE doc_id % 31 = 0
+            )
+            SELECT doc_id, variant,
+                   CASE variant
+                        WHEN 0 THEN c * 1000
+                        WHEN 1 THEN CAST(floor((a1 + d1 / 2.0) * 1000.0
+                                               + 0.5) AS BIGINT)
+                        WHEN 2 THEN 124000
+                        ELSE CAST(floor((a3 + d3 / 2.0) * 1000.0 + 0.5)
+                                  AS BIGINT)
+                   END AS brightness_r,
+                   CASE variant
+                        WHEN 0 THEN 0
+                        WHEN 1 THEN d1 * 500
+                        WHEN 2 THEN CAST(floor(sqrt(5456.0) * 1000.0 + 0.5)
+                                         AS BIGINT)
+                        ELSE d3 * 500
+                   END AS contrast_r,
+                   CASE variant
+                        WHEN 0 THEN 0
+                        WHEN 1 THEN 16 * d1 * d1 * 1000
+                        WHEN 2 THEN 0
+                        ELSE 4 * d3 * d3 * 1000
+                   END AS lap_var_r,
+                   CASE variant
+                        WHEN 0 THEN 0
+                        WHEN 1 THEN 1000
+                        WHEN 2 THEN 5000
+                        ELSE 1000
+                   END AS entropy_r,
+                   CASE variant
+                        WHEN 0 THEN 0
+                        WHEN 1 THEN d1 * 1000
+                        WHEN 2 THEN 248000
+                        ELSE d3 * 1000
+                   END AS dyn_r
+            FROM p
         """,
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),

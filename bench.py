@@ -198,6 +198,13 @@ def main() -> None:
             24, 24, method="bilinear")))
     meta["img_resize_rows"] = nr
 
+    from gis_tools_spark.raster.media import image_quality
+
+    nq = _timed("img_quality", lambda: _count(image_quality(
+            images.select("image_id", "bytes", "w", "h", "fmt"))
+            .where(F.col("entropy_bits") > 0.0)))
+    meta["img_quality_rows"] = nq
+
     # -------- audio feature extraction (round-4: from-scratch mp3 in
     # the fixture mix — pcm_f32 / pcm_s16 / mp3 one-third each)
     from gis_tools_spark.raster.media import audio_features

@@ -221,6 +221,81 @@ def sample_video_frames(df: DataFrame, *, every_n: int | None = None,
     return df.mapInPandas(_run, schema=VIDEO_FRAME_SCHEMA)
 
 
+# ------------------------------------------------------------ image quality
+
+def quality_metrics(a: np.ndarray) -> tuple[float, float, float, float, float]:
+    """Scalar quality signals for one decoded image: brightness (mean),
+    contrast (population std), blur (population variance of the
+    4-neighbor Laplacian over the interior — the classic
+    variance-of-Laplacian focus measure; low = blurry/flat), Shannon
+    entropy in bits over the 256-bin histogram, and dynamic range
+    (max - min). Multichannel input is converted to its channel mean."""
+    f = a.astype(np.float64)
+    if f.ndim == 3:
+        f = f.mean(axis=2)
+    brightness = float(f.mean())
+    contrast = float(f.std())
+    h, w = f.shape
+    if h >= 3 and w >= 3:
+        lap = (f[:-2, 1:-1] + f[2:, 1:-1] + f[1:-1, :-2] + f[1:-1, 2:]
+               - 4.0 * f[1:-1, 1:-1])
+        lap_var = float(lap.var())
+    else:
+        lap_var = 0.0
+    hist = np.bincount(np.clip(np.rint(f), 0, 255).astype(np.int64).ravel(),
+                       minlength=256)
+    q = hist[hist > 0] / f.size
+    entropy_bits = float(-(q * np.log2(q)).sum())
+    return (brightness, contrast, lap_var, entropy_bits,
+            float(f.max() - f.min()))
+
+
+def image_quality(df: DataFrame) -> DataFrame:
+    """Per-image quality signals — the filter columns an image training
+    pipeline scores before anything else (drop flat/blurry/synthetic-
+    banner images). Input schema must carry (bytes, w, h, fmt); output
+    keeps every non-payload column and appends brightness / contrast /
+    lap_var / entropy_bits / dyn_range. Rows whose payload fails to
+    decode are DROPPED (crawl contract, same policy as resize_images)."""
+    keep_cols = [f.name for f in df.schema.fields if f.name != "bytes"]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in df.schema.fields if f.name != "bytes"]
+        + ["brightness double", "contrast double", "lap_var double",
+           "entropy_bits double", "dyn_range double"])
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            arrs = codec.decode_many(list(pdf["bytes"]), list(pdf["w"]),
+                                     list(pdf["h"]), list(pdf["fmt"]))
+            keep = np.ones(len(pdf), dtype=bool)
+            mets = []
+            for i, arr in enumerate(arrs):
+                try:
+                    if isinstance(arr, NotImplementedError):
+                        raise arr
+                    if isinstance(arr, Exception):
+                        raise ValueError("decode failed") from arr
+                    mets.append(quality_metrics(arr))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    keep[i] = False
+                    mets.append((0.0,) * 5)
+            out = pdf[keep_cols].copy()
+            cols = ["brightness", "contrast", "lap_var", "entropy_bits",
+                    "dyn_range"]
+            for j, c in enumerate(cols):
+                out[c] = [m[j] for m in mets]
+            out = out[keep]
+            if len(out):
+                yield out
+
+    return df.mapInPandas(_run, schema=out_schema)
+
+
 # ------------------------------------------------------------------ audio
 
 AUDIO_FEATURE_SCHEMA = ("audio_id string, duration_s double, rms double, "

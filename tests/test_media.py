@@ -146,3 +146,40 @@ def test_audio_features_spark(spark):
             assert r["peak"] == pytest.approx(amp, rel=5e-3)
             assert r["zcr"] == pytest.approx(2 * f / 8000.0, rel=2e-2)
             assert r["clip_ratio"] == 0.0
+
+
+# --------------------------------------------------------- image quality
+
+def test_quality_metrics_closed_forms():
+    from gis_tools_spark.raster.media import quality_metrics
+    # constant field: everything flat
+    b, c, lv, e, dr = quality_metrics(np.full((32, 32), 77, dtype=np.uint8))
+    assert (b, c, lv, e, dr) == (77.0, 0.0, 0.0, 0.0, 0.0)
+    # checkerboard a / a+d: contrast d/2, laplacian variance 16 d^2,
+    # entropy exactly 1 bit
+    a, d = 30, 100
+    yy, xx = np.mgrid[0:32, 0:32]
+    chk = (a + d * ((xx + yy) % 2)).astype(np.uint8)
+    b, c, lv, e, dr = quality_metrics(chk)
+    assert b == a + d / 2 and c == d / 2 and lv == 16 * d * d
+    assert e == 1.0 and dr == d
+    # linear gradient: interior laplacian exactly 0, entropy 5 bits
+    grad = np.tile(8 * np.arange(32, dtype=np.uint8), (32, 1))
+    b, c, lv, e, dr = quality_metrics(grad)
+    assert b == 124.0 and lv == 0.0 and e == 5.0 and dr == 248.0
+    assert c == pytest.approx(np.sqrt(5456.0), rel=1e-15)
+    # channel-mean path: identical channels reproduce the gray metrics
+    rgb = np.repeat(chk[:, :, None], 3, axis=2)
+    assert quality_metrics(rgb) == quality_metrics(chk)
+
+
+def test_image_quality_spark_drops_corrupt(spark):
+    from gis_tools_spark.raster.media import image_quality
+    pdf = fixtures.gen_images(12, fmts=("raw", "png"))
+    pdf.loc[3, "bytes"] = b"\x89PNG corrupt"
+    out = image_quality(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 11  # corrupt row dropped, not fatal
+    assert "bytes" not in out.columns
+    assert (out["entropy_bits"] > 0).all()
+    assert np.isfinite(out[["brightness", "contrast", "lap_var",
+                            "dyn_range"]].values).all()
