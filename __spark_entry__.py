@@ -2612,6 +2612,134 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")))
 
 
+# ------------------------------------------------- image-training batch prep
+
+# SDXL-style aspect-ratio bucket list, shared verbatim by the Spark op
+# and the SQL oracle generator so the two can never drift.
+_AR_BUCKETS = [(512, 512), (576, 448), (448, 576), (640, 384), (384, 640),
+               (768, 320), (320, 768), (896, 256), (256, 896)]
+
+# deterministic per-doc image dims — same arithmetic in both engines
+_DIMS_SPARK = ("cast(64 + (doc_id * 7) % 961 as int) as w",
+               "cast(64 + (doc_id * 13) % 961 as int) as h")
+_DIMS_SQL = ("CAST(64 + (doc_id * 7) % 961 AS INT) AS w, "
+             "CAST(64 + (doc_id * 13) % 961 AS INT) AS h")
+
+
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing (operators/imgtrain.py): every image is
+    assigned the bucket minimizing the exact distortion factor
+    max(w·bh, h·bw)/min(w·bh, h·bw) (first-index tie-break via
+    array_position), plus the resize-to-cover/center-crop geometry —
+    the SDXL batching scheme as ONE codegen projection (the bucket
+    list unrolls to literal array expressions; zero shuffle, zero
+    Python).  The DuckDB oracle rebuilds the identical cost list from
+    the shared _AR_BUCKETS literal and replays argmin + the rounding
+    chain, so the value hash pins bucket choice, tie-breaks, and the
+    crop arithmetic."""
+    _tune(spark)
+    from gis_tools_spark.operators.imgtrain import aspect_bucket
+
+    dims = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("doc_id", *_DIMS_SPARK))
+    return aspect_bucket(dims, _AR_BUCKETS).select(
+        "doc_id", "w", "h", "bucket_idx", "bucket_w", "bucket_h",
+        "resize_w", "resize_h", "crop_x", "crop_y")
+
+
+def q_img_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch-token packing (operators/imgtrain.py): token count =
+    ceil(w/16)·ceil(h/16)+1 in codegen, then whole images greedy
+    first-fit into 4096-token blocks within contiguous id-range
+    buckets (images cannot straddle blocks; only (id, count) crosses
+    Arrow).  The dims derivation makes some rows exceed the budget, so
+    the oversize-sits-alone branch is exercised.  The DuckDB oracle
+    replays the bucket arithmetic and the greedy scan as a recursive
+    CTE, pinning every (block, block_pos) assignment."""
+    _tune(spark)
+    from gis_tools_spark.operators.imgtrain import pack_images
+
+    dims = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr("doc_id", *_DIMS_SPARK))
+    return pack_images(dims, 4096, patch=16, n_buckets=8)
+
+
+_AUG_GATE_OPS = ("hflip", "rot90", "rot180", "crop:16x12")
+
+
+def q_img_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image augmentation (raster/media.augment_images): deterministic
+    photo-like images seeded by doc_id flow raw/png/lossless-webp
+    (variant = doc_id % 3) through decode → hflip/rot90/rot180/
+    center-crop → re-encode, then a second Arrow pass regenerates the
+    source array and checks the decoded output PIXEL-EXACT against
+    augment_array applied to it (lossless fmts end-to-end).  The
+    oracle states the closed form: one row per (doc, op), output dims
+    from the op's dim algebra, every ok TRUE."""
+    _tune(spark)
+    from gis_tools_spark.fixtures import _gen_pixels
+    from gis_tools_spark.raster import codec as rcodec
+    from gis_tools_spark.raster.media import augment_array, augment_images
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 37 = 0").select("doc_id"))
+
+    def _gen(it):
+        import numpy as _np
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                prng = _np.random.default_rng(d * 104_729 + 3)
+                arr = _gen_pixels(prng, 24, 20, "png", sigma=1.2)
+                fmt = ("raw", "png", "webp")[d % 3]
+                rows.append((f"img{d:09d}", rcodec.encode(arr, fmt),
+                             20, 24, fmt, d))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "doc_id"])
+
+    imgs = docs.repartition(4).mapInPandas(
+        _gen, schema="image_id string, bytes binary, w int, h int, "
+                     "fmt string, doc_id long")
+    aug = augment_images(imgs, ops=_AUG_GATE_OPS)
+
+    def _check(it):
+        import numpy as _np
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                prng = _np.random.default_rng(int(r.doc_id) * 104_729 + 3)
+                src = _gen_pixels(prng, 24, 20, "png", sigma=1.2)
+                exp = augment_array(src, r.aug_op)
+                got = rcodec.decode(bytes(r.bytes), int(r.w), int(r.h),
+                                    r.fmt)
+                rows.append((int(r.doc_id), r.aug_op, int(r.w), int(r.h),
+                             bool(_np.array_equal(got, exp))))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "aug_op", "w", "h", "ok_pixels"])
+
+    return aug.mapInPandas(
+        _check, schema="doc_id long, aug_op string, w int, h int, "
+                       "ok_pixels boolean")
+
+
+def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (operators/mixing.stratified_sample): keep
+    up to 7 docs per language, ranked by the deterministic md5 unit
+    hash with doc_id tie-break — a pure function of (row identity,
+    seed), stable under re-runs/resume/repartitioning, monotone in k.
+    The DuckDB oracle replays the identical hash (unit_hash_sql, kept
+    in the module) and window rank, pinning the EXACT sampled row set.
+    The production xxhash family is invariance-tested in
+    test_imgtrain.py."""
+    _tune(spark)
+    from gis_tools_spark.operators.mixing import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (stratified_sample(docs, 7, "lang", seed=5, family="md5")
+            .select("doc_id", "lang"))
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2698,6 +2826,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "seq_pack": q_seq_pack,
         "corpus_mix": q_corpus_mix,
+        "aspect_buckets": q_aspect_buckets,
+        "img_token_pack": q_img_token_pack,
+        "img_augment": q_img_augment,
+        "strat_sample": q_strat_sample,
         "warc_pipeline": q_warc_pipeline,
         "wds_pipeline": q_wds_pipeline,
         "pricing_summary": q_pricing_summary,
@@ -2808,6 +2940,108 @@ def _corpus_mix_oracle_sql() -> str:
           CAST(floor(r.sample_rate * 1e9 + 0.5) AS BIGINT) AS rate_r
         FROM t JOIN r USING (source)
         WHERE {pred}
+    """
+
+
+def _aspect_buckets_oracle_sql() -> str:
+    """DuckDB mirror of q_aspect_buckets, generated from the SAME
+    _AR_BUCKETS literal: identical cost doubles, list argmin with
+    first-index semantics (list_position = Spark array_position), and
+    the identical scale/round/crop chain."""
+    costs = ", ".join(
+        f"greatest(w * {int(bh)}.0, h * {int(bw)}.0)"
+        f" / least(w * {int(bh)}.0, h * {int(bw)}.0)"
+        for bw, bh in _AR_BUCKETS)
+    bws = ", ".join(str(int(bw)) for bw, _ in _AR_BUCKETS)
+    bhs = ", ".join(str(int(bh)) for _, bh in _AR_BUCKETS)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_DIMS_SQL} FROM documents
+        ), c AS (
+          SELECT doc_id, w, h,
+                 list_position([{costs}], list_min([{costs}])) AS pos
+          FROM t
+        ), g AS (
+          SELECT doc_id, w, h, pos,
+                 CAST(([{bws}])[pos] AS INT) AS bucket_w,
+                 CAST(([{bhs}])[pos] AS INT) AS bucket_h
+          FROM c
+        ), s AS (
+          SELECT *,
+                 greatest(CAST(bucket_w AS DOUBLE) / CAST(w AS DOUBLE),
+                          CAST(bucket_h AS DOUBLE) / CAST(h AS DOUBLE))
+                   AS scale
+          FROM g
+        ), r AS (
+          SELECT *,
+            greatest(CAST(floor(CAST(w AS DOUBLE) * scale + 0.5) AS INT),
+                     bucket_w) AS resize_w,
+            greatest(CAST(floor(CAST(h AS DOUBLE) * scale + 0.5) AS INT),
+                     bucket_h) AS resize_h
+          FROM s
+        )
+        SELECT doc_id, w, h, CAST(pos - 1 AS INT) AS bucket_idx,
+               bucket_w, bucket_h, resize_w, resize_h,
+               CAST(floor((resize_w - bucket_w) / 2) AS INT) AS crop_x,
+               CAST(floor((resize_h - bucket_h) / 2) AS INT) AS crop_y
+        FROM r
+    """
+
+
+def _img_token_pack_oracle_sql() -> str:
+    """DuckDB mirror of q_img_token_pack: the identical bucket-range
+    arithmetic (width = (max-min)//n_buckets + 1) and the greedy
+    first-fit scan replayed as a recursive CTE over per-bucket row
+    numbers — pins every (block, block_pos) assignment and the
+    oversize branch."""
+    return f"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, {_DIMS_SQL} FROM documents
+        ), b AS (
+          SELECT min(doc_id) AS mn,
+                 greatest(1, (max(doc_id) - min(doc_id)) // 8 + 1) AS wd
+          FROM d
+        ), t AS (
+          SELECT doc_id,
+                 CAST(ceil(w / 16.0) * ceil(h / 16.0) + 1 AS BIGINT) AS n,
+                 CAST((doc_id - b.mn) // b.wd AS BIGINT) AS bucket,
+                 row_number() OVER (
+                   PARTITION BY CAST((doc_id - b.mn) // b.wd AS BIGINT)
+                   ORDER BY doc_id) AS rn
+          FROM d, b
+        ), r AS (
+          SELECT bucket, rn, doc_id, n, n AS fill,
+                 CAST(0 AS BIGINT) AS block, CAST(0 AS BIGINT) AS pos
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.bucket, t.rn, t.doc_id, t.n,
+                 CASE WHEN r.fill + t.n > 4096 THEN t.n
+                      ELSE r.fill + t.n END,
+                 CASE WHEN r.fill + t.n > 4096 THEN r.block + 1
+                      ELSE r.block END,
+                 CASE WHEN r.fill + t.n > 4096 THEN 0 ELSE r.pos + 1 END
+          FROM r JOIN t ON t.bucket = r.bucket AND t.rn = r.rn + 1
+        )
+        SELECT doc_id, n AS n_tokens, bucket, block, pos AS block_pos,
+               n > 4096 AS oversize
+        FROM r
+    """
+
+
+def _strat_sample_oracle_sql() -> str:
+    """DuckDB mirror of q_strat_sample: the module's own md5 unit-hash
+    SQL (unit_hash_sql — can't drift) under the identical window
+    rank."""
+    from gis_tools_spark.operators.mixing import unit_hash_sql
+
+    return f"""
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {unit_hash_sql('doc_id', 5)}, doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 7
     """
 
 
@@ -4388,6 +4622,23 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _pii_oracle_sql(),
         "url_filter": _url_filter_oracle_sql(),
         "corpus_mix": _corpus_mix_oracle_sql(),
+        "aspect_buckets": _aspect_buckets_oracle_sql(),
+        "img_token_pack": _img_token_pack_oracle_sql(),
+        "strat_sample": _strat_sample_oracle_sql(),
+        "img_augment": """
+            SELECT doc_id, op AS aug_op,
+                   CAST(CASE op WHEN 'rot90' THEN 24
+                                WHEN 'crop:16x12' THEN 16
+                                ELSE 20 END AS INT) AS w,
+                   CAST(CASE op WHEN 'rot90' THEN 20
+                                WHEN 'crop:16x12' THEN 12
+                                ELSE 24 END AS INT) AS h,
+                   TRUE AS ok_pixels
+            FROM documents,
+                 (VALUES ('hflip'), ('rot90'), ('rot180'),
+                         ('crop:16x12')) v(op)
+            WHERE doc_id % 37 = 0
+        """,
         "seq_pack": r"""
             WITH t AS (
               SELECT doc_id,

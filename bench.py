@@ -205,6 +205,34 @@ def main() -> None:
             .where(F.col("entropy_bits") > 0.0)))
     meta["img_quality_rows"] = nq
 
+    # -------- training-batch prep: aspect buckets + ViT token packing
+    # (pure codegen + per-bucket greedy; pixels never move)
+    from gis_tools_spark.operators.imgtrain import aspect_bucket, pack_images
+
+    _BUCKETS = [(512, 512), (576, 448), (448, 576), (640, 384), (384, 640),
+                (768, 320), (320, 768)]
+    imgs_wh = images.select(
+        F.monotonically_increasing_id().alias("img_no"),
+        (F.lit(64) + F.pmod(F.xxhash64("image_id"), 961)).cast("int")
+        .alias("gw"),
+        (F.lit(64) + F.pmod(F.xxhash64("image_id", F.lit(1)), 961))
+        .cast("int").alias("gh"))
+    nab = _timed("aspect_pack", lambda: _count(
+        pack_images(aspect_bucket(imgs_wh, _BUCKETS, w_col="gw",
+                                  h_col="gh"),
+                    4096, patch=16, w_col="gw", h_col="gh",
+                    id_col="img_no", n_buckets=CPUS * 2)))
+    meta["aspect_pack_rows"] = nab
+
+    # -------- augmentation fan-out (decode → flip/rot/crop → re-encode)
+    from gis_tools_spark.raster.media import augment_images
+
+    naug = _timed("img_augment", lambda: _count(augment_images(
+            images.select("image_id", "bytes", "w", "h", "fmt")
+                  .where(F.abs(F.xxhash64("image_id")) % 6 == 0),
+            ops=("hflip", "rot90"))))
+    meta["img_augment_rows"] = naug
+
     # -------- audio feature extraction (round-4: from-scratch mp3 in
     # the fixture mix — pcm_f32 / pcm_s16 / mp3 one-third each)
     from gis_tools_spark.raster.media import audio_features

@@ -72,6 +72,15 @@ from .pii import pii_redact, pii_stats  # noqa: F401
 from .decontam import decontaminate  # noqa: F401
 from .urlfilter import parse_urls, url_filter  # noqa: F401
 from .packing import chunk_documents, pack_sequences  # noqa: F401
-from .mixing import deterministic_sample, mix_corpus  # noqa: F401
+from .mixing import (  # noqa: F401
+    deterministic_sample,
+    mix_corpus,
+    stratified_sample,
+)
+from .imgtrain import (  # noqa: F401
+    aspect_bucket,
+    pack_images,
+    vit_token_count,
+)
 from .pyramid import tile_pyramid  # noqa: F401
 from . import network  # noqa: F401

@@ -1,0 +1,155 @@
+"""Image-training batch preparation: aspect-ratio bucketing, ViT patch
+token accounting, and token-budget image packing.
+
+These are the batching ops an image (or image+caption) training
+pipeline runs after filtering/dedup and before the dataloader:
+
+* ``aspect_bucket`` — assign every image to the closest aspect-ratio
+  bucket from a fixed bucket list (the SDXL-style bucketing scheme that
+  lets a trainer batch same-shaped tensors without distorting crops),
+  plus the resize-to-cover/center-crop geometry for that bucket.  Pure
+  whole-stage-codegen column arithmetic: the bucket list is unrolled
+  into an array of cost expressions and the argmin is
+  ``array_position(costs, array_min(costs))`` — no UDF, no shuffle,
+  costs exactly one scan at any corpus size.
+* ``vit_token_count`` — patch-grid token count ``ceil(w/p)·ceil(h/p) +
+  extra`` (CLS/register tokens), the per-image "length" a NaViT-style
+  patch-packing trainer bins on.  Pure codegen.
+* ``pack_images`` — greedy first-fit packing of whole images into
+  fixed token-budget blocks (images cannot straddle blocks, unlike
+  text ``pack_sequences``).  Greedy filling is a sequential scan, so
+  the corpus is bucketed by contiguous id ranges and each bucket packs
+  independently in one Arrow task — waste is bounded by one partial
+  block per bucket, and ``n_buckets`` bounds the per-task row count
+  (size it to ~1e6 rows/bucket at corpus scale).  Only (id, token
+  count) enters Python; pixels never move.
+
+Reference parity: gis-tools has no training-batch ops; build-brief
+scope (large-scale training-data pipeline), alongside packing.py /
+mixing.py.  The bucketing cost uses the exact aspect-ratio distortion
+factor ``max(ar, bar)/min(ar, bar)`` (the factor by which a
+resize-to-fill stretches the image), expressed over integer products
+so Spark and the SQL oracle compute bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["aspect_bucket", "vit_token_count", "pack_images"]
+
+
+def aspect_bucket(df: DataFrame, buckets: Sequence[tuple[int, int]], *,
+                  w_col: str = "w", h_col: str = "h") -> DataFrame:
+    """Assign each row to the aspect-ratio bucket minimizing the
+    distortion factor ``max(w·bh, h·bw) / min(w·bh, h·bw)`` (>= 1,
+    == 1 iff the aspect matches exactly); ties break to the FIRST
+    bucket in the list.  Requires positive ``w``/``h``.
+
+    Appends ``bucket_idx`` (0-based), ``bucket_w``/``bucket_h``, and
+    the resize-to-cover + center-crop geometry a dataloader applies:
+    ``resize_w``/``resize_h`` (scale = max(bw/w, bh/h), HALF_UP
+    rounding, floored at the bucket dims) and ``crop_x``/``crop_y``
+    (top-left of the centered bucket-sized crop).
+
+    Plan: one codegen projection — the bucket list unrolls to literal
+    array expressions, argmin via array_position(array_min); zero
+    shuffle, zero Python at any scale."""
+    if not buckets:
+        raise ValueError("buckets must be non-empty")
+    wd = F.col(w_col).cast("double")
+    hd = F.col(h_col).cast("double")
+    costs = []
+    for bw, bh in buckets:
+        p = wd * float(int(bh))
+        q = hd * float(int(bw))
+        costs.append(F.greatest(p, q) / F.least(p, q))
+    arr = F.array(*costs)
+    pos = F.array_position(arr, F.array_min(arr))  # 1-based first min
+    bw_arr = F.array(*[F.lit(int(b[0])) for b in buckets])
+    bh_arr = F.array(*[F.lit(int(b[1])) for b in buckets])
+    bw = F.element_at(bw_arr, pos.cast("int")).cast("int")
+    bh = F.element_at(bh_arr, pos.cast("int")).cast("int")
+    scale = F.greatest(bw.cast("double") / wd, bh.cast("double") / hd)
+    rw = F.greatest(F.floor(wd * scale + F.lit(0.5)).cast("int"), bw)
+    rh = F.greatest(F.floor(hd * scale + F.lit(0.5)).cast("int"), bh)
+    return (df
+            .withColumn("bucket_idx", (pos - 1).cast("int"))
+            .withColumn("bucket_w", bw)
+            .withColumn("bucket_h", bh)
+            .withColumn("resize_w", rw)
+            .withColumn("resize_h", rh)
+            .withColumn("crop_x", F.floor((rw - bw) / 2).cast("int"))
+            .withColumn("crop_y", F.floor((rh - bh) / 2).cast("int")))
+
+
+def vit_token_count(w_col="w", h_col="h", *, patch: int = 16,
+                    extra: int = 1) -> Column:
+    """Patch-grid token count: ``ceil(w/patch) * ceil(h/patch) +
+    extra`` (CLS/register tokens).  Pure codegen."""
+    w = F.col(w_col) if isinstance(w_col, str) else w_col
+    h = F.col(h_col) if isinstance(h_col, str) else h_col
+    p = int(patch)
+    return (F.ceil(w.cast("double") / p) * F.ceil(h.cast("double") / p)
+            + F.lit(int(extra))).cast("long")
+
+
+def pack_images(df: DataFrame, token_budget: int, *,
+                patch: int = 16, extra: int = 1,
+                w_col: str = "w", h_col: str = "h",
+                id_col: str = "doc_id", n_buckets: int = 64) -> DataFrame:
+    """Pack whole images into fixed ``token_budget`` blocks, greedy
+    first-fit in ascending ``id_col`` order within contiguous id-range
+    buckets (blocks never cross buckets: waste <= one partial block
+    per bucket).  ``id_col`` must be numeric.
+
+    Returns one row per image: ``(id_col, n_tokens, bucket, block,
+    block_pos, oversize)`` — ``block`` restarts at 0 per bucket,
+    ``block_pos`` is the image's index within its block, and a row
+    with ``n_tokens > token_budget`` sits alone in its own block with
+    ``oversize = true`` (the caller decides whether to resize or drop
+    such rows first).
+
+    Scale plan: tokens are computed in codegen; only (id, n_tokens)
+    crosses Arrow into the per-bucket greedy scan (one applyInPandas
+    task per bucket); pixel bytes never move."""
+    B = int(token_budget)
+    if B <= 0:
+        raise ValueError("token_budget must be positive")
+    t = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        vit_token_count(w_col, h_col, patch=patch,
+                        extra=extra).alias("n_tokens"))
+    lo, hi = t.agg(F.min(id_col), F.max(id_col)).first()
+    out_schema = (f"{id_col} long, n_tokens long, bucket long, "
+                  f"block long, block_pos long, oversize boolean")
+    if lo is None:
+        return t.sparkSession.createDataFrame([], out_schema)
+    width = max(1, (int(hi) - int(lo)) // max(1, int(n_buckets)) + 1)
+    t = t.withColumn("bucket",
+                     ((F.col(id_col) - int(lo)) / width).cast("long"))
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        blocks, poss = [], []
+        fill, blk, pos = 0, -1, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if blk < 0 or fill + n > B:
+                blk += 1
+                fill, pos = n, 0
+            else:
+                fill += n
+                pos += 1
+            blocks.append(blk)
+            poss.append(pos)
+        pdf["block"] = pd.Series(blocks, dtype="int64")
+        pdf["block_pos"] = pd.Series(poss, dtype="int64")
+        pdf["oversize"] = pdf["n_tokens"] > B
+        return pdf[[id_col, "n_tokens", "bucket", "block", "block_pos",
+                    "oversize"]]
+
+    return t.groupBy("bucket").applyInPandas(_greedy, schema=out_schema)

@@ -93,10 +93,45 @@ def mix_corpus(df: DataFrame, weights: dict, token_budget: int, *,
                    < F.col("sample_rate")))
 
 
-def sample_sql_predicate(id_expr: str, seed: int, rate_expr: str) -> str:
-    """The DuckDB mirror of the md5 family's keep-predicate — kept next
-    to _unit_hash so the two can never drift.  ``rate_expr`` may be any
-    SQL expression producing the per-row rate."""
+def unit_hash_sql(id_expr: str, seed: int) -> str:
+    """The DuckDB mirror of the md5 family's [0,1) hash — kept next to
+    _unit_hash so the two can never drift."""
     return (f"(('0x' || substr(md5(CAST({id_expr} AS VARCHAR) || '|' "
             f"|| '{int(seed)}'), 1, 16))::UBIGINT::DOUBLE "
-            f"/ 18446744073709551616.0) < ({rate_expr})")
+            f"/ 18446744073709551616.0)")
+
+
+def sample_sql_predicate(id_expr: str, seed: int, rate_expr: str) -> str:
+    """The DuckDB mirror of the md5 family's keep-predicate.
+    ``rate_expr`` may be any SQL expression producing the per-row
+    rate."""
+    return f"{unit_hash_sql(id_expr, seed)} < ({rate_expr})"
+
+
+def stratified_sample(df: DataFrame, k: int, by, *,
+                      id_col: str = "doc_id", seed: int = 0,
+                      family: str = "xxhash") -> DataFrame:
+    """Keep (up to) ``k`` rows per group — deterministic per-stratum
+    sampling (class-balanced eval sets, per-source inspection samples,
+    per-language capping).  Within each group, rows rank by
+    ``hash(id, seed)`` with ``id_col`` as the tie-break, so the sample
+    is a pure function of (row identity, seed): stable under re-runs,
+    resume, and repartitioning, and a larger ``k`` EXTENDS a smaller
+    one (the rank order is fixed).
+
+    Scale plan: one hash-partitioned window on the group key — the
+    same shuffle a groupBy costs.  Per-group row counts bound the
+    window task; k does not affect the shuffle.  Strata far larger
+    than executor memory would need the top-k-via-aggregate variant;
+    at k << group size a pre-filter on ``hash < c·k/|group|`` can
+    pre-thin, not applied here to keep exactness unconditional."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    groups = [by] if isinstance(by, str) else list(by)
+    w = (Window.partitionBy(*groups)
+         .orderBy(_unit_hash(F.col(id_col), seed, family).asc(),
+                  F.col(id_col).asc()))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(k)).drop("__rn"))

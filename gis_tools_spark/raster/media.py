@@ -119,6 +119,88 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, *,
     return df.mapInPandas(_run, schema=schema)
 
 
+# ------------------------------------------------------------ augmentation
+
+_AUG_OPS = ("hflip", "vflip", "rot90", "rot180", "rot270")
+
+
+def augment_array(a: np.ndarray, op: str) -> np.ndarray:
+    """Apply one augmentation to a (h,w) or (h,w,c) array.  ``rot90``
+    is 90° CLOCKWISE (``rot270`` counter-clockwise); ``crop:WxH`` is a
+    center crop clamped to the image dims."""
+    if op == "hflip":
+        return a[:, ::-1].copy()
+    if op == "vflip":
+        return a[::-1].copy()
+    if op == "rot90":
+        return np.rot90(a, k=-1, axes=(0, 1)).copy()
+    if op == "rot180":
+        return np.rot90(a, k=2, axes=(0, 1)).copy()
+    if op == "rot270":
+        return np.rot90(a, k=1, axes=(0, 1)).copy()
+    if op.startswith("crop:"):
+        cw, ch = (int(x) for x in op[5:].split("x"))
+        h, w = a.shape[:2]
+        cw, ch = min(cw, w), min(ch, h)
+        x0, y0 = (w - cw) // 2, (h - ch) // 2
+        return a[y0:y0 + ch, x0:x0 + cw].copy()
+    raise ValueError(f"unknown augmentation {op!r} "
+                     f"(use {_AUG_OPS} or 'crop:WxH')")
+
+
+def augment_images(df: DataFrame, ops: tuple = ("hflip",), *,
+                   fmt_out: str | None = None) -> DataFrame:
+    """Decode → augment → re-encode: one output row per (input row,
+    op), with ``aug_op`` appended and bytes/w/h (and phash, if
+    present) refreshed.  Input schema must carry (bytes, w, h, fmt);
+    all other columns pass through.  Rows whose payload fails to
+    decode are DROPPED (same crawl contract as resize_images /
+    verify_images_*).
+
+    Scale plan: the standard train-time flip/rotate/crop augmentations
+    materialized as a corpus op (dataset ships pre-augmented rows);
+    decode-once per input row, each op re-encodes from the same
+    array.  Arrow-batched mapInPandas — fan-out is len(ops)×, attribute
+    columns replicate JVM-side only in the output batch."""
+    for op in ops:
+        if op not in _AUG_OPS and not op.startswith("crop:"):
+            raise ValueError(f"unknown augmentation {op!r}")
+    schema = df.schema
+    cols = [f.name for f in schema.fields]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields]
+        + ["aug_op string"])
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            has_ph = "phash" in pdf.columns
+            arrs = codec.decode_many(list(pdf["bytes"]), list(pdf["w"]),
+                                     list(pdf["h"]), list(pdf["fmt"]))
+            out_rows = []
+            for i, (arr, f0) in enumerate(zip(arrs, pdf["fmt"])):
+                if isinstance(arr, Exception):
+                    continue
+                base = pdf.iloc[i]
+                for op in ops:
+                    aug = augment_array(arr, op)
+                    fo = fmt_out or f0
+                    row = base.copy()
+                    row["bytes"] = codec.encode(aug, fo)
+                    row["h"], row["w"] = int(aug.shape[0]), int(aug.shape[1])
+                    row["fmt"] = fo
+                    if has_ph:
+                        row["phash"] = np.int64(codec.phash64(
+                            aug if aug.ndim == 2 else aug.mean(axis=2)))
+                    row["aug_op"] = op
+                    out_rows.append(row)
+            if out_rows:
+                yield pd.DataFrame(out_rows)[cols + ["aug_op"]]
+
+    return df.mapInPandas(_run, schema=out_schema)
+
+
 # ------------------------------------------------------------------ video
 
 _REAL_VIDEO_FMTS = ("rawvid",)
