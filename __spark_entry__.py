@@ -2740,6 +2740,118 @@ def q_strat_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang"))
 
 
+def q_image_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataComp-style basic image+caption filter (imgtrain.image_filter):
+    first-match reject reasons too_small → extreme_aspect →
+    too_few_bytes → short_caption over metadata columns only — ONE
+    codegen projection, pixels never decoded (plan asserted Python-free
+    in pytest).  Dims/bytes/captions are synthesized from doc_id with
+    the identical arithmetic in DuckDB so all five branches (incl.
+    accept) fire and the rule ORDER is value-pinned."""
+    _tune(spark)
+    from gis_tools_spark.operators.imgtrain import image_filter
+
+    rows = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr(
+                "doc_id", *_DIMS_SPARK,
+                "cast(repeat('x', cast(doc_id % 40 as int)) as binary)"
+                " as bytes",
+                "case when doc_id % 5 = 0 then 'hi'"
+                " else 'a reasonable caption' end as caption"))
+    out = image_filter(rows, min_side=128, max_aspect=3.0, min_bytes=16,
+                       min_caption_chars=5)
+    return out.select("doc_id", "w", "h", "keep", "reject_reason")
+
+
+def q_exif_orient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF orientation normalization (media.normalize_orientation):
+    deterministic smooth images seeded by doc_id are jpeg-encoded, an
+    APP1 orientation tag o = 1 + doc_id % 8 embedded (raster/exif.py
+    writer), then the REAL operator parses the tag, decodes, applies
+    the display transform and re-encodes (png out, so the transform is
+    checkable pixel-exact).  A second Arrow pass verifies: ok_exact —
+    decoded output equals exif_normalize_array applied to the decoded
+    stored jpeg (pins the orientation algebra end-to-end); ok_psnr —
+    ≥40 dB against the display-transformed ORIGINAL array (pins the
+    jpeg fidelity).  The oracle states the closed form: dims swap for
+    o ≥ 5, every ok TRUE."""
+    _tune(spark)
+    from gis_tools_spark.fixtures import _gen_pixels
+    from gis_tools_spark.raster import codec as rcodec, exif as rexif, jpeg
+    from gis_tools_spark.raster.media import (exif_normalize_array,
+                                              normalize_orientation)
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 41 = 0").select("doc_id"))
+
+    def _gen(it):
+        import numpy as _np
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                o = 1 + d % 8
+                prng = _np.random.default_rng(d * 52_361 + 7)
+                arr = _gen_pixels(prng, 24, 20, "jpeg", sigma=1.0)
+                buf = jpeg.encode(arr, 95)
+                if o > 1:
+                    buf = rexif.embed_exif(
+                        buf, rexif.build_exif(orientation=o))
+                rows.append((f"img{d:09d}", buf, 20, 24, "jpeg", d))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "doc_id"])
+
+    imgs = docs.repartition(4).mapInPandas(
+        _gen, schema="image_id string, bytes binary, w int, h int, "
+                     "fmt string, doc_id long")
+    fixed = normalize_orientation(imgs, fmt_out="png")
+
+    def _check(it):
+        import numpy as _np
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.doc_id)
+                o = 1 + d % 8
+                prng = _np.random.default_rng(d * 52_361 + 7)
+                src = _gen_pixels(prng, 24, 20, "jpeg", sigma=1.0)
+                buf = jpeg.encode(src, 95)
+                stored = jpeg.decode(buf)
+                exp = exif_normalize_array(stored, o)
+                got = rcodec.decode(bytes(r.bytes), int(r.w), int(r.h),
+                                    r.fmt)
+                ok_exact = bool(_np.array_equal(got, exp))
+                ok_psnr = bool(rcodec.psnr(
+                    exif_normalize_array(src, o), got) >= 40.0)
+                rows.append((d, int(r.exif_orientation), int(r.w),
+                             int(r.h), ok_exact, ok_psnr))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "orientation", "w", "h", "ok_exact", "ok_psnr"])
+
+    return fixed.mapInPandas(
+        _check, schema="doc_id long, orientation int, w int, h int, "
+                       "ok_exact boolean, ok_psnr boolean")
+
+
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "value", "ts_epoch")
+
+
+def q_dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiler (operators/profile.py): per-column n / nulls /
+    EXACT distinct / min / max / 1e-6-rounded mean in ONE aggregation
+    pass (every stat an expression in a single agg; long format via
+    stack).  Integer and epoch columns give exact double sums so the
+    mean is bit-stable; the oracle recomputes each column's row with
+    plain SQL aggregates."""
+    _tune(spark)
+    from gis_tools_spark.operators.profile import dataset_profile
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .selectExpr("event_id", "user_id", "event_type", "value",
+                      "unix_timestamp(ts) as ts_epoch"))
+    return dataset_profile(ev, list(_PROFILE_COLS), exact=True)
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2830,6 +2942,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_token_pack": q_img_token_pack,
         "img_augment": q_img_augment,
         "strat_sample": q_strat_sample,
+        "image_filter": q_image_filter,
+        "exif_orient": q_exif_orient,
+        "dataset_profile": q_dataset_profile,
         "warc_pipeline": q_warc_pipeline,
         "wds_pipeline": q_wds_pipeline,
         "pricing_summary": q_pricing_summary,
@@ -3042,6 +3157,69 @@ def _strat_sample_oracle_sql() -> str:
                    ORDER BY {unit_hash_sql('doc_id', 5)}, doc_id) AS rn
           FROM documents)
         WHERE rn <= 7
+    """
+
+
+def _image_filter_oracle_sql() -> str:
+    """DuckDB mirror of q_image_filter: identical dims/bytes/caption
+    synthesis and the identical first-match CASE chain."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_DIMS_SQL},
+                 octet_length(encode(repeat('x',
+                   CAST(doc_id % 40 AS INT)))) AS nb,
+                 CASE WHEN doc_id % 5 = 0 THEN 'hi'
+                      ELSE 'a reasonable caption' END AS caption
+          FROM documents
+        ), r AS (
+          SELECT doc_id, w, h,
+                 CASE
+                   WHEN least(CAST(w AS DOUBLE), CAST(h AS DOUBLE)) < 128
+                     THEN 'too_small'
+                   WHEN greatest(CAST(w AS DOUBLE), CAST(h AS DOUBLE))
+                        / least(CAST(w AS DOUBLE), CAST(h AS DOUBLE)) > 3.0
+                     THEN 'extreme_aspect'
+                   WHEN nb < 16 THEN 'too_few_bytes'
+                   WHEN length(trim(coalesce(caption, ''))) < 5
+                     THEN 'short_caption'
+                 END AS reject_reason
+          FROM t
+        )
+        SELECT doc_id, w, h, reject_reason IS NULL AS keep, reject_reason
+        FROM r
+    """
+
+
+def _dataset_profile_oracle_sql() -> str:
+    """DuckDB mirror of q_dataset_profile: one UNION ALL branch per
+    profiled column recomputing the identical stats (exact distinct,
+    double min/max, 1e-6-rounded mean over an exact-in-double sum)."""
+    num_cols = {"event_id", "user_id", "value", "ts_epoch"}
+    parts = []
+    for c in _PROFILE_COLS:
+        if c in num_cols:
+            mn = f"CAST(min({c}) AS DOUBLE)"
+            mx = f"CAST(max({c}) AS DOUBLE)"
+            av = f"floor(avg(CAST({c} AS DOUBLE)) * 1e6 + 0.5) / 1e6"
+            ms = xs = "CAST(NULL AS VARCHAR)"
+        else:
+            mn = mx = av = "CAST(NULL AS DOUBLE)"
+            ms, xs = f"min({c})", f"max({c})"
+        parts.append(f"""
+          SELECT '{c}' AS "column", count(*) AS n,
+                 count(*) - count({c}) AS n_null,
+                 count(DISTINCT {c}) AS n_distinct,
+                 {mn} AS min_num, {mx} AS max_num, {av} AS mean_num,
+                 {ms} AS min_str, {xs} AS max_str
+          FROM e""")
+    body = " UNION ALL ".join(parts)
+    return f"""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+          FROM events
+        )
+        {body}
     """
 
 
@@ -4625,6 +4803,18 @@ def oracle_sql() -> dict[str, str]:
         "aspect_buckets": _aspect_buckets_oracle_sql(),
         "img_token_pack": _img_token_pack_oracle_sql(),
         "strat_sample": _strat_sample_oracle_sql(),
+        "image_filter": _image_filter_oracle_sql(),
+        "dataset_profile": _dataset_profile_oracle_sql(),
+        "exif_orient": """
+            SELECT doc_id,
+                   CAST(1 + doc_id % 8 AS INT) AS orientation,
+                   CAST(CASE WHEN 1 + doc_id % 8 >= 5
+                             THEN 24 ELSE 20 END AS INT) AS w,
+                   CAST(CASE WHEN 1 + doc_id % 8 >= 5
+                             THEN 20 ELSE 24 END AS INT) AS h,
+                   TRUE AS ok_exact, TRUE AS ok_psnr
+            FROM documents WHERE doc_id % 41 = 0
+        """,
         "img_augment": """
             SELECT doc_id, op AS aug_op,
                    CAST(CASE op WHEN 'rot90' THEN 24

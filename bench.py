@@ -224,6 +224,23 @@ def main() -> None:
                     id_col="img_no", n_buckets=CPUS * 2)))
     meta["aspect_pack_rows"] = nab
 
+    # -------- metadata-only image+caption filter (pure codegen)
+    from gis_tools_spark.operators.imgtrain import image_filter
+
+    nfil = _timed("image_filter", lambda: _count(
+        image_filter(images, min_side=16, max_aspect=3.0)
+        .where(F.col("keep"))))
+    meta["image_filter_rows"] = nfil
+
+    # -------- one-pass exact profiler over the biggest driver table
+    from gis_tools_spark.operators.profile import dataset_profile
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    npr = _timed("dataset_profile", lambda: _count(dataset_profile(
+        li, ["l_orderkey", "l_quantity", "l_extendedprice",
+             "l_returnflag", "l_linestatus"], exact=True)))
+    meta["dataset_profile_rows"] = npr
+
     # -------- augmentation fan-out (decode → flip/rot/crop → re-encode)
     from gis_tools_spark.raster.media import augment_images
 

@@ -79,8 +79,10 @@ from .mixing import (  # noqa: F401
 )
 from .imgtrain import (  # noqa: F401
     aspect_bucket,
+    image_filter,
     pack_images,
     vit_token_count,
 )
+from .profile import dataset_profile  # noqa: F401
 from .pyramid import tile_pyramid  # noqa: F401
 from . import network  # noqa: F401

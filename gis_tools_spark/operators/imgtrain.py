@@ -39,7 +39,44 @@ from typing import Iterator, Sequence
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["aspect_bucket", "vit_token_count", "pack_images"]
+__all__ = ["aspect_bucket", "vit_token_count", "pack_images",
+           "image_filter"]
+
+
+def image_filter(df: DataFrame, *, min_side: int = 64,
+                 max_aspect: float = 3.0, min_bytes: int = 32,
+                 min_caption_chars: int = 5,
+                 w_col: str = "w", h_col: str = "h",
+                 bytes_col: str = "bytes",
+                 caption_col: str = "caption") -> DataFrame:
+    """DataComp-style basic image+caption filtering: classify every row
+    with a FIRST-MATCH reject reason, in rule order
+
+    1. ``too_small``      — min(w, h) < min_side
+    2. ``extreme_aspect`` — max(w, h) / min(w, h) > max_aspect
+    3. ``too_few_bytes``  — octet_length(bytes) < min_bytes
+       (truncated/placeholder payloads)
+    4. ``short_caption``  — trimmed caption shorter than
+       min_caption_chars (NULL captions reject here too)
+
+    Appends ``keep`` (boolean) and ``reject_reason`` (NULL when kept).
+    Like the Gopher/C4 filters this is ONE whole-stage-codegen
+    projection over metadata columns — the pixel payload is never
+    decoded, so at 100 TB the filter costs exactly the scan (and
+    column pruning drops ``bytes`` entirely when the caller selects
+    metadata first)."""
+    w = F.col(w_col).cast("double")
+    h = F.col(h_col).cast("double")
+    reason = (
+        F.when(F.least(w, h) < float(min_side), F.lit("too_small"))
+        .when(F.greatest(w, h) / F.least(w, h) > float(max_aspect),
+              F.lit("extreme_aspect"))
+        .when(F.octet_length(F.col(bytes_col)) < int(min_bytes),
+              F.lit("too_few_bytes"))
+        .when(F.length(F.trim(F.coalesce(F.col(caption_col), F.lit(""))))
+              < int(min_caption_chars), F.lit("short_caption")))
+    return (df.withColumn("reject_reason", reason)
+            .withColumn("keep", F.col("reject_reason").isNull()))
 
 
 def aspect_bucket(df: DataFrame, buckets: Sequence[tuple[int, int]], *,

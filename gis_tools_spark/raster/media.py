@@ -201,6 +201,105 @@ def augment_images(df: DataFrame, ops: tuple = ("hflip",), *,
     return df.mapInPandas(_run, schema=out_schema)
 
 
+def exif_normalize_array(a: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply the display transform for an EXIF orientation tag (1-8) —
+    the PIL ``exif_transpose`` semantics: the returned array is what a
+    viewer shows.  Unknown/missing tags are treated as 1 (identity)."""
+    o = int(orientation) if orientation else 1
+    if o == 2:
+        return a[:, ::-1].copy()
+    if o == 3:
+        return a[::-1, ::-1].copy()
+    if o == 4:
+        return a[::-1].copy()
+    if o == 5:
+        return np.swapaxes(a, 0, 1).copy()
+    if o == 6:
+        return np.rot90(a, k=-1, axes=(0, 1)).copy()
+    if o == 7:
+        return np.swapaxes(a[::-1, ::-1], 0, 1).copy()
+    if o == 8:
+        return np.rot90(a, k=1, axes=(0, 1)).copy()
+    return a
+
+
+def normalize_orientation(df: DataFrame, *,
+                          fmt_out: str | None = None) -> DataFrame:
+    """Bake EXIF orientation into the pixels — the normalization step a
+    crawl pipeline runs before any geometry-sensitive op (phash,
+    augmentation, tiling), since ~10% of camera JPEGs carry a non-1
+    orientation tag that viewers honor but array ops don't.
+
+    For jpeg rows: parse the APP1 orientation tag (raster/exif.py),
+    decode, apply the display transform, re-encode (``fmt_out`` or the
+    original format — the re-encode drops APP1, so the output is
+    tag-free by construction); w/h (and phash, if present) refresh,
+    and an ``exif_orientation`` column records the ORIGINAL tag.
+    Non-jpeg or tag-less rows pass through untouched (orientation 1).
+    Rows whose payload fails to decode are DROPPED (crawl contract, as
+    resize_images / augment_images).  Arrow-batched mapInPandas."""
+    from . import exif as _exif
+
+    schema = df.schema
+    cols = [f.name for f in schema.fields]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields]
+        + ["exif_orientation int"])
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            has_ph = "phash" in pdf.columns
+            ors, keep = [], np.ones(len(pdf), dtype=bool)
+            nb, nw, nh, nf, nph = [], [], [], [], []
+            for i, (buf, w, h, f0) in enumerate(zip(
+                    pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"])):
+                o = 1
+                if f0 == "jpeg":
+                    try:
+                        o = int(_exif.parse_exif(bytes(buf))
+                                .get("orientation", 1) or 1)
+                    except Exception:
+                        o = 1
+                if o == 1:
+                    ors.append(1)
+                    nb.append(buf); nw.append(int(w)); nh.append(int(h))
+                    nf.append(f0)
+                    nph.append(pdf["phash"].iloc[i] if has_ph else 0)
+                    continue
+                try:
+                    arr = codec.decode(bytes(buf), int(w), int(h), f0)
+                    fixed = exif_normalize_array(arr, o)
+                    fo = fmt_out or f0
+                    nb.append(codec.encode(fixed, fo))
+                    nh.append(int(fixed.shape[0]))
+                    nw.append(int(fixed.shape[1]))
+                    nf.append(fo)
+                    nph.append(np.int64(codec.phash64(
+                        fixed if fixed.ndim == 2 else fixed.mean(axis=2)))
+                        if has_ph else 0)
+                    ors.append(o)
+                except Exception:
+                    keep[i] = False
+                    ors.append(o)
+                    nb.append(None); nw.append(0); nh.append(0); nf.append(f0)
+                    nph.append(0)
+            out = pdf.copy()
+            out["bytes"] = pd.Series(nb, index=pdf.index, dtype=object)
+            out["w"] = np.asarray(nw, dtype=np.int32)
+            out["h"] = np.asarray(nh, dtype=np.int32)
+            out["fmt"] = nf
+            if has_ph:
+                out["phash"] = np.asarray(nph, dtype=np.int64)
+            out["exif_orientation"] = np.asarray(ors, dtype=np.int32)
+            out = out[keep]
+            if len(out):
+                yield out[cols + ["exif_orientation"]]
+
+    return df.mapInPandas(_run, schema=out_schema)
+
+
 # ------------------------------------------------------------------ video
 
 _REAL_VIDEO_FMTS = ("rawvid",)

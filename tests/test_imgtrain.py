@@ -196,3 +196,132 @@ def test_stratified_sample_invariants(spark):
     c = sorted(r.doc_id for r in
                stratified_sample(docs, 5, "lang", seed=4).collect())
     assert a != c
+
+
+def test_image_filter_rule_order(spark):
+    from gis_tools_spark.operators.imgtrain import image_filter
+    rows = [
+        # (id, w, h, nbytes, caption, expected_reason)
+        (1, 32, 500, 100, "a fine caption", "too_small"),
+        (2, 900, 200, 100, "a fine caption", "extreme_aspect"),
+        (3, 300, 300, 4, "a fine caption", "too_few_bytes"),
+        (4, 300, 300, 100, "hi", "short_caption"),
+        (5, 300, 300, 100, None, "short_caption"),
+        (6, 300, 300, 100, "a fine caption", None),
+        # too_small outranks extreme_aspect outranks bytes outranks caption
+        (7, 16, 900, 2, "x", "too_small"),
+        (8, 900, 100, 2, "x", "extreme_aspect"),
+    ]
+    df = spark.createDataFrame(
+        [(i, w, h, b"z" * nb, cap) for i, w, h, nb, cap, _ in rows],
+        "id long, w int, h int, bytes binary, caption string")
+    out = {r.id: r for r in image_filter(
+        df, min_side=64, max_aspect=3.0, min_bytes=16,
+        min_caption_chars=5).collect()}
+    for i, _, _, _, _, exp in rows:
+        assert out[i].reject_reason == exp, (i, out[i].reject_reason)
+        assert out[i].keep == (exp is None)
+
+
+def test_image_filter_codegen_only(spark):
+    from gis_tools_spark.operators.imgtrain import image_filter
+    df = spark.createDataFrame(
+        [(1, 300, 300, b"x" * 50, "caption text")],
+        "id long, w int, h int, bytes binary, caption string")
+    plan = image_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_exif_normalize_array_all_orientations():
+    from gis_tools_spark.raster.media import exif_normalize_array
+    a = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    exp = {
+        1: a,
+        2: a[:, ::-1],
+        3: a[::-1, ::-1],
+        4: a[::-1],
+        5: a.T,
+        6: np.rot90(a, k=-1),
+        7: a[::-1, ::-1].T,
+        8: np.rot90(a, k=1),
+    }
+    for o, e in exp.items():
+        assert np.array_equal(exif_normalize_array(a, o), e), o
+    # tag-then-normalize is involutive with the matching inverse pair
+    assert np.array_equal(
+        exif_normalize_array(exif_normalize_array(a, 6), 8), a)
+    assert np.array_equal(
+        exif_normalize_array(exif_normalize_array(a, 5), 5), a)
+    # unknown / missing tags are identity
+    assert np.array_equal(exif_normalize_array(a, 0), a)
+    assert np.array_equal(exif_normalize_array(a, 9), a)
+
+
+def test_normalize_orientation_end_to_end(spark):
+    from gis_tools_spark.raster import exif as E, jpeg
+    from gis_tools_spark.raster.media import (exif_normalize_array,
+                                              normalize_orientation)
+    rng = np.random.default_rng(11)
+    rows, srcs = [], {}
+    for o in range(1, 9):
+        # smooth content so the jpeg round trip stays high-PSNR
+        x, y = np.meshgrid(np.arange(20), np.arange(24))
+        arr = np.clip(127 + 60 * np.sin(0.3 * x + o)
+                      * np.cos(0.2 * y), 0, 255).astype(np.uint8)
+        arr = np.repeat(arr[:, :, None], 3, axis=2)
+        buf = jpeg.encode(arr, 95)
+        if o > 1:
+            buf = E.embed_exif(buf, E.build_exif(orientation=o))
+        rows.append((f"o{o}", buf, 20, 24, "jpeg"))
+        srcs[f"o{o}"] = (buf, o)
+    # one non-jpeg row: passes through untouched
+    rawarr = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    from gis_tools_spark.raster import codec
+    rows.append(("raw0", codec.encode(rawarr, "raw"), 6, 8, "raw"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string")
+    out = {r.image_id: r
+           for r in normalize_orientation(df, fmt_out="png").collect()}
+    assert out["raw0"].exif_orientation == 1
+    assert bytes(out["raw0"].bytes) == codec.encode(rawarr, "raw")
+    from gis_tools_spark.raster import codec as C
+    for o in range(1, 9):
+        r = out[f"o{o}"]
+        assert r.exif_orientation == o
+        buf, _ = srcs[f"o{o}"]
+        stored = C.decode(bytes(buf), 20, 24, "jpeg")
+        exp = exif_normalize_array(stored, o)
+        got = C.decode(bytes(r.bytes), r.w, r.h, r.fmt)
+        assert (r.h, r.w) == exp.shape[:2]
+        if o == 1:
+            assert r.fmt == "jpeg"  # untouched passthrough
+        else:
+            assert r.fmt == "png"
+            assert np.array_equal(got, exp), o
+
+
+def test_dataset_profile_exact(spark):
+    from gis_tools_spark.operators.profile import dataset_profile
+    df = spark.createDataFrame(
+        [(1, 2.0, "b"), (2, 4.0, "a"), (3, None, "a"), (None, 10.0, None)],
+        "i long, x double, s string")
+    prof = {r.column: r for r in
+            dataset_profile(df, exact=True).collect()}
+    assert prof["i"].n == 4 and prof["i"].n_null == 1
+    assert prof["i"].n_distinct == 3
+    assert prof["i"].min_num == 1.0 and prof["i"].max_num == 3.0
+    assert prof["i"].mean_num == 2.0
+    assert prof["x"].mean_num == pytest.approx(16.0 / 3, abs=1e-6)
+    assert prof["s"].n_distinct == 2
+    assert prof["s"].min_str == "a" and prof["s"].max_str == "b"
+    assert prof["s"].min_num is None
+    with pytest.raises(ValueError):
+        dataset_profile(df, ["nope"])
+
+
+def test_dataset_profile_approx_mode(spark):
+    from gis_tools_spark.operators.profile import dataset_profile
+    df = spark.range(0, 5000).selectExpr("id", "id % 97 as m")
+    prof = {r.column: r for r in dataset_profile(df).collect()}
+    assert abs(prof["id"].n_distinct - 5000) / 5000 < 0.1
+    assert abs(prof["m"].n_distinct - 97) / 97 < 0.1
