@@ -2852,6 +2852,52 @@ def q_dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_profile(ev, list(_PROFILE_COLS), exact=True)
 
 
+def q_wds_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset SINK round trip (sources/webdataset.wds_export):
+    deterministic png images + closed-form captions seeded by doc_id
+    are exported to 32-sample tar shards (deterministic global-rank
+    sharding via the bucketed prefix-sum — shard = rank//32 in
+    ascending doc_id order, byte-deterministic tar), then read back
+    through the engine's own wds_samples reader.  The oracle recomputes
+    the shard assignment as a window rank and the caption text, so the
+    value hash pins the sharding algebra AND the tar write/parse round
+    trip (a lost, duplicated or misattributed sample breaks it)."""
+    _tune(spark)
+    import tempfile
+
+    from gis_tools_spark.fixtures import _gen_pixels
+    from gis_tools_spark.raster import codec as rcodec
+    from gis_tools_spark.sources.webdataset import wds_export, wds_samples
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 3 = 0").select("doc_id"))
+
+    def _gen(it):
+        import numpy as _np
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                prng = _np.random.default_rng(d * 9_973 + 1)
+                arr = _gen_pixels(prng, 8, 6, "png")
+                rows.append((d, rcodec.encode(arr, "png"), "png",
+                             f"cap for doc {d}"))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "fmt", "caption"])
+
+    imgs = docs.repartition(4).mapInPandas(
+        _gen, schema="image_id long, bytes binary, fmt string, "
+                     "caption string")
+    out_dir = tempfile.mkdtemp(prefix="wds_export_gate_")
+    man = wds_export(imgs, out_dir, samples_per_shard=32,
+                     id_col="image_id", n_buckets=8).collect()
+    blobs = [(int(r.shard_id), open(r.path, "rb").read()) for r in man]
+    bdf = spark.createDataFrame(blobs, "shard_id long, bytes binary")
+    return (wds_samples(bdf)
+            .select(F.col("sample_key").cast("long").alias("doc_id"),
+                    "shard_id", "caption", "image_fmt", "ok"))
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2945,6 +2991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_filter": q_image_filter,
         "exif_orient": q_exif_orient,
         "dataset_profile": q_dataset_profile,
+        "wds_export": q_wds_export,
         "warc_pipeline": q_warc_pipeline,
         "wds_pipeline": q_wds_pipeline,
         "pricing_summary": q_pricing_summary,
@@ -4805,6 +4852,15 @@ def oracle_sql() -> dict[str, str]:
         "strat_sample": _strat_sample_oracle_sql(),
         "image_filter": _image_filter_oracle_sql(),
         "dataset_profile": _dataset_profile_oracle_sql(),
+        "wds_export": """
+            SELECT doc_id,
+                   CAST((row_number() OVER (ORDER BY doc_id) - 1) // 32
+                        AS BIGINT) AS shard_id,
+                   'cap for doc ' || CAST(doc_id AS VARCHAR) AS caption,
+                   'png' AS image_fmt,
+                   TRUE AS ok
+            FROM documents WHERE doc_id % 3 = 0
+        """,
         "exif_orient": """
             SELECT doc_id,
                    CAST(1 + doc_id % 8 AS INT) AS orientation,

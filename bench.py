@@ -232,6 +232,20 @@ def main() -> None:
         .where(F.col("keep"))))
     meta["image_filter_rows"] = nfil
 
+    # -------- WebDataset export sink (deterministic sharding + tar write)
+    import tempfile
+
+    from gis_tools_spark.sources.webdataset import wds_export
+
+    _wds_dir = tempfile.mkdtemp(prefix="bench_wds_")
+    wds_in = images.select(
+        F.monotonically_increasing_id().alias("num"),
+        "bytes", "fmt", "caption").where(F.col("num") % 6 == 0)
+    nws = _timed("wds_export", lambda: _count(wds_export(
+        wds_in, _wds_dir, samples_per_shard=1024, id_col="num",
+        n_buckets=CPUS)))
+    meta["wds_export_shards"] = nws
+
     # -------- one-pass exact profiler over the biggest driver table
     from gis_tools_spark.operators.profile import dataset_profile
 
