@@ -2898,6 +2898,94 @@ def q_wds_export(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "shard_id", "caption", "image_fmt", "ok"))
 
 
+def q_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection (media.detect_scene_cuts): rawvid
+    fixtures seeded by doc_id hold two constant-value shots with the
+    boundary at frame 5 + doc_id%10 and a brightness step of
+    60 + doc_id%40, so the normalized MAD score has the exact closed
+    form delta/255 at exactly one index.  The DuckDB oracle recomputes
+    both from doc_id arithmetic — a missed, duplicated, or off-by-one
+    cut breaks the value hash."""
+    _tune(spark)
+    from gis_tools_spark.raster.media import detect_scene_cuts
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 11 = 0").select("doc_id"))
+
+    def _gen(it):
+        import numpy as _np
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c = 5 + d % 10
+                v1 = 40 + d % 50
+                frames = _np.empty((20, 8, 10), dtype=_np.uint8)
+                frames[:c] = v1
+                frames[c:] = v1 + 60 + d % 40
+                rows.append((f"vid{d:09d}", frames.tobytes(), 20, 10, 8,
+                             "rawvid", d))
+            yield pd.DataFrame(rows, columns=[
+                "video_id", "bytes", "n_frames", "w", "h", "fmt",
+                "doc_id"])
+
+    vids = docs.repartition(4).mapInPandas(
+        _gen, schema="video_id string, bytes binary, n_frames int, "
+                     "w int, h int, fmt string, doc_id long")
+    cuts = detect_scene_cuts(vids, threshold=0.1)
+    return cuts.select(
+        F.substring("video_id", 4, 9).cast("long").alias("doc_id"),
+        "cut_index",
+        F.floor(F.col("score") * 1e9 + F.lit(0.5)).cast("long")
+        .alias("score_r"))
+
+
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based audio segmentation (media.segment_audio):
+    pcm_f32 fixtures seeded by doc_id alternate silence and
+    constant-amplitude blocks on exact 100-sample frame boundaries
+    (sr 1000, frame 100 ms), amplitudes 0.25·(1 + doc_id%3) — exactly
+    representable in float32, so per-frame RMS equals the amplitude
+    bit-exactly and every segment's start/end/frame-count/RMS has a
+    closed form the DuckDB oracle recomputes from doc_id arithmetic."""
+    _tune(spark)
+    from gis_tools_spark.raster.media import segment_audio
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 13 = 0").select("doc_id"))
+
+    def _gen(it):
+        import numpy as _np
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s0, a1 = 1 + d % 3, 1 + d % 4
+                s1, a2 = 1 + d % 2, 1 + d % 3
+                amp = 0.25 * (1 + d % 3)
+                x = _np.concatenate([
+                    _np.zeros(s0 * 100), _np.full(a1 * 100, amp),
+                    _np.zeros(s1 * 100), _np.full(a2 * 100, amp),
+                ]).astype(_np.float32)
+                rows.append((f"aud{d:09d}", x.tobytes(), "pcm_f32",
+                             1000, d))
+            yield pd.DataFrame(rows, columns=[
+                "audio_id", "bytes", "fmt", "sample_rate", "doc_id"])
+
+    aud = docs.repartition(4).mapInPandas(
+        _gen, schema="audio_id string, bytes binary, fmt string, "
+                     "sample_rate int, doc_id long")
+    segs = segment_audio(aud, frame_ms=100, threshold=0.02)
+    r6 = lambda c: F.floor(F.col(c) * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    return segs.select(
+        F.substring("audio_id", 4, 9).cast("long").alias("doc_id"),
+        "seg_idx", "n_frames",
+        r6("start_s").alias("start_r"),
+        r6("end_s").alias("end_r"),
+        F.floor(F.col("rms_mean") * 1e9 + F.lit(0.5)).cast("long")
+        .alias("rms_r"))
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2992,6 +3080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_orient": q_exif_orient,
         "dataset_profile": q_dataset_profile,
         "wds_export": q_wds_export,
+        "video_scenes": q_video_scenes,
+        "audio_segments": q_audio_segments,
         "warc_pipeline": q_warc_pipeline,
         "wds_pipeline": q_wds_pipeline,
         "pricing_summary": q_pricing_summary,
@@ -4860,6 +4950,37 @@ def oracle_sql() -> dict[str, str]:
                    'png' AS image_fmt,
                    TRUE AS ok
             FROM documents WHERE doc_id % 3 = 0
+        """,
+        "video_scenes": """
+            SELECT doc_id,
+                   CAST(5 + doc_id % 10 AS INT) AS cut_index,
+                   CAST(floor(CAST(60 + doc_id % 40 AS DOUBLE) / 255.0
+                              * 1e9 + 0.5) AS BIGINT) AS score_r
+            FROM documents WHERE doc_id % 11 = 0
+        """,
+        "audio_segments": """
+            WITH d AS (
+              SELECT doc_id,
+                     1 + doc_id % 3 AS s0, 1 + doc_id % 4 AS a1,
+                     1 + doc_id % 2 AS s1, 1 + doc_id % 3 AS a2,
+                     0.25 * (1 + doc_id % 3) AS amp
+              FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT doc_id, 0 AS seg_idx, CAST(a1 AS INT) AS n_frames,
+                   CAST(floor(CAST(s0 * 100 AS DOUBLE) / 1000.0 * 1e6
+                              + 0.5) AS BIGINT) AS start_r,
+                   CAST(floor(CAST((s0 + a1) * 100 AS DOUBLE) / 1000.0
+                              * 1e6 + 0.5) AS BIGINT) AS end_r,
+                   CAST(floor(amp * 1e9 + 0.5) AS BIGINT) AS rms_r
+            FROM d
+            UNION ALL
+            SELECT doc_id, 1, CAST(a2 AS INT),
+                   CAST(floor(CAST((s0 + a1 + s1) * 100 AS DOUBLE)
+                              / 1000.0 * 1e6 + 0.5) AS BIGINT),
+                   CAST(floor(CAST((s0 + a1 + s1 + a2) * 100 AS DOUBLE)
+                              / 1000.0 * 1e6 + 0.5) AS BIGINT),
+                   CAST(floor(amp * 1e9 + 0.5) AS BIGINT)
+            FROM d
         """,
         "exif_orient": """
             SELECT doc_id,

@@ -280,6 +280,12 @@ def main() -> None:
     audio.count()          # materialize: generation excluded from timing
     na = _timed("audio_features", lambda: _count(audio_features(audio)))
     meta["audio_rows"] = na
+
+    from gis_tools_spark.raster.media import segment_audio
+
+    nsg = _timed("audio_segments", lambda: _count(
+        segment_audio(audio, frame_ms=25, threshold=0.02)))
+    meta["audio_segments"] = nsg
     audio.unpersist()
 
     # -------- video frame sampling (round-4: all-intra HEVC in real
@@ -323,6 +329,12 @@ def main() -> None:
     meta["video_rows"] = n_vid
     meta["video_frames_sampled"] = nv
     meta["video_codec"] = "hvc1" if _have_hevc else "rawvid"
+
+    from gis_tools_spark.raster.media import detect_scene_cuts
+
+    nsc = _timed("video_scene_cuts", lambda: _count(
+        detect_scene_cuts(videos, threshold=0.05)))
+    meta["video_scene_cuts"] = nsc
     videos.unpersist()
 
     # -------- lakehouse path (north rule: "over Iceberg tables of

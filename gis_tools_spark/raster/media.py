@@ -402,6 +402,150 @@ def sample_video_frames(df: DataFrame, *, every_n: int | None = None,
     return df.mapInPandas(_run, schema=VIDEO_FRAME_SCHEMA)
 
 
+# ------------------------------------------------------------ scene cuts
+
+def _decode_all_frames(buf: bytes, w: int, h: int, n_frames: int,
+                       fmt: str) -> np.ndarray:
+    """(n, h, w) uint8 for rawvid and mp4 (rawg / all-intra hvc1) —
+    the same container/codec routing as sample_video_frames."""
+    if fmt == "mp4":
+        from . import mp4 as _mp4
+
+        info = _mp4.probe(buf)
+        v = next(t for t in info["tracks"] if t["kind"] == "vide")
+        nf, vw, vh = v["n_samples"], v["w"], v["h"]
+        idx = np.arange(nf)
+        payloads = _mp4.extract_samples(buf, idx, v["track_id"])
+        if v["codec"] == "hvc1":
+            from . import native_hevc as _nh
+
+            if not _nh.available():
+                raise NotImplementedError(
+                    "mp4 hvc1 decode needs libde265 (absent)")
+            hvcc = _mp4.sample_entry_config(buf, b"hvcC", v["track_id"])
+            frames = _nh.decode_samples_gray(payloads, hvcc, size=(vh, vw))
+            return np.stack(frames)
+        if v["codec"] != "rawg":
+            raise NotImplementedError(
+                f"mp4 codec {v['codec']!r} requires a decoder wheel "
+                "absent in this sandbox")
+        return np.stack([np.frombuffer(p, dtype=np.uint8).reshape(vh, vw)
+                         for p in payloads])
+    return decode_video(buf, w, h, n_frames, fmt)
+
+
+def detect_scene_cuts(df: DataFrame, *, threshold: float = 0.1,
+                      fps_col: str = "fps") -> DataFrame:
+    """Shot-boundary detection: a cut at frame i when the normalized
+    mean absolute difference |frame_i - frame_{i-1}| / 255 exceeds
+    ``threshold`` — the standard histogram/energy-free baseline
+    detector a sampling pipeline runs to pick one keyframe per shot.
+
+    Output: one row per detected cut ``(video_id, cut_index, t,
+    score)`` with ``cut_index`` the FIRST frame of the new shot and
+    ``score`` the normalized MAD.  Input schema as sample_video_frames
+    (rawvid + mp4 rawg/hvc1 are real; other codecs raise).
+
+    Scale plan: each video decodes once inside its Arrow batch; the
+    frame-delta reduction is one vectorized pass (no per-frame
+    python); output is cuts only — orders of magnitude smaller than
+    frames."""
+    has_fps = fps_col in df.columns
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frames = _decode_all_frames(
+                    bytes(r.bytes), int(r.w), int(r.h),
+                    int(r.n_frames), r.fmt).astype(np.float64)
+                if len(frames) < 2:
+                    continue
+                mad = np.abs(np.diff(frames, axis=0)).mean(axis=(1, 2)) \
+                    / 255.0
+                fps = float(getattr(r, fps_col)) if has_fps else 0.0
+                for j in np.flatnonzero(mad > threshold):
+                    ci = int(j) + 1
+                    t = ci / fps if fps > 0 else float(ci)
+                    rows.append((r.video_id, ci, float(t), float(mad[j])))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "video_id", "cut_index", "t", "score"])
+
+    return df.mapInPandas(
+        _run, schema="video_id string, cut_index int, t double, "
+                     "score double")
+
+
+# ------------------------------------------------------- audio segmentation
+
+def segment_audio(df: DataFrame, *, frame_ms: float = 25.0,
+                  threshold: float = 0.02,
+                  sr_col: str = "sample_rate") -> DataFrame:
+    """Energy-based audio segmentation (VAD baseline): frame the signal
+    at ``frame_ms``, mark frames whose RMS exceeds ``threshold``, and
+    merge consecutive active frames into segments — the
+    split-on-silence step a speech pipeline runs before transcription.
+
+    Output: one row per segment ``(audio_id, seg_idx, start_s, end_s,
+    n_frames, rms_mean)`` with end exclusive.  Decode routes through
+    decode_audio (pcm/wav/aiff/flac/mp3 real).  Channel-mean taken
+    first; the trailing partial frame is kept.
+
+    Scale plan: decode-once per row, framing + RMS + gaps-and-islands
+    all vectorized numpy inside the Arrow batch; output is segments,
+    not samples."""
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    x = decode_audio(bytes(r.bytes), r.fmt)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    continue
+                if x.ndim == 2:
+                    x = x.mean(axis=1)
+                sr = float(getattr(r, sr_col))
+                flen = max(1, int(round(sr * frame_ms / 1000.0)))
+                nfr = (len(x) + flen - 1) // flen
+                if nfr == 0:
+                    continue
+                pad = np.zeros(nfr * flen, dtype=np.float64)
+                pad[:len(x)] = x
+                fr = pad.reshape(nfr, flen)
+                # RMS over the true sample count of the last frame
+                counts = np.full(nfr, flen, dtype=np.float64)
+                counts[-1] = len(x) - (nfr - 1) * flen
+                rms = np.sqrt((fr ** 2).sum(axis=1) / counts)
+                act = rms > threshold
+                if not act.any():
+                    continue
+                d = np.diff(act.astype(np.int8))
+                starts = np.flatnonzero(d == 1) + 1
+                ends = np.flatnonzero(d == -1) + 1
+                if act[0]:
+                    starts = np.concatenate([[0], starts])
+                if act[-1]:
+                    ends = np.concatenate([ends, [nfr]])
+                for k, (s, e) in enumerate(zip(starts, ends)):
+                    rows.append((
+                        r.audio_id, int(k),
+                        float(s * flen / sr),
+                        float(min(int(e) * flen, len(x)) / sr),
+                        int(e - s), float(rms[s:e].mean())))
+            if rows:
+                yield pd.DataFrame(rows, columns=[
+                    "audio_id", "seg_idx", "start_s", "end_s", "n_frames",
+                    "rms_mean"])
+
+    return df.mapInPandas(
+        _run, schema="audio_id string, seg_idx int, start_s double, "
+                     "end_s double, n_frames int, rms_mean double")
+
+
 # ------------------------------------------------------------ image quality
 
 def quality_metrics(a: np.ndarray) -> tuple[float, float, float, float, float]:

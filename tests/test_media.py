@@ -183,3 +183,62 @@ def test_image_quality_spark_drops_corrupt(spark):
     assert (out["entropy_bits"] > 0).all()
     assert np.isfinite(out[["brightness", "contrast", "lap_var",
                             "dyn_range"]].values).all()
+
+
+# ------------------------------------------------- scene cuts / segmentation
+
+def test_detect_scene_cuts_rawvid_and_mp4(spark):
+    import numpy as np
+    from gis_tools_spark.raster import mp4 as M
+    from gis_tools_spark.raster.media import detect_scene_cuts
+
+    frames = np.empty((20, 8, 10), dtype=np.uint8)
+    frames[:10] = 10
+    frames[10:] = 110
+    flat = np.full((20, 8, 10), 7, dtype=np.uint8)  # no cuts
+    rows = [
+        ("raw_cut", frames.tobytes(), 20, 10, 8, "rawvid", 10.0),
+        ("raw_flat", flat.tobytes(), 20, 10, 8, "rawvid", 10.0),
+        ("mp4_cut", M.write_mp4([frames[f].tobytes() for f in range(20)],
+                                w=10, h=8, fps=10.0), 20, 10, 8, "mp4",
+         10.0),
+    ]
+    df = spark.createDataFrame(rows, "video_id string, bytes binary, "
+                               "n_frames int, w int, h int, fmt string, "
+                               "fps double")
+    got = detect_scene_cuts(df, threshold=0.1).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.video_id, []).append(r)
+    assert "raw_flat" not in by
+    for vid in ("raw_cut", "mp4_cut"):
+        assert len(by[vid]) == 1
+        r = by[vid][0]
+        assert r.cut_index == 10
+        assert r.score == pytest.approx(100 / 255.0)
+        assert r.t == pytest.approx(1.0)
+
+
+def test_segment_audio_energy_islands(spark):
+    import numpy as np
+    from gis_tools_spark.raster.media import segment_audio
+
+    x = np.concatenate([np.zeros(300), np.full(200, 0.5),
+                        np.zeros(100), np.full(150, 0.5)]) \
+        .astype(np.float32)
+    df = spark.createDataFrame(
+        [("a", x.tobytes(), "pcm_f32", 1000)],
+        "audio_id string, bytes binary, fmt string, sample_rate int")
+    got = sorted(segment_audio(df, frame_ms=100, threshold=0.02).collect(),
+                 key=lambda r: r.seg_idx)
+    assert len(got) == 2
+    s0, s1 = got
+    assert (s0.start_s, s0.end_s, s0.n_frames) == (0.3, 0.5, 2)
+    assert s0.rms_mean == pytest.approx(0.5)
+    assert (s1.start_s, s1.n_frames) == (0.6, 2)
+    assert s1.end_s == pytest.approx(0.75)  # trailing partial frame kept
+    # all-silence input yields no rows
+    sil = spark.createDataFrame(
+        [("s", np.zeros(500, np.float32).tobytes(), "pcm_f32", 1000)],
+        "audio_id string, bytes binary, fmt string, sample_rate int")
+    assert segment_audio(sil, frame_ms=100, threshold=0.02).count() == 0
