@@ -249,10 +249,13 @@ def main() -> None:
     # -------- one-pass exact profiler over the biggest driver table
     from gis_tools_spark.operators.profile import dataset_profile
 
+    # production mode: HLL distinct = one aggregate pass. exact=True is
+    # the gate-only mode (N distinct aggregates expand the scan N-ish
+    # times: measured 8.6 s vs 0.6 s here — priced in the docstring).
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     npr = _timed("dataset_profile", lambda: _count(dataset_profile(
         li, ["l_orderkey", "l_quantity", "l_extendedprice",
-             "l_returnflag", "l_linestatus"], exact=True)))
+             "l_returnflag", "l_linestatus"])))
     meta["dataset_profile_rows"] = npr
 
     # -------- augmentation fan-out (decode → flip/rot/crop → re-encode)
