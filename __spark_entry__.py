@@ -2986,6 +2986,51 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rms_r"))
 
 
+def q_format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format sniffing / mislabel detection (imgtrain.format_check):
+    variant = doc_id % 4 builds a raw payload (magic-less → detected
+    NULL, never accused), a correctly-labeled png, a png MISLABELED as
+    jpeg (the crawl's Content-Type lie), and a correct jpeg — all
+    through the REAL encoders, sniffed by the pure-codegen hex-prefix
+    CASE (plan asserted Python-free in pytest; the DuckDB mirror of
+    the same rule table is agreement-tested there too).  The oracle
+    states the per-variant closed form."""
+    _tune(spark)
+    from gis_tools_spark.fixtures import _gen_pixels
+    from gis_tools_spark.operators.imgtrain import format_check
+    from gis_tools_spark.raster import codec as rcodec, jpeg
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 7 = 0").select("doc_id"))
+
+    def _gen(it):
+        import numpy as _np
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                v = d % 4
+                prng = _np.random.default_rng(d * 641 + 5)
+                arr = _gen_pixels(prng, 8, 8, "jpeg" if v == 3 else "png")
+                if v == 0:
+                    buf, fmt = rcodec.encode(arr, "raw"), "raw"
+                elif v == 1:
+                    buf, fmt = rcodec.encode(arr, "png"), "png"
+                elif v == 2:
+                    buf, fmt = rcodec.encode(arr, "png"), "jpeg"  # lie
+                else:
+                    buf, fmt = jpeg.encode(arr, 90), "jpeg"
+                rows.append((d, v, buf, fmt))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "variant", "bytes", "fmt"])
+
+    imgs = docs.repartition(4).mapInPandas(
+        _gen, schema="doc_id long, variant int, bytes binary, fmt string")
+    return (format_check(imgs)
+            .select("doc_id", "variant", "fmt", "fmt_detected",
+                    "fmt_mismatch"))
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3082,6 +3127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wds_export": q_wds_export,
         "video_scenes": q_video_scenes,
         "audio_segments": q_audio_segments,
+        "format_check": q_format_check,
         "warc_pipeline": q_warc_pipeline,
         "wds_pipeline": q_wds_pipeline,
         "pricing_summary": q_pricing_summary,
@@ -4950,6 +4996,18 @@ def oracle_sql() -> dict[str, str]:
                    'png' AS image_fmt,
                    TRUE AS ok
             FROM documents WHERE doc_id % 3 = 0
+        """,
+        "format_check": """
+            SELECT doc_id,
+                   CAST(doc_id % 4 AS INT) AS variant,
+                   (CASE doc_id % 4 WHEN 0 THEN 'raw' WHEN 1 THEN 'png'
+                                    WHEN 2 THEN 'jpeg'
+                                    ELSE 'jpeg' END) AS fmt,
+                   (CASE doc_id % 4 WHEN 0 THEN NULL WHEN 1 THEN 'png'
+                                    WHEN 2 THEN 'png'
+                                    ELSE 'jpeg' END) AS fmt_detected,
+                   (doc_id % 4 = 2) AS fmt_mismatch
+            FROM documents WHERE doc_id % 7 = 0
         """,
         "video_scenes": """
             SELECT doc_id,

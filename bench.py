@@ -232,6 +232,13 @@ def main() -> None:
         .where(F.col("keep"))))
     meta["image_filter_rows"] = nfil
 
+    # -------- magic-byte format verification (pure codegen sniff)
+    from gis_tools_spark.operators.imgtrain import format_check
+
+    nfc = _timed("format_check", lambda: _count(
+        format_check(images).where(~F.col("fmt_mismatch"))))
+    meta["format_check_rows"] = nfc
+
     # -------- WebDataset export sink (deterministic sharding + tar write)
     import tempfile
 

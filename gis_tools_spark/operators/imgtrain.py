@@ -40,7 +40,72 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["aspect_bucket", "vit_token_count", "pack_images",
-           "image_filter"]
+           "image_filter", "detect_format", "format_check",
+           "FORMAT_MAGIC_RULES"]
+
+# (fmt, 1-based byte offset, hex prefix) — ONE rule table generates both
+# the Spark Column and the DuckDB SQL mirror, so engine and oracle can't
+# drift.  First match wins (webp's RIFF outer box is checked with its
+# inner brand, heif before generic ftyp sniffing).
+FORMAT_MAGIC_RULES: tuple = (
+    ("jpeg", 1, "FFD8FF"),
+    ("png", 1, "89504E470D0A1A0A"),
+    ("gif", 1, "474946383761"),
+    ("gif", 1, "474946383961"),
+    ("webp", 9, "57454250"),       # 'WEBP' after the RIFF size box
+    ("bmp", 1, "424D"),
+    ("heic", 5, "667479706865"),   # 'ftyphe…' (heic/heix/hevc brands)
+    ("avif", 5, "6674797061766966"),  # 'ftypavif'
+    ("flac", 1, "664C6143"),       # 'fLaC'
+    ("mp4", 5, "66747970"),        # generic ISO-BMFF
+)
+
+
+def _magic_case(bytes_col: Column) -> Column:
+    """First-match CASE over FORMAT_MAGIC_RULES — pure codegen (hex of
+    a binary substring compared to a literal)."""
+    expr = None
+    for fmt, off, hexpfx in FORMAT_MAGIC_RULES:
+        nbytes = len(hexpfx) // 2
+        cond = (F.hex(F.substring(bytes_col, off, nbytes))
+                == F.lit(hexpfx))
+        expr = F.when(cond, F.lit(fmt)) if expr is None \
+            else expr.when(cond, F.lit(fmt))
+    return expr
+
+
+def magic_case_sql(bytes_expr: str) -> str:
+    """The DuckDB mirror of _magic_case, generated from the SAME rule
+    table (DuckDB has no BLOB substring — hex first, slice chars)."""
+    whens = "".join(
+        f" WHEN substr(hex({bytes_expr}), {(off - 1) * 2 + 1},"
+        f" {len(hexpfx)}) = '{hexpfx}' THEN '{fmt}'"
+        for fmt, off, hexpfx in FORMAT_MAGIC_RULES)
+    return f"(CASE{whens} END)"
+
+
+def detect_format(bytes_col="bytes") -> Column:
+    """Container format sniffed from magic bytes (jpeg/png/gif/webp/
+    bmp/heic/avif/flac/mp4), NULL when no rule matches (raw payloads
+    have no magic).  Pure whole-stage codegen — no UDF, no decode."""
+    col = F.col(bytes_col) if isinstance(bytes_col, str) else bytes_col
+    return _magic_case(col)
+
+
+def format_check(df: DataFrame, *, bytes_col: str = "bytes",
+                 fmt_col: str = "fmt") -> DataFrame:
+    """Trust-but-verify the declared format column against the payload
+    magic — crawl tables routinely carry mislabeled rows (server
+    Content-Type lies, extension renames) that poison a decode stage.
+    Appends ``fmt_detected`` (NULL for magic-less formats like raw)
+    and ``fmt_mismatch`` (true only when BOTH sides are known and
+    disagree — unsniffables are not accused).  Scan-only codegen; run
+    it before decode so mislabeled rows route or drop cheaply."""
+    det = detect_format(F.col(bytes_col))
+    return (df.withColumn("fmt_detected", det)
+            .withColumn(
+                "fmt_mismatch",
+                det.isNotNull() & (det != F.col(fmt_col))))
 
 
 def image_filter(df: DataFrame, *, min_side: int = 64,

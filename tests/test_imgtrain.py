@@ -325,3 +325,61 @@ def test_dataset_profile_approx_mode(spark):
     prof = {r.column: r for r in dataset_profile(df).collect()}
     assert abs(prof["id"].n_distinct - 5000) / 5000 < 0.1
     assert abs(prof["m"].n_distinct - 97) / 97 < 0.1
+
+
+def test_detect_format_and_mismatch(spark):
+    from gis_tools_spark.operators.imgtrain import format_check
+    from gis_tools_spark.raster import jpeg
+
+    arr = np.full((8, 8, 3), 100, dtype=np.uint8)
+    rows = [
+        ("jpg_ok", jpeg.encode(arr, 90), "jpeg"),
+        ("png_as_jpeg", codec.encode(arr, "png"), "jpeg"),   # mislabeled
+        ("webp_ok", codec.encode(arr, "webp"), "webp"),
+        ("raw_unknown", codec.encode(arr, "raw"), "raw"),    # no magic
+        ("riff_wav_not_webp", b"RIFF\x10\x00\x00\x00WAVEfmt ", "webp"),
+    ]
+    df = spark.createDataFrame(rows, "id string, bytes binary, fmt string")
+    got = {r.id: r for r in format_check(df).collect()}
+    assert got["jpg_ok"].fmt_detected == "jpeg"
+    assert not got["jpg_ok"].fmt_mismatch
+    assert got["png_as_jpeg"].fmt_detected == "png"
+    assert got["png_as_jpeg"].fmt_mismatch
+    assert got["webp_ok"].fmt_detected == "webp"
+    assert got["raw_unknown"].fmt_detected is None
+    assert not got["raw_unknown"].fmt_mismatch  # unsniffable ≠ accused
+    assert got["riff_wav_not_webp"].fmt_detected is None  # WAVE ≠ WEBP
+
+
+def test_detect_format_sql_mirror_agreement(spark):
+    import duckdb
+    from gis_tools_spark.operators.imgtrain import (detect_format,
+                                                    magic_case_sql)
+    from gis_tools_spark.raster import flac, jpeg, mp4
+
+    arr = np.arange(192, dtype=np.uint8).reshape(8, 8, 3)
+    bufs = [jpeg.encode(arr, 90), codec.encode(arr, "png"),
+            codec.encode(arr, "webp"), codec.encode(arr, "raw"),
+            flac.encode(np.zeros(64), 8000, bps=16),
+            mp4.write_mp4([bytes(64)], w=8, h=8, fps=1.0),
+            b"GIF89a\x00\x00", b"BMxxxx", b"\x00\x01\x02"]
+    df = spark.createDataFrame([(i, b) for i, b in enumerate(bufs)],
+                               "i int, bytes binary")
+    spark_det = {r.i: r.d for r in
+                 df.select("i", detect_format().alias("d")).collect()}
+    con = duckdb.connect()
+    for i, b in enumerate(bufs):
+        got = con.execute(
+            f"SELECT {magic_case_sql('b')} FROM (SELECT ?::BLOB AS b)",
+            [b]).fetchone()[0]
+        assert got == spark_det[i], (i, got, spark_det[i])
+    assert spark_det[0] == "jpeg" and spark_det[4] == "flac"
+    assert spark_det[5] == "mp4" and spark_det[8] is None
+
+
+def test_format_check_codegen_only(spark):
+    from gis_tools_spark.operators.imgtrain import format_check
+    df = spark.createDataFrame([(b"\xff\xd8\xff", "jpeg")],
+                               "bytes binary, fmt string")
+    plan = format_check(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
