@@ -3031,6 +3031,40 @@ def q_format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "fmt_mismatch"))
 
 
+def q_img_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image curation (the DataComp-shaped composition):
+    metadata filter (image_filter, first-match reasons) → aspect-ratio
+    bucket assignment (aspect_bucket) on the survivors → ViT
+    token-budget packing (pack_images) of the survivors.  Each stage
+    is individually gated (90, 86, 87); this gate pins their
+    INTEGRATION — the packer's id-range bucket arithmetic runs over
+    the FILTERED id set (min/max move), the bucket argmin sees only
+    kept rows, and a drop or duplication anywhere in the chain breaks
+    the value hash.  The DuckDB oracle replays the full composition:
+    filter CASE → argmin list algebra → greedy recursive CTE."""
+    _tune(spark)
+    from gis_tools_spark.operators.imgtrain import (aspect_bucket,
+                                                    image_filter,
+                                                    pack_images)
+
+    rows = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .selectExpr(
+                "doc_id", *_DIMS_SPARK,
+                "cast(repeat('x', cast(doc_id % 40 as int)) as binary)"
+                " as bytes",
+                "case when doc_id % 5 = 0 then 'hi'"
+                " else 'a reasonable caption' end as caption"))
+    kept = (image_filter(rows, min_side=128, max_aspect=3.0,
+                         min_bytes=16, min_caption_chars=5)
+            .where(F.col("keep")))
+    bucketed = aspect_bucket(kept, _AR_BUCKETS)
+    packed = pack_images(bucketed, 4096, patch=16, n_buckets=8)
+    return (bucketed.select("doc_id", "bucket_idx")
+            .join(packed, on="doc_id")
+            .select("doc_id", "bucket_idx", "n_tokens", "block",
+                    "block_pos"))
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3128,6 +3162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_scenes": q_video_scenes,
         "audio_segments": q_audio_segments,
         "format_check": q_format_check,
+        "img_curation_pipeline": q_img_curation_pipeline,
         "warc_pipeline": q_warc_pipeline,
         "wds_pipeline": q_wds_pipeline,
         "pricing_summary": q_pricing_summary,
@@ -3403,6 +3438,70 @@ def _dataset_profile_oracle_sql() -> str:
           FROM events
         )
         {body}
+    """
+
+
+def _img_curation_oracle_sql() -> str:
+    """DuckDB mirror of q_img_curation_pipeline — the gate-90 filter
+    CASE, the gate-86 argmin list algebra, and the gate-87 greedy
+    recursive CTE composed over the SAME shared literals, with the
+    packer's id-range arithmetic computed over the FILTERED set."""
+    costs = ", ".join(
+        f"greatest(w * {int(bh)}.0, h * {int(bw)}.0)"
+        f" / least(w * {int(bh)}.0, h * {int(bw)}.0)"
+        for bw, bh in _AR_BUCKETS)
+    return f"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, {_DIMS_SQL},
+                 octet_length(encode(repeat('x',
+                   CAST(doc_id % 40 AS INT)))) AS nb,
+                 CASE WHEN doc_id % 5 = 0 THEN 'hi'
+                      ELSE 'a reasonable caption' END AS caption
+          FROM documents
+        ), kept AS (
+          SELECT doc_id, w, h FROM base
+          WHERE CASE
+                  WHEN least(CAST(w AS DOUBLE), CAST(h AS DOUBLE)) < 128
+                    THEN 'too_small'
+                  WHEN greatest(CAST(w AS DOUBLE), CAST(h AS DOUBLE))
+                       / least(CAST(w AS DOUBLE), CAST(h AS DOUBLE)) > 3.0
+                    THEN 'extreme_aspect'
+                  WHEN nb < 16 THEN 'too_few_bytes'
+                  WHEN length(trim(coalesce(caption, ''))) < 5
+                    THEN 'short_caption'
+                END IS NULL
+        ), c AS (
+          SELECT doc_id,
+                 list_position([{costs}], list_min([{costs}])) AS pos
+          FROM kept
+        ), bb AS (
+          SELECT min(doc_id) AS mn,
+                 greatest(1, (max(doc_id) - min(doc_id)) // 8 + 1) AS wd
+          FROM kept
+        ), t AS (
+          SELECT doc_id,
+                 CAST(ceil(w / 16.0) * ceil(h / 16.0) + 1 AS BIGINT) AS n,
+                 CAST((doc_id - bb.mn) // bb.wd AS BIGINT) AS bucket,
+                 row_number() OVER (
+                   PARTITION BY CAST((doc_id - bb.mn) // bb.wd AS BIGINT)
+                   ORDER BY doc_id) AS rn
+          FROM kept, bb
+        ), r AS (
+          SELECT bucket, rn, doc_id, n, n AS fill,
+                 CAST(0 AS BIGINT) AS block, CAST(0 AS BIGINT) AS pos
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.bucket, t.rn, t.doc_id, t.n,
+                 CASE WHEN r.fill + t.n > 4096 THEN t.n
+                      ELSE r.fill + t.n END,
+                 CASE WHEN r.fill + t.n > 4096 THEN r.block + 1
+                      ELSE r.block END,
+                 CASE WHEN r.fill + t.n > 4096 THEN 0 ELSE r.pos + 1 END
+          FROM r JOIN t ON t.bucket = r.bucket AND t.rn = r.rn + 1
+        )
+        SELECT r.doc_id, CAST(c.pos - 1 AS INT) AS bucket_idx,
+               r.n AS n_tokens, r.block, r.pos AS block_pos
+        FROM r JOIN c USING (doc_id)
     """
 
 
@@ -4987,6 +5086,7 @@ def oracle_sql() -> dict[str, str]:
         "img_token_pack": _img_token_pack_oracle_sql(),
         "strat_sample": _strat_sample_oracle_sql(),
         "image_filter": _image_filter_oracle_sql(),
+        "img_curation_pipeline": _img_curation_oracle_sql(),
         "dataset_profile": _dataset_profile_oracle_sql(),
         "wds_export": """
             SELECT doc_id,
