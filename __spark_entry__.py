@@ -1853,6 +1853,103 @@ def q_geotiff_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("mean_r"))
 
 
+def q_cog_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COG AOI-scan gate (round-4 continuation: raster/geotiff.py
+    multi-IFD pyramids + decode_window/decode_bbox; reference GDAL
+    windowed read raster.py:99-141 and .ovr overviews). Closed-form
+    256×256 float32 rasters are written as tiled COGs (encode_cog:
+    64-px tiles, overview chain 128→64), then every IFD0 tile OUTSIDE
+    the row's deterministic pixel window is byte-corrupted, and both
+    addressing modes of sources.geotiff.geotiff_window_tiles run:
+
+    * per-row pixel window — correct stats are only possible if the
+      reader touched EXCLUSIVELY the intersecting tiles (locality is
+      value-gated, not asserted);
+    * whole-extent bbox under a 20k-pixel budget — the planner must
+      select overview level 1 (16384 px; level 0's 65536 exceeds the
+      budget, and its tiles are vandalized anyway).
+
+    The oracle enumerates the identical window and the exact 2×2
+    mean-pool closed form with generate_series; sums/extrema are
+    integer-valued (quarters for the overview) so double aggregation
+    is order-independent and hash-exact."""
+    _tune(spark)
+    from gis_tools_spark.sources.geotiff import geotiff_window_tiles
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("doc_id % 59 = 0").select("doc_id"))
+    gt0 = (5.0, 0.01, 45.0, 0.01)
+
+    def _gen(it):
+        import numpy as np
+        from gis_tools_spark.raster import geotiff as G
+
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                gy, gx = np.mgrid[0:256, 0:256]
+                a = ((gx * 7 + gy * 13 + d % 97) % 997).astype(np.float32)
+                buf = bytearray(G.encode_cog(a, gt=gt0, epsg=4326,
+                                             tile=64, min_overview=64))
+                row0 = (d * 53) % 128
+                col0 = (d * 37) % 128
+                nr = 64 + (d % 5) * 16
+                nc = 64 + (d % 7) * 16
+                bo, big = G._sniff(bytes(buf))
+                t = G._read_ifds(bytes(buf), bo, big)[0]
+                offs, cnts = t[G._T_TILE_OFF], t[G._T_TILE_CNT]
+                ty0, ty1 = row0 // 64, (min(row0 + nr, 256) - 1) // 64
+                tx0, tx1 = col0 // 64, (min(col0 + nc, 256) - 1) // 64
+                for ty in range(4):
+                    for tx in range(4):
+                        if not (ty0 <= ty <= ty1 and tx0 <= tx <= tx1):
+                            i = ty * 4 + tx
+                            for p in range(offs[i], offs[i] + cnts[i]):
+                                buf[p] ^= 0xFF
+                rows.append((str(d), bytes(buf), row0, col0, nr, nc))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "row0", "col0", "nrows", "ncols"])
+
+    blobs = docs.repartition(8).mapInPandas(
+        _gen, schema="image_id string, bytes binary, row0 int, "
+                     "col0 int, nrows int, ncols int")
+
+    def _stats(prefix):
+        def inner(it):
+            import numpy as np
+
+            for pdf in it:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    a = np.frombuffer(r.bytes, np.float32).reshape(
+                        int(r.h), int(r.w))
+                    rows.append((int(r.image_id),
+                                 float(a.sum(dtype=np.float64)),
+                                 float(a.min()), float(a.max()),
+                                 int(a.size), int(r.level)))
+                yield pd.DataFrame(rows, columns=[
+                    "rid", f"{prefix}_sum", f"{prefix}_min",
+                    f"{prefix}_max", f"{prefix}_n", f"{prefix}_level"])
+        return inner
+
+    win = geotiff_window_tiles(
+        blobs, window_cols=("row0", "col0", "nrows", "ncols"))
+    wstats = win.where("ok").mapInPandas(_stats("win"), schema=(
+        "rid long, win_sum double, win_min double, win_max double, "
+        "win_n long, win_level int")).drop("win_level")
+
+    bbox = (gt0[0], gt0[2] - 256 * gt0[3], gt0[0] + 256 * gt0[1], gt0[2])
+    ov = geotiff_window_tiles(blobs, bbox=bbox, max_px=20000)
+    ostats = ov.where("ok").mapInPandas(_stats("ov"), schema=(
+        "rid long, ov_sum double, ov_min double, ov_max double, "
+        "ov_n long, ov_level int"))
+
+    return (wstats.join(ostats, on="rid")
+            .select("rid", "win_sum", "win_min", "win_max", "win_n",
+                    "ov_sum", "ov_min", "ov_max", "ov_n", "ov_level"))
+
+
 def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoPackage source gate (round-4: sources/gpkg.py — from-scratch
     SQLite b-tree parser over blob columns; fiona's flagship modern
@@ -3092,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups": q_simhash_dups,
         "zonal_raster_stats": q_zonal_raster_stats,
         "geotiff_zonal": q_geotiff_zonal,
+        "cog_window_stats": q_cog_window_stats,
         "vector_file_roundtrip": q_vector_file_roundtrip,
         "osm_nodes": q_osm_nodes,
         "osm_ways": q_osm_ways,
@@ -4998,6 +5096,42 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "geotiff_zonal": _zonal_oracle_sql(),
+        "cog_window_stats": """
+            WITH r AS (SELECT doc_id FROM documents WHERE doc_id % 59 = 0),
+            w AS (SELECT doc_id,
+                         (doc_id * 53) % 128 AS row0,
+                         (doc_id * 37) % 128 AS col0,
+                         64 + (doc_id % 5) * 16 AS nr,
+                         64 + (doc_id % 7) * 16 AS nc
+                  FROM r),
+            pw AS (SELECT w.doc_id,
+                          CAST((gx.g * 7 + gy.g * 13 + w.doc_id % 97)
+                               % 997 AS DOUBLE) AS v
+                   FROM w,
+                        generate_series(0, 255) gy(g),
+                        generate_series(0, 255) gx(g)
+                   WHERE gy.g >= row0 AND gy.g < row0 + nr
+                     AND gx.g >= col0 AND gx.g < col0 + nc),
+            ws AS (SELECT doc_id, SUM(v) AS win_sum, MIN(v) AS win_min,
+                          MAX(v) AS win_max, COUNT(*) AS win_n
+                   FROM pw GROUP BY doc_id),
+            po AS (SELECT r.doc_id,
+                     (CAST(((2*ox.g)  *7 + (2*oy.g)  *13 + r.doc_id % 97) % 997 AS DOUBLE)
+                    + CAST(((2*ox.g+1)*7 + (2*oy.g)  *13 + r.doc_id % 97) % 997 AS DOUBLE)
+                    + CAST(((2*ox.g)  *7 + (2*oy.g+1)*13 + r.doc_id % 97) % 997 AS DOUBLE)
+                    + CAST(((2*ox.g+1)*7 + (2*oy.g+1)*13 + r.doc_id % 97) % 997 AS DOUBLE)
+                     ) / 4.0 AS v
+                   FROM r,
+                        generate_series(0, 127) oy(g),
+                        generate_series(0, 127) ox(g)),
+            os AS (SELECT doc_id, SUM(v) AS ov_sum, MIN(v) AS ov_min,
+                          MAX(v) AS ov_max, COUNT(*) AS ov_n
+                   FROM po GROUP BY doc_id)
+            SELECT ws.doc_id AS rid, win_sum, win_min, win_max, win_n,
+                   ov_sum, ov_min, ov_max, os.ov_n,
+                   CAST(1 AS INTEGER) AS ov_level
+            FROM ws JOIN os ON ws.doc_id = os.doc_id
+        """,
         "wds_pipeline": """
             SELECT doc_id,
                    'jpeg' AS image_fmt,

@@ -149,6 +149,51 @@ def main() -> None:
         bpe_tokenize(docs_bpe, train_bpe(docs_bpe, n_merges=64))))
     meta["bpe_train_apply_rows"] = n_bpe
 
+    # -------- COG AOI scan: windowed tile-local reads + overview
+    # selection over a table of tiled multi-IFD GeoTIFF blobs (the
+    # 100 TB raster scan path — only intersecting tiles decompress).
+    # Blob generation is materialized first and excluded from the op
+    # timings, like the image table below.
+    from gis_tools_spark.sources.geotiff import geotiff_window_tiles
+
+    def _gen_cogs(it):
+        import numpy as np
+
+        from gis_tools_spark.raster import geotiff as G
+
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                gy, gx = np.mgrid[0:256, 0:256]
+                a = ((gx * 7 + gy * 13 + d % 97) % 997).astype(np.float32)
+                rows.append((str(d),
+                             G.encode_cog(a, gt=(5.0, 0.01, 45.0, 0.01),
+                                          epsg=4326, tile=64,
+                                          min_overview=64),
+                             (d * 53) % 128, (d * 37) % 128,
+                             64 + (d % 5) * 16, 64 + (d % 7) * 16))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "row0",
+                                              "col0", "nrows", "ncols"])
+
+    cogs = (docs_bpe.where("doc_id % 13 = 0").select("doc_id")
+            .repartition(CPUS)
+            .mapInPandas(_gen_cogs,
+                         schema="image_id string, bytes binary, row0 int, "
+                                "col0 int, nrows int, ncols int")
+            .persist())
+    meta["cog_blobs"] = cogs.count()
+    n_win = _timed("cog_window_scan", lambda: _count(
+        geotiff_window_tiles(
+            cogs, window_cols=("row0", "col0", "nrows", "ncols"))
+        .where("ok")))
+    meta["cog_window_rows"] = n_win
+    n_ovr = _timed("cog_overview_scan", lambda: _count(
+        geotiff_window_tiles(cogs, bbox=(5.0, 42.44, 7.56, 45.0),
+                             max_px=20000).where("ok")))
+    meta["cog_overview_rows"] = n_ovr
+    cogs.unpersist()
+
     # -------- image-table workload (BASELINE.json metric)
     images = fixtures.gen_images_spark(spark, N_IMAGES, with_pixels=True)
     images = images.persist()

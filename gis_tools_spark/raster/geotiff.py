@@ -570,7 +570,9 @@ def decode_bbox(buf: bytes, bbox: tuple, max_px: int | None = None):
     if chosen is None:
         raise ValueError("raster carries no geotransform")
     n, (r0, c0, nr, nc) = chosen
-    return decode_window(buf, r0, c0, nr, nc, ifd=n)
+    arr, info = decode_window(buf, r0, c0, nr, nc, ifd=n)
+    info["ifd"] = n
+    return arr, info
 
 
 # ------------------------------------------------------------------ encode

@@ -94,3 +94,81 @@ def to_geotiff(df: DataFrame, epsg: int | None = 4326,
             "gt_x0", "gt_rx", "gt_y0", "gt_ry"]
     return df.select(*cols).mapInPandas(
         _enc, schema="image_id string, bytes binary, ok boolean")
+
+
+def geotiff_window_tiles(df: DataFrame, *, bbox: tuple | None = None,
+                         max_px: int | None = None,
+                         window_cols: tuple | None = None,
+                         id_col: str = "image_id",
+                         bytes_col: str = "bytes") -> DataFrame:
+    """AOI scan over a table of tiled GeoTIFF/COG blobs: each row comes
+    back holding ONLY the requested window's pixels (fmt='raw_f32'),
+    decoded from the tiles that intersect it — never the whole raster
+    (raster/geotiff.decode_window; the reference's GDAL windowed read,
+    raster.py:99-141, distributed over a blob table).
+
+    Two addressing modes:
+    * ``bbox=(xmin, ymin, xmax, ymax)`` in the rasters' CRS, with
+      optional ``max_px``: each blob decodes from the FINEST overview
+      IFD whose window fits the pixel budget (decode_bbox) — the
+      tile-server / coarse-preview plan where a continent request
+      reads overview pixels. Blobs not intersecting the bbox drop out.
+    * ``window_cols=(row0, col0, nrows, ncols)`` — names of integer
+      columns of ``df`` giving a per-row full-resolution pixel window
+      (clipped at the raster edge).
+
+    Multi-band rasters reduce to band 0 (the engine's raster-tile
+    model is single-band float32; RGB imagery flows through the image
+    kernels instead). Corrupt/non-intersecting blobs are marked
+    ok=false with null payload — mark, never a task kill.
+    """
+    if (bbox is None) == (window_cols is None):
+        raise ValueError("pass exactly one of bbox= or window_cols=")
+    extra = list(window_cols) if window_cols else []
+
+    out_schema = ("image_id string, bytes binary, w int, h int, "
+                  "fmt string, gt_x0 double, gt_rx double, gt_y0 double, "
+                  "gt_ry double, epsg int, nodata double, level int, "
+                  "ok boolean")
+
+    def _scan(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from ..raster import geotiff
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                iid = getattr(r, id_col)
+                try:
+                    buf = bytes(getattr(r, bytes_col))
+                    if bbox is not None:
+                        arr, info = geotiff.decode_bbox(buf, bbox,
+                                                        max_px=max_px)
+                        lvl = info["ifd"]
+                    else:
+                        r0, c0, nr, nc = (int(getattr(r, c))
+                                          for c in window_cols)
+                        arr, info = geotiff.decode_window(buf, r0, c0,
+                                                          nr, nc)
+                        lvl = 0
+                    if arr.ndim == 3:
+                        arr = arr[:, :, 0]
+                    a32 = np.ascontiguousarray(arr.astype(np.float32))
+                    rows.append((iid, a32.tobytes(),
+                                 a32.shape[1], a32.shape[0], "raw_f32",
+                                 info["gt_x0"], info["gt_rx"],
+                                 info["gt_y0"], info["gt_ry"],
+                                 info["epsg"], info["nodata"], lvl,
+                                 True))
+                except Exception:  # noqa: BLE001 — mark, never kill
+                    rows.append((iid, None, None, None, "raw_f32",
+                                 None, None, None, None, None, None,
+                                 None, False))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "bytes", "w", "h", "fmt", "gt_x0", "gt_rx",
+                "gt_y0", "gt_ry", "epsg", "nodata", "level", "ok"])
+
+    return df.select(id_col, bytes_col, *extra).mapInPandas(
+        _scan, schema=out_schema)
