@@ -1950,6 +1950,51 @@ def q_cog_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "ov_sum", "ov_min", "ov_max", "ov_n", "ov_level"))
 
 
+def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed mosaic overview-pyramid gate (raster/ops.py
+    raster_pyramid — the cross-row tree reduction that builds the
+    levels a COG lake serves; gdaladdo analog over the mosaic of
+    reference raster.py:517-536). The closed-form 4×4×64px mosaic
+    pools two levels in 'propagate' mode (any-nodata → nodata), whose
+    arithmetic stays exact at every level (quarters then sixteenths of
+    integers), so per-tile sums/extrema/counts hash-match a DuckDB
+    oracle that recomputes BOTH pooling levels from the base closed
+    form with generate_series — a wrong quadrant placement, a missing
+    child, or GDAL-'average' semantics leaking into 'propagate' all
+    break the hash."""
+    _tune(spark)
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster.ops import raster_pyramid
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(4, 4, 64))
+    pyr = raster_pyramid(ras, levels=2,
+                         origin=(fixtures.AOI[0], fixtures.AOI[3]),
+                         nodata_mode="propagate")
+
+    def _stats(it):
+        import numpy as np
+
+        from gis_tools_spark.raster import codec as rc
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = rc.decode_raw_f32(r.bytes, int(r.w), int(r.h))
+                m = a != rc.NO_DATA_F32
+                v = a[m].astype(np.float64)
+                rows.append((int(r.level), int(r.tile_x), int(r.tile_y),
+                             int(m.sum()), int((~m).sum()),
+                             float(v.sum()), float(v.min()),
+                             float(v.max())))
+            yield pd.DataFrame(rows, columns=[
+                "level", "tile_x", "tile_y", "n_valid", "n_nodata",
+                "vsum", "vmin", "vmax"])
+
+    return pyr.mapInPandas(_stats, schema=(
+        "level int, tile_x long, tile_y long, n_valid long, "
+        "n_nodata long, vsum double, vmin double, vmax double"))
+
+
 def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoPackage source gate (round-4: sources/gpkg.py — from-scratch
     SQLite b-tree parser over blob columns; fiona's flagship modern
@@ -3190,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_raster_stats": q_zonal_raster_stats,
         "geotiff_zonal": q_geotiff_zonal,
         "cog_window_stats": q_cog_window_stats,
+        "raster_pyramid": q_raster_pyramid,
         "vector_file_roundtrip": q_vector_file_roundtrip,
         "osm_nodes": q_osm_nodes,
         "osm_ways": q_osm_ways,
@@ -5096,6 +5142,42 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "geotiff_zonal": _zonal_oracle_sql(),
+
+        "raster_pyramid": """
+            WITH base AS (
+              SELECT gx.g AS gx, gy.g AS gy,
+                     CASE WHEN (gx.g * 31 + gy.g * 17) % 101 < 3
+                          THEN NULL
+                          ELSE CAST((gx.g * 7 + gy.g * 13) % 997
+                                    AS DOUBLE) END AS v
+              FROM generate_series(0, 255) gx(g),
+                   generate_series(0, 255) gy(g)),
+            l1 AS (
+              SELECT gx // 2 AS x, gy // 2 AS y,
+                     CASE WHEN COUNT(v) = 4 THEN SUM(v) / 4.0
+                          ELSE NULL END AS v
+              FROM base GROUP BY gx // 2, gy // 2),
+            l2 AS (
+              SELECT x // 2 AS x, y // 2 AS y,
+                     CASE WHEN COUNT(v) = 4 THEN SUM(v) / 4.0
+                          ELSE NULL END AS v
+              FROM l1 GROUP BY x // 2, y // 2),
+            s1 AS (
+              SELECT CAST(1 AS INTEGER) AS level,
+                     x // 64 AS tile_x, y // 64 AS tile_y,
+                     COUNT(v) AS n_valid,
+                     COUNT(*) - COUNT(v) AS n_nodata,
+                     SUM(v) AS vsum, MIN(v) AS vmin, MAX(v) AS vmax
+              FROM l1 GROUP BY x // 64, y // 64),
+            s2 AS (
+              SELECT CAST(2 AS INTEGER) AS level,
+                     x // 64 AS tile_x, y // 64 AS tile_y,
+                     COUNT(v) AS n_valid,
+                     COUNT(*) - COUNT(v) AS n_nodata,
+                     SUM(v) AS vsum, MIN(v) AS vmin, MAX(v) AS vmax
+              FROM l2 GROUP BY x // 64, y // 64)
+            SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        """,
         "cog_window_stats": """
             WITH r AS (SELECT doc_id FROM documents WHERE doc_id % 59 = 0),
             w AS (SELECT doc_id,

@@ -194,6 +194,19 @@ def main() -> None:
     meta["cog_overview_rows"] = n_ovr
     cogs.unpersist()
 
+    # -------- distributed mosaic overview pyramid (tree reduction:
+    # level k+1 = 2x2 tile merge + pool, 4x fewer rows per level)
+    from gis_tools_spark.raster.ops import raster_pyramid
+
+    mosaic = spark.createDataFrame(
+        fixtures.gen_rasters(8, 8, 256)).persist()
+    meta["pyramid_src_tiles"] = mosaic.count()
+    n_pyr = _timed("raster_pyramid", lambda: _count(
+        raster_pyramid(mosaic, levels=3,
+                       origin=(fixtures.AOI[0], fixtures.AOI[3]))))
+    meta["pyramid_rows"] = n_pyr
+    mosaic.unpersist()
+
     # -------- image-table workload (BASELINE.json metric)
     images = fixtures.gen_images_spark(spark, N_IMAGES, with_pixels=True)
     images = images.persist()

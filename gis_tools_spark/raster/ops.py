@@ -158,3 +158,137 @@ def sample_at_points(rasters: DataFrame, points: DataFrame, *,
             yield out
 
     return j.mapInPandas(_sample, schema=fields)
+
+
+def raster_pyramid(tiles: DataFrame, *, levels: int, origin: tuple,
+                   nodata_mode: str = "ignore",
+                   no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """Distributed overview-pyramid builder over an aligned tile mosaic
+    — the op that BUILDS the reduced-resolution levels a COG lake
+    serves (raster/geotiff.encode_cog writes one raster's pyramid
+    in-task; this builds the pyramid of a MOSAIC whose full-resolution
+    level spans many rows). Level k+1 tiles form by merging 2×2
+    level-k tiles and 2×2 mean-pooling the pixels, so each level is
+    one shuffle on the parent tile key and holds 4× fewer rows — a
+    tree reduction whose plan is identical at 16 tiles or 16 million
+    (reference parity: gdaladdo-style overview build over the mosaic
+    of raster.py:517-536).
+
+    Input rows follow the raster-tile model (image_id, bytes, w, h,
+    fmt, gt_x0, gt_rx, gt_y0, gt_ry) on an ALIGNED grid: equal square
+    tiles, equal resolution, corners on origin + integer multiples of
+    the tile span. ``origin`` = (x, y) of the mosaic's upper-left.
+
+    nodata_mode:
+    * 'ignore' (GDAL average semantics): mean over the valid children
+      of each 2×2 block; nodata only when all four are nodata.
+    * 'propagate': a block with ANY nodata child pools to nodata —
+      every surviving value is sum-of-4/4, which keeps integer-valued
+      mosaics exactly representable at every level (the property the
+      driver gate's closed-form oracle pins).
+
+    Missing quadrant tiles fill with nodata. Returns tiles of the SAME
+    pixel size at levels 1..levels with (level, tile_x, tile_y) keys,
+    fmt='raw_f32'.
+    """
+    if nodata_mode not in ("ignore", "propagate"):
+        raise ValueError(f"unknown nodata_mode {nodata_mode!r}")
+    ox, oy = float(origin[0]), float(origin[1])
+
+    out_schema = T.StructType([
+        T.StructField("level", T.IntegerType()),
+        T.StructField("tile_x", T.LongType()),
+        T.StructField("tile_y", T.LongType()),
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("gt_x0", T.DoubleType()),
+        T.StructField("gt_rx", T.DoubleType()),
+        T.StructField("gt_y0", T.DoubleType()),
+        T.StructField("gt_ry", T.DoubleType()),
+    ])
+
+    def _pool(a: np.ndarray) -> np.ndarray:
+        """(2T, 2T) float32 → (T, T) float32, nodata-aware."""
+        hh, ww = a.shape[0] // 2, a.shape[1] // 2
+        b = (a.reshape(hh, 2, ww, 2).transpose(0, 2, 1, 3)
+             .reshape(hh, ww, 4).astype(np.float64))
+        valid = b != no_data
+        cnt = valid.sum(-1)
+        if nodata_mode == "propagate":
+            s = b.sum(-1)                      # exact: 4 integer-ish adds
+            return np.where(cnt == 4, s / 4.0, no_data).astype(np.float32)
+        s = np.where(valid, b, 0.0).sum(-1)
+        return np.where(cnt > 0, s / np.maximum(cnt, 1),
+                        no_data).astype(np.float32)
+
+    def _merge(level: int, tpx: int, rx: float, ry: float):
+        span_x, span_y = rx * tpx * 2, ry * tpx * 2
+
+        def inner(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            ptx, pty = int(key[0]), int(key[1])
+            big = np.full((tpx * 2, tpx * 2), no_data, dtype=np.float32)
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(r.bytes, int(r.w), int(r.h), r.fmt)
+                qx = int(r.tile_x) - 2 * ptx
+                qy = int(r.tile_y) - 2 * pty
+                big[qy * tpx:(qy + 1) * tpx,
+                    qx * tpx:(qx + 1) * tpx] = arr.astype(np.float32)
+            out = _pool(big)
+            x0 = ox + ptx * span_x
+            y0 = oy - pty * span_y
+            return pd.DataFrame([{
+                "level": level, "tile_x": ptx, "tile_y": pty,
+                "image_id": f"pyr_{level}_{ptx}_{pty}",
+                "bytes": codec.encode_raw_f32(out),
+                "w": tpx, "h": tpx, "fmt": "raw_f32",
+                "gt_x0": x0, "gt_rx": rx * 2, "gt_y0": y0,
+                "gt_ry": ry * 2,
+            }])
+        return inner
+
+    # normalize level 0: derive integer tile indices from the transform
+    first = tiles.select("w", "h", "gt_rx", "gt_ry").first()
+    tpx = int(first["w"])
+    if int(first["h"]) != tpx:
+        raise ValueError("pyramid needs square tiles")
+    rx0, ry0 = float(first["gt_rx"]), float(first["gt_ry"])
+    cur = tiles.select(
+        F.round((F.col("gt_x0") - F.lit(ox)) / F.lit(rx0 * tpx))
+        .cast("long").alias("tile_x"),
+        F.round((F.lit(oy) - F.col("gt_y0")) / F.lit(ry0 * tpx))
+        .cast("long").alias("tile_y"),
+        "image_id", "bytes", "w", "h", "fmt")
+
+    outs = []
+    cached = []
+    rx, ry = rx0, ry0
+    for lvl in range(1, levels + 1):
+        parent = (cur
+                  .withColumn("__px", F.floor(F.col("tile_x") / 2)
+                              .cast("long"))
+                  .withColumn("__py", F.floor(F.col("tile_y") / 2)
+                              .cast("long"))
+                  .groupBy("__px", "__py")
+                  .applyInPandas(_merge(lvl, tpx, rx, ry),
+                                 schema=out_schema))
+        if lvl < levels:
+            # each level feeds BOTH the next level and the returned
+            # union — without a persist, level k's whole subtree
+            # re-evaluates once per deeper level (O(levels^2) stages)
+            parent = parent.persist()
+            cached.append(parent)
+        outs.append(parent)
+        cur = parent.select("tile_x", "tile_y", "image_id", "bytes",
+                            "w", "h", "fmt")
+        rx, ry = rx * 2, ry * 2
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    from ..operators.core import persist_scoped
+
+    for c in cached:
+        res = persist_scoped(c, res)
+    return res
