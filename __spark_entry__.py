@@ -1995,6 +1995,52 @@ def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodata long, vsum double, vmin double, vmax double"))
 
 
+def q_stream_pip_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming driver gate (streaming/*.py's execution
+    path, value-gated): the PIP ingest pipeline runs as a REAL stream —
+    the events table staged as 8 input files, consumed 2 per
+    micro-batch under Trigger.AvailableNow through the broadcast PIP
+    join (streaming-safe: sjoin.py's parallelism guard skips
+    .rdd on streaming plans), exactly-once into a parquet sink with a
+    checkpoint — then the sink reads back and aggregates per
+    (zone, event-hour). Exactly-once file→sink semantics make the
+    complete output independent of batch boundaries, so a plain SQL
+    oracle (PIP rectangle join + date_trunc closed form) hash-checks a
+    genuine multi-micro-batch streaming execution."""
+    _tune(spark)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="stream_gate_")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(8).write.mode("overwrite").parquet(f"{d}/in")
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 2).parquet(f"{d}/in"))
+    pts = stream.select(
+        "event_id", "value", "ts",
+        (F.lit(5.0) + (F.col("event_id") * 37 % 100000) / 20000.0)
+        .alias("lon"),
+        (F.lit(40.0) + (F.col("event_id") * 7919 % 100000) / 20000.0)
+        .alias("lat"))
+    zones = DT.nation_zones(spark, sf_dir)
+    j = pip_join(pts, zones, strategy="broadcast")
+    q = (j.select("gid", "event_id", "value", "ts")
+         .writeStream.format("parquet")
+         .option("path", f"{d}/out")
+         .option("checkpointLocation", f"{d}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    out = spark.read.parquet(f"{d}/out")
+    return (out.groupBy(
+                "gid",
+                F.unix_timestamp(F.date_trunc("hour", "ts"))
+                .alias("hour_epoch"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 6).alias("sum_value"),
+                 F.min("event_id").alias("first_event")))
+
+
 def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoPackage source gate (round-4: sources/gpkg.py — from-scratch
     SQLite b-tree parser over blob columns; fiona's flagship modern
@@ -3236,6 +3282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geotiff_zonal": q_geotiff_zonal,
         "cog_window_stats": q_cog_window_stats,
         "raster_pyramid": q_raster_pyramid,
+        "stream_pip_hourly": q_stream_pip_hourly,
         "vector_file_roundtrip": q_vector_file_roundtrip,
         "osm_nodes": q_osm_nodes,
         "osm_ways": q_osm_ways,
@@ -5143,6 +5190,23 @@ def oracle_sql() -> dict[str, str]:
         "zonal_raster_stats": _zonal_oracle_sql(),
         "geotiff_zonal": _zonal_oracle_sql(),
 
+
+        "stream_pip_hourly": f"""
+            SELECT z.gid,
+                   CAST(epoch(date_trunc('hour', p.ts)) AS BIGINT)
+                     AS hour_epoch,
+                   count(*) AS n,
+                   round(sum(p.value), 6) AS sum_value,
+                   min(p.event_id) AS first_event
+            FROM (SELECT event_id, value, ts,
+                         5.0 + (event_id * 37 % 100000) / 20000.0 AS lon,
+                         40.0 + (event_id * 7919 % 100000) / 20000.0 AS lat
+                  FROM events) p
+            JOIN ({DT.ZONES_SQL.strip()}) z
+              ON p.lon >= z.zminx AND p.lon <= z.zmaxx
+             AND p.lat >= z.zminy AND p.lat <= z.zmaxy
+            GROUP BY z.gid, hour_epoch
+        """,
         "raster_pyramid": """
             WITH base AS (
               SELECT gx.g AS gx, gy.g AS gy,

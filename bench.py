@@ -112,7 +112,8 @@ def main() -> None:
                 "gopher_filter", "c4_filter", "near_dup_keep", "doc_chunks",
                 "pii_scrub", "decontam", "seq_pack", "url_filter", "corpus_mix",
                 "embed_top1", "embed_ann_lsh",
-                "events_sessionize", "graph_pagerank", "pricing_summary"]
+                "events_sessionize", "graph_pagerank", "pricing_summary",
+                "stream_pip_hourly"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))
