@@ -2800,6 +2800,116 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value")))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join (operators/temporal.py): each click event
+    attached to the SAME user's most recent prior-or-equal purchase —
+    the union + running-last window plan (one key shuffle, zero
+    inequality joins), run here through the chunk_s skew path (bounded
+    (key, chunk) window partitions seeded with per-chunk carries). The
+    DuckDB oracle is its native ASOF LEFT JOIN; timestamps compared at
+    exact integer micros on both sides."""
+    _tune(spark)
+    from gis_tools_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts"))
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts", "value"))
+    j = asof_join(clicks, purchases, key_cols=["user_id"],
+                  tiebreak="event_id", chunk_s=86_400)
+    cus = F.unix_micros(F.col("ts").cast("timestamp"))
+    pus = F.unix_micros(F.col("r_ts").cast("timestamp"))
+    return j.select(
+        "event_id", "user_id",
+        cus.alias("click_us"),
+        F.col("r_event_id").alias("purchase_id"),
+        pus.alias("purchase_us"),
+        (cus - pus).alias("gap_us"),
+        F.floor(F.col("r_value") * 1000000.0 + F.lit(0.5)).cast("long").alias("purchase_v"))
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D filter/refine interval-containment join (operators/
+    temporal.py): purchase events spawn [ts, ts+12h) windows; click
+    events of the same user land inside via sequence()-binned
+    candidates + exact refine — no inequality join on the big sides.
+    Oracle: the plain DuckDB range join."""
+    _tune(spark)
+    from gis_tools_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    iv = (ev.where(F.col("event_type") == "purchase")
+          .select(F.col("event_id").alias("purchase_id"), "user_id",
+                  F.col("ts").alias("start_ts"),
+                  (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("end_ts")))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts", "value"))
+    j = interval_join(clicks, iv, point_ts="ts", start_col="start_ts",
+                      end_col="end_ts", key_cols=["user_id"], bin_s=3600)
+    return j.select(
+        "purchase_id", "click_id", "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("start_ts").cast("timestamp"))).alias("lag_us"),
+        F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long").alias("click_v"))
+
+
+HOTSPOT_RES = 12
+_IXY_MASK = (1 << 29) - 1
+
+
+def _hotspot_cells_sql() -> str:
+    """Shared CTE prefix: occupied cells + global moments over the
+    events points grid, expression-identical to operators/hotspot.py."""
+    return f"""
+        WITH p AS ({DT.POINTS_SQL.strip()}),
+        cc AS (
+          SELECT cell, (cell >> 29) & {_IXY_MASK} AS ix,
+                 cell & {_IXY_MASK} AS iy, x
+          FROM (SELECT {C.cell_sql('lon', 'lat', HOTSPOT_RES)} AS cell,
+                       CAST(count(*) AS DOUBLE) AS x
+                FROM p GROUP BY 1)),
+        g AS (
+          SELECT min(ix) AS ix0, max(ix) AS ix1,
+                 min(iy) AS iy0, max(iy) AS iy1,
+                 sum(x) AS sx, sum(x * x) AS sxx,
+                 CAST((max(ix) - min(ix) + 1) * (max(iy) - min(iy) + 1)
+                      AS DOUBLE) AS n
+          FROM cc)
+    """
+
+
+def q_hotspot_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot z-scores over the res-12 cell grid
+    (operators/hotspot.py) — queen weights incl. self, study area = the
+    occupied-cell bbox with empties at x=0 folded in closed form. All
+    inputs to the float math are exact integer-valued doubles and the
+    oracle mirrors the expression tree, so gi_z hashes bit-stable."""
+    _tune(spark)
+    from gis_tools_spark.operators.hotspot import getis_ord_gi
+
+    out = getis_ord_gi(DT.events_points(spark, sf_dir), res=HOTSPOT_RES)
+    return out.select(
+        "cell", "ix", "iy",
+        F.col("x").cast("long").alias("x"),
+        F.col("nsum").cast("long").alias("nsum"),
+        F.col("wi").cast("long").alias("wi"),
+        F.floor(F.col("gi_z") * 1000000.0 + F.lit(0.5)).cast("long").alias("gi_z6"))
+
+
+def q_moran_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (queen weights, empties-as-zero closed form)
+    over the same grid — 1-row summary statistic."""
+    _tune(spark)
+    from gis_tools_spark.operators.hotspot import moran_i
+
+    out = moran_i(DT.events_points(spark, sf_dir), res=HOTSPOT_RES)
+    return out.select(
+        "n_cells",
+        F.col("w_sum").cast("long").alias("w_sum"),
+        F.floor(F.col("moran_i") * 1000000000.0 + F.lit(0.5)).cast("long").alias("moran_i9"))
+
+
 # ------------------------------------------------- image-training batch prep
 
 # SDXL-style aspect-ratio bucket list, shared verbatim by the Spark op
@@ -3362,6 +3472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "great_circle": q_great_circle,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "hotspot_gi": q_hotspot_gi,
+        "moran_grid": q_moran_grid,
     }
 
 
@@ -5189,6 +5303,100 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "geotiff_zonal": _zonal_oracle_sql(),
+        "asof_join": """
+            SELECT c.event_id, c.user_id,
+                   epoch_us(c.ts) AS click_us,
+                   p.event_id AS purchase_id,
+                   epoch_us(p.ts) AS purchase_us,
+                   epoch_us(c.ts) - epoch_us(p.ts) AS gap_us,
+                   CAST(floor(p.value * 1000000.0 + 0.5) AS BIGINT)
+                     AS purchase_v
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "interval_join": """
+            SELECT p.event_id AS purchase_id,
+                   c.event_id AS click_id,
+                   c.user_id,
+                   epoch_us(c.ts) - epoch_us(p.ts) AS lag_us,
+                   CAST(floor(c.value * 1000000.0 + 0.5) AS BIGINT)
+                     AS click_v
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts AND c.ts < p.ts + INTERVAL 12 HOUR
+        """,
+        "hotspot_gi": _hotspot_cells_sql() + f""",
+            ns AS (
+              SELECT a.ix AS ix, a.iy AS iy, sum(b.x) AS nsum
+              FROM cc a JOIN cc b
+                ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+               AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+              GROUP BY a.ix, a.iy),
+            j AS (
+              SELECT cc.cell, cc.ix, cc.iy, cc.x,
+                     coalesce(ns.nsum, 0.0) AS nsum,
+                     CAST((least(cc.ix + 1, g.ix1)
+                           - greatest(cc.ix - 1, g.ix0) + 1)
+                        * (least(cc.iy + 1, g.iy1)
+                           - greatest(cc.iy - 1, g.iy0) + 1)
+                          AS DOUBLE) AS wi,
+                     g.n AS n, g.sx AS sx, g.sxx AS sxx
+              FROM cc LEFT JOIN ns ON ns.ix = cc.ix AND ns.iy = cc.iy
+              CROSS JOIN g)
+            SELECT cell, ix, iy,
+                   CAST(x AS BIGINT) AS x,
+                   CAST(nsum AS BIGINT) AS nsum,
+                   CAST(wi AS BIGINT) AS wi,
+                   CAST(floor((nsum - (sx / n) * wi)
+                              / (sqrt(sxx / n - (sx / n) * (sx / n))
+                                 * sqrt((n * wi - wi * wi) / (n - 1.0)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS gi_z6
+            FROM j
+        """,
+        "moran_grid": _hotspot_cells_sql() + f""",
+            ns AS (
+              SELECT a.ix AS ix, a.iy AS iy, sum(b.x) AS nsum
+              FROM cc a JOIN cc b
+                ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+               AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+               AND NOT (b.ix = a.ix AND b.iy = a.iy)
+              GROUP BY a.ix, a.iy),
+            j AS (
+              SELECT cc.x, coalesce(ns.nsum, 0.0) AS nsum,
+                     CAST((least(cc.ix + 1, g.ix1)
+                           - greatest(cc.ix - 1, g.ix0) + 1)
+                        * (least(cc.iy + 1, g.iy1)
+                           - greatest(cc.iy - 1, g.iy0) + 1)
+                          AS DOUBLE) - 1.0 AS wi,
+                     g.n AS n, g.sx AS sx, g.sxx AS sxx,
+                     CAST(g.ix1 - g.ix0 + 1 AS DOUBLE) AS R,
+                     CAST(g.iy1 - g.iy0 + 1 AS DOUBLE) AS C
+              FROM cc LEFT JOIN ns ON ns.ix = cc.ix AND ns.iy = cc.iy
+              CROSS JOIN g),
+            a AS (
+              SELECT sum(x * nsum) AS num_raw, sum(x * wi) AS cross_t,
+                     any_value(n) AS n, any_value(sx) AS sx,
+                     any_value(sxx) AS sxx,
+                     any_value(R) AS R, any_value(C) AS C
+              FROM j)
+            SELECT CAST(n AS BIGINT) AS n_cells,
+                   CAST(2.0 * (R * (C - 1) + C * (R - 1)
+                               + 2.0 * (R - 1) * (C - 1)) AS BIGINT)
+                     AS w_sum,
+                   CAST(floor(
+                     (n / (2.0 * (R * (C - 1) + C * (R - 1)
+                                  + 2.0 * (R - 1) * (C - 1))))
+                     * ((num_raw - (sx / n) * 2.0 * cross_t
+                         + (sx / n) * (sx / n)
+                           * (2.0 * (R * (C - 1) + C * (R - 1)
+                                     + 2.0 * (R - 1) * (C - 1))))
+                        / (sxx - n * (sx / n) * (sx / n)))
+                     * 1000000000.0 + 0.5) AS BIGINT) AS moran_i9
+            FROM a
+        """,
 
 
         "stream_pip_hourly": f"""

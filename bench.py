@@ -113,7 +113,8 @@ def main() -> None:
                 "pii_scrub", "decontam", "seq_pack", "url_filter", "corpus_mix",
                 "embed_top1", "embed_ann_lsh",
                 "events_sessionize", "graph_pagerank", "pricing_summary",
-                "stream_pip_hourly"]
+                "stream_pip_hourly",
+                "asof_join", "interval_join", "hotspot_gi", "moran_grid"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))

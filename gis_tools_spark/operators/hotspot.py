@@ -1,0 +1,160 @@
+"""Spatial autocorrelation — Getis-Ord Gi* hot-spot z-scores and global
+Moran's I over the engine's quad-cell grid.
+
+The classic ESDA statistics (Getis & Ord 1992; Moran 1950; the same
+formulas ArcGIS "Hot Spot Analysis" and PySAL `esda` publish), computed
+distributed with queen-contiguity weights on the cell grid
+(gis_tools_spark/cells): w_ij = 1 for the 8 surrounding cells (Gi* adds
+the self cell, its defining difference from Gi). The study area is the
+bounding box of occupied cells; empty cells inside it participate with
+x = 0 (their neighbor contributions vanish, and the global moments
+include them in closed form), so the result is exactly the dense-grid
+statistic without materializing empty cells.
+
+Everything is integer/double column arithmetic — cell encode, the
+8-offset neighbor explode, clipped neighborhood sizes at the bbox
+border, and the closed-form global moments — so the identical
+expressions run in Spark codegen and in the DuckDB oracle.
+
+Plan shape (Gi*): one groupBy on the cell key (map-side combinable),
+one explode(9) + groupBy on the neighbor key, one equi-join back to the
+occupied cells, and a broadcast of the 1-row global-moments aggregate.
+No crossJoin on data, no Python. At 10^12 points the first groupBy
+collapses the volume to O(occupied cells) and everything after is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cells import IX_SHIFT, RES_SHIFT, cell_column
+
+__all__ = ["cell_stats", "getis_ord_gi", "moran_i"]
+
+_IX_MASK = (1 << (RES_SHIFT - IX_SHIFT)) - 1
+_IY_MASK = (1 << IX_SHIFT) - 1
+
+
+def cell_stats(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
+               res: int = 11, value_col: str | None = None) -> DataFrame:
+    """Aggregate points to (cell, ix, iy, x): x = count (value_col=None)
+    or sum(value_col). The one big shuffle of the hot-spot pipeline."""
+    cell = cell_column(F.col(lon), F.col(lat), res)
+    x = F.count("*") if value_col is None else F.sum(value_col)
+    g = points.groupBy(cell.alias("cell")).agg(x.cast("double").alias("x"))
+    return g.select(
+        "cell",
+        F.shiftright("cell", IX_SHIFT).bitwiseAND(F.lit(_IX_MASK)).alias("ix"),
+        F.col("cell").bitwiseAND(F.lit(_IY_MASK)).alias("iy"),
+        "x")
+
+
+def _global_moments(cells: DataFrame) -> DataFrame:
+    """1-row DF of the study-area moments: bbox, n (ALL bbox cells,
+    empties included), mean and population std of x over the n cells."""
+    return cells.agg(
+        F.min("ix").alias("ix0"), F.max("ix").alias("ix1"),
+        F.min("iy").alias("iy0"), F.max("iy").alias("iy1"),
+        F.sum("x").alias("sx"), F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        "ix0", "ix1", "iy0", "iy1", "sx", "sxx",
+        ((F.col("ix1") - F.col("ix0") + 1) *
+         (F.col("iy1") - F.col("iy0") + 1)).cast("double").alias("n"))
+
+
+def _neighbor_sums(cells: DataFrame, include_self: bool) -> DataFrame:
+    """(ix, iy) -> sum of x over the queen neighborhood, via exploding
+    each occupied cell's contribution to its 8 (or 9) surrounding
+    targets and re-aggregating on the target key."""
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if include_self or (dx, dy) != (0, 0)]
+    contrib = cells.select(
+        F.explode(F.array(*[
+            F.struct((F.col("ix") + dx).alias("jx"), (F.col("iy") + dy).alias("jy"))
+            for dx, dy in offs])).alias("t"),
+        "x").select(F.col("t.jx").alias("ix"), F.col("t.jy").alias("iy"), "x")
+    return contrib.groupBy("ix", "iy").agg(F.sum("x").alias("nsum"))
+
+
+def _wi(include_self: bool):
+    """Clipped neighborhood size at the bbox border, closed form."""
+    spanx = (F.least(F.col("ix") + 1, F.col("ix1"))
+             - F.greatest(F.col("ix") - 1, F.col("ix0")) + 1)
+    spany = (F.least(F.col("iy") + 1, F.col("iy1"))
+             - F.greatest(F.col("iy") - 1, F.col("iy0")) + 1)
+    w = (spanx * spany).cast("double")
+    return w if include_self else w - F.lit(1.0)
+
+
+def getis_ord_gi(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
+                 res: int = 11, value_col: str | None = None,
+                 star: bool = True) -> DataFrame:
+    """Per-cell Getis-Ord Gi* (star=True, self included) or Gi z-score:
+
+        z_i = (S_i - xbar * W_i) / (s * sqrt((n*W_i - W_i^2) / (n-1)))
+
+    with S_i the neighborhood sum, W_i the (border-clipped) neighborhood
+    size, and xbar / s the mean / population std over ALL n bbox cells.
+    Returns one row per OCCUPIED cell: (cell, ix, iy, x, nsum, wi, gi_z)
+    — empty cells have x=0 and only matter through the global moments,
+    which include them in closed form.
+    """
+    cells = cell_stats(points, lon=lon, lat=lat, res=res, value_col=value_col)
+    nsums = _neighbor_sums(cells, include_self=star)
+    g = _global_moments(cells)
+    j = (cells.join(nsums, on=["ix", "iy"], how="left")
+         .withColumn("nsum", F.coalesce("nsum", F.lit(0.0)))
+         .crossJoin(F.broadcast(g)))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    xbar = sx / n
+    s = F.sqrt(sxx / n - xbar * xbar)
+    wi = _wi(include_self=star)
+    denom = s * F.sqrt((n * wi - wi * wi) / (n - F.lit(1.0)))
+    return j.select(
+        "cell", "ix", "iy", "x", "nsum", wi.alias("wi"),
+        ((F.col("nsum") - xbar * wi) / denom).alias("gi_z"))
+
+
+def moran_i(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
+            res: int = 11, value_col: str | None = None) -> DataFrame:
+    """Global Moran's I over the bbox grid with (row-unstandardized)
+    queen weights, empties included as x=0:
+
+        I = (n / W) * sum_ij w_ij (x_i - xbar)(x_j - xbar)
+                    / sum_i (x_i - xbar)^2
+
+    Expanded so every term is a sum over OCCUPIED cells plus closed-form
+    bbox totals:
+      num_raw = sum_i x_i * L_i             (L_i = neighbor sum, no self)
+      cross   = sum_i x_i * W'_i            (W'_i = clipped degree)
+      W       = total queen edge-endpoints in an R x C grid
+              = 2*(R*(C-1) + C*(R-1) + 2*(R-1)*(C-1))
+      num     = num_raw - xbar*(2*cross) + xbar^2 * W
+      den     = sxx - n*xbar^2
+    Returns 1 row: (n_cells, w_sum, moran_i).
+    """
+    cells = cell_stats(points, lon=lon, lat=lat, res=res, value_col=value_col)
+    nsums = _neighbor_sums(cells, include_self=False)
+    g = _global_moments(cells)
+    j = (cells.join(nsums, on=["ix", "iy"], how="left")
+         .withColumn("nsum", F.coalesce("nsum", F.lit(0.0)))
+         .crossJoin(F.broadcast(g)))
+    wi = _wi(include_self=False)
+    agg = j.agg(
+        F.sum(F.col("x") * F.col("nsum")).alias("num_raw"),
+        F.sum(F.col("x") * wi).alias("cross"),
+        F.first("n").alias("n"), F.first("sx").alias("sx"),
+        F.first("sxx").alias("sxx"),
+        F.first(F.col("ix1") - F.col("ix0") + 1).alias("R"),
+        F.first(F.col("iy1") - F.col("iy0") + 1).alias("C"))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    R, C = F.col("R").cast("double"), F.col("C").cast("double")
+    xbar = sx / n
+    w_sum = F.lit(2.0) * (R * (C - 1) + C * (R - 1) + F.lit(2.0) * (R - 1) * (C - 1))
+    num = F.col("num_raw") - xbar * F.lit(2.0) * F.col("cross") + xbar * xbar * w_sum
+    den = sxx - n * xbar * xbar
+    return agg.select(
+        n.cast("long").alias("n_cells"),
+        w_sum.alias("w_sum"),
+        ((n / w_sum) * (num / den)).alias("moran_i"))
