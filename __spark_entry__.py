@@ -2854,6 +2854,59 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long").alias("click_v"))
 
 
+def _user_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with user_id/ts plus the deterministic AOI lon/lat (same
+    arithmetic as driver_tables.POINTS_SQL)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "user_id", "event_id", "ts",
+        (F.lit(5.0) + (F.col("event_id") * 37 % 100000) / 20000.0).alias("lon"),
+        (F.lit(40.0) + (F.col("event_id") * 7919 % 100000) / 20000.0).alias("lat"))
+
+
+_USER_POINTS_SQL = """
+    SELECT user_id, event_id, ts,
+           5.0 + (event_id * 37 % 100000) / 20000.0 AS lon,
+           40.0 + (event_id * 7919 % 100000) / 20000.0 AS lat
+    FROM events
+"""
+
+
+def q_user_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory statistics (operators/trajectory.py): lag
+    window + haversine segments + one groupBy, all whole-stage codegen.
+    path/net emitted HALF_UP at millimeters (libm + reassociation noise
+    << 0.5 mm), duration at millis, speed at 1e-6 m/s."""
+    _tune(spark)
+    from gis_tools_spark.operators.trajectory import track_stats
+
+    out = track_stats(_user_points(spark, sf_dir), key_cols=["user_id"],
+                      order_tiebreak="event_id")
+    mm = lambda c: F.floor(c * 1000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    return out.select(
+        "user_id",
+        F.col("n_pts").cast("long").alias("n_pts"),
+        mm(F.col("path_m")).alias("path_mm"),
+        mm(F.col("net_m")).alias("net_mm"),
+        mm(F.col("duration_s")).alias("duration_ms"),
+        F.floor(F.col("speed_ms") * 1000000.0 + F.lit(0.5)).cast("long").alias("speed_u"))
+
+
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix (operators/trajectory.py):
+    sessionize each user's point stream (gap > 1h = new trip), take trip
+    endpoints, assign both to nation zones via the broadcast PIP join,
+    count trips per (zone_o, zone_d). The oracle replays sessionization
+    with lag/cumsum windows and the rect containment in SQL."""
+    _tune(spark)
+    from gis_tools_spark.operators.trajectory import od_flows
+
+    pts = _user_points(spark, sf_dir)
+    zones = DT.nation_zones(spark, sf_dir)
+    return od_flows(pts, zones, key_cols=["user_id"], gap_s=3600,
+                    order_tiebreak="event_id")
+
+
 HOTSPOT_RES = 12
 _IXY_MASK = (1 << 29) - 1
 
@@ -3476,6 +3529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "hotspot_gi": q_hotspot_gi,
         "moran_grid": q_moran_grid,
+        "user_tracks": q_user_tracks,
+        "od_flows": q_od_flows,
     }
 
 
@@ -5303,6 +5358,88 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dups": _simhash_oracle_sql(),
         "zonal_raster_stats": _zonal_oracle_sql(),
         "geotiff_zonal": _zonal_oracle_sql(),
+        "user_tracks": f"""
+            WITH p AS ({_USER_POINTS_SQL.strip()}),
+            o AS (
+              SELECT user_id, event_id, lon, lat, epoch_us(ts) AS us,
+                     lag(lon) OVER w AS plon, lag(lat) OVER w AS plat
+              FROM p
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            seg AS (
+              SELECT user_id, us, lon, lat,
+                     CASE WHEN plon IS NULL THEN NULL ELSE
+                       2.0 * 6371000.0 * asin(sqrt(
+                         pow(sin(radians(lat - plat) / 2), 2)
+                         + cos(radians(plat)) * cos(radians(lat))
+                           * pow(sin(radians(lon - plon) / 2), 2))) END AS d,
+                     row_number() OVER
+                       (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS cnt
+              FROM o),
+            a AS (
+              SELECT user_id, count(*) AS n_pts,
+                     coalesce(sum(d), 0.0) AS path_m,
+                     min(us) AS us0, max(us) AS us1,
+                     max(CASE WHEN rn = 1 THEN lon END) AS lon0,
+                     max(CASE WHEN rn = 1 THEN lat END) AS lat0,
+                     max(CASE WHEN rn = cnt THEN lon END) AS lon1,
+                     max(CASE WHEN rn = cnt THEN lat END) AS lat1
+              FROM seg GROUP BY user_id)
+            SELECT user_id, n_pts,
+                   CAST(floor(path_m * 1000.0 + 0.5) AS BIGINT) AS path_mm,
+                   CAST(floor(2.0 * 6371000.0 * asin(sqrt(
+                          pow(sin(radians(lat1 - lat0) / 2), 2)
+                          + cos(radians(lat0)) * cos(radians(lat1))
+                            * pow(sin(radians(lon1 - lon0) / 2), 2)))
+                        * 1000.0 + 0.5) AS BIGINT) AS net_mm,
+                   CAST(floor((us1 - us0) / 1000000.0 * 1000.0 + 0.5)
+                        AS BIGINT) AS duration_ms,
+                   CASE WHEN (us1 - us0) / 1000000.0 > 0 THEN
+                     CAST(floor(path_m / ((us1 - us0) / 1000000.0)
+                                * 1000000.0 + 0.5) AS BIGINT)
+                   END AS speed_u
+            FROM a
+        """,
+        "od_flows": f"""
+            WITH p AS ({_USER_POINTS_SQL.strip()}),
+            o AS (
+              SELECT user_id, event_id, lon, lat, epoch(ts) AS t,
+                     lag(epoch(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+              FROM p),
+            s AS (
+              SELECT *, CASE WHEN pt IS NULL OR t - pt > 3600
+                             THEN 1 ELSE 0 END AS ns
+              FROM o),
+            x AS (
+              SELECT *, sum(ns) OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id
+                                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
+              FROM s),
+            y AS (
+              SELECT *, row_number() OVER
+                          (PARTITION BY user_id, sid
+                           ORDER BY t, event_id) AS rn,
+                        count(*) OVER (PARTITION BY user_id, sid) AS cnt
+              FROM x),
+            e AS (
+              SELECT user_id, sid,
+                     max(CASE WHEN rn = 1 THEN lon END) AS lon0,
+                     max(CASE WHEN rn = 1 THEN lat END) AS lat0,
+                     max(CASE WHEN rn = cnt THEN lon END) AS lon1,
+                     max(CASE WHEN rn = cnt THEN lat END) AS lat1
+              FROM y GROUP BY user_id, sid)
+            SELECT zo.gid AS zone_o, zd.gid AS zone_d,
+                   count(*) AS n_trips
+            FROM e
+            JOIN ({DT.ZONES_SQL.strip()}) zo
+              ON e.lon0 >= zo.zminx AND e.lon0 <= zo.zmaxx
+             AND e.lat0 >= zo.zminy AND e.lat0 <= zo.zmaxy
+            JOIN ({DT.ZONES_SQL.strip()}) zd
+              ON e.lon1 >= zd.zminx AND e.lon1 <= zd.zmaxx
+             AND e.lat1 >= zd.zminy AND e.lat1 <= zd.zmaxy
+            GROUP BY 1, 2
+        """,
         "asof_join": """
             SELECT c.event_id, c.user_id,
                    epoch_us(c.ts) AS click_us,

@@ -114,7 +114,8 @@ def main() -> None:
                 "embed_top1", "embed_ann_lsh",
                 "events_sessionize", "graph_pagerank", "pricing_summary",
                 "stream_pip_hourly",
-                "asof_join", "interval_join", "hotspot_gi", "moran_grid"]
+                "asof_join", "interval_join", "hotspot_gi", "moran_grid",
+                "user_tracks", "od_flows"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))

@@ -1,0 +1,116 @@
+"""Trajectory analytics — per-key track statistics and zone-to-zone
+origin-destination (OD) flow matrices from geotagged event streams.
+
+The reference engine has no movement analytics (gis-tools is static
+layers); these are the standard ops a geotagged image/event pipeline
+runs right after the PIP join: "how far / how fast did each device
+move" (track_stats) and "which zones feed which zones" (od_flows —
+the classic transport-planning OD matrix, here derived from session
+endpoints).
+
+Both are pure window + aggregation plans: one shuffle on the track key,
+whole-stage-codegen haversine segments (functions/geodesy), no Python.
+od_flows composes the engine's own sessionize (gap windows) and
+pip_join (broadcast zones) — sessions collapse the volume to
+O(sessions) rows before any join, so at 10^12 events the PIP join sees
+orders of magnitude fewer rows than the raw stream.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.geodesy import great_circle_meters
+from .sessions import sessionize
+from .sjoin import pip_join
+
+__all__ = ["track_stats", "od_flows"]
+
+
+def track_stats(df: DataFrame, *, key_cols: Sequence[str],
+                ts_col: str = "ts", lon: str = "lon", lat: str = "lat",
+                order_tiebreak: str | None = None) -> DataFrame:
+    """One row per key: ordered-point track statistics.
+
+      n_pts       points on the track
+      path_m      great-circle polyline length (sum of segment
+                  haversines, meters)
+      net_m       straight-line first-to-last distance
+      duration_s  last ts - first ts (exact integer micros / 1e6)
+      speed_ms    path_m / duration_s (NULL for single-point or
+                  zero-duration tracks)
+
+    Plan: lag window over (key, ts [, tiebreak]) for the segments, then
+    one groupBy — both stages reuse the same hash partitioning on the
+    key, and every expression is JVM codegen."""
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    seg = great_circle_meters(F.lag(lon).over(w), F.lag(lat).over(w),
+                              F.col(lon), F.col(lat))
+    pos = F.struct(us.alias("us"),
+                   *([F.col(order_tiebreak).alias("tb")] if order_tiebreak else []))
+    s = df.select(*keys, F.col(lon).alias("__lon"), F.col(lat).alias("__lat"),
+                  us.alias("__us"), pos.alias("__pos"),
+                  seg.alias("__seg"))
+    agg = s.groupBy(*keys).agg(
+        F.count("*").alias("n_pts"),
+        F.sum("__seg").alias("path_m"),
+        F.min("__us").alias("__us0"), F.max("__us").alias("__us1"),
+        F.min_by(F.struct("__lon", "__lat"), "__pos").alias("__p0"),
+        F.max_by(F.struct("__lon", "__lat"), "__pos").alias("__p1"))
+    dur = (F.col("__us1") - F.col("__us0")) / F.lit(1_000_000.0)
+    net = great_circle_meters(F.col("__p0.__lon"), F.col("__p0.__lat"),
+                              F.col("__p1.__lon"), F.col("__p1.__lat"))
+    return agg.select(
+        *keys, "n_pts",
+        F.coalesce("path_m", F.lit(0.0)).alias("path_m"),
+        net.alias("net_m"),
+        dur.alias("duration_s"),
+        F.when(dur > 0, F.coalesce("path_m", F.lit(0.0)) / dur).alias("speed_ms"))
+
+
+def od_flows(points: DataFrame, zones: DataFrame, *,
+             key_cols: Sequence[str] = ("user_id",),
+             ts_col: str = "ts", lon: str = "lon", lat: str = "lat",
+             gap_s: int = 3600, zone_id: str = "gid",
+             order_tiebreak: str | None = None,
+             strategy: str = "broadcast") -> DataFrame:
+    """Origin-destination flow matrix: sessionize the point stream per
+    key (gap > gap_s starts a new trip), take each session's first and
+    last point, assign both to zones via the PIP join, and count trips
+    per (zone_o, zone_d). Sessions whose endpoint falls outside every
+    zone are dropped (inner semantics, the standard OD contract).
+
+    Returns (zone_o, zone_d, n_trips). The sessionize + endpoint
+    aggregation collapses the stream to O(sessions) rows BEFORE the
+    joins, and the zone join is the engine's pip_join (broadcast by
+    default)."""
+    keys = list(key_cols)
+    s = sessionize(points, ts_col=ts_col, gap_s=gap_s, key_cols=tuple(keys),
+                   order_tiebreak=order_tiebreak)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    pos = F.struct(us.alias("us"),
+                   *([F.col(order_tiebreak).alias("tb")] if order_tiebreak else []))
+    ends = (s.groupBy(*keys, "session_idx").agg(
+        F.min_by(F.struct(F.col(lon).alias("lon"), F.col(lat).alias("lat")),
+                 pos).alias("__o"),
+        F.max_by(F.struct(F.col(lon).alias("lon"), F.col(lat).alias("lat")),
+                 pos).alias("__d")))
+    o = ends.select(*keys, "session_idx",
+                    F.col("__o.lon").alias("lon"), F.col("__o.lat").alias("lat"))
+    d = ends.select(*keys, "session_idx",
+                    F.col("__d.lon").alias("lon"), F.col("__d.lat").alias("lat"))
+    zo = (pip_join(o, zones, strategy=strategy)
+          .select(*keys, "session_idx", F.col(zone_id).alias("zone_o")))
+    zd = (pip_join(d, zones, strategy=strategy)
+          .select(*keys, "session_idx", F.col(zone_id).alias("zone_d")))
+    return (zo.join(zd, on=keys + ["session_idx"], how="inner")
+            .groupBy("zone_o", "zone_d")
+            .agg(F.count("*").alias("n_trips")))
