@@ -2907,6 +2907,48 @@ def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     order_tiebreak="event_id")
 
 
+def q_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit/switch transitions per user stream
+    (operators/trajectory.py): broadcast PIP with left semantics (min
+    zone id per ping), lag window on the user key, transition rows
+    only. The oracle replays rect containment + the identical lag/
+    IS DISTINCT FROM filter in SQL."""
+    _tune(spark)
+    from gis_tools_spark.operators.trajectory import geofence_events
+
+    out = geofence_events(_user_points(spark, sf_dir),
+                          DT.nation_zones(spark, sf_dir),
+                          id_col="event_id", key_cols=["user_id"],
+                          order_tiebreak="event_id")
+    return out.select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.col("from_zone").cast("int").alias("from_zone"),
+        F.col("to_zone").cast("int").alias("to_zone"),
+        "kind")
+
+
+DBSCAN_EPS = 0.05
+DBSCAN_MIN_PTS = 5
+
+
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed DBSCAN (operators/cluster.py) over the
+    events point lattice: grid-binned eps-neighbor pairs → core filter →
+    pointer-jumping connected components over the core graph → min-rule
+    border assignment. At sf0.01 this yields ~54 clusters of up to ~200
+    points plus noise. The oracle replays the identical bin join and
+    resolves components with an independent recursive-CTE min-label
+    closure."""
+    _tune(spark)
+    from gis_tools_spark.operators.cluster import dbscan
+
+    pts = DT.events_points(spark, sf_dir)
+    out = dbscan(pts, id_col="event_id", eps=DBSCAN_EPS,
+                 min_pts=DBSCAN_MIN_PTS)
+    return out.select("event_id", "is_core", "cluster")
+
+
 HOTSPOT_RES = 12
 _IXY_MASK = (1 << 29) - 1
 
@@ -3531,6 +3573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_grid": q_moran_grid,
         "user_tracks": q_user_tracks,
         "od_flows": q_od_flows,
+        "dbscan_clusters": q_dbscan_clusters,
+        "geofence_events": q_geofence_events,
     }
 
 
@@ -5439,6 +5483,77 @@ def oracle_sql() -> dict[str, str]:
               ON e.lon1 >= zd.zminx AND e.lon1 <= zd.zmaxx
              AND e.lat1 >= zd.zminy AND e.lat1 <= zd.zmaxy
             GROUP BY 1, 2
+        """,
+        "geofence_events": f"""
+            WITH p AS ({_USER_POINTS_SQL.strip()}),
+            zh AS (
+              SELECT p.event_id, min(zz.gid) AS zone
+              FROM p JOIN ({DT.ZONES_SQL.strip()}) zz
+                ON p.lon >= zz.zminx AND p.lon <= zz.zmaxx
+               AND p.lat >= zz.zminy AND p.lat <= zz.zmaxy
+              GROUP BY p.event_id),
+            z AS (
+              SELECT p.user_id, p.event_id, p.ts, zh.zone
+              FROM p LEFT JOIN zh ON p.event_id = zh.event_id),
+            o AS (
+              SELECT *, lag(zone) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM z)
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CAST(prev AS INT) AS from_zone,
+                   CAST(zone AS INT) AS to_zone,
+                   CASE WHEN prev IS NULL THEN 'enter'
+                        WHEN zone IS NULL THEN 'exit'
+                        ELSE 'switch' END AS kind
+            FROM o WHERE zone IS DISTINCT FROM prev
+        """,
+        "dbscan_clusters": f"""
+            WITH RECURSIVE p AS (
+              SELECT event_id AS id,
+                     5.0 + (event_id * 37 % 100000) / 20000.0 AS lon,
+                     40.0 + (event_id * 7919 % 100000) / 20000.0 AS lat
+              FROM events),
+            b AS (
+              SELECT *, CAST(floor(lon / {DBSCAN_EPS!r}) AS BIGINT) AS bx,
+                        CAST(floor(lat / {DBSCAN_EPS!r}) AS BIGINT) AS by
+              FROM p),
+            pr AS (
+              SELECT a.id AS ia, c.id AS ib
+              FROM b a JOIN b c
+                ON c.bx BETWEEN a.bx - 1 AND a.bx + 1
+               AND c.by BETWEEN a.by - 1 AND a.by + 1
+               AND (a.lon - c.lon) * (a.lon - c.lon)
+                   + (a.lat - c.lat) * (a.lat - c.lat)
+                   <= {DBSCAN_EPS * DBSCAN_EPS!r}),
+            core AS (
+              SELECT ia AS id FROM pr
+              GROUP BY ia HAVING count(*) >= {DBSCAN_MIN_PTS}),
+            e0 AS (
+              SELECT pr.ia AS u, pr.ib AS v FROM pr
+              JOIN core c1 ON pr.ia = c1.id
+              JOIN core c2 ON pr.ib = c2.id
+              WHERE pr.ia <> pr.ib),
+            reach AS (
+              SELECT id AS node, id AS comp FROM core
+              UNION
+              SELECT e0.u AS node, r.comp FROM e0 JOIN reach r
+                ON e0.v = r.node),
+            cl AS (
+              SELECT node AS id, min(comp) AS cluster FROM reach
+              GROUP BY node),
+            border AS (
+              SELECT pr.ia AS id, min(cl.cluster) AS cluster
+              FROM pr JOIN cl ON pr.ib = cl.id
+              WHERE pr.ia <> pr.ib
+                AND pr.ia NOT IN (SELECT id FROM core)
+              GROUP BY pr.ia)
+            SELECT p.id AS event_id,
+                   cl.id IS NOT NULL AS is_core,
+                   CAST(coalesce(cl.cluster, border.cluster) AS BIGINT)
+                     AS cluster
+            FROM p
+            LEFT JOIN cl ON p.id = cl.id
+            LEFT JOIN border ON p.id = border.id
         """,
         "asof_join": """
             SELECT c.event_id, c.user_id,

@@ -115,11 +115,23 @@ def main() -> None:
                 "events_sessionize", "graph_pagerank", "pricing_summary",
                 "stream_pip_hourly",
                 "asof_join", "interval_join", "hotspot_gi", "moran_grid",
-                "user_tracks", "od_flows"]
+                "user_tracks", "od_flows", "geofence_events"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))
         meta[f"{name}_rows"] = n
+
+    # -------- DBSCAN in production shape: the GATE config (eps=0.05 on
+    # the full sf0.1 lattice) percolates into county-sized clusters —
+    # a stress test, not a workload. Bench times the realistic shape
+    # (10% ping sample, same eps → subcritical density, 54-ish POI
+    # clusters), mirroring how eps is chosen in practice.
+    from gis_tools_spark.operators.cluster import dbscan as _dbscan
+
+    pts = DT.events_points(spark, SF_DIR).where(F.col("event_id") % 10 == 0)
+    n_db = _timed("dbscan_clusters", lambda: _count(
+        _dbscan(pts, id_col="event_id", eps=0.05, min_pts=5)))
+    meta["dbscan_clusters_rows"] = n_db
 
     # -------- IVF ANN in production shape (k-means quantizer sized to the
     # corpus; the embed_ivf GATE pins a tiny 8-centroid modulo quantizer

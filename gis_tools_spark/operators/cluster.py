@@ -1,0 +1,123 @@
+"""Density-based spatial clustering — a distributed, deterministic
+DBSCAN over the engine's grid-binned candidate pairs.
+
+Semantics (Ester et al. 1996, the algorithm ArcGIS "Density-based
+Clustering" and sklearn.cluster.DBSCAN implement), with the one
+scan-order ambiguity pinned down so the result is a pure function of
+the input set:
+
+- |N_eps(p)| counts p itself (standard), core ⇔ |N_eps(p)| >= min_pts;
+- a cluster is a connected component of the core points under the
+  eps-neighbor relation, labeled by its MINIMUM core id;
+- a border point (non-core within eps of >=1 core) joins the MINIMUM
+  cluster label among its core neighbors (classic DBSCAN assigns it to
+  whichever cluster's seed list scans it first — order-dependent; the
+  min rule is deterministic and matches one valid DBSCAN execution);
+- everything else is noise (cluster NULL).
+
+Distances are planar in the coordinate units (degrees on the driver
+tables); callers needing metric eps should reproject first
+(functions/crs.transform_points) — same contract as sklearn.
+
+Plan shape / 100 TB notes:
+- candidate pairs come from a 3x3 neighbor-bin equi-join at bin width
+  eps (explode(9) on one side, shuffle on the bin key) — the standard
+  grid method; pair volume is sum of products of adjacent-bin counts,
+  i.e. O(n * local density), never O(n^2);
+- the per-point neighbor count and the core filter are one map-side
+  combinable groupBy;
+- only the CORE-CORE edge graph (orders of magnitude smaller than the
+  corpus at any sane min_pts) enters the iterative stage —
+  network.connected_components' pointer-jumping min-label propagation,
+  O(log diameter) rounds;
+- dense-city bin skew is the same skew the PIP join handles; the pair
+  join inherits AQE skew-join as backstop, and min_pts caps how dense a
+  USEFUL eps-neighborhood can be before everything is one cluster
+  anyway (callers shrink eps, which shrinks bins).
+
+Reference scope: gis-tools has no clustering op; this is brief-scope
+(training-data pipeline: geotag-cluster mining / POI extraction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .core import persist_scoped
+from .network import connected_components
+
+__all__ = ["dbscan", "eps_neighbor_pairs"]
+
+
+def eps_neighbor_pairs(points: DataFrame, *, id_col: str = "id",
+                       lon: str = "lon", lat: str = "lat",
+                       eps: float) -> DataFrame:
+    """All ordered pairs (ia, ib) with planar distance <= eps, including
+    the self pair (ia == ib). Grid-binned at width eps so candidates are
+    exactly the 3x3 neighbor bins."""
+    e = F.lit(float(eps))
+    b = points.select(
+        F.col(id_col).alias("__pid"),
+        F.col(lon).alias("__px"), F.col(lat).alias("__py"),
+        F.floor(F.col(lon) / e).alias("bx"),
+        F.floor(F.col(lat) / e).alias("by"))
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    left = b.select(
+        F.col("__pid").alias("ia"), F.col("__px").alias("ax"),
+        F.col("__py").alias("ay"),
+        F.explode(F.array(*[
+            F.struct((F.col("bx") + dx).alias("bx"),
+                     (F.col("by") + dy).alias("by"))
+            for dx, dy in offs])).alias("t"),
+    ).select("ia", "ax", "ay", F.col("t.bx").alias("bx"),
+             F.col("t.by").alias("by"))
+    right = b.select(F.col("__pid").alias("ib"), F.col("__px").alias("bx_c"),
+                     F.col("__py").alias("by_c"), "bx", "by")
+    dx = F.col("ax") - F.col("bx_c")
+    dy = F.col("ay") - F.col("by_c")
+    return (left.join(right, on=["bx", "by"])
+            .where(dx * dx + dy * dy <= e * e)
+            .select("ia", "ib"))
+
+
+def dbscan(points: DataFrame, *, id_col: str = "id",
+           lon: str = "lon", lat: str = "lat",
+           eps: float, min_pts: int) -> DataFrame:
+    """One row per input point: (id_col, is_core boolean, cluster long —
+    NULL for noise). Deterministic: cluster = min core id of the
+    component; borders take the min neighboring cluster."""
+    pairs = eps_neighbor_pairs(points, id_col=id_col, lon=lon, lat=lat,
+                               eps=eps).persist()
+    core = (pairs.groupBy("ia").agg(F.count("*").alias("__n"))
+            .where(F.col("__n") >= int(min_pts))
+            .select(F.col("ia").alias("__cid")))
+    core_edges = (pairs
+                  .join(core.withColumnRenamed("__cid", "ia"), on="ia")
+                  .join(core.withColumnRenamed("__cid", "ib"), on="ib")
+                  .where(F.col("ia") < F.col("ib"))
+                  .select(F.col("ia").alias("src_key"),
+                          F.col("ib").alias("dst_key")))
+    labels = connected_components(core_edges)
+    core_clusters = (core.join(labels.withColumnRenamed("node", "__cid"),
+                               on="__cid", how="left")
+                     .select(F.col("__cid"),
+                             F.coalesce("component", F.col("__cid"))
+                             .alias("__cluster"))).persist()
+    # border points: non-core, >=1 core neighbor; min cluster among them
+    border = (pairs.where(F.col("ia") != F.col("ib"))
+              .join(core_clusters.withColumnRenamed("__cid", "ib"), on="ib")
+              .join(core.withColumnRenamed("__cid", "ia"), on="ia",
+                    how="left_anti")
+              .groupBy("ia").agg(F.min("__cluster").alias("__cluster")))
+    out = (points
+           .join(core_clusters.withColumnRenamed("__cid", id_col),
+                 on=id_col, how="left")
+           .withColumnRenamed("__cluster", "__core_cluster")
+           .join(border.withColumnRenamed("ia", id_col), on=id_col,
+                 how="left")
+           .select(
+               F.col(id_col),
+               F.col("__core_cluster").isNotNull().alias("is_core"),
+               F.coalesce("__core_cluster", "__cluster").cast("long")
+               .alias("cluster")))
+    return persist_scoped(pairs, persist_scoped(core_clusters, out))

@@ -27,7 +27,7 @@ from ..functions.geodesy import great_circle_meters
 from .sessions import sessionize
 from .sjoin import pip_join
 
-__all__ = ["track_stats", "od_flows"]
+__all__ = ["track_stats", "od_flows", "geofence_events"]
 
 
 def track_stats(df: DataFrame, *, key_cols: Sequence[str],
@@ -114,3 +114,47 @@ def od_flows(points: DataFrame, zones: DataFrame, *,
     return (zo.join(zd, on=keys + ["session_idx"], how="inner")
             .groupBy("zone_o", "zone_d")
             .agg(F.count("*").alias("n_trips")))
+
+
+def geofence_events(points: DataFrame, zones: DataFrame, *,
+                    id_col: str, key_cols: Sequence[str] = ("user_id",),
+                    ts_col: str = "ts", lon: str = "lon", lat: str = "lat",
+                    zone_id: str = "gid",
+                    order_tiebreak: str | None = None,
+                    strategy: str = "broadcast") -> DataFrame:
+    """Geofence transition detector: one row per ping at which a key's
+    zone membership CHANGES, the op behind 'alert when the device
+    enters/leaves the fence'.
+
+      kind = 'enter'   outside (or stream start) → inside a zone
+      kind = 'exit'    inside → outside every zone
+      kind = 'switch'  directly from one zone into another
+
+    Overlapping fences resolve deterministically to the MIN zone id.
+    A stream that starts inside a fence emits an 'enter' at its first
+    ping (from_zone NULL); pings that stay outside emit nothing.
+
+    Plan: one broadcast PIP join (left semantics restored by grouping
+    hits per ping id and left-joining back), one lag window on the key —
+    both codegen; the output is only the transition rows, orders of
+    magnitude smaller than the ping stream."""
+    keys = list(key_cols)
+    hits = (pip_join(points.select(id_col, lon, lat), zones,
+                     strategy=strategy)
+            .groupBy(id_col).agg(F.min(zone_id).alias("__zone")))
+    z = points.join(hits, on=id_col, how="left")
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag("__zone").over(w)
+    out = (z.withColumn("__prev", prev)
+           .where(~F.col("__zone").eqNullSafe(F.col("__prev")))
+           .select(
+               *keys, id_col, F.col(ts_col).alias("ts"),
+               F.col("__prev").alias("from_zone"),
+               F.col("__zone").alias("to_zone"),
+               F.when(F.col("__prev").isNull(), F.lit("enter"))
+               .when(F.col("__zone").isNull(), F.lit("exit"))
+               .otherwise(F.lit("switch")).alias("kind")))
+    return out
