@@ -2907,6 +2907,29 @@ def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     order_tiebreak="event_id")
 
 
+def q_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal MAJORITY/MINORITY/VARIETY (raster/zonal.py
+    zonal_value_counts + zonal_majority — the zonal analog of the
+    reference's majority_filter stub, raster.py:740): per-zone value
+    histogram through the tile×zone cell-cover join, then one
+    deterministic-tie-break argmax. The oracle recounts every (zone,
+    value) from the closed-form pixel grid and resolves the same
+    tie-breaks with window ranks."""
+    _tune(spark)
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster.zonal import zonal_majority
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(4, 4, 64))
+    zones = DT.nation_zones(spark, sf_dir)
+    out = zonal_majority(ras, zones)
+    return out.select(
+        "gid", "variety", "total_n",
+        F.col("majority").cast("long").alias("majority"),
+        "majority_n",
+        F.col("minority").cast("long").alias("minority"),
+        "minority_n")
+
+
 def q_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geofence enter/exit/switch transitions per user stream
     (operators/trajectory.py): broadcast PIP with left semantics (min
@@ -3575,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "od_flows": q_od_flows,
         "dbscan_clusters": q_dbscan_clusters,
         "geofence_events": q_geofence_events,
+        "zonal_majority": q_zonal_majority,
     }
 
 
@@ -5483,6 +5507,37 @@ def oracle_sql() -> dict[str, str]:
               ON e.lon1 >= zd.zminx AND e.lon1 <= zd.zmaxx
              AND e.lat1 >= zd.zminy AND e.lat1 <= zd.zmaxy
             GROUP BY 1, 2
+        """,
+        "zonal_majority": f"""
+            WITH z AS ({DT.ZONES_SQL.strip()}),
+            px AS (
+              SELECT gix, giy,
+                5.0 + (gix + 0.5) * 0.01953125 AS lon,
+                45.0 - (giy + 0.5) * 0.01953125 AS lat,
+                CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+                     ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+              FROM (SELECT unnest(generate_series(0, 255)) AS gix) a
+              CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS giy) b),
+            vc AS (
+              SELECT z.gid, CAST(px.val AS BIGINT) AS value, count(*) AS n
+              FROM px JOIN z
+                ON px.lon >= z.zminx AND px.lon <= z.zmaxx
+               AND px.lat >= z.zminy AND px.lat <= z.zmaxy
+              WHERE px.val IS NOT NULL
+              GROUP BY 1, 2),
+            r AS (
+              SELECT gid, value, n,
+                row_number() OVER (PARTITION BY gid
+                                   ORDER BY n DESC, value ASC) AS rmaj,
+                row_number() OVER (PARTITION BY gid
+                                   ORDER BY n ASC, value ASC) AS rmin
+              FROM vc)
+            SELECT gid, count(*) AS variety, sum(n) AS total_n,
+                   max(CASE WHEN rmaj = 1 THEN value END) AS majority,
+                   max(CASE WHEN rmaj = 1 THEN n END) AS majority_n,
+                   max(CASE WHEN rmin = 1 THEN value END) AS minority,
+                   max(CASE WHEN rmin = 1 THEN n END) AS minority_n
+            FROM r GROUP BY gid
         """,
         "geofence_events": f"""
             WITH p AS ({_USER_POINTS_SQL.strip()}),

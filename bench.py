@@ -103,7 +103,7 @@ def main() -> None:
     headline = ["pip_zone_counts", "pip_pairs", "pip_pairs_salted",
                 "knn_nearest_zone", "tile_assignment", "fishnet_tiles",
                 "dwithin_count", "tile_pyramid",
-                "zonal_event_stats", "zonal_raster_stats",
+                "zonal_event_stats", "zonal_raster_stats", "zonal_majority",
                 "raster_burn", "raster_contour",
                 "shared_area", "dedup_exact", "minhash_pairs", "simhash_dups",
                 "ngram_jaccard", "substring_spans", "cross_doc_spans",

@@ -84,32 +84,22 @@ def auto_res(rasters: DataFrame, max_cells_per_tile: int = 64) -> int:
     return 0
 
 
-def zonal_partials(rasters: DataFrame, zones: DataFrame, *,
-                   zone_wkb: str = "geometry_wkb", zone_id: str = "gid",
-                   no_data: float = codec.NO_DATA_F32,
-                   patch_value: float | None = None,
-                   res: int | None = None, max_cells: int = 1024) -> DataFrame:
-    """(tile, zone) partial aggregates. rasters needs columns
-    (image_id, bytes, w, h, fmt, gt_x0, gt_rx, gt_y0, gt_ry).
-    res=None → auto-pick so tile covers stay bounded."""
+def tile_zone_pairs(rasters: DataFrame, zones: DataFrame, *,
+                    zone_wkb: str = "geometry_wkb", zone_id: str = "gid",
+                    res: int | None = None,
+                    max_cells: int = 1024) -> DataFrame:
+    """Candidate (tile, zone) pairs via the cell-cover equi-join: tile
+    bbox covers (pure arithmetic — tiles are rectangles) ⋈ zone covers.
+    rasters needs (image_id, bytes, w, h, fmt, gt_x0, gt_rx, gt_y0,
+    gt_ry). res=None → auto-pick so tile covers stay bounded."""
     # deferred import: operators package pulls topography which needs this
     # module (circular otherwise)
     from ..operators.core import CELL_COL, explode_cover
 
     if res is None:
         res = auto_res(rasters)
-    # candidate pairs: tile bbox cover ⋈ zone cover
     tiles = rasters.withColumn("__maxx", F.col("gt_x0") + F.col("gt_rx") * F.col("w")) \
                    .withColumn("__miny", F.col("gt_y0") - F.col("gt_ry") * F.col("h"))
-    tile_corners = F.array(
-        C.cell_column(F.col("gt_x0"), F.col("__miny"), res),
-        C.cell_column(F.col("__maxx"), F.col("__miny"), res),
-        C.cell_column(F.col("gt_x0"), F.col("gt_y0"), res),
-        C.cell_column(F.col("__maxx"), F.col("gt_y0"), res),
-    )
-    # tiles may span multiple cells at res: enumerate via bbox UDF-free only
-    # when small; in general use explode_cover on a synthesized bbox WKB.
-    # Here tiles are rectangles — build their cover with pure arithmetic:
     n = 1 << res
     ix0 = F.floor((F.col("gt_x0") + 180.0) / 360.0 * n).cast("long")
     ix1 = F.floor((F.col("__maxx") + 180.0) / 360.0 * n).cast("long")
@@ -124,8 +114,19 @@ def zonal_partials(rasters: DataFrame, zones: DataFrame, *,
          .drop("__ix", "__iy", "__maxx", "__miny"))
     zc = explode_cover(zones.select(zone_id, zone_wkb), zone_wkb, CELL_COL,
                        res, res, max_cells)
-    pairs = (t.join(zc, on=CELL_COL).drop(CELL_COL)
-             .dropDuplicates(["image_id", zone_id]))
+    return (t.join(zc, on=CELL_COL).drop(CELL_COL)
+            .dropDuplicates(["image_id", zone_id]))
+
+
+def zonal_partials(rasters: DataFrame, zones: DataFrame, *,
+                   zone_wkb: str = "geometry_wkb", zone_id: str = "gid",
+                   no_data: float = codec.NO_DATA_F32,
+                   patch_value: float | None = None,
+                   res: int | None = None, max_cells: int = 1024) -> DataFrame:
+    """(tile, zone) partial aggregates — see tile_zone_pairs for the
+    candidate join."""
+    pairs = tile_zone_pairs(rasters, zones, zone_wkb=zone_wkb,
+                            zone_id=zone_id, res=res, max_cells=max_cells)
 
     fields = ([T.StructField("image_id", T.StringType()),
                pairs.schema[zone_id]] + PARTIAL_SCHEMA)
@@ -204,6 +205,87 @@ def zonal_statistics(rasters: DataFrame, zones: DataFrame, *,
         "no_data_count",
         (F.col("patch") / F.col("n")).alias("density"),
     )
+
+
+def zonal_value_counts(rasters: DataFrame, zones: DataFrame, *,
+                       zone_wkb: str = "geometry_wkb", zone_id: str = "gid",
+                       no_data: float = codec.NO_DATA_F32,
+                       decimals: int = 6,
+                       res: int | None = None,
+                       max_cells: int = 1024) -> DataFrame:
+    """Zonal histogram (QGIS "Zonal histogram" / GDAL class stats): one
+    row per (zone, value) with the pixel count, no-data excluded.
+    Values are rounded to `decimals` before counting so float rasters
+    bin stably; categorical/integer rasters pass through exactly.
+
+    Partial/final: the Arrow kernel emits per-(tile, zone) np.unique
+    counts — O(distinct values) rows per pair, never the pixels — and
+    one groupBy(zone, value) combines them. Same scale shape as
+    zonal_statistics."""
+    pairs = tile_zone_pairs(rasters, zones, zone_wkb=zone_wkb,
+                            zone_id=zone_id, res=res, max_cells=max_cells)
+    fields = T.StructType([pairs.schema[zone_id],
+                           T.StructField("value", T.DoubleType()),
+                           T.StructField("n", T.LongType())])
+
+    def _partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames = []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                arr = codec.decode(r["bytes"], int(r["w"]), int(r["h"]),
+                                   r["fmt"]).astype(np.float64)
+                if arr.ndim == 3:
+                    arr = arr.mean(axis=2)
+                xs, ys = pixel_centers(r["gt_x0"], r["gt_rx"], r["gt_y0"],
+                                       r["gt_ry"], int(r["w"]), int(r["h"]))
+                mask = rasterize_mask(wkb.decode(r[zone_wkb]), xs, ys)
+                if not mask.any():
+                    continue
+                vals = arr[mask]
+                vals = np.round(vals[vals != no_data], decimals)
+                if not vals.size:
+                    continue
+                uniq, cnt = np.unique(vals, return_counts=True)
+                frames.append(pd.DataFrame({
+                    zone_id: r[zone_id], "value": uniq,
+                    "n": cnt.astype(np.int64)}))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    partial = pairs.mapInPandas(_partial, schema=fields)
+    return partial.groupBy(zone_id, "value").agg(F.sum("n").alias("n"))
+
+
+def zonal_majority(rasters: DataFrame, zones: DataFrame, *,
+                   zone_id: str = "gid", **kw) -> DataFrame:
+    """Per-zone categorical summary (the zonal analog of the reference's
+    majority_filter stub, raster.py:740, and of ArcGIS MAJORITY /
+    MINORITY / VARIETY zonal statistics):
+
+      variety       distinct values in the zone
+      total_n       pixels counted (no-data excluded)
+      majority      most frequent value  (ties → smallest value)
+      majority_n    its count
+      minority      least frequent value (ties → smallest value)
+      minority_n    its count
+
+    One extra groupBy over zonal_value_counts' (zone, value) rows."""
+    vc = zonal_value_counts(rasters, zones, zone_id=zone_id, **kw)
+    # lexicographic struct orderings pin the tie-breaks deterministically
+    maj = F.max_by(F.struct("value", "n"),
+                   F.struct(F.col("n"), -F.col("value")))
+    mino = F.min_by(F.struct("value", "n"),
+                    F.struct(F.col("n"), F.col("value")))
+    return (vc.groupBy(zone_id).agg(
+        F.count("*").alias("variety"),
+        F.sum("n").alias("total_n"),
+        maj.alias("__maj"), mino.alias("__min"))
+        .select(zone_id, "variety", "total_n",
+                F.col("__maj.value").alias("majority"),
+                F.col("__maj.n").alias("majority_n"),
+                F.col("__min.value").alias("minority"),
+                F.col("__min.n").alias("minority_n")))
 
 
 # ------------------------------------------------------------------ surface

@@ -114,3 +114,48 @@ def test_golden_pip_unit_square(spark):
         got = sorted(r["pid"] for r in pip_join(pts, zones, strategy=strat,
                                                 res_min=18, res_max=20).collect())
         assert got == [1, 3, 4, 5], (strat, got)
+
+
+def test_zonal_value_counts_and_majority(spark):
+    """Histogram + majority/minority/variety vs a numpy brute force over
+    the mosaic, including the deterministic tie-breaks."""
+    from gis_tools_spark.raster.zonal import zonal_majority, zonal_value_counts
+
+    ras = fixtures.gen_rasters(2, 2, 32)
+    zones = fixtures.gen_zones(8)
+    sras = spark.createDataFrame(ras)
+    szon = spark.createDataFrame(zones[["gid", "geometry_wkb"]])
+
+    # brute force per-zone value counts
+    exp: dict[int, dict[float, int]] = {}
+    for _, z in zones.iterrows():
+        g = wkb.decode(z["geometry_wkb"])
+        counts: dict[float, int] = {}
+        for _, r in ras.iterrows():
+            arr = codec.decode_raw_f32(r["bytes"], r["w"], r["h"]).astype(np.float64)
+            xs, ys = pixel_centers(r["gt_x0"], r["gt_rx"], r["gt_y0"],
+                                   r["gt_ry"], r["w"], r["h"])
+            v = arr[rasterize_mask(g, xs, ys)]
+            for x in np.round(v[v != codec.NO_DATA_F32], 6):
+                counts[float(x)] = counts.get(float(x), 0) + 1
+        if counts:
+            exp[int(z["gid"])] = counts
+
+    vc = zonal_value_counts(sras, szon).collect()
+    got: dict[int, dict[float, int]] = {}
+    for r in vc:
+        got.setdefault(int(r["gid"]), {})[float(r["value"])] = int(r["n"])
+    assert got == exp
+
+    maj = {r["gid"]: r.asDict() for r in zonal_majority(sras, szon).collect()}
+    assert set(maj) == set(exp)
+    for gid, counts in exp.items():
+        m = maj[gid]
+        assert m["variety"] == len(counts)
+        assert m["total_n"] == sum(counts.values())
+        exp_maj = min(counts, key=lambda v: (-counts[v], v))
+        exp_min = min(counts, key=lambda v: (counts[v], v))
+        assert m["majority"] == pytest.approx(exp_maj)
+        assert m["majority_n"] == counts[exp_maj]
+        assert m["minority"] == pytest.approx(exp_min)
+        assert m["minority_n"] == counts[exp_min]
