@@ -2951,6 +2951,28 @@ def q_geofence_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind")
 
 
+KDE_RES, KDE_RADIUS = 11, 0.1
+
+
+def q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartic kernel-density heatmap (operators/hotspot.kde_density)
+    onto the res-11 cell grid with quantize_decimals=9: every
+    contribution is floor-quantized to an exact integer before the sum,
+    so the density is partition-order independent and the DuckDB oracle
+    (identical expression tree, identical quantization) matches
+    bit-for-bit."""
+    _tune(spark)
+    from gis_tools_spark.operators.hotspot import kde_density
+
+    out = kde_density(DT.events_points(spark, sf_dir), res=KDE_RES,
+                      radius=KDE_RADIUS, kernel="quartic",
+                      quantize_decimals=9)
+    return out.select(
+        "cell", "ix", "iy",
+        F.floor(F.col("density") * 1000000.0 + F.lit(0.5)).cast("long")
+        .alias("dens6"))
+
+
 DBSCAN_EPS = 0.05
 DBSCAN_MIN_PTS = 5
 
@@ -3599,6 +3621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": q_dbscan_clusters,
         "geofence_events": q_geofence_events,
         "zonal_majority": q_zonal_majority,
+        "kde_heatmap": q_kde_heatmap,
     }
 
 
@@ -5507,6 +5530,52 @@ def oracle_sql() -> dict[str, str]:
               ON e.lon1 >= zd.zminx AND e.lon1 <= zd.zmaxx
              AND e.lat1 >= zd.zminy AND e.lat1 <= zd.zmaxy
             GROUP BY 1, 2
+        """,
+        "kde_heatmap": f"""
+            WITH p AS ({DT.POINTS_SQL.strip()}),
+            b AS (
+              SELECT lon AS x, lat AS y,
+                CAST(floor((lon - {KDE_RADIUS!r} + 180.0) / 360.0
+                           * {1 << KDE_RES}) AS BIGINT) AS jx0,
+                CAST(floor((lon + {KDE_RADIUS!r} + 180.0) / 360.0
+                           * {1 << KDE_RES}) AS BIGINT) AS jx1,
+                CAST(floor((lat - {KDE_RADIUS!r} + 90.0) / 180.0
+                           * {1 << KDE_RES}) AS BIGINT) AS jy0,
+                CAST(floor((lat + {KDE_RADIUS!r} + 90.0) / 180.0
+                           * {1 << KDE_RES}) AS BIGINT) AS jy1
+              FROM p),
+            g1 AS (
+              SELECT x, y, jy0, jy1,
+                     unnest(generate_series(jx0, jx1)) AS ix
+              FROM b),
+            g2 AS (
+              SELECT x, y, ix,
+                     unnest(generate_series(jy0, jy1)) AS iy
+              FROM g1
+              WHERE ix >= 0 AND ix < {1 << KDE_RES}),
+            c AS (
+              SELECT ix, iy,
+                (x - (-180.0 + (ix + 0.5) * {360.0 / (1 << KDE_RES)!r}))
+                  AS dx,
+                (y - (-90.0 + (iy + 0.5) * {180.0 / (1 << KDE_RES)!r}))
+                  AS dy
+              FROM g2
+              WHERE iy >= 0 AND iy < {1 << KDE_RES}),
+            q AS (
+              SELECT ix, iy,
+                CAST(floor(
+                  (1.0 - (dx*dx + dy*dy) / {KDE_RADIUS * KDE_RADIUS!r})
+                  * (1.0 - (dx*dx + dy*dy) / {KDE_RADIUS * KDE_RADIUS!r})
+                  * {3.0 / (3.141592653589793 * KDE_RADIUS * KDE_RADIUS)!r}
+                  * 1000000000.0 + 0.5) AS BIGINT) AS cq
+              FROM c
+              WHERE dx*dx + dy*dy < {KDE_RADIUS * KDE_RADIUS!r})
+            SELECT CAST({KDE_RES} AS BIGINT) * {1 << 58}
+                     + ix * {1 << 29} + iy AS cell,
+                   ix, iy,
+                   CAST(floor(sum(cq) / 1000000000.0 * 1000000.0 + 0.5)
+                        AS BIGINT) AS dens6
+            FROM q GROUP BY ix, iy
         """,
         "zonal_majority": f"""
             WITH z AS ({DT.ZONES_SQL.strip()}),

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..cells import IX_SHIFT, RES_SHIFT, cell_column
 
-__all__ = ["cell_stats", "getis_ord_gi", "moran_i"]
+__all__ = ["cell_stats", "getis_ord_gi", "moran_i", "kde_density"]
 
 _IX_MASK = (1 << (RES_SHIFT - IX_SHIFT)) - 1
 _IY_MASK = (1 << IX_SHIFT) - 1
@@ -114,6 +114,88 @@ def getis_ord_gi(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
     return j.select(
         "cell", "ix", "iy", "x", "nsum", wi.alias("wi"),
         ((F.col("nsum") - xbar * wi) / denom).alias("gi_z"))
+
+
+def kde_density(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
+                res: int = 11, radius: float, kernel: str = "quartic",
+                value_col: str | None = None,
+                quantize_decimals: int | None = None) -> DataFrame:
+    """Kernel density estimation onto the cell grid — the heatmap
+    raster (ArcGIS "Kernel Density" / QGIS heatmap semantics, quartic
+    kernel by default):
+
+        density(c) = sum over points with d = dist(point, center(c))
+                     < radius of  w_p * K(d) * 3 / (pi * radius^2)
+
+    with K quartic (1 - (d/r)^2)^2, gaussian exp(-d^2 / (2 (r/3)^2)),
+    or uniform 1. Distances are planar in coordinate units (degrees on
+    the driver tables; reproject for metric radii). w_p = 1 or
+    `value_col`.
+
+    Plan: each point explodes to the grid cells whose CENTER lies in
+    its radius box — sequence() bounds in pure arithmetic, fan-out
+    ((2r/cell_w)+2)((2r/cell_h)+2) per point, bounded by the caller's
+    res/radius choice — then ONE groupBy(cell) sums contributions.
+    Whole-stage codegen end to end; at 10^12 points this is a map +
+    bounded flat-map + one shuffle on the cell key.
+
+    quantize_decimals: when set, each contribution is rounded to that
+    many decimals (exact integer arithmetic) before summation, making
+    the result independent of partitioning / summation order —
+    bit-reproducible across runs and mirrorable in ANSI SQL. None
+    keeps raw double sums (last-ulp run-to-run variation possible, as
+    with any distributed float sum).
+
+    Returns one row per cell with >=1 in-radius point:
+    (cell, ix, iy, cx, cy, density).
+    """
+    import math
+
+    n = 1 << res
+    wx, wy = 360.0 / n, 180.0 / n
+    r = float(radius)
+    x, y = F.col(lon), F.col(lat)
+    jx0 = F.floor((x - r + 180.0) / 360.0 * n).cast("long")
+    jx1 = F.floor((x + r + 180.0) / 360.0 * n).cast("long")
+    jy0 = F.floor((y - r + 90.0) / 180.0 * n).cast("long")
+    jy1 = F.floor((y + r + 90.0) / 180.0 * n).cast("long")
+    w = F.lit(1.0) if value_col is None else F.col(value_col).cast("double")
+    base = points.select(x.alias("__x"), y.alias("__y"), w.alias("__w"),
+                         jx0.alias("__jx0"), jx1.alias("__jx1"),
+                         jy0.alias("__jy0"), jy1.alias("__jy1"))
+    # two explodes cannot nest in one expression: two withColumns
+    g = (base
+         .withColumn("ix", F.explode(F.sequence("__jx0", "__jx1")))
+         .withColumn("iy", F.explode(F.sequence("__jy0", "__jy1")))
+         .where((F.col("ix") >= 0) & (F.col("ix") < n)
+                & (F.col("iy") >= 0) & (F.col("iy") < n)))
+    cx = F.lit(-180.0) + (F.col("ix") + F.lit(0.5)) * F.lit(wx)
+    cy = F.lit(-90.0) + (F.col("iy") + F.lit(0.5)) * F.lit(wy)
+    dx, dy = F.col("__x") - cx, F.col("__y") - cy
+    d2 = dx * dx + dy * dy
+    r2 = F.lit(r * r)
+    if kernel == "quartic":
+        k = (F.lit(1.0) - d2 / r2) * (F.lit(1.0) - d2 / r2)
+    elif kernel == "gaussian":
+        sig2 = F.lit((r / 3.0) * (r / 3.0))
+        k = F.exp(-d2 / (F.lit(2.0) * sig2))
+    elif kernel == "uniform":
+        k = F.lit(1.0)
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
+    contrib = F.col("__w") * k * F.lit(3.0 / (math.pi * r * r))
+    g = g.where(d2 < r2)
+    if quantize_decimals is not None:
+        s = F.lit(float(10 ** quantize_decimals))
+        dens = (F.sum(F.floor(contrib * s + F.lit(0.5)).cast("long"))
+                .cast("double") / s)
+    else:
+        dens = F.sum(contrib)
+    cell = (F.lit(res).cast("long") * F.lit(1 << RES_SHIFT)
+            + F.col("ix") * F.lit(1 << IX_SHIFT) + F.col("iy"))
+    return (g.groupBy("ix", "iy").agg(dens.alias("density"))
+            .select(cell.alias("cell"), "ix", "iy",
+                    cx.alias("cx"), cy.alias("cy"), "density"))
 
 
 def moran_i(points: DataFrame, *, lon: str = "lon", lat: str = "lat",

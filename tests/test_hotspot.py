@@ -107,3 +107,76 @@ def test_moran_random_is_near_zero(spark):
                         "lat": prng.uniform(40, 45, 4000)})
     out = moran_i(spark.createDataFrame(pts), res=10).toPandas()
     assert abs(out["moran_i"].iloc[0]) < 0.1
+
+
+def test_kde_density_matches_bruteforce(spark):
+    """kde_density vs numpy: every (point, cell-center) pair within the
+    radius, quartic + gaussian kernels, weighted + unweighted."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from gis_tools_spark.operators.hotspot import kde_density
+
+    rng = np.random.default_rng(11)
+    npts, res, r = 300, 10, 0.3
+    n = 1 << res
+    wx, wy = 360.0 / n, 180.0 / n
+    pdf = pd.DataFrame({
+        "lon": rng.uniform(5, 7, npts), "lat": rng.uniform(40, 42, npts),
+        "wt": rng.uniform(0.5, 2.0, npts)})
+
+    for kernel in ("quartic", "gaussian", "uniform"):
+        for vc in (None, "wt"):
+            out = kde_density(spark.createDataFrame(pdf), res=res, radius=r,
+                              kernel=kernel, value_col=vc).toPandas()
+            # brute force
+            dens: dict[tuple[int, int], float] = {}
+            for _, p in pdf.iterrows():
+                jx0 = math.floor((p.lon - r + 180.0) / 360.0 * n)
+                jx1 = math.floor((p.lon + r + 180.0) / 360.0 * n)
+                jy0 = math.floor((p.lat - r + 90.0) / 180.0 * n)
+                jy1 = math.floor((p.lat + r + 90.0) / 180.0 * n)
+                for jx in range(jx0, jx1 + 1):
+                    for jy in range(jy0, jy1 + 1):
+                        cx = -180.0 + (jx + 0.5) * wx
+                        cy = -90.0 + (jy + 0.5) * wy
+                        d2 = (p.lon - cx) ** 2 + (p.lat - cy) ** 2
+                        if d2 >= r * r:
+                            continue
+                        if kernel == "quartic":
+                            k = (1 - d2 / (r * r)) ** 2
+                        elif kernel == "gaussian":
+                            k = math.exp(-d2 / (2 * (r / 3) ** 2))
+                        else:
+                            k = 1.0
+                        wgt = 1.0 if vc is None else p.wt
+                        dens[(jx, jy)] = dens.get((jx, jy), 0.0) \
+                            + wgt * k * 3.0 / (math.pi * r * r)
+            got = {(int(rw["ix"]), int(rw["iy"])): rw["density"]
+                   for _, rw in out.iterrows()}
+            assert set(got) == set(dens), kernel
+            for key in dens:
+                assert got[key] == pytest.approx(dens[key], rel=1e-9), kernel
+
+
+def test_kde_quantized_partition_invariant(spark):
+    """quantize_decimals makes the sum exact-integer: identical results
+    at different partitionings."""
+    import numpy as np
+    import pandas as pd
+
+    from gis_tools_spark.operators.hotspot import kde_density
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({"lon": rng.uniform(5, 6, 500),
+                        "lat": rng.uniform(40, 41, 500)})
+    a = kde_density(spark.createDataFrame(pdf).repartition(1), res=11,
+                    radius=0.1, quantize_decimals=9).toPandas()
+    b = kde_density(spark.createDataFrame(pdf).repartition(16), res=11,
+                    radius=0.1, quantize_decimals=9).toPandas()
+    a = a.sort_values(["ix", "iy"]).reset_index(drop=True)
+    b = b.sort_values(["ix", "iy"]).reset_index(drop=True)
+    assert (a["density"] == b["density"]).all()
+    assert len(a) > 50
