@@ -3050,6 +3050,49 @@ def q_moran_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("moran_i") * 1000000000.0 + F.lit(0.5)).cast("long").alias("moran_i9"))
 
 
+def q_lisa_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (Anselin LISA) per occupied res-12 cell with the
+    Moran-scatterplot quadrant (HH/LL/HL/LH) — same grid/moments
+    machinery as hotspot_gi; the oracle mirrors the expression tree so
+    local_i hashes bit-stable at 1e-6."""
+    _tune(spark)
+    from gis_tools_spark.operators.hotspot import local_moran
+
+    out = local_moran(DT.events_points(spark, sf_dir), res=HOTSPOT_RES)
+    return out.select(
+        "cell", "ix", "iy",
+        F.col("x").cast("long").alias("x"),
+        F.col("nsum").cast("long").alias("nsum"),
+        F.col("wi").cast("long").alias("wi"),
+        F.floor(F.col("local_i") * 1000000.0 + F.lit(0.5)).cast("long")
+        .alias("lisa6"),
+        "quadrant")
+
+
+MK_BINS = 12            # lcm(1..11) = 27720 scales Sen slopes to integers
+
+
+def q_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend + Sen's slope per res-12 cell over 12 equal
+    time slices (operators/hotspot.mann_kendall_trend — the temporal
+    half of ArcGIS Emerging Hot Spot Analysis). S / var18 /
+    LCM-scaled Sen median are exact integers on both engines; mk_z is
+    a mirrored expression tree quantized at 1e-6."""
+    _tune(spark)
+    from gis_tools_spark.operators.hotspot import mann_kendall_trend
+
+    out = mann_kendall_trend(_user_points(spark, sf_dir), res=HOTSPOT_RES,
+                             n_bins=MK_BINS)
+    return out.select(
+        "cell", "ix", "iy",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("s").cast("long").alias("s"),
+        F.col("var18").cast("long").alias("var18"),
+        F.floor(F.col("mk_z") * 1000000.0 + F.lit(0.5)).cast("long")
+        .alias("mkz6"),
+        "sen_scaled2", "trend")
+
+
 # ------------------------------------------------- image-training batch prep
 
 # SDXL-style aspect-ratio bucket list, shared verbatim by the Spark op
@@ -3615,6 +3658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "interval_join": q_interval_join,
         "hotspot_gi": q_hotspot_gi,
+        "lisa_quadrants": q_lisa_quadrants,
+        "mk_trend": q_mk_trend,
         "moran_grid": q_moran_grid,
         "user_tracks": q_user_tracks,
         "od_flows": q_od_flows,
@@ -5731,6 +5776,102 @@ def oracle_sql() -> dict[str, str]:
                                  * sqrt((n * wi - wi * wi) / (n - 1.0)))
                               * 1000000.0 + 0.5) AS BIGINT) AS gi_z6
             FROM j
+        """,
+        "lisa_quadrants": _hotspot_cells_sql() + """,
+            ns AS (
+              SELECT a.ix AS ix, a.iy AS iy, sum(b.x) AS nsum
+              FROM cc a JOIN cc b
+                ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+               AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+               AND NOT (b.ix = a.ix AND b.iy = a.iy)
+              GROUP BY a.ix, a.iy),
+            j AS (
+              SELECT cc.cell, cc.ix, cc.iy, cc.x,
+                     coalesce(ns.nsum, 0.0) AS nsum,
+                     CAST((least(cc.ix + 1, g.ix1)
+                           - greatest(cc.ix - 1, g.ix0) + 1)
+                        * (least(cc.iy + 1, g.iy1)
+                           - greatest(cc.iy - 1, g.iy0) + 1)
+                          AS DOUBLE) - 1.0 AS wi,
+                     g.n AS n, g.sx AS sx, g.sxx AS sxx
+              FROM cc LEFT JOIN ns ON ns.ix = cc.ix AND ns.iy = cc.iy
+              CROSS JOIN g)
+            SELECT cell, ix, iy,
+                   CAST(x AS BIGINT) AS x,
+                   CAST(nsum AS BIGINT) AS nsum,
+                   CAST(wi AS BIGINT) AS wi,
+                   CAST(floor((x - sx / n) * (nsum - wi * (sx / n))
+                              / (sxx / n - (sx / n) * (sx / n))
+                              * 1000000.0 + 0.5) AS BIGINT) AS lisa6,
+                   CASE
+                     WHEN (x - sx / n) > 0 AND (nsum - wi * (sx / n)) > 0
+                       THEN 'HH'
+                     WHEN (x - sx / n) < 0 AND (nsum - wi * (sx / n)) < 0
+                       THEN 'LL'
+                     WHEN (x - sx / n) > 0 AND (nsum - wi * (sx / n)) < 0
+                       THEN 'HL'
+                     WHEN (x - sx / n) < 0 AND (nsum - wi * (sx / n)) > 0
+                       THEN 'LH'
+                     ELSE 'ZZ' END AS quadrant
+            FROM j
+        """,
+        "mk_trend": f"""
+            WITH p AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                     {C.cell_sql('5.0 + (event_id * 37 % 100000) / 20000.0',
+                                 '40.0 + (event_id * 7919 % 100000) / 20000.0',
+                                 HOTSPOT_RES)} AS cell
+              FROM events),
+            m AS (SELECT min(ep) AS mn, max(ep) AS mx FROM p),
+            c AS (SELECT cell, (ep - mn) * {MK_BINS} // (mx - mn + 1) AS bin
+                  FROM p CROSS JOIN m),
+            cnt AS (SELECT cell, bin, count(*) AS x FROM c GROUP BY 1, 2),
+            cl AS (SELECT cell, sum(x) AS n_events FROM cnt GROUP BY 1),
+            dense AS (
+              SELECT cl.cell, gs.b AS bin, coalesce(cnt.x, 0) AS x
+              FROM cl CROSS JOIN
+                (SELECT unnest(generate_series(0, {MK_BINS - 1})) AS b) gs
+              LEFT JOIN cnt ON cnt.cell = cl.cell AND cnt.bin = gs.b),
+            pr AS (
+              SELECT a.cell,
+                sum(CASE WHEN b.x > a.x THEN 1
+                         WHEN b.x < a.x THEN -1 ELSE 0 END) AS s,
+                median(CAST((b.x - a.x) * 27720 // (b.bin - a.bin)
+                            AS DOUBLE)) AS sen_scaled
+              FROM dense a JOIN dense b
+                ON b.cell = a.cell AND b.bin > a.bin
+              GROUP BY 1),
+            tie AS (
+              SELECT cell, sum(t * (t - 1) * (2 * t + 5)) AS tie_sum
+              FROM (SELECT cell, x, count(*) AS t FROM dense GROUP BY 1, 2)
+              GROUP BY 1),
+            fin AS (
+              SELECT pr.cell AS cell, cl.n_events AS n_events, pr.s AS s,
+                     {MK_BINS * (MK_BINS - 1) * (2 * MK_BINS + 5)}
+                       - tie.tie_sum AS var18,
+                     pr.sen_scaled AS sen_scaled
+              FROM pr JOIN cl ON cl.cell = pr.cell
+              JOIN tie ON tie.cell = pr.cell),
+            fz AS (
+              SELECT cell, n_events, s, var18, sen_scaled,
+                CASE WHEN var18 = 0 THEN 0.0
+                     WHEN s > 0 THEN (s - 1) / sqrt(var18 / 18.0)
+                     WHEN s < 0 THEN (s + 1) / sqrt(var18 / 18.0)
+                     ELSE 0.0 END AS z
+              FROM fin)
+            SELECT cell,
+                   (cell >> 29) & {_IXY_MASK} AS ix,
+                   cell & {_IXY_MASK} AS iy,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(s AS BIGINT) AS s,
+                   CAST(var18 AS BIGINT) AS var18,
+                   CAST(floor(z * 1000000.0 + 0.5) AS BIGINT) AS mkz6,
+                   CAST(floor(2.0 * sen_scaled + 0.5) AS BIGINT)
+                     AS sen_scaled2,
+                   CASE WHEN z > 1.959964 THEN 'increasing'
+                        WHEN z < -1.959964 THEN 'decreasing'
+                        ELSE 'no_trend' END AS trend
+            FROM fz
         """,
         "moran_grid": _hotspot_cells_sql() + f""",
             ns AS (

@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 from ..cells import IX_SHIFT, RES_SHIFT, cell_column
 
-__all__ = ["cell_stats", "getis_ord_gi", "moran_i", "kde_density"]
+__all__ = ["cell_stats", "getis_ord_gi", "moran_i", "local_moran",
+           "kde_density", "mann_kendall_trend"]
 
 _IX_MASK = (1 << (RES_SHIFT - IX_SHIFT)) - 1
 _IY_MASK = (1 << IX_SHIFT) - 1
@@ -116,6 +117,55 @@ def getis_ord_gi(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
         ((F.col("nsum") - xbar * wi) / denom).alias("gi_z"))
 
 
+def local_moran(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
+                res: int = 11, value_col: str | None = None) -> DataFrame:
+    """Local Moran's I (Anselin 1995 LISA — the per-cell statistic
+    behind GeoDa / ArcGIS "Cluster and Outlier Analysis") over the bbox
+    grid with queen weights, empties included as x = 0:
+
+        I_i = (z_i / m2) * sum_{j != i} w_ij z_j
+
+    with z_i = x_i - xbar, m2 the population variance over ALL n bbox
+    cells, and the spatial lag expanded so every term is a sum over
+    OCCUPIED cells plus closed-form bbox totals:
+
+        lag_i = nsum_i - W'_i * xbar      (nsum = occupied neighbor sum,
+                                           W'_i = clipped queen degree)
+
+    `quadrant` classifies the Moran-scatterplot quadrant from the signs
+    of z_i and lag_i: HH (high surrounded by high), LL, HL (high
+    outlier in low field), LH; ZZ when either is exactly zero.
+    Significance is permutation-based in the source tools and is out of
+    scope here — rank/threshold I_i downstream instead.
+
+    Same plan shape as :func:`getis_ord_gi` (one cell groupBy, one
+    9-offset explode + re-aggregate, broadcast 1-row moments): one data
+    shuffle total, everything after is O(occupied cells). Returns one
+    row per OCCUPIED cell:
+    (cell, ix, iy, x, nsum, wi, local_i, quadrant).
+    """
+    cells = cell_stats(points, lon=lon, lat=lat, res=res, value_col=value_col)
+    nsums = _neighbor_sums(cells, include_self=False)
+    g = _global_moments(cells)
+    j = (cells.join(nsums, on=["ix", "iy"], how="left")
+         .withColumn("nsum", F.coalesce("nsum", F.lit(0.0)))
+         .crossJoin(F.broadcast(g)))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    xbar = sx / n
+    m2 = sxx / n - xbar * xbar
+    wi = _wi(include_self=False)
+    z = F.col("x") - xbar
+    lag = F.col("nsum") - wi * xbar
+    quad = (F.when((z > 0) & (lag > 0), F.lit("HH"))
+            .when((z < 0) & (lag < 0), F.lit("LL"))
+            .when((z > 0) & (lag < 0), F.lit("HL"))
+            .when((z < 0) & (lag > 0), F.lit("LH"))
+            .otherwise(F.lit("ZZ")))
+    return j.select(
+        "cell", "ix", "iy", "x", "nsum", wi.alias("wi"),
+        (z * lag / m2).alias("local_i"), quad.alias("quadrant"))
+
+
 def kde_density(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
                 res: int = 11, radius: float, kernel: str = "quartic",
                 value_col: str | None = None,
@@ -196,6 +246,93 @@ def kde_density(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
     return (g.groupBy("ix", "iy").agg(dens.alias("density"))
             .select(cell.alias("cell"), "ix", "iy",
                     cx.alias("cx"), cy.alias("cy"), "density"))
+
+
+def mann_kendall_trend(points: DataFrame, *, ts_col: str = "ts",
+                       lon: str = "lon", lat: str = "lat",
+                       res: int = 11, n_bins: int = 12,
+                       z_crit: float = 1.959964) -> DataFrame:
+    """Space-time trend per cell — the Mann-Kendall test + Sen's slope
+    that powers ArcGIS "Emerging Hot Spot Analysis" (reference scope:
+    the per-cell temporal statistics; the Gi*-per-slice overlay can be
+    composed with :func:`getis_ord_gi` per bin).
+
+    Events are bucketed into `n_bins` equal time slices of the table's
+    [min ts, max ts] span with pure integer arithmetic
+    (``(ep - mn) * n_bins div (mx - mn + 1)``), counted per (cell, bin)
+    and densified so every occupied cell carries all `n_bins` values
+    (empty slices = 0). Then per cell:
+
+        S     = sum over bin pairs t1 < t2 of sign(x_t2 - x_t1)
+        VarS  = (T(T-1)(2T+5) - sum_ties t(t-1)(2t+5)) / 18
+        z     = (S-1)/sqrt(VarS) if S>0, (S+1)/sqrt(VarS) if S<0, else 0
+        sen   = median of pairwise slopes (x_t2-x_t1)/(t2-t1)
+
+    Everything except the final float z / sen is exact integer
+    arithmetic. ``var18`` is 18*VarS (exact). `sen` is additionally
+    returned LCM-scaled (``sen_scaled = sen * lcm(1..n_bins-1)``) —
+    every pairwise slope times the LCM is an exact integer, so the
+    median is exact to the half-integer and 2*sen_scaled is a
+    partitioning-independent integer: gate on that, not the float.
+
+    Plan: one groupBy on (cell, bin) collapses the point volume to
+    O(cells * n_bins); the densify, T^2/2 pair self-join (fan-out
+    n_bins^2 per cell, cell-partitioned), tie groupBy and median are
+    all over that tiny table. One data-sized shuffle total.
+
+    Returns one row per occupied cell: (cell, ix, iy, n_events, s,
+    var18, mk_z, sen_scaled2, trend) with trend in
+    {increasing, decreasing, no_trend} at the two-sided `z_crit`.
+    """
+    import math
+
+    T = int(n_bins)
+    lcm = math.lcm(*range(1, T)) if T > 1 else 1
+    ep = F.unix_timestamp(F.col(ts_col)).alias("ep")
+    cell = cell_column(F.col(lon), F.col(lat), res)
+    base = points.select(cell.alias("cell"), ep)
+    m = base.agg(F.min("ep").alias("mn"), F.max("ep").alias("mx"))
+    binned = (base.crossJoin(F.broadcast(m))
+              .withColumn("bin", F.expr(f"(ep - mn) * {T} div (mx - mn + 1)")))
+    cnt = binned.groupBy("cell", "bin").agg(F.count("*").alias("x"))
+    cells = cnt.groupBy("cell").agg(F.sum("x").alias("n_events"))
+    dense = (cells.select("cell", F.explode(F.sequence(
+                 F.lit(0).cast("long"), F.lit(T - 1).cast("long"))).alias("bin"))
+             .join(cnt, on=["cell", "bin"], how="left")
+             .withColumn("x", F.coalesce("x", F.lit(0).cast("long"))))
+    a = dense.select("cell", F.col("bin").alias("b1"), F.col("x").alias("x1"))
+    b = dense.select("cell", F.col("bin").alias("b2"), F.col("x").alias("x2"))
+    pairs = a.join(b, on="cell").where(F.col("b2") > F.col("b1"))
+    sgn = (F.when(F.col("x2") > F.col("x1"), 1)
+           .when(F.col("x2") < F.col("x1"), -1).otherwise(0))
+    slope_scaled = ((F.col("x2") - F.col("x1")) * F.lit(lcm)
+                    / (F.col("b2") - F.col("b1"))).cast("long")
+    pr = pairs.groupBy("cell").agg(
+        F.sum(sgn).alias("s"),
+        F.median(slope_scaled.cast("double")).alias("sen_scaled"))
+    t = (dense.groupBy("cell", "x").agg(F.count("*").alias("t"))
+         .groupBy("cell").agg(
+             F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+             .alias("tie_sum")))
+    var18 = (F.lit(T * (T - 1) * (2 * T + 5)) - F.col("tie_sum")).alias("var18")
+    j = (cells.join(pr, on="cell").join(t, on="cell")
+         .select("cell", "n_events", "s", var18, "sen_scaled"))
+    sd = F.sqrt(F.col("var18") / F.lit(18.0))
+    z = (F.when(F.col("var18") == 0, F.lit(0.0))
+         .when(F.col("s") > 0, (F.col("s") - 1) / sd)
+         .when(F.col("s") < 0, (F.col("s") + 1) / sd)
+         .otherwise(F.lit(0.0)))
+    trend = (F.when(z > z_crit, F.lit("increasing"))
+             .when(z < -z_crit, F.lit("decreasing"))
+             .otherwise(F.lit("no_trend")))
+    return j.select(
+        "cell",
+        F.shiftright("cell", IX_SHIFT).bitwiseAND(F.lit(_IX_MASK)).alias("ix"),
+        F.col("cell").bitwiseAND(F.lit(_IY_MASK)).alias("iy"),
+        "n_events", "s", "var18", z.alias("mk_z"),
+        F.floor(F.lit(2.0) * F.col("sen_scaled") + F.lit(0.5)).cast("long")
+        .alias("sen_scaled2"),
+        trend.alias("trend"))
 
 
 def moran_i(points: DataFrame, *, lon: str = "lon", lat: str = "lat",

@@ -109,6 +109,113 @@ def test_moran_random_is_near_zero(spark):
     assert abs(out["moran_i"].iloc[0]) < 0.1
 
 
+def test_local_moran_matches_dense_grid(spark):
+    """local_moran vs a literal dense-grid numpy computation: build the
+    full bbox grid (empties at 0), compute z, lag, m2, I_i and quadrant
+    per occupied cell, compare exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from gis_tools_spark.operators.hotspot import local_moran
+
+    rng = np.random.default_rng(7)
+    npts, res = 3000, 10
+    n_grid = 1 << res
+    pdf = pd.DataFrame({"lon": rng.uniform(5, 6.5, npts),
+                        "lat": rng.uniform(40, 41.5, npts)})
+    out = local_moran(spark.createDataFrame(pdf), res=res).toPandas()
+
+    ix = np.floor((pdf.lon + 180.0) / 360.0 * n_grid).astype(int)
+    iy = np.floor((pdf.lat + 90.0) / 180.0 * n_grid).astype(int)
+    ix0, ix1, iy0, iy1 = ix.min(), ix.max(), iy.min(), iy.max()
+    R, C = ix1 - ix0 + 1, iy1 - iy0 + 1
+    grid = np.zeros((R, C))
+    np.add.at(grid, (ix - ix0, iy - iy0), 1.0)
+    n = float(R * C)
+    xbar = grid.sum() / n
+    m2 = (grid * grid).sum() / n - xbar * xbar
+    zg = grid - xbar
+    lag = np.zeros_like(zg)
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if (dx, dy) == (0, 0):
+                continue
+            src = zg[max(0, -dx):R - max(0, dx), max(0, -dy):C - max(0, dy)]
+            lag[max(0, dx):R - max(0, -dx),
+                max(0, dy):C - max(0, -dy)] += src
+    assert len(out) == (grid > 0).sum()
+    for _, rw in out.iterrows():
+        gi, gj = int(rw.ix) - ix0, int(rw.iy) - iy0
+        want = zg[gi, gj] * lag[gi, gj] / m2
+        assert rw.local_i == pytest.approx(want, rel=1e-9, abs=1e-12)
+        zq, lq = zg[gi, gj], lag[gi, gj]
+        want_q = ("HH" if zq > 0 and lq > 0 else
+                  "LL" if zq < 0 and lq < 0 else
+                  "HL" if zq > 0 and lq < 0 else
+                  "LH" if zq < 0 and lq > 0 else "ZZ")
+        assert rw.quadrant == want_q
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    """mann_kendall_trend vs a literal per-cell python Mann-Kendall:
+    same integer binning, S, tie-corrected variance, z, Sen median."""
+    import math
+    import statistics
+
+    import numpy as np
+    import pandas as pd
+
+    from gis_tools_spark.operators.hotspot import mann_kendall_trend
+
+    rng = np.random.default_rng(5)
+    npts, res, T = 4000, 8, 10
+    n_grid = 1 << res
+    # drifting intensity so some cells genuinely trend
+    tfrac = rng.uniform(0, 1, npts) ** 2
+    pdf = pd.DataFrame({
+        "lon": rng.uniform(5, 6, npts), "lat": rng.uniform(40, 41, npts),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta((tfrac * 86400 * 30).astype(int), unit="s")})
+    out = mann_kendall_trend(spark.createDataFrame(pdf), res=res,
+                             n_bins=T).toPandas()
+
+    ep = (pdf.ts.astype("int64") // 10**9).to_numpy()
+    mn, mx = ep.min(), ep.max()
+    bins = (ep - mn) * T // (mx - mn + 1)
+    ix = np.floor((pdf.lon + 180.0) / 360.0 * n_grid).astype(int)
+    iy = np.floor((pdf.lat + 90.0) / 180.0 * n_grid).astype(int)
+    lcm = math.lcm(*range(1, T))
+    got = {(int(r.ix), int(r.iy)): r for _, r in out.iterrows()}
+    keys = set(zip(ix, iy))
+    assert set(got) == keys
+    for kx, ky in keys:
+        sel = (ix == kx) & (iy == ky)
+        xs = np.zeros(T, dtype=int)
+        np.add.at(xs, bins[sel], 1)
+        s = sum(np.sign(xs[j] - xs[i])
+                for i in range(T) for j in range(i + 1, T))
+        slopes = [(xs[j] - xs[i]) * lcm // (j - i)
+                  for i in range(T) for j in range(i + 1, T)]
+        ties = pd.Series(xs).value_counts()
+        tie_sum = sum(t * (t - 1) * (2 * t + 5) for t in ties)
+        var18 = T * (T - 1) * (2 * T + 5) - tie_sum
+        if var18 == 0 or s == 0:
+            z = 0.0
+        else:
+            z = (s - 1 if s > 0 else s + 1) / math.sqrt(var18 / 18.0)
+        r = got[(kx, ky)]
+        assert int(r.s) == s and int(r.var18) == var18
+        assert r.mk_z == pytest.approx(z, rel=1e-9, abs=1e-12)
+        assert int(r.sen_scaled2) == math.floor(
+            2.0 * statistics.median(slopes) + 0.5)
+        assert int(r.n_events) == int(sel.sum())
+        want_t = ("increasing" if z > 1.959964 else
+                  "decreasing" if z < -1.959964 else "no_trend")
+        assert r.trend == want_t
+    # tfrac**2 front-loads events, so real trends are decreasing
+    assert (out.trend == "decreasing").sum() > 0
+
+
 def test_kde_density_matches_bruteforce(spark):
     """kde_density vs numpy: every (point, cell-center) pair within the
     radius, quartic + gaussian kernels, weighted + unweighted."""
