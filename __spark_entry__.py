@@ -129,6 +129,37 @@ def q_shared_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("gid", "rid", F.round(F.col("inter_area"), 9).alias("area_r"))
 
 
+def q_areal_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (operators/overlay.areal_interpolate —
+    pysal/tobler area_interpolate semantics): transfer a per-zone
+    extensive value (pop) and an intensive rate onto the region query
+    rects through the REAL clip kernel; the oracle recomputes with
+    closed-form rect∩rect areas. Zones fully inside a rect take weight
+    exactly 1.0 on both engines (identical vertex lists → identical
+    shoelace), partial overlaps are generic fractions — quantized 1e-6
+    the hash is stable."""
+    _tune(spark)
+    from gis_tools_spark.operators.overlay import areal_interpolate
+
+    zones = DT.nation_zones(spark, sf_dir).withColumn(
+        "pop", ((F.col("gid") * 37 % 19) + 1).cast("double"))
+    re = spark.read.parquet(f"{sf_dir}/region.parquet")
+    from gis_tools_spark.geom import wkb as W
+    rows = [(int(r["r_regionkey"]),
+             bytearray(W.box(5.0 + r["r_regionkey"] * 0.9, 40.3,
+                             5.0 + r["r_regionkey"] * 0.9 + 1.1, 43.4)))
+            for r in re.collect()]
+    rects = spark.createDataFrame(rows, "rid int, geometry_wkb binary")
+    ext = areal_interpolate(zones, rects, ["pop"], src_id="gid", dst_id="rid")
+    inten = (areal_interpolate(zones, rects, ["pop"], extensive=False,
+                               src_id="gid", dst_id="rid")
+             .withColumnRenamed("pop", "rate"))
+    q6 = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    return (ext.join(inten, on="rid")
+            .select("rid", q6(F.col("pop")).alias("pop6"),
+                    q6(F.col("rate")).alias("rate6")))
+
+
 def q_dissolve_region_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dissolve zones by region key; union area (zones disjoint → exact;
     gistools dissolve layer.py:501-516)."""
@@ -3566,6 +3597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fishnet_tiles": q_fishnet_tiles,
         "zonal_event_stats": q_zonal_event_stats,
         "shared_area": q_shared_area,
+        "areal_transfer": q_areal_transfer,
         "dissolve_region_area": q_dissolve_region_area,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
@@ -5236,6 +5268,32 @@ def oracle_sql() -> dict[str, str]:
               FROM ({DT.ZONES_SQL.strip()}) z CROSS JOIN r
             )
             SELECT gid, rid, round(a, 9) AS area_r FROM x WHERE a > 1e-12
+        """,
+        "areal_transfer": f"""
+            WITH z AS (
+              SELECT gid, zminx, zminy, zmaxx, zmaxy,
+                     CAST((gid * 37 % 19) + 1 AS DOUBLE) AS pop
+              FROM ({DT.ZONES_SQL.strip()})
+            ), r AS (
+              SELECT r_regionkey AS rid,
+                     5.0 + r_regionkey * 0.9 AS rminx, 40.3 AS rminy,
+                     5.0 + r_regionkey * 0.9 + 1.1 AS rmaxx, 43.4 AS rmaxy
+              FROM region
+            ), i AS (
+              SELECT z.gid, r.rid, z.pop,
+                (least(z.zmaxx, r.rmaxx) - greatest(z.zminx, r.rminx))
+                * (least(z.zmaxy, r.rmaxy) - greatest(z.zminy, r.rminy)) AS ia,
+                (z.zmaxx - z.zminx) * (z.zmaxy - z.zminy) AS sa
+              FROM z CROSS JOIN r
+              WHERE least(z.zmaxx, r.rmaxx) > greatest(z.zminx, r.rminx)
+                AND least(z.zmaxy, r.rmaxy) > greatest(z.zminy, r.rminy)
+            )
+            SELECT rid,
+              CAST(floor(sum(pop * (ia / sa)) * 1000000.0 + 0.5) AS BIGINT)
+                AS pop6,
+              CAST(floor(sum(pop * ia) / sum(ia) * 1000000.0 + 0.5) AS BIGINT)
+                AS rate6
+            FROM i GROUP BY rid
         """,
         "dissolve_region_area": f"""
             SELECT z.regionkey,

@@ -196,6 +196,52 @@ def attr_area(left: DataFrame, right: DataFrame, *, pivot_attr: str,
     return (inter.groupBy(left_id).pivot(pivot_attr).sum("inter_area"))
 
 
+def areal_interpolate(src: DataFrame, dst: DataFrame,
+                      value_cols: list[str], *,
+                      extensive: bool = True,
+                      src_id: str = "sid", dst_id: str = "gid",
+                      src_wkb: str = "geometry_wkb",
+                      dst_wkb: str = "geometry_wkb", **kw) -> DataFrame:
+    """Area-weighted areal interpolation (Goodchild & Lam 1980 — the
+    pysal/tobler ``area_interpolate`` semantics): transfer attribute
+    values from one polygon layer onto another through intersection
+    areas.
+
+    extensive=True (counts, totals — mass-preserving):
+        dst_v = sum_src  v_src * A(src ∩ dst) / A(src)
+    extensive=False (rates, densities — area-weighted mean):
+        dst_v = sum_src v_src * A(src ∩ dst) / sum_src A(src ∩ dst)
+
+    Plan: one :func:`intersection_join` (bounded cell-cover candidates
+    → exact clip; the only Python is the Arrow clip kernel over the two
+    WKB columns) plus one groupBy(dst_id) — the same shuffle profile as
+    `shared_area`, so it scales exactly as the gated overlay path does.
+    Source areas are computed once per src row, not per pair.
+
+    Returns one row per dst polygon that intersects ≥1 src polygon:
+    (dst_id, <value_cols...>).
+    """
+    if extensive:
+        @F.pandas_udf(T.DoubleType())
+        def _area(s: pd.Series) -> pd.Series:
+            return pd.Series([K.area(wkb.decode(b)) if b is not None else 0.0
+                              for b in s])
+
+        src = src.withColumn("__sarea", _area(F.col(src_wkb)))
+    inter = intersection_join(src, dst, left_wkb=src_wkb, right_wkb=dst_wkb,
+                              left_id=src_id, right_id=dst_id,
+                              keep_geometry=False, **kw)
+    if dst_id not in inter.columns:          # renamed on collision
+        dst_id = f"{dst_id}_right"
+    if extensive:
+        w = F.col("inter_area") / F.col("__sarea")
+        aggs = [F.sum(F.col(c) * w).alias(c) for c in value_cols]
+        return inter.groupBy(dst_id).agg(*aggs)
+    aggs = [(F.sum(F.col(c) * F.col("inter_area"))
+             / F.sum("inter_area")).alias(c) for c in value_cols]
+    return inter.groupBy(dst_id).agg(*aggs)
+
+
 def mask(left: DataFrame, mask_layer: DataFrame, *,
          left_wkb: str = "geometry_wkb", mask_wkb: str = "geometry_wkb",
          left_id: str = "lid", mask_id: str = "gid",

@@ -111,3 +111,47 @@ def test_image_tile_assignment_matches_cover(spark):
         want = set(C.bbox_to_cells(r["minx"], r["miny"], r["maxx"], r["maxy"], 16).tolist())
         have = set(got[got.image_id == r["image_id"]]["cell"])
         assert have == want
+
+
+def test_areal_interpolate_exact_rects(spark):
+    from gis_tools_spark.operators.overlay import areal_interpolate
+
+    src = pd.DataFrame({
+        "sid": [1, 2],
+        "geometry_wkb": [wkb.box(0, 0, 2, 2), wkb.box(2, 0, 4, 2)],
+        "v": [10.0, 20.0]})
+    dst = pd.DataFrame({
+        "did": [1, 2],
+        "geometry_wkb": [wkb.box(1, 0, 3, 2), wkb.box(0, 0, 1, 1)]})
+    ext = areal_interpolate(spark.createDataFrame(src),
+                            spark.createDataFrame(dst), ["v"],
+                            src_id="sid", dst_id="did").toPandas()
+    ext = ext.set_index("did")["v"]
+    # D1 takes half of each src (2/4 area each): 5 + 10
+    assert ext[1] == pytest.approx(15.0, abs=1e-9)
+    # D2 takes a quarter of src 1
+    assert ext[2] == pytest.approx(2.5, abs=1e-9)
+    inten = areal_interpolate(spark.createDataFrame(src),
+                              spark.createDataFrame(dst), ["v"],
+                              extensive=False,
+                              src_id="sid", dst_id="did").toPandas()
+    inten = inten.set_index("did")["v"]
+    # area-weighted mean: (10*2 + 20*2)/4 and 10*1/1
+    assert inten[1] == pytest.approx(15.0, abs=1e-9)
+    assert inten[2] == pytest.approx(10.0, abs=1e-9)
+
+
+def test_areal_interpolate_mass_preserving(spark, zones_pd):
+    """A dst layer covering every src polygon receives exactly the src
+    totals (weights all 1) — incl. the MultiPolygon and holed zones."""
+    from gis_tools_spark.operators.overlay import areal_interpolate
+
+    src = zones_pd[["gid", "geometry_wkb"]].copy()
+    src["pop"] = src["gid"] * 3.0 + 1.25
+    big = pd.DataFrame({"did": [1],
+                        "geometry_wkb": [wkb.box(0.0, 30.0, 20.0, 50.0)]})
+    out = areal_interpolate(spark.createDataFrame(src),
+                            spark.createDataFrame(big), ["pop"],
+                            src_id="gid", dst_id="did").toPandas()
+    assert len(out) == 1
+    assert out["pop"].iloc[0] == pytest.approx(src["pop"].sum(), rel=1e-9)
