@@ -2634,6 +2634,58 @@ def q_raster_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(_pixels, schema="gix long, giy long, aspect_v double")
 
 
+def q_raster_flowdir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction through the same cross-tile halo exchange as
+    slope (raster/stitch.d8_flow_direction). All drops are integers or
+    integer/sqrt(2) — identical doubles on both engines — so steepest-
+    descent argmax with smallest-code tie-break matches the SQL
+    row_number mirror exactly, border pixels included."""
+    _tune(spark)
+    import pandas as pd
+    from typing import Iterator
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.stitch import d8_flow_direction
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+    out = d8_flow_direction(ras)
+
+    def _pixels(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+                _, tx, ty = r.image_id.split("_")
+                rows_, cols_ = np.nonzero(arr != codec.NO_DATA_F32)
+                recs.append(pd.DataFrame(
+                    {"gix": int(tx) * int(r.w) + cols_,
+                     "giy": int(ty) * int(r.h) + rows_,
+                     "d8": arr[rows_, cols_].astype(np.int64)}))
+            if recs:
+                yield pd.concat(recs, ignore_index=True)
+
+    return out.mapInPandas(_pixels, schema="gix long, giy long, d8 long")
+
+
+def q_raster_flowacc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow accumulation (raster/hydrology.flow_accumulation) over the
+    D8 mosaic: decode→edge-list→basin components→in-task topological
+    count, vs an INDEPENDENT recursive-CTE oracle that walks every
+    pixel's flow path and counts visits — result-level, not a mirrored
+    procedure."""
+    _tune(spark)
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster.hydrology import flow_accumulation
+    from gis_tools_spark.raster.stitch import d8_flow_direction
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+    return flow_accumulation(d8_flow_direction(ras)).select(
+        "gix", "giy", "acc")
+
+
 def q_raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hillshade variant of q_raster_slope (gate 79): Lambertian shaded
     relief 255·max(0, sin(alt)·cos(s) + cos(alt)·sin(s)·cos(az−aspect))
@@ -3617,6 +3669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_resample": q_raster_resample,
         "raster_slope": q_raster_slope,
         "raster_aspect": q_raster_aspect,
+        "raster_flowdir": q_raster_flowdir,
+        "raster_flowacc": q_raster_flowacc,
         "raster_hillshade": q_raster_hillshade,
         "raster_focal_mean": q_raster_focal_mean,
         "raster_polygonize": q_raster_polygonize,
@@ -6456,6 +6510,76 @@ SELECT CAST(v AS BIGINT) AS value, count(*) AS n_regions,
        CAST(sum(px*px) AS BIGINT) AS px_sq,
        CAST(max(px) AS BIGINT) AS max_px
 FROM regions GROUP BY v
+""",
+        "raster_flowdir": """
+WITH px AS (
+  SELECT gix, giy,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+         ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+  FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b
+), cand AS (
+  SELECT c.gix, c.giy, o.code,
+         (c.val - p2.val)
+           / (CASE WHEN o.dx != 0 AND o.dy != 0
+                   THEN sqrt(2.0) ELSE 1.0 END) AS dz
+  FROM px c
+  CROSS JOIN (SELECT * FROM (VALUES (1,0,1),(1,1,2),(0,1,4),(-1,1,8),
+                                    (-1,0,16),(-1,-1,32),(0,-1,64),
+                                    (1,-1,128)) t(dx, dy, code)) o
+  JOIN px p2 ON p2.gix = least(greatest(c.gix + o.dx, 0), 127)
+            AND p2.giy = least(greatest(c.giy + o.dy, 0), 127)
+  WHERE c.val IS NOT NULL AND p2.val IS NOT NULL
+), best AS (
+  SELECT gix, giy, code,
+         row_number() OVER (PARTITION BY gix, giy
+                            ORDER BY dz DESC, code ASC) AS rn
+  FROM cand WHERE dz > 0
+)
+SELECT CAST(px.gix AS BIGINT) AS gix, CAST(px.giy AS BIGINT) AS giy,
+       CAST(coalesce(b.code, 0) AS BIGINT) AS d8
+FROM px LEFT JOIN (SELECT gix, giy, code FROM best WHERE rn = 1) b
+  ON b.gix = px.gix AND b.giy = px.giy
+WHERE px.val IS NOT NULL
+""",
+        "raster_flowacc": """
+WITH RECURSIVE px AS (
+  SELECT gix, giy,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+         ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+  FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b
+), cand AS (
+  SELECT c.gix, c.giy, o.code, o.dx, o.dy,
+         (c.val - p2.val)
+           / (CASE WHEN o.dx != 0 AND o.dy != 0
+                   THEN sqrt(2.0) ELSE 1.0 END) AS dz
+  FROM px c
+  CROSS JOIN (SELECT * FROM (VALUES (1,0,1),(1,1,2),(0,1,4),(-1,1,8),
+                                    (-1,0,16),(-1,-1,32),(0,-1,64),
+                                    (1,-1,128)) t(dx, dy, code)) o
+  JOIN px p2 ON p2.gix = least(greatest(c.gix + o.dx, 0), 127)
+            AND p2.giy = least(greatest(c.giy + o.dy, 0), 127)
+  WHERE c.val IS NOT NULL AND p2.val IS NOT NULL
+), e AS (
+  SELECT gix, giy, gix + dx AS dgix, giy + dy AS dgiy
+  FROM (SELECT gix, giy, dx, dy,
+               row_number() OVER (PARTITION BY gix, giy
+                                  ORDER BY dz DESC, code ASC) AS rn
+        FROM cand WHERE dz > 0)
+  WHERE rn = 1
+), walk AS (
+  SELECT gix AS sx, giy AS sy, dgix AS gix, dgiy AS giy FROM e
+  UNION ALL
+  SELECT w.sx, w.sy, e2.dgix, e2.dgiy
+  FROM walk w JOIN e e2 ON e2.gix = w.gix AND e2.giy = w.giy
+), acc AS (
+  SELECT gix, giy, count(*) AS acc FROM walk GROUP BY 1, 2
+)
+SELECT CAST(px.gix AS BIGINT) AS gix, CAST(px.giy AS BIGINT) AS giy,
+       CAST(coalesce(acc.acc, 0) AS BIGINT) AS acc
+FROM px LEFT JOIN acc ON acc.gix = px.gix AND acc.giy = px.giy
+WHERE px.val IS NOT NULL
 """,
         "raster_aspect": _slope_oracle_sql().replace(
             "degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))",

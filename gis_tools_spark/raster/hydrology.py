@@ -1,0 +1,176 @@
+"""Raster hydrology over tiled D8 flow-direction mosaics.
+
+The reference's terrain stack stops at gdal.DEMProcessing derivatives
+(raster.py:794-824); flow accumulation is the next op every DEM user
+runs (ArcGIS "Flow Accumulation" / GRASS r.watershed semantics):
+
+    acc(v) = number of upstream pixels whose D8 path reaches v
+           = sum over donors u of (acc(u) + 1),  self excluded.
+
+Distributed design: the flow-direction mosaic induces a functional
+forest (each pixel ≤ 1 out-edge, drops strictly decrease ⇒ acyclic).
+Drainage basins are its connected components, and a basin is the unit
+of locality — so the plan is:
+
+  decode tiles → (src, dst) pixel edge list         (mapInPandas)
+  → connected components (pointer jumping, O(log d) rounds)
+  → groupBy(basin) → in-task topological count      (applyInPandas)
+  → left-join back onto all valid pixels (isolated pixels → 0)
+
+At 100 TB the skew risk is one continental mega-basin (an Amazon);
+basins above ``max_component_rows`` edges instead run the iterative
+carry-propagation path (method='iterative'): per round
+carry_{k+1}(v) = Σ_{u→v} carry_k(u), acc += carry — pure DataFrame
+joins cut with localCheckpoint, rounds = longest flow-path length.
+Both paths are proven equal in pytest.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import codec
+from .stitch import _D8, _grid_indexed
+
+__all__ = ["flow_edges", "flow_accumulation"]
+
+_KEY_SHIFT = 32  # node key = giy << 32 | gix
+
+
+def flow_edges(flowdir: DataFrame, *,
+               no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """(src, dst, gix, giy) pixel edge list from a tiled D8 mosaic —
+    one row per valid pixel; dst is NULL for pits/flats (d8 = 0).
+    Node keys pack (giy, gix) into one long so the graph ops shuffle
+    8-byte keys, not structs."""
+    t, _, _ = _grid_indexed(flowdir)
+    code_to_off = {code: (dx, dy) for dx, dy, code in _D8}
+
+    def _edges(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                arr = codec.decode(r["bytes"], int(r["w"]), int(r["h"]),
+                                   r["fmt"])
+                tx, ty = int(r["__col"]), int(r["__row"])
+                rows_, cols_ = np.nonzero(arr != no_data)
+                gix = tx * int(r["w"]) + cols_
+                giy = ty * int(r["h"]) + rows_
+                d8 = arr[rows_, cols_].astype(np.int64)
+                dst = np.full(len(d8), np.nan)
+                for code, (dx, dy) in code_to_off.items():
+                    m = d8 == code
+                    dst[m] = ((giy[m] + dy).astype(np.int64) << _KEY_SHIFT) \
+                        | (gix[m] + dx)
+                recs.append(pd.DataFrame({
+                    "src": (giy.astype(np.int64) << _KEY_SHIFT) | gix,
+                    "dst": pd.Series(dst).astype("Int64"),
+                    "gix": gix.astype(np.int64),
+                    "giy": giy.astype(np.int64)}))
+            if recs:
+                yield pd.concat(recs, ignore_index=True)
+
+    return t.mapInPandas(_edges,
+                         schema="src long, dst long, gix long, giy long")
+
+
+def _solve_basin(pdf: pd.DataFrame) -> pd.DataFrame:
+    """In-task topological donor count over one basin's edge list."""
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    nxt = np.full(n, -1, dtype=np.int64)
+    indeg = np.zeros(n, dtype=np.int64)
+    for s, d in zip(src, dst):
+        nxt[idx[int(s)]] = idx[int(d)]
+        indeg[idx[int(d)]] += 1
+    acc = np.zeros(n, dtype=np.int64)
+    stack = list(np.nonzero(indeg == 0)[0])
+    while stack:
+        u = stack.pop()
+        v = nxt[u]
+        if v >= 0:
+            acc[v] += acc[u] + 1
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                stack.append(v)
+    return pd.DataFrame({"node": nodes.astype(np.int64),
+                         "acc": acc})
+
+
+def flow_accumulation(flowdir: DataFrame, *,
+                      no_data: float = codec.NO_DATA_F32,
+                      max_component_rows: int = 50_000_000,
+                      method: str = "auto") -> DataFrame:
+    """Per-pixel upstream cell count (gix, giy, acc) from a tiled D8
+    flow-direction mosaic. method='auto' solves each drainage basin in
+    one task and falls back to the iterative carry propagation for
+    basins above ``max_component_rows`` edges; 'iterative' forces the
+    all-DataFrame path (no per-basin materialization)."""
+    from ..operators.network import connected_components
+
+    ed = flow_edges(flowdir, no_data=no_data)
+    nodes = ed.select("src", "gix", "giy")
+    edges = (ed.where(F.col("dst").isNotNull())
+             .select("src", "dst").persist())
+
+    if method == "iterative":
+        acc = _accumulate_iterative(edges)
+    else:
+        comp = connected_components(
+            edges.select(F.col("src").alias("src_key"),
+                         F.col("dst").alias("dst_key")))
+        e = edges.join(comp.withColumnRenamed("node", "src"), on="src")
+        big = []
+        if method == "auto":
+            big = [r["component"] for r in
+                   e.groupBy("component").count()
+                   .where(F.col("count") > max_component_rows).collect()]
+        small = e.where(~F.col("component").isin(big)) if big else e
+        acc = small.groupBy("component").applyInPandas(
+            lambda k, pdf: _solve_basin(pdf), schema="node long, acc long")
+        if big:
+            acc = acc.unionByName(
+                _accumulate_iterative(e.where(F.col("component").isin(big))
+                                      .select("src", "dst")))
+    out = (nodes.join(acc.withColumnRenamed("node", "src"),
+                      on="src", how="left")
+           .select("gix", "giy",
+                   F.coalesce("acc", F.lit(0)).cast("long").alias("acc")))
+    edges.unpersist()
+    return out
+
+
+def _accumulate_iterative(edges: DataFrame) -> DataFrame:
+    """carry_{k+1}(v) = Σ_{u→v} carry_k(u); acc(v) = Σ_k carry_k(v).
+    Rounds = longest flow-path length; plans cut per round with
+    localCheckpoint (the kNN-rings pattern) so lineage never stacks."""
+    edges = edges.persist()
+    carry = (edges.select(F.col("src").alias("node"))
+             .distinct().withColumn("c", F.lit(1).cast("long"))
+             .localCheckpoint(eager=True))
+    acc = None
+    while True:
+        nxt = (edges.join(carry, edges["src"] == carry["node"])
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.sum("c").alias("c"))
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        step = nxt.withColumnRenamed("c", "a")
+        acc = step if acc is None else (
+            acc.unionByName(step).groupBy("node")
+            .agg(F.sum("a").alias("a")).localCheckpoint(eager=True))
+        carry = nxt
+    edges.unpersist()
+    if acc is None:
+        sp = edges.sparkSession
+        return sp.createDataFrame([], "node long, acc long")
+    return acc.select("node", F.col("a").alias("acc"))

@@ -91,6 +91,51 @@ def focal_stats_stitched(df: DataFrame, *, stat: str = "mean",
     return stitched_apply(df, _fn, no_data=no_data)
 
 
+# ESRI D8 codes in tie-break preference order (smallest code wins a
+# tie): E, SE, S, SW, W, NW, N, NE. dx = east offset, dy = south offset
+# (row indices grow southward in the tile layout).
+_D8 = [(1, 0, 1), (1, 1, 2), (0, 1, 4), (-1, 1, 8),
+       (-1, 0, 16), (-1, -1, 32), (0, -1, 64), (1, -1, 128)]
+
+
+def d8_flow_direction(df: DataFrame, *,
+                      no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """D8 flow direction (the ArcGIS/GRASS hydrology primitive —
+    reference scope: gdal.DEMProcessing-style terrain derivatives,
+    raster.py:794-824) with the same cross-tile halo exchange as slope,
+    so interior tile borders equal the single-global-array result.
+
+    Per pixel: steepest positive drop (Δz / distance, distance √2 on
+    diagonals) among the 8 neighbors, encoded as the ESRI power-of-two
+    code (E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128). Ties take
+    the smallest code. Pits/flats (no positive drop) → 0. No-data
+    neighbors are excluded; a no-data center stays no-data. Mosaic-outer
+    borders use the same edge-replicate clamp as the slope path (the
+    replicated neighbor sits at drop 0 and is never chosen).
+
+    Codes ≤ 128 are exact in the float32 tile encoding; downstream
+    hydrology (accumulation, watershed) consumes the (pixel → downhill
+    pixel) edge list this induces."""
+    sqrt2 = float(np.sqrt(2.0))
+
+    def _fn(p: np.ndarray) -> np.ndarray:
+        z = p[1:-1, 1:-1]
+        h, w = z.shape
+        best_drop = np.zeros((h, w))
+        best_code = np.zeros((h, w), dtype=np.float32)
+        for dx, dy, code in _D8:
+            nb = p[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+            drop = (z - nb) / (sqrt2 if dx and dy else 1.0)
+            with np.errstate(invalid="ignore"):
+                take = np.isfinite(drop) & (drop > best_drop)
+            best_drop = np.where(take, drop, best_drop)
+            best_code = np.where(take, np.float32(code), best_code)
+        best_code[np.isnan(z)] = np.nan
+        return best_code
+
+    return stitched_apply(df, _fn, no_data=no_data)
+
+
 def stitched_apply(df: DataFrame, padded_fn, *,
                    no_data: float = codec.NO_DATA_F32) -> DataFrame:
     """Generic 1-px halo-exchange pass: decode each tile, exchange edge

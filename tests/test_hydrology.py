@@ -1,0 +1,85 @@
+"""Flow accumulation over tiled D8 mosaics vs a global brute force,
+and equality of the per-basin and iterative distributed paths."""
+
+import numpy as np
+import pandas as pd
+
+from gis_tools_spark.raster import codec
+from gis_tools_spark.raster.hydrology import flow_accumulation
+from gis_tools_spark.raster.stitch import _D8, d8_flow_direction
+
+from test_stitch import _mosaic
+
+
+def _global_acc(glob):
+    """Brute-force acc: follow every pixel's D8 path, +1 on every node
+    strictly downstream."""
+    a = glob.astype(np.float64)
+    a[glob == codec.NO_DATA_F32] = np.nan
+    H, W = a.shape
+    p = np.pad(a, 1, mode="edge")
+    nxt = {}
+    for gy in range(H):
+        for gx in range(W):
+            if np.isnan(a[gy, gx]):
+                continue
+            best, bo = 0.0, None
+            for dx, dy, code in _D8:
+                nb = p[1 + gy + dy, 1 + gx + dx]
+                if np.isnan(nb):
+                    continue
+                drop = (a[gy, gx] - nb) / (np.sqrt(2.0) if dx and dy else 1.0)
+                if drop > best:
+                    best, bo = drop, (gx + dx, gy + dy)
+            nxt[(gx, gy)] = bo
+    acc = {k: 0 for k in nxt}
+    for start in nxt:
+        cur = nxt[start]
+        while cur is not None:
+            acc[cur] += 1
+            cur = nxt[cur]
+    return acc
+
+
+def test_flow_accumulation_matches_global(spark):
+    def fill(gx, gy):
+        # bowl with noise: long flow paths toward the center
+        return (((gx - 16) ** 2 + (gy - 16) ** 2) / 8.0
+                + ((gx * 7 + gy * 13) % 5)).astype(np.float64)
+
+    glob, pdf, rx, ry = _mosaic(2, 2, 16, fill)
+    glob = glob.astype(np.float32)
+    glob[(np.add.outer(np.arange(32) * 17, np.arange(32) * 31) % 101) < 4] \
+        = codec.NO_DATA_F32
+    rows = []
+    for _, r in pdf.iterrows():
+        tx, ty = int(r.image_id.split("_")[1]), int(r.image_id.split("_")[2])
+        r = r.copy()
+        r["bytes"] = codec.encode_raw_f32(
+            glob[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16])
+        rows.append(r)
+    fd = d8_flow_direction(spark.createDataFrame(pd.DataFrame(rows)))
+
+    want = _global_acc(glob)
+    for method in ("auto", "iterative"):
+        got = {(int(r["gix"]), int(r["giy"])): int(r["acc"])
+               for r in flow_accumulation(fd, method=method).collect()}
+        assert got == want, method
+    assert max(want.values()) > 20          # real convergent flow paths
+
+
+def test_flow_accumulation_mega_basin_fallback(spark):
+    """max_component_rows=1 forces every basin through the iterative
+    path inside method='auto' — results identical."""
+    def fill(gx, gy):
+        return (gx + gy).astype(np.float64)    # one big diagonal basin
+
+    glob, pdf, rx, ry = _mosaic(1, 1, 16, fill)
+    fd = d8_flow_direction(spark.createDataFrame(pdf))
+    a = flow_accumulation(fd).toPandas().sort_values(["gix", "giy"])
+    b = flow_accumulation(fd, max_component_rows=1).toPandas() \
+        .sort_values(["gix", "giy"])
+    assert (a.reset_index(drop=True) == b.reset_index(drop=True)).all().all()
+    want = _global_acc(glob.astype(np.float32))
+    got = {(int(r.gix), int(r.giy)): int(r.acc) for _, r in a.iterrows()}
+    assert got == want

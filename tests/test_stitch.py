@@ -94,3 +94,55 @@ def test_polygonize_stitched_matches_global(spark):
     # merged geometry area equals pixel-count * pixel area
     area = cross["region_area"].iloc[0]
     assert area == pytest.approx(cross["px_count"].iloc[0] * rx * ry, rel=1e-9)
+
+
+def test_d8_flow_direction_matches_global(spark):
+    """Stitched D8 vs a literal global-array brute force — including
+    no-data exclusion, tie preference, pits and edge-replicate."""
+    from gis_tools_spark.raster.stitch import _D8, d8_flow_direction
+
+    def fill(gx, gy):
+        # rough terrain with plateaus (ties) and pits
+        return ((gx * 7 + gy * 13) % 23).astype(np.float64)
+
+    glob, pdf, rx, ry = _mosaic(2, 2, 16, fill)
+    glob = glob.astype(np.float32)
+    glob[(np.add.outer(np.arange(32) * 17, np.arange(32) * 31) % 101) < 5] \
+        = codec.NO_DATA_F32
+    rows = []
+    for _, r in pdf.iterrows():
+        tx, ty = int(r.image_id.split("_")[1]), int(r.image_id.split("_")[2])
+        sub = glob[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+        r = r.copy()
+        r["bytes"] = codec.encode_raw_f32(sub)
+        rows.append(r)
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = {r["image_id"]: codec.decode_raw_f32(bytes(r["bytes"]), 16, 16)
+           for r in d8_flow_direction(df).collect()}
+    got = np.zeros((32, 32), dtype=np.float32)
+    for ty in range(2):
+        for tx in range(2):
+            got[ty * 16:(ty + 1) * 16,
+                tx * 16:(tx + 1) * 16] = out[f"tile_{tx}_{ty}"]
+
+    a = glob.astype(np.float64)
+    a[glob == codec.NO_DATA_F32] = np.nan
+    p = np.pad(a, 1, mode="edge")
+    H, W = 32, 32
+    for gy in range(H):
+        for gx in range(W):
+            if np.isnan(a[gy, gx]):
+                assert got[gy, gx] == codec.NO_DATA_F32, (gx, gy)
+                continue
+            best, bc = 0.0, 0
+            for dx, dy, code in _D8:
+                nb = p[1 + gy + dy, 1 + gx + dx]
+                if np.isnan(nb):
+                    continue
+                drop = (a[gy, gx] - nb) / (np.sqrt(2.0) if dx and dy else 1.0)
+                if drop > best:
+                    best, bc = drop, code
+            assert got[gy, gx] == bc, (gx, gy, got[gy, gx], bc)
+    # terrain has pits/flats and every direction code somewhere
+    assert (got[glob != codec.NO_DATA_F32] == 0).any()
+    assert len(set(got[glob != codec.NO_DATA_F32].astype(int)) - {0}) >= 6
