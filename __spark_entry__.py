@@ -2686,6 +2686,20 @@ def q_raster_flowacc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gix", "giy", "acc")
 
 
+def q_raster_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed labels (raster/hydrology.watershed — pointer doubling,
+    O(log path) rounds) vs an independent recursive-CTE oracle that
+    follows every pixel's flow path to its terminal cell."""
+    _tune(spark)
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster.hydrology import watershed
+    from gis_tools_spark.raster.stitch import d8_flow_direction
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+    return watershed(d8_flow_direction(ras)).select(
+        "gix", "giy", "basin_gix", "basin_giy")
+
+
 def q_raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hillshade variant of q_raster_slope (gate 79): Lambertian shaded
     relief 255·max(0, sin(alt)·cos(s) + cos(alt)·sin(s)·cos(az−aspect))
@@ -3671,6 +3685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_aspect": q_raster_aspect,
         "raster_flowdir": q_raster_flowdir,
         "raster_flowacc": q_raster_flowacc,
+        "raster_watershed": q_raster_watershed,
         "raster_hillshade": q_raster_hillshade,
         "raster_focal_mean": q_raster_focal_mean,
         "raster_polygonize": q_raster_polygonize,
@@ -6580,6 +6595,43 @@ SELECT CAST(px.gix AS BIGINT) AS gix, CAST(px.giy AS BIGINT) AS giy,
        CAST(coalesce(acc.acc, 0) AS BIGINT) AS acc
 FROM px LEFT JOIN acc ON acc.gix = px.gix AND acc.giy = px.giy
 WHERE px.val IS NOT NULL
+""",
+        "raster_watershed": """
+WITH RECURSIVE px AS (
+  SELECT gix, giy,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+         ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+  FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b
+), cand AS (
+  SELECT c.gix, c.giy, o.code, o.dx, o.dy,
+         (c.val - p2.val)
+           / (CASE WHEN o.dx != 0 AND o.dy != 0
+                   THEN sqrt(2.0) ELSE 1.0 END) AS dz
+  FROM px c
+  CROSS JOIN (SELECT * FROM (VALUES (1,0,1),(1,1,2),(0,1,4),(-1,1,8),
+                                    (-1,0,16),(-1,-1,32),(0,-1,64),
+                                    (1,-1,128)) t(dx, dy, code)) o
+  JOIN px p2 ON p2.gix = least(greatest(c.gix + o.dx, 0), 127)
+            AND p2.giy = least(greatest(c.giy + o.dy, 0), 127)
+  WHERE c.val IS NOT NULL AND p2.val IS NOT NULL
+), e AS (
+  SELECT gix, giy, gix + dx AS dgix, giy + dy AS dgiy
+  FROM (SELECT gix, giy, dx, dy,
+               row_number() OVER (PARTITION BY gix, giy
+                                  ORDER BY dz DESC, code ASC) AS rn
+        FROM cand WHERE dz > 0)
+  WHERE rn = 1
+), walk AS (
+  SELECT gix AS sx, giy AS sy, gix, giy FROM px WHERE val IS NOT NULL
+  UNION ALL
+  SELECT w.sx, w.sy, e2.dgix, e2.dgiy
+  FROM walk w JOIN e e2 ON e2.gix = w.gix AND e2.giy = w.giy
+)
+SELECT CAST(w.sx AS BIGINT) AS gix, CAST(w.sy AS BIGINT) AS giy,
+       CAST(w.gix AS BIGINT) AS basin_gix, CAST(w.giy AS BIGINT) AS basin_giy
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.gix = w.gix AND e.giy = w.giy)
 """,
         "raster_aspect": _slope_oracle_sql().replace(
             "degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))",

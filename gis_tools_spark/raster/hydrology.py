@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 from . import codec
 from .stitch import _D8, _grid_indexed
 
-__all__ = ["flow_edges", "flow_accumulation"]
+__all__ = ["flow_edges", "flow_accumulation", "watershed"]
 
 _KEY_SHIFT = 32  # node key = giy << 32 | gix
 
@@ -146,6 +146,45 @@ def flow_accumulation(flowdir: DataFrame, *,
                    F.coalesce("acc", F.lit(0)).cast("long").alias("acc")))
     edges.unpersist()
     return out
+
+
+def watershed(flowdir: DataFrame, *,
+              no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """Watershed delineation: label every pixel with its pour point —
+    the terminal pixel its D8 path drains to (ArcGIS "Watershed" with
+    all sinks as pour points). Pits/flats label themselves; paths that
+    exit the mosaic label the off-grid cell they exit into.
+
+    Pointer doubling on the functional flow graph: ptr ← ptr∘ptr per
+    round, O(log longest-path) rounds total, each one self-join +
+    localCheckpoint — the same O(log d) round structure as the engine's
+    connected components, so a continental mega-basin needs ~30 rounds,
+    not ~10^4.
+
+    Returns (gix, giy, basin, basin_gix, basin_giy); `basin` is the
+    packed pour-point key, shared by every pixel of one watershed."""
+    ed = flow_edges(flowdir, no_data=no_data)
+    nodes = ed.select("src", "gix", "giy")
+    ptr = (ed.select("src", F.coalesce("dst", "src").alias("ptr"))
+           .localCheckpoint(eager=True))
+    while True:
+        hop = ptr.select(F.col("src").alias("p_src"),
+                         F.col("ptr").alias("p_ptr"))
+        nxt = (ptr.join(hop, ptr["ptr"] == hop["p_src"], "left")
+               .select("src", F.coalesce("p_ptr", "ptr").alias("ptr"),
+                       (F.col("p_ptr").isNotNull()
+                        & (F.col("p_ptr") != F.col("ptr")))
+                       .alias("__chg"))
+               .localCheckpoint(eager=True))
+        changed = nxt.where("__chg").limit(1).count()
+        ptr = nxt.drop("__chg")
+        if changed == 0:
+            break
+    mask = (1 << _KEY_SHIFT) - 1
+    return (nodes.join(ptr, on="src")
+            .select("gix", "giy", F.col("ptr").alias("basin"),
+                    F.col("ptr").bitwiseAND(F.lit(mask)).alias("basin_gix"),
+                    F.shiftright("ptr", _KEY_SHIFT).alias("basin_giy")))
 
 
 def _accumulate_iterative(edges: DataFrame) -> DataFrame:

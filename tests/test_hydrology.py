@@ -83,3 +83,53 @@ def test_flow_accumulation_mega_basin_fallback(spark):
     want = _global_acc(glob.astype(np.float32))
     got = {(int(r.gix), int(r.giy)): int(r.acc) for _, r in a.iterrows()}
     assert got == want
+
+
+def test_watershed_matches_path_following(spark):
+    from gis_tools_spark.raster.hydrology import watershed
+
+    def fill(gx, gy):
+        return (((gx - 10) ** 2 + (gy - 20) ** 2) / 6.0
+                + ((gx * 11 + gy * 3) % 4)).astype(np.float64)
+
+    glob, pdf, rx, ry = _mosaic(2, 2, 16, fill)
+    glob = glob.astype(np.float32)
+    glob[(np.add.outer(np.arange(32) * 13, np.arange(32) * 7) % 97) < 3] \
+        = codec.NO_DATA_F32
+    rows = []
+    for _, r in pdf.iterrows():
+        tx, ty = int(r.image_id.split("_")[1]), int(r.image_id.split("_")[2])
+        r = r.copy()
+        r["bytes"] = codec.encode_raw_f32(
+            glob[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16])
+        rows.append(r)
+    fd = d8_flow_direction(spark.createDataFrame(pd.DataFrame(rows)))
+    got = {(int(r["gix"]), int(r["giy"])): (int(r["basin_gix"]),
+                                            int(r["basin_giy"]))
+           for r in watershed(fd).collect()}
+
+    # brute force: follow each pixel's path to its terminal cell
+    a = glob.astype(np.float64)
+    a[glob == codec.NO_DATA_F32] = np.nan
+    p = np.pad(a, 1, mode="edge")
+    nxt = {}
+    for gy in range(32):
+        for gx in range(32):
+            if np.isnan(a[gy, gx]):
+                continue
+            best, bo = 0.0, None
+            for dx, dy, code in _D8:
+                nb = p[1 + gy + dy, 1 + gx + dx]
+                if np.isnan(nb):
+                    continue
+                drop = (a[gy, gx] - nb) / (np.sqrt(2.0) if dx and dy else 1.0)
+                if drop > best:
+                    best, bo = drop, (gx + dx, gy + dy)
+            nxt[(gx, gy)] = bo
+    assert set(got) == set(nxt)
+    for start in nxt:
+        cur = start
+        while nxt.get(cur) is not None:
+            cur = nxt[cur]
+        assert got[start] == cur, start
+    assert len(set(got.values())) > 1          # multiple real basins
