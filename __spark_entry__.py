@@ -160,6 +160,47 @@ def q_areal_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     q6(F.col("rate")).alias("rate6")))
 
 
+SNAP_RADIUS, SNAP_RES = 0.3, 11
+
+
+def q_snap_to_road(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-codegen nearest-road-segment snap
+    (operators/mapmatch.snap_to_segments — cell-cover equi-join +
+    closed-form point→segment projection + one window): events points
+    vs the zone rect edges as a 100-segment road table. Every float is
+    a mirrored expression tree, so dist/t hash bit-stable at 1e-9."""
+    _tune(spark)
+    from gis_tools_spark.operators.mapmatch import snap_to_segments
+
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    minx, miny, maxx, maxy = DT.zone_bounds_cols()
+    z = na.select(F.col("n_nationkey").alias("gid"),
+                  minx.alias("zminx"), miny.alias("zminy"),
+                  maxx.alias("zmaxx"), maxy.alias("zmaxy"))
+    seg = F.explode(F.array(
+        F.struct((F.col("gid") * 4 + 0).alias("seg_id"),
+                 F.col("zminx").alias("x1"), F.col("zminy").alias("y1"),
+                 F.col("zmaxx").alias("x2"), F.col("zminy").alias("y2")),
+        F.struct((F.col("gid") * 4 + 1).alias("seg_id"),
+                 F.col("zmaxx").alias("x1"), F.col("zminy").alias("y1"),
+                 F.col("zmaxx").alias("x2"), F.col("zmaxy").alias("y2")),
+        F.struct((F.col("gid") * 4 + 2).alias("seg_id"),
+                 F.col("zmaxx").alias("x1"), F.col("zmaxy").alias("y1"),
+                 F.col("zminx").alias("x2"), F.col("zmaxy").alias("y2")),
+        F.struct((F.col("gid") * 4 + 3).alias("seg_id"),
+                 F.col("zminx").alias("x1"), F.col("zmaxy").alias("y1"),
+                 F.col("zminx").alias("x2"), F.col("zminy").alias("y2")),
+    )).alias("s")
+    segs = z.select(seg).select("s.seg_id", "s.x1", "s.y1", "s.x2", "s.y2")
+    out = snap_to_segments(DT.events_points(spark, sf_dir), segs,
+                           radius=SNAP_RADIUS, point_id="event_id",
+                           res=SNAP_RES)
+    q9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)).cast("long")  # noqa: E731
+    return out.select("event_id", F.col("seg_id").cast("long").alias("seg_id"),
+                      q9(F.col("snap_dist")).alias("dist9"),
+                      q9(F.col("seg_t")).alias("t9"))
+
+
 def q_dissolve_region_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dissolve zones by region key; union area (zones disjoint → exact;
     gistools dissolve layer.py:501-516)."""
@@ -3664,6 +3705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_event_stats": q_zonal_event_stats,
         "shared_area": q_shared_area,
         "areal_transfer": q_areal_transfer,
+        "snap_to_road": q_snap_to_road,
         "dissolve_region_area": q_dissolve_region_area,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
@@ -5337,6 +5379,43 @@ def oracle_sql() -> dict[str, str]:
               FROM ({DT.ZONES_SQL.strip()}) z CROSS JOIN r
             )
             SELECT gid, rid, round(a, 9) AS area_r FROM x WHERE a > 1e-12
+        """,
+        "snap_to_road": f"""
+            WITH p AS ({DT.POINTS_SQL.strip()}),
+            z AS ({DT.ZONES_SQL.strip()}),
+            s AS (
+              SELECT gid * 4 + 0 AS seg_id, zminx AS x1, zminy AS y1,
+                     zmaxx AS x2, zminy AS y2 FROM z
+              UNION ALL
+              SELECT gid * 4 + 1, zmaxx, zminy, zmaxx, zmaxy FROM z
+              UNION ALL
+              SELECT gid * 4 + 2, zmaxx, zmaxy, zminx, zmaxy FROM z
+              UNION ALL
+              SELECT gid * 4 + 3, zminx, zmaxy, zminx, zminy FROM z),
+            c AS (
+              SELECT p.event_id, s.seg_id, p.lon, p.lat,
+                     s.x1, s.y1, s.x2, s.y2,
+                CASE WHEN (s.x2-s.x1)*(s.x2-s.x1)+(s.y2-s.y1)*(s.y2-s.y1)
+                          = 0 THEN 0.0
+                     ELSE least(greatest(
+                       ((p.lon-s.x1)*(s.x2-s.x1)+(p.lat-s.y1)*(s.y2-s.y1))
+                       / ((s.x2-s.x1)*(s.x2-s.x1)+(s.y2-s.y1)*(s.y2-s.y1)),
+                       0.0), 1.0) END AS t
+              FROM p CROSS JOIN s),
+            d AS (
+              SELECT event_id, seg_id, t,
+                (lon - (x1 + t*(x2-x1))) * (lon - (x1 + t*(x2-x1)))
+                + (lat - (y1 + t*(y2-y1))) * (lat - (y1 + t*(y2-y1))) AS d2
+              FROM c),
+            r AS (
+              SELECT event_id, seg_id, t, d2,
+                row_number() OVER (PARTITION BY event_id
+                                   ORDER BY d2 ASC, seg_id ASC) AS rn
+              FROM d WHERE d2 <= {SNAP_RADIUS * SNAP_RADIUS!r})
+            SELECT event_id, CAST(seg_id AS BIGINT) AS seg_id,
+                   CAST(floor(sqrt(d2) * 1e9 + 0.5) AS BIGINT) AS dist9,
+                   CAST(floor(t * 1e9 + 0.5) AS BIGINT) AS t9
+            FROM r WHERE rn = 1
         """,
         "areal_transfer": f"""
             WITH z AS (

@@ -115,7 +115,9 @@ def main() -> None:
                 "events_sessionize", "graph_pagerank", "pricing_summary",
                 "stream_pip_hourly",
                 "asof_join", "interval_join", "hotspot_gi", "moran_grid",
-                "user_tracks", "od_flows", "geofence_events"]
+                "user_tracks", "od_flows", "geofence_events",
+                "kde_heatmap", "lisa_quadrants", "mk_trend",
+                "areal_transfer", "raster_flowacc", "raster_watershed"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))
