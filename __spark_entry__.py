@@ -2741,6 +2741,41 @@ def q_raster_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gix", "giy", "basin_gix", "basin_giy")
 
 
+def q_raster_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile curvature (Zevenbergen-Thorne, raster/stitch.py) through
+    the halo exchange — pure rational arithmetic (no libm), so the SQL
+    mirror is exact through the float32 output cast; the flat-plateau
+    den=0 guard is exercised by the no-data-free integer field."""
+    _tune(spark)
+    import pandas as pd
+    from typing import Iterator
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.stitch import curvature_stitched
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+    out = curvature_stitched(ras, mode="profile")
+
+    def _pixels(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+                _, tx, ty = r.image_id.split("_")
+                rows_, cols_ = np.nonzero(arr != codec.NO_DATA_F32)
+                recs.append(pd.DataFrame(
+                    {"gix": int(tx) * int(r.w) + cols_,
+                     "giy": int(ty) * int(r.h) + rows_,
+                     "curv_v": arr[rows_, cols_].astype(np.float64)}))
+            if recs:
+                yield pd.concat(recs, ignore_index=True)
+
+    return out.mapInPandas(_pixels, schema="gix long, giy long, curv_v double")
+
+
 def q_raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hillshade variant of q_raster_slope (gate 79): Lambertian shaded
     relief 255·max(0, sin(alt)·cos(s) + cos(alt)·sin(s)·cos(az−aspect))
@@ -3728,6 +3763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_flowdir": q_raster_flowdir,
         "raster_flowacc": q_raster_flowacc,
         "raster_watershed": q_raster_watershed,
+        "raster_curvature": q_raster_curvature,
         "raster_hillshade": q_raster_hillshade,
         "raster_focal_mean": q_raster_focal_mean,
         "raster_polygonize": q_raster_polygonize,
@@ -6711,6 +6747,49 @@ SELECT CAST(w.sx AS BIGINT) AS gix, CAST(w.sy AS BIGINT) AS giy,
        CAST(w.gix AS BIGINT) AS basin_gix, CAST(w.giy AS BIGINT) AS basin_giy
 FROM walk w
 WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.gix = w.gix AND e.giy = w.giy)
+""",
+        "raster_curvature": """
+WITH px AS (
+  SELECT gix, giy,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+         ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+  FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b
+), n AS (
+  SELECT c.gix, c.giy, any_value(c.val) AS val,
+    max(CASE WHEN d.dx=-1 AND d.dy=-1 THEN p2.val END) AS zmm,
+    max(CASE WHEN d.dx= 0 AND d.dy=-1 THEN p2.val END) AS z0m,
+    max(CASE WHEN d.dx= 1 AND d.dy=-1 THEN p2.val END) AS zpm,
+    max(CASE WHEN d.dx=-1 AND d.dy= 0 THEN p2.val END) AS zm0,
+    max(CASE WHEN d.dx= 1 AND d.dy= 0 THEN p2.val END) AS zp0,
+    max(CASE WHEN d.dx=-1 AND d.dy= 1 THEN p2.val END) AS zmp,
+    max(CASE WHEN d.dx= 0 AND d.dy= 1 THEN p2.val END) AS z0p,
+    max(CASE WHEN d.dx= 1 AND d.dy= 1 THEN p2.val END) AS zpp
+  FROM px c
+  CROSS JOIN (SELECT * FROM (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(1,0),
+                                    (-1,1),(0,1),(1,1)) t(dx, dy)) d
+  JOIN px p2
+    ON p2.gix = least(greatest(c.gix + d.dx, 0), 127)
+   AND p2.giy = least(greatest(c.giy + d.dy, 0), 127)
+  WHERE c.val IS NOT NULL
+  GROUP BY c.gix, c.giy
+), k AS (
+  SELECT gix, giy,
+    (zm0 + zp0) / 2.0 - val AS dd,
+    (z0m + z0p) / 2.0 - val AS ee,
+    (-zmm + zpm + zmp - zpp) / 4.0 AS ff,
+    (-zm0 + zp0) / 2.0 AS gg,
+    (z0m - z0p) / 2.0 AS hh
+  FROM n
+  WHERE zmm IS NOT NULL AND z0m IS NOT NULL AND zpm IS NOT NULL
+    AND zm0 IS NOT NULL AND zp0 IS NOT NULL
+    AND zmp IS NOT NULL AND z0p IS NOT NULL AND zpp IS NOT NULL
+)
+SELECT CAST(gix AS BIGINT) AS gix, CAST(giy AS BIGINT) AS giy,
+  CAST(CAST(CASE WHEN gg * gg + hh * hh = 0 THEN 0.0
+       ELSE -2.0 * (dd * gg * gg + ee * hh * hh + ff * gg * hh)
+            / (gg * gg + hh * hh) * 100.0 END AS REAL) AS DOUBLE) AS curv_v
+FROM k
 """,
         "raster_aspect": _slope_oracle_sql().replace(
             "degrees(atan(sqrt(dzdx*dzdx + dzdy*dzdy)))",

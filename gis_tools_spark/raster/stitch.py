@@ -91,6 +91,54 @@ def focal_stats_stitched(df: DataFrame, *, stat: str = "mean",
     return stitched_apply(df, _fn, no_data=no_data)
 
 
+def curvature_stitched(df: DataFrame, *, mode: str = "total",
+                       no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """Surface curvature (Zevenbergen & Thorne 1987 — the ArcGIS
+    "Curvature" tool's quadratic-patch coefficients) with the same
+    cross-tile halo exchange as slope. Pixel units (multiply by
+    100/cellsize² downstream for per-100-m values):
+
+        D = ((z_W + z_E)/2 − z_C),   E = ((z_N + z_S)/2 − z_C)
+        F = (−z_NW + z_NE + z_SW − z_SE)/4
+        G = (−z_W + z_E)/2,          H = (z_N − z_S)/2
+
+    mode='total'   : −2(D + E)·100          (ArcGIS sign convention)
+    mode='profile' : −2(D·G² + E·H² + F·G·H)/(G² + H²)·100, 0 when flat
+    mode='plan'    :  2(D·H² + E·G² − F·G·H)/(G² + H²)·100, 0 when flat
+
+    Pure rational arithmetic — no libm — so a SQL oracle mirrors it
+    exactly through the float32 output cast. NaN neighbors propagate
+    (a pixel is no-data when any input its mode reads is)."""
+    if mode not in ("total", "profile", "plan"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def _fn(p: np.ndarray) -> np.ndarray:
+        zC = p[1:-1, 1:-1]
+        zN, zS = p[:-2, 1:-1], p[2:, 1:-1]
+        zW, zE = p[1:-1, :-2], p[1:-1, 2:]
+        zNW, zNE = p[:-2, :-2], p[:-2, 2:]
+        zSW, zSE = p[2:, :-2], p[2:, 2:]
+        D = (zW + zE) / 2.0 - zC
+        E = (zN + zS) / 2.0 - zC
+        if mode == "total":
+            return -2.0 * (D + E) * 100.0
+        Fc = (-zNW + zNE + zSW - zSE) / 4.0
+        G = (-zW + zE) / 2.0
+        H = (zN - zS) / 2.0
+        den = G * G + H * H
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if mode == "profile":
+                num = -2.0 * (D * G * G + E * H * H + Fc * G * H)
+            else:
+                num = 2.0 * (D * H * H + E * G * G - Fc * G * H)
+            out = np.where(den == 0, 0.0, num / den * 100.0)
+        out[np.isnan(zC) | np.isnan(den) | np.isnan(D) | np.isnan(E)
+            | np.isnan(Fc)] = np.nan
+        return out
+
+    return stitched_apply(df, _fn, no_data=no_data)
+
+
 # ESRI D8 codes in tie-break preference order (smallest code wins a
 # tie): E, SE, S, SW, W, NW, N, NE. dx = east offset, dy = south offset
 # (row indices grow southward in the tile layout).

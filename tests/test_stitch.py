@@ -146,3 +146,50 @@ def test_d8_flow_direction_matches_global(spark):
     # terrain has pits/flats and every direction code somewhere
     assert (got[glob != codec.NO_DATA_F32] == 0).any()
     assert len(set(got[glob != codec.NO_DATA_F32].astype(int)) - {0}) >= 6
+
+
+def test_curvature_matches_global(spark):
+    """Stitched curvature (total/profile/plan) vs the global-array
+    Zevenbergen-Thorne computation, flat-denominator guard included."""
+    from gis_tools_spark.raster.stitch import curvature_stitched
+
+    def fill(gx, gy):
+        out = 0.03 * gx * gx - 0.02 * gy * gy + 0.5 * gx + 7.0
+        return np.where((gx > 8) & (gx < 12) & (gy > 8) & (gy < 12),
+                        3.0, out)        # a flat plateau (den == 0)
+
+    glob, pdf, rx, ry = _mosaic(2, 2, 16, fill)
+    df = spark.createDataFrame(pdf)
+    a = glob.astype(np.float64)
+    p = np.pad(a, 1, mode="edge")
+    zC = p[1:-1, 1:-1]
+    zN, zS = p[:-2, 1:-1], p[2:, 1:-1]
+    zW, zE = p[1:-1, :-2], p[1:-1, 2:]
+    zNW, zNE = p[:-2, :-2], p[:-2, 2:]
+    zSW, zSE = p[2:, :-2], p[2:, 2:]
+    D = (zW + zE) / 2 - zC
+    E = (zN + zS) / 2 - zC
+    Fc = (-zNW + zNE + zSW - zSE) / 4
+    G = (-zW + zE) / 2
+    H = (zN - zS) / 2
+    den = G * G + H * H
+    with np.errstate(invalid="ignore", divide="ignore"):
+        want = {
+            "total": -2 * (D + E) * 100,
+            "profile": np.where(den == 0, 0.0,
+                                -2 * (D * G * G + E * H * H + Fc * G * H)
+                                / den * 100),
+            "plan": np.where(den == 0, 0.0,
+                             2 * (D * H * H + E * G * G - Fc * G * H)
+                             / den * 100)}
+    assert (den == 0).sum() > 0
+    for mode, w in want.items():
+        out = {r["image_id"]: codec.decode_raw_f32(bytes(r["bytes"]), 16, 16)
+               for r in curvature_stitched(df, mode=mode).collect()}
+        got = np.zeros((32, 32), dtype=np.float32)
+        for ty in range(2):
+            for tx in range(2):
+                got[ty * 16:(ty + 1) * 16,
+                    tx * 16:(tx + 1) * 16] = out[f"tile_{tx}_{ty}"]
+        np.testing.assert_allclose(got, w.astype(np.float32),
+                                   rtol=1e-5, atol=1e-5, err_msg=mode)
