@@ -3146,6 +3146,28 @@ def q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dens6"))
 
 
+IDW_RES, IDW_RADIUS, IDW_SMOOTH = 11, 0.1, 1e-6
+
+
+def q_idw_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW interpolation of the events `value` field onto the res-11
+    grid (operators/interpolate.idw_grid, power=2 ⇒ no libm) with
+    quantize_decimals=6: both running sums are exact integers, so the
+    surface is partition-order independent and the DuckDB oracle
+    (identical expression tree + quantization) matches bit-for-bit."""
+    _tune(spark)
+    from gis_tools_spark.operators.interpolate import idw_grid
+
+    out = idw_grid(DT.events_points(spark, sf_dir), value_col="value",
+                   res=IDW_RES, radius=IDW_RADIUS, power=2.0,
+                   smooth=IDW_SMOOTH, quantize_decimals=6)
+    return out.select(
+        "cell", "ix", "iy",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.floor(F.col("idw_value") * 1000000.0 + F.lit(0.5)).cast("long")
+        .alias("val6"))
+
+
 DBSCAN_EPS = 0.05
 DBSCAN_MIN_PTS = 5
 
@@ -3846,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geofence_events": q_geofence_events,
         "zonal_majority": q_zonal_majority,
         "kde_heatmap": q_kde_heatmap,
+        "idw_surface": q_idw_surface,
     }
 
 
@@ -5862,6 +5885,52 @@ def oracle_sql() -> dict[str, str]:
                    ix, iy,
                    CAST(floor(sum(cq) / 1000000000.0 * 1000000.0 + 0.5)
                         AS BIGINT) AS dens6
+            FROM q GROUP BY ix, iy
+        """,
+        "idw_surface": f"""
+            WITH p AS ({DT.POINTS_SQL.strip()}),
+            b AS (
+              SELECT lon AS x, lat AS y, value AS v,
+                CAST(floor((lon - {IDW_RADIUS!r} + 180.0) / 360.0
+                           * {1 << IDW_RES}) AS BIGINT) AS jx0,
+                CAST(floor((lon + {IDW_RADIUS!r} + 180.0) / 360.0
+                           * {1 << IDW_RES}) AS BIGINT) AS jx1,
+                CAST(floor((lat - {IDW_RADIUS!r} + 90.0) / 180.0
+                           * {1 << IDW_RES}) AS BIGINT) AS jy0,
+                CAST(floor((lat + {IDW_RADIUS!r} + 90.0) / 180.0
+                           * {1 << IDW_RES}) AS BIGINT) AS jy1
+              FROM p),
+            g1 AS (
+              SELECT x, y, v, jy0, jy1,
+                     unnest(generate_series(jx0, jx1)) AS ix
+              FROM b),
+            g2 AS (
+              SELECT x, y, v, ix,
+                     unnest(generate_series(jy0, jy1)) AS iy
+              FROM g1
+              WHERE ix >= 0 AND ix < {1 << IDW_RES}),
+            c AS (
+              SELECT ix, iy, v,
+                (x - (-180.0 + (ix + 0.5) * {360.0 / (1 << IDW_RES)!r}))
+                  AS dx,
+                (y - (-90.0 + (iy + 0.5) * {180.0 / (1 << IDW_RES)!r}))
+                  AS dy
+              FROM g2
+              WHERE iy >= 0 AND iy < {1 << IDW_RES}),
+            q AS (
+              SELECT ix, iy,
+                CAST(floor(1.0 / (dx*dx + dy*dy + {IDW_SMOOTH!r}) * v
+                           * 1000000.0 + 0.5) AS BIGINT) AS nq,
+                CAST(floor(1.0 / (dx*dx + dy*dy + {IDW_SMOOTH!r})
+                           * 1000000.0 + 0.5) AS BIGINT) AS dq
+              FROM c
+              WHERE dx*dx + dy*dy < {IDW_RADIUS * IDW_RADIUS!r})
+            SELECT CAST({IDW_RES} AS BIGINT) * {1 << 58}
+                     + ix * {1 << 29} + iy AS cell,
+                   ix, iy,
+                   count(*) AS n_samples,
+                   CAST(floor((sum(nq) / 1000000.0) / (sum(dq) / 1000000.0)
+                              * 1000000.0 + 0.5) AS BIGINT) AS val6
             FROM q GROUP BY ix, iy
         """,
         "zonal_majority": f"""
