@@ -2776,6 +2776,45 @@ def q_raster_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(_pixels, schema="gix long, giy long, curv_v double")
 
 
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-distance accumulation (raster/costdist.cost_distance —
+    block-sweep parallel Dijkstra, 1-px halo per sweep). Iterative
+    shortest paths are not ANSI-SQL-expressible at this size, so this
+    gate is rows-only; value-level equality to a global-grid Dijkstra
+    (barriers, multi-source, unreachable pockets) is pytest-proven in
+    tests/test_hydrology.py."""
+    _tune(spark)
+    import pandas as pd
+    from typing import Iterator
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.costdist import cost_distance
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+    out = cost_distance(ras, [(5, 5), (100, 80)])
+
+    def _pixels(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            recs = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+                _, tx, ty = r.image_id.split("_")
+                rows_, cols_ = np.nonzero((arr != codec.NO_DATA_F32)
+                                          & np.isfinite(arr))
+                recs.append(pd.DataFrame(
+                    {"gix": int(tx) * int(r.w) + cols_,
+                     "giy": int(ty) * int(r.h) + rows_,
+                     "cd6": np.floor(arr[rows_, cols_].astype(np.float64)
+                                     * 1e6 + 0.5).astype(np.int64)}))
+            if recs:
+                yield pd.concat(recs, ignore_index=True)
+
+    return out.mapInPandas(_pixels, schema="gix long, giy long, cd6 long")
+
+
 def q_raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hillshade variant of q_raster_slope (gate 79): Lambertian shaded
     relief 255·max(0, sin(alt)·cos(s) + cos(alt)·sin(s)·cos(az−aspect))
@@ -3786,6 +3825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_flowacc": q_raster_flowacc,
         "raster_watershed": q_raster_watershed,
         "raster_curvature": q_raster_curvature,
+        "cost_distance": q_cost_distance,
         "raster_hillshade": q_raster_hillshade,
         "raster_focal_mean": q_raster_focal_mean,
         "raster_polygonize": q_raster_polygonize,

@@ -185,12 +185,17 @@ def d8_flow_direction(df: DataFrame, *,
 
 
 def stitched_apply(df: DataFrame, padded_fn, *,
-                   no_data: float = codec.NO_DATA_F32) -> DataFrame:
+                   no_data: float = codec.NO_DATA_F32,
+                   pass_row: bool = False) -> DataFrame:
     """Generic 1-px halo-exchange pass: decode each tile, exchange edge
     strips/corners with grid neighbors, hand ``padded_fn`` the (h+2,
     w+2) edge-clamped+halo'd float64 array (no-data as NaN), and
     re-encode its (h, w) float32 result (NaN → no-data). The shuffle is
-    4 strips + 4 corner pixels per tile, never whole tiles."""
+    4 strips + 4 corner pixels per tile, never whole tiles.
+
+    pass_row=True calls ``padded_fn(p, row)`` with the tile's pandas
+    row, so kernels can read sibling columns (e.g. a second raster's
+    bytes riding along — the cost-distance pattern)."""
     t, _, _ = _grid_indexed(df)
 
     strip_schema = T.StructType([
@@ -281,7 +286,7 @@ def stitched_apply(df: DataFrame, padded_fn, *,
                 }.items():
                     if v is not None:
                         p[py, px] = v
-                o = padded_fn(p)
+                o = padded_fn(p, r) if pass_row else padded_fn(p)
                 o = np.where(np.isnan(o), no_data, o)
                 bufs.append(codec.encode(o.astype(np.float32), r["fmt"]))
             out = pdf[out_cols].copy()

@@ -133,3 +133,72 @@ def test_watershed_matches_path_following(spark):
             cur = nxt[cur]
         assert got[start] == cur, start
     assert len(set(got.values())) > 1          # multiple real basins
+
+
+def test_cost_distance_matches_global_dijkstra(spark):
+    """Block-sweep cost distance vs one global-grid Dijkstra — with
+    barriers forcing paths around, multiple sources, unreachable
+    pockets, and tile crossings that need several sweeps."""
+    import heapq
+
+    from gis_tools_spark.raster.costdist import cost_distance
+
+    def fill(gx, gy):
+        return (1.0 + (gx * 5 + gy * 3) % 7).astype(np.float64)
+
+    glob, pdf, rx, ry = _mosaic(2, 2, 16, fill)
+    glob = glob.astype(np.float32)
+    glob[10:30, 12] = codec.NO_DATA_F32        # wall with a gap at top
+    glob[5, 20:28] = codec.NO_DATA_F32
+    glob[28:32, 28:32] = codec.NO_DATA_F32     # sealed corner pocket? no:
+    glob[27, 27] = codec.NO_DATA_F32           # (kept reachable around)
+    rows = []
+    for _, r in pdf.iterrows():
+        tx, ty = int(r.image_id.split("_")[1]), int(r.image_id.split("_")[2])
+        r = r.copy()
+        r["bytes"] = codec.encode_raw_f32(
+            glob[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16])
+        rows.append(r)
+    sources = [(2, 2), (30, 3)]
+    out = cost_distance(spark.createDataFrame(pd.DataFrame(rows)),
+                        sources)
+    got = np.zeros((32, 32), dtype=np.float32)
+    for r in out.collect():
+        tx, ty = int(r["image_id"].split("_")[1]), \
+            int(r["image_id"].split("_")[2])
+        got[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16] = \
+            codec.decode_raw_f32(bytes(r["bytes"]), 16, 16)
+
+    cost = glob.astype(np.float64)
+    cost[glob == codec.NO_DATA_F32] = np.nan
+    dist = np.full((32, 32), np.inf)
+    heap = []
+    for gx, gy in sources:
+        if not np.isnan(cost[gy, gx]):
+            dist[gy, gx] = 0.0
+            heap.append((0.0, gy, gx))
+    heapq.heapify(heap)
+    moves = [(di, dj, np.sqrt(2.0) if di and dj else 1.0)
+             for di in (-1, 0, 1) for dj in (-1, 0, 1) if (di, dj) != (0, 0)]
+    while heap:
+        d, i, j = heapq.heappop(heap)
+        if d > dist[i, j]:
+            continue
+        for di, dj, step in moves:
+            vi, vj = i + di, j + dj
+            if not (0 <= vi < 32 and 0 <= vj < 32) or np.isnan(cost[vi, vj]):
+                continue
+            nd = d + cost[vi, vj] * step
+            if nd < dist[vi, vj]:
+                dist[vi, vj] = nd
+                heapq.heappush(heap, (nd, vi, vj))
+
+    nod = glob == codec.NO_DATA_F32
+    assert (got[nod] == codec.NO_DATA_F32).all()
+    valid = ~nod
+    np.testing.assert_allclose(got[valid], dist[valid].astype(np.float32),
+                               rtol=1e-6)
+    assert np.isinf(dist[valid]).sum() == np.isinf(got[valid]).sum()
+    # paths genuinely cross tiles: bottom-right tile cost came from a
+    # source in another tile
+    assert np.isfinite(got[20:, 20:][~nod[20:, 20:]]).all()
