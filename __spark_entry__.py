@@ -129,6 +129,24 @@ def q_shared_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("gid", "rid", F.round(F.col("inter_area"), 9).alias("area_r"))
 
 
+def q_zone_choropleth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choropleth classification (operators/classify.py): per-zone
+    event counts through the real PIP join, then equal-interval
+    classes — the break arithmetic (lo + (hi-lo)*i/k on the collected
+    1-row min/max) is mirrored float-for-float in the oracle."""
+    _tune(spark)
+    from gis_tools_spark.operators.classify import (
+        classify_column, equal_interval_breaks)
+
+    pts = DT.events_points(spark, sf_dir)
+    zones = DT.nation_zones(spark, sf_dir)
+    counts = (pip_join(pts, zones, strategy="broadcast")
+              .groupBy("gid").agg(F.count("*").alias("n")))
+    breaks = equal_interval_breaks(counts, "n", 4)
+    return counts.select(
+        "gid", "n", classify_column("n", breaks).alias("cls"))
+
+
 def q_areal_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Areal interpolation (operators/overlay.areal_interpolate —
     pysal/tobler area_interpolate semantics): transfer a per-zone
@@ -3802,6 +3820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_area": q_shared_area,
         "areal_transfer": q_areal_transfer,
         "snap_to_road": q_snap_to_road,
+        "zone_choropleth": q_zone_choropleth,
         "dissolve_region_area": q_dissolve_region_area,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
@@ -5478,6 +5497,23 @@ def oracle_sql() -> dict[str, str]:
               FROM ({DT.ZONES_SQL.strip()}) z CROSS JOIN r
             )
             SELECT gid, rid, round(a, 9) AS area_r FROM x WHERE a > 1e-12
+        """,
+        "zone_choropleth": f"""
+            WITH counts AS (
+              SELECT z.gid, count(*) AS n
+              FROM ({DT.POINTS_SQL.strip()}) p
+              JOIN ({DT.ZONES_SQL.strip()}) z
+                ON p.lon >= z.zminx AND p.lon <= z.zmaxx
+               AND p.lat >= z.zminy AND p.lat <= z.zmaxy
+              GROUP BY z.gid),
+            m AS (SELECT CAST(min(n) AS DOUBLE) AS lo,
+                         CAST(max(n) AS DOUBLE) AS hi FROM counts)
+            SELECT gid, n,
+              CAST((CASE WHEN n > lo + (hi - lo) * 1 / 4 THEN 1 ELSE 0 END)
+                 + (CASE WHEN n > lo + (hi - lo) * 2 / 4 THEN 1 ELSE 0 END)
+                 + (CASE WHEN n > lo + (hi - lo) * 3 / 4 THEN 1 ELSE 0 END)
+                   AS INT) AS cls
+            FROM counts CROSS JOIN m
         """,
         "snap_to_road": f"""
             WITH p AS ({DT.POINTS_SQL.strip()}),
