@@ -2833,6 +2833,28 @@ def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(_pixels, schema="gix long, giy long, cd6 long")
 
 
+VS_OBS, VS_MAXD2 = (40, 41), 2500   # (40,40) is a no-data fixture pixel
+
+
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sector viewshed (operators/topography.viewshed): exact-integer
+    16-sector binning + one running-max window per sector over strictly
+    smaller d² — no rays, no iteration, no libm in the sector math, so
+    the SQL oracle mirrors every expression bit-for-bit."""
+    _tune(spark)
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.operators.topography import viewshed
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+    out = viewshed(ras, VS_OBS, observer_height=2.0, max_d2=VS_MAXD2)
+    return out.select(
+        "gix", "giy", F.col("sector").cast("int").alias("sector"),
+        "d2",
+        F.floor(F.col("tan_angle") * 1e9 + F.lit(0.5)).cast("long")
+        .alias("tan9"),
+        F.col("visible").cast("int").alias("visible"))
+
+
 def q_raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hillshade variant of q_raster_slope (gate 79): Lambertian shaded
     relief 255·max(0, sin(alt)·cos(s) + cos(alt)·sin(s)·cos(az−aspect))
@@ -3845,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_watershed": q_raster_watershed,
         "raster_curvature": q_raster_curvature,
         "cost_distance": q_cost_distance,
+        "viewshed": q_viewshed,
         "raster_hillshade": q_raster_hillshade,
         "raster_focal_mean": q_raster_focal_mean,
         "raster_polygonize": q_raster_polygonize,
@@ -6892,6 +6915,43 @@ SELECT CAST(w.sx AS BIGINT) AS gix, CAST(w.sy AS BIGINT) AS giy,
        CAST(w.gix AS BIGINT) AS basin_gix, CAST(w.giy AS BIGINT) AS basin_giy
 FROM walk w
 WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.gix = w.gix AND e.giy = w.giy)
+""",
+        "viewshed": f"""
+WITH px AS (
+  SELECT gix, giy,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+         ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+  FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b
+), o AS (
+  SELECT val + 2.0 AS oz FROM px
+  WHERE gix = {VS_OBS[0]} AND giy = {VS_OBS[1]}
+), c AS (
+  SELECT gix, giy, gix - {VS_OBS[0]} AS dx, giy - {VS_OBS[1]} AS dy,
+         (gix - {VS_OBS[0]})*(gix - {VS_OBS[0]})
+         + (giy - {VS_OBS[1]})*(giy - {VS_OBS[1]}) AS d2,
+         val, oz
+  FROM px CROSS JOIN o WHERE val IS NOT NULL
+), s AS (
+  SELECT gix, giy, d2,
+    ((CASE WHEN dy < 0 THEN 1 ELSE 0 END) * 4
+     + (CASE WHEN dx < 0 THEN 1 ELSE 0 END) * 2
+     + CASE WHEN abs(dy) > abs(dx) THEN 1 ELSE 0 END) * 2
+    + CASE WHEN 2 * least(abs(dx), abs(dy)) >= greatest(abs(dx), abs(dy))
+           THEN 1 ELSE 0 END AS sector,
+    (val - oz) / sqrt(CAST(d2 AS DOUBLE)) AS tan_angle
+  FROM c WHERE d2 > 0 AND d2 <= {VS_MAXD2}
+), w AS (
+  SELECT gix, giy, sector, d2, tan_angle,
+    max(tan_angle) OVER (PARTITION BY sector ORDER BY d2
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM s
+)
+SELECT CAST(gix AS BIGINT) AS gix, CAST(giy AS BIGINT) AS giy,
+       CAST(sector AS INT) AS sector, CAST(d2 AS BIGINT) AS d2,
+       CAST(floor(tan_angle * 1e9 + 0.5) AS BIGINT) AS tan9,
+       CAST((mx IS NULL OR tan_angle > mx) AS INT) AS visible
+FROM w
 """,
         "raster_curvature": """
 WITH px AS (

@@ -122,6 +122,91 @@ def get_horizon(observers: DataFrame, dem_tiles: DataFrame, *,
     return out
 
 
+def viewshed(dem_tiles: DataFrame, observer_cell: tuple[int, int], *,
+             observer_height: float = 2.0, max_d2: int | None = None,
+             n_sectors: int = 16,
+             no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """Sector viewshed from one observer pixel (the XDraw-family
+    approximation every raster GIS ships — reference scope: the same
+    elevation-angle model as get_horizon, topography.py:122-201):
+    a pixel is visible iff its elevation angle from the observer
+    exceeds that of EVERY strictly closer pixel in its azimuth sector.
+
+    Distributed shape — no rays, no iteration: decode tiles to pixel
+    rows, derive (sector, d², tan) in whole-stage codegen, then ONE
+    window per sector: running max(tan) over strictly smaller d²
+    (RANGE … 1 PRECEDING on the integer d²). Equal-d² pixels never
+    block each other (deterministic, mirrored in the SQL oracle).
+
+    n_sectors=16 uses EXACT integer octant+half-octant binning (no
+    atan2, so the oracle can't drift on a libm ulp); other values bin
+    by atan2 azimuth (documented last-ulp sector-boundary caveat).
+
+    Returns (gix, giy, sector, d2, tan_angle, visible) for every valid
+    pixel except the observer's own cell.
+    """
+    px = decode_pixels(dem_tiles, no_data=no_data)
+    ogx, ogy = int(observer_cell[0]), int(observer_cell[1])
+    oz = (px.where((F.col("gix") == ogx) & (F.col("giy") == ogy))
+          .select((F.col("z") + F.lit(float(observer_height)))
+                  .alias("__oz")))
+    j = px.crossJoin(F.broadcast(oz))
+    dx = F.col("gix") - F.lit(ogx)
+    dy = F.col("giy") - F.lit(ogy)
+    d2 = (dx * dx + dy * dy).cast("long")
+    j = j.withColumn("d2", d2).where(F.col("d2") > 0)
+    if max_d2 is not None:
+        j = j.where(F.col("d2") <= int(max_d2))
+    if n_sectors == 16:
+        ax, ay = F.abs(dx), F.abs(dy)
+        octant = ((F.when(dy < 0, 1).otherwise(0) * 4)
+                  + (F.when(dx < 0, 1).otherwise(0) * 2)
+                  + F.when(ay > ax, 1).otherwise(0))
+        sub = F.when(F.least(ax, ay) * 2 >= F.greatest(ax, ay), 1) \
+            .otherwise(0)
+        sector = (octant * 2 + sub).cast("int")
+    else:
+        two_pi = 2.0 * float(np.pi)
+        az = F.atan2(dy.cast("double"), dx.cast("double")) + F.lit(float(np.pi))
+        sector = F.least(F.floor(az / F.lit(two_pi) * n_sectors),
+                         F.lit(n_sectors - 1)).cast("int")
+    tan = (F.col("z") - F.col("__oz")) / F.sqrt(F.col("d2").cast("double"))
+    j = j.withColumn("sector", sector).withColumn("tan_angle", tan)
+    from pyspark.sql import Window
+    w = (Window.partitionBy("sector").orderBy("d2")
+         .rangeBetween(Window.unboundedPreceding, -1))
+    mx = F.max("tan_angle").over(w)
+    return j.select(
+        "gix", "giy", "sector", "d2", "tan_angle",
+        (mx.isNull() | (F.col("tan_angle") > mx)).alias("visible"))
+
+
+def decode_pixels(dem_tiles: DataFrame, *,
+                  no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """(gix, giy, z) pixel rows from a tiled mosaic (valid pixels
+    only); grid indices derived from each tile's geotransform."""
+    from ..raster.stitch import _grid_indexed
+
+    t, _, _ = _grid_indexed(dem_tiles)
+
+    def _px(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                arr = codec.decode(r["bytes"], int(r["w"]), int(r["h"]),
+                                   r["fmt"])
+                rows_, cols_ = np.nonzero(arr != no_data)
+                recs.append(pd.DataFrame(
+                    {"gix": int(r["__col"]) * int(r["w"]) + cols_,
+                     "giy": int(r["__row"]) * int(r["h"]) + rows_,
+                     "z": arr[rows_, cols_].astype(np.float64)}))
+            if recs:
+                yield pd.concat(recs, ignore_index=True)
+
+    return t.mapInPandas(_px, schema="gix long, giy long, z double")
+
+
 def dozier_horizon_1d(elev: np.ndarray, spacing: float) -> np.ndarray:
     """Dozier & Frew 1-D forward-horizon stack algorithm (reference
     topography.py:74-108, numba kernel): for each point, the max

@@ -61,3 +61,65 @@ def test_get_horizon_matches_bruteforce(spark):
         assert set(sub.index) == set(best)
         for s, a in best.items():
             assert sub[s] == pytest.approx(a, abs=1e-9), (o["pid"], s)
+
+
+def test_viewshed_spike_and_flat(spark):
+    """Flat plane: everything visible. A tall spike: pixels strictly
+    behind it (same sector, farther) become invisible; sanity vs a
+    literal numpy replay of the sector rule."""
+    import pandas as pd
+
+    from gis_tools_spark.operators.topography import viewshed
+    from gis_tools_spark.raster import codec as CD
+    from tests.test_stitch import _mosaic
+
+    def flat(gx, gy):
+        return np.full(np.broadcast(gx, gy).shape, 5.0)
+
+    glob, pdf, rx, ry = _mosaic(1, 1, 32, flat)
+    out = viewshed(spark.createDataFrame(pdf), (16, 16),
+                   observer_height=2.0).toPandas()
+    assert len(out) == 32 * 32 - 1
+    assert out.visible.all()
+
+    spike = glob.copy()
+    spike[16, 20] = 500.0        # due east of the observer
+    pdf2 = pdf.copy()
+    pdf2.at[0, "bytes"] = CD.encode_raw_f32(spike)
+    out2 = viewshed(spark.createDataFrame(pdf2), (16, 16),
+                    observer_height=2.0).toPandas()
+    got = {(int(r.gix), int(r.giy)): bool(r.visible)
+           for _, r in out2.iterrows()}
+    assert got[(20, 16)]                    # the spike itself
+    assert not got[(25, 16)] and not got[(31, 16)]   # shadowed due east
+    assert got[(12, 16)] and got[(16, 25)]  # other directions unaffected
+
+    # full replay of the sector rule in numpy
+    oz = spike[16, 16] + 2.0
+    rows = []
+    for gy in range(32):
+        for gx in range(32):
+            dx, dy = gx - 16, gy - 16
+            d2 = dx * dx + dy * dy
+            if d2 == 0:
+                continue
+            ax, ay = abs(dx), abs(dy)
+            octant = (4 if dy < 0 else 0) + (2 if dx < 0 else 0) \
+                + (1 if ay > ax else 0)
+            sub = 1 if 2 * min(ax, ay) >= max(ax, ay) else 0
+            rows.append((octant * 2 + sub, d2,
+                         (spike[gy, gx] - oz) / np.sqrt(d2), gx, gy))
+    vis = {}
+    for sec in set(r[0] for r in rows):
+        sr = sorted([r for r in rows if r[0] == sec], key=lambda r: r[1])
+        best = -np.inf
+        i = 0
+        while i < len(sr):
+            j = i
+            while j < len(sr) and sr[j][1] == sr[i][1]:
+                vis[(sr[j][3], sr[j][4])] = sr[j][2] > best or best == -np.inf
+                j += 1
+            best = max([best] + [r[2] for r in sr[i:j]])
+            i = j
+    for key, v in vis.items():
+        assert got[key] == v, key
