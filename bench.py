@@ -117,7 +117,9 @@ def main() -> None:
                 "asof_join", "interval_join", "hotspot_gi", "moran_grid",
                 "user_tracks", "od_flows", "geofence_events",
                 "kde_heatmap", "lisa_quadrants", "mk_trend",
-                "areal_transfer", "raster_flowacc", "raster_watershed"]
+                "areal_transfer", "raster_flowacc", "raster_watershed",
+                "idw_surface", "snap_to_road", "raster_curvature",
+                "zone_choropleth", "viewshed", "cost_distance"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))
