@@ -204,6 +204,12 @@ def kde_density(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
     n = 1 << res
     wx, wy = 360.0 / n, 180.0 / n
     r = float(radius)
+    fan = (2 * r / wx + 2) * (2 * r / wy + 2)
+    if fan > 250_000:
+        raise ValueError(
+            f"radius {r} at res {res} explodes each point to ~{fan:.0f} "
+            "cells; lower res or radius (bounded fan-out is the scale "
+            "contract of this operator)")
     x, y = F.col(lon), F.col(lat)
     jx0 = F.floor((x - r + 180.0) / 360.0 * n).cast("long")
     jx1 = F.floor((x + r + 180.0) / 360.0 * n).cast("long")

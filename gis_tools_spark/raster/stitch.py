@@ -36,7 +36,13 @@ def _grid_indexed(df: DataFrame):
     (indexed_df, tile_w_deg, tile_h_deg)."""
     o = df.agg(F.min("gt_x0").alias("x0"), F.max("gt_y0").alias("y0"),
                F.max(F.col("gt_rx") * F.col("w")).alias("tw"),
-               F.max(F.col("gt_ry") * F.col("h")).alias("th")).collect()[0]
+               F.max(F.col("gt_ry") * F.col("h")).alias("th"),
+               F.countDistinct("w", "h").alias("nsz")).collect()[0]
+    if int(o["nsz"]) > 1:
+        raise ValueError(
+            "stitched raster passes require a uniform tile grid (equal "
+            f"w×h, aligned origins); found {o['nsz']} distinct tile "
+            "sizes. Resample or retile the mosaic first.")
     tw, th = float(o["tw"]), float(o["th"])
     out = (df.withColumn("__col", F.round((F.col("gt_x0") - F.lit(o["x0"])) / tw).cast("int"))
              .withColumn("__row", F.round((F.lit(o["y0"]) - F.col("gt_y0")) / th).cast("int")))
@@ -184,6 +190,73 @@ def d8_flow_direction(df: DataFrame, *,
     return stitched_apply(df, _fn, no_data=no_data)
 
 
+def apply_halo(p: np.ndarray, halo, no_data: float) -> np.ndarray:
+    """Overwrite the edge-replicate pad of `p` ((h+2, w+2), NaN nodata)
+    with the collected neighbor strips (rows of {dc, dr, strip}); the
+    corner rule replicates the GLOBAL array's clamped pad. Shared by
+    stitched_apply and the cost-distance sweep loop."""
+    strips = {}
+    if halo is not None:
+        for piece in halo:
+            s = np.frombuffer(piece["strip"], dtype="<f4").astype(np.float64)
+            strips[(int(piece["dc"]), int(piece["dr"]))] = \
+                np.where(s == no_data, np.nan, s)
+    # a strip emitted with offset (dc,dr) came FROM the neighbor at
+    # (-dc,-dr) relative to this tile
+    W, E = strips.get((1, 0)), strips.get((-1, 0))
+    N, S = strips.get((0, 1)), strips.get((0, -1))
+    if W is not None:
+        p[1:-1, 0] = W
+    if E is not None:
+        p[1:-1, -1] = E
+    if N is not None:
+        p[0, 1:-1] = N
+    if S is not None:
+        p[-1, 1:-1] = S
+
+    def _corner(diag, row_s, row_i, col_s, col_i):
+        if diag is not None:
+            return diag[0]
+        if row_s is not None:              # N/S exists, E/W missing
+            return row_s[row_i]
+        if col_s is not None:              # E/W exists, N/S missing
+            return col_s[col_i]
+        return None
+
+    for (py, px), v in {
+        (0, 0): _corner(strips.get((1, 1)), N, 0, W, 0),
+        (0, -1): _corner(strips.get((-1, 1)), N, -1, E, 0),
+        (-1, 0): _corner(strips.get((1, -1)), S, 0, W, -1),
+        (-1, -1): _corner(strips.get((-1, -1)), S, -1, E, -1),
+    }.items():
+        if v is not None:
+            p[py, px] = v
+    return p
+
+
+def emit_strip_rows(a: np.ndarray, c: int, w_: int) -> list[tuple]:
+    """The 4 edge strips + 4 corner pixels of one float32 tile, keyed
+    by the consuming neighbor's grid position (shared strip protocol)."""
+    pieces = {
+        (1, 0): a[:, -1], (-1, 0): a[:, 0],
+        (0, 1): a[-1, :], (0, -1): a[0, :],
+        (1, 1): a[-1:, -1], (-1, 1): a[-1:, 0],
+        (1, -1): a[:1, -1], (-1, -1): a[:1, 0],
+    }
+    return [(c + dc, w_ + dr, dc, dr,
+             np.ascontiguousarray(s, dtype="<f4").tobytes())
+            for (dc, dr), s in pieces.items()]
+
+
+STRIP_SCHEMA = T.StructType([
+    T.StructField("__col", T.IntegerType()),
+    T.StructField("__row", T.IntegerType()),
+    T.StructField("dc", T.IntegerType()),
+    T.StructField("dr", T.IntegerType()),
+    T.StructField("strip", T.BinaryType()),
+])
+
+
 def stitched_apply(df: DataFrame, padded_fn, *,
                    no_data: float = codec.NO_DATA_F32,
                    pass_row: bool = False) -> DataFrame:
@@ -198,14 +271,6 @@ def stitched_apply(df: DataFrame, padded_fn, *,
     bytes riding along — the cost-distance pattern)."""
     t, _, _ = _grid_indexed(df)
 
-    strip_schema = T.StructType([
-        T.StructField("__col", T.IntegerType()),
-        T.StructField("__row", T.IntegerType()),
-        T.StructField("dc", T.IntegerType()),
-        T.StructField("dr", T.IntegerType()),
-        T.StructField("strip", T.BinaryType()),
-    ])
-
     def _emit_strips(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
@@ -214,23 +279,14 @@ def stitched_apply(df: DataFrame, padded_fn, *,
                 arr = codec.decode(r["bytes"], int(r["w"]), int(r["h"]), r["fmt"])
                 if arr.ndim == 3:
                     arr = arr.mean(axis=2)
-                a = arr.astype(np.float32)
-                c, w_ = int(r["__col"]), int(r["__row"])
                 # (dc, dr) is the OFFSET of the neighbor that will consume
                 # the strip; the strip is this tile's edge facing it
-                pieces = {
-                    (1, 0): a[:, -1], (-1, 0): a[:, 0],
-                    (0, 1): a[-1, :], (0, -1): a[0, :],
-                    (1, 1): a[-1:, -1], (-1, 1): a[-1:, 0],
-                    (1, -1): a[:1, -1], (-1, -1): a[:1, 0],
-                }
-                for (dc, dr), s in pieces.items():
-                    rows.append((c + dc, w_ + dr, dc, dr,
-                                 np.ascontiguousarray(s, dtype="<f4").tobytes()))
+                rows.extend(emit_strip_rows(arr.astype(np.float32),
+                                            int(r["__col"]), int(r["__row"])))
             if rows:
                 yield pd.DataFrame(rows, columns=["__col", "__row", "dc", "dr", "strip"])
 
-    strips = (t.mapInPandas(_emit_strips, schema=strip_schema)
+    strips = (t.mapInPandas(_emit_strips, schema=STRIP_SCHEMA)
               .groupBy("__col", "__row")
               .agg(F.collect_list(F.struct("dc", "dr", "strip")).alias("__halo")))
     joined = t.join(strips, on=["__col", "__row"], how="left")
@@ -247,50 +303,19 @@ def stitched_apply(df: DataFrame, padded_fn, *,
                 if arr.ndim == 3:
                     arr = arr.mean(axis=2)
                 a = np.where(arr == no_data, np.nan, arr.astype(np.float64))
-                p = np.pad(a, 1, mode="edge")
-                halo = r["__halo"]
-                strips = {}
-                if halo is not None:
-                    for piece in halo:
-                        s = np.frombuffer(piece["strip"], dtype="<f4").astype(np.float64)
-                        strips[(int(piece["dc"]), int(piece["dr"]))] = \
-                            np.where(s == no_data, np.nan, s)
-                # a strip emitted with offset (dc,dr) came FROM the
-                # neighbor at (-dc,-dr) relative to this tile
-                W, E = strips.get((1, 0)), strips.get((-1, 0))
-                N, S = strips.get((0, 1)), strips.get((0, -1))
-                if W is not None:
-                    p[1:-1, 0] = W
-                if E is not None:
-                    p[1:-1, -1] = E
-                if N is not None:
-                    p[0, 1:-1] = N
-                if S is not None:
-                    p[-1, 1:-1] = S
                 # halo corners replicate the GLOBAL array's clamped pad:
                 # diagonal neighbor if present, else the clamped element
                 # of whichever edge neighbor exists, else self-replicate
-                def _corner(diag, row_s, row_i, col_s, col_i):
-                    if diag is not None:
-                        return diag[0]
-                    if row_s is not None:          # N/S exists, E/W missing
-                        return row_s[row_i]
-                    if col_s is not None:          # E/W exists, N/S missing
-                        return col_s[col_i]
-                    return None
-                for (py, px), v in {
-                    (0, 0): _corner(strips.get((1, 1)), N, 0, W, 0),
-                    (0, -1): _corner(strips.get((-1, 1)), N, -1, E, 0),
-                    (-1, 0): _corner(strips.get((1, -1)), S, 0, W, -1),
-                    (-1, -1): _corner(strips.get((-1, -1)), S, -1, E, -1),
-                }.items():
-                    if v is not None:
-                        p[py, px] = v
+                p = apply_halo(np.pad(a, 1, mode="edge"), r["__halo"],
+                               no_data)
                 o = padded_fn(p, r) if pass_row else padded_fn(p)
                 o = np.where(np.isnan(o), no_data, o)
-                bufs.append(codec.encode(o.astype(np.float32), r["fmt"]))
+                bufs.append(codec.encode(o.astype(np.float32), "raw_f32"))
             out = pdf[out_cols].copy()
             out["bytes"] = pd.Series(bufs, index=pdf.index, dtype=object)
+            # the result is a float32 surface whatever the source format
+            # was (an RGB png DEM would otherwise crash the re-encode)
+            out["fmt"] = "raw_f32"
             yield out
 
     return joined.mapInPandas(_kernel, schema=out_schema)
