@@ -2928,6 +2928,52 @@ def q_raster_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(_pixels, schema="gix long, giy long, mean_v double")
 
 
+def q_terrain_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem-family terrain indices (raster/stitch.py
+    terrain_index_stitched): Riley TRI, TPI and roughness in three
+    halo-exchange passes over the exact closed-form mosaic, joined per
+    pixel. Every input is integer-valued, TRI is one IEEE sqrt of an
+    exact integer sum, TPI divides by 8 (dyadic) and roughness is pure
+    max−min, so the oracle mirrors all three bit-for-bit through the
+    float32 output cast. NaN propagation (any window slot no-data ⇒
+    pixel dropped) and global-edge clamping are mirrored via the
+    least/greatest-clamped neighbor CTE."""
+    _tune(spark)
+    import pandas as pd
+    from typing import Iterator
+
+    from gis_tools_spark import fixtures
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.stitch import terrain_index_stitched
+
+    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
+
+    def _pixtab(col: str):
+        def _pixels(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in it:
+                recs = []
+                for r in pdf.itertuples(index=False):
+                    arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+                    _, tx, ty = r.image_id.split("_")
+                    rows_, cols_ = np.nonzero(arr != codec.NO_DATA_F32)
+                    recs.append(pd.DataFrame(
+                        {"gix": int(tx) * int(r.w) + cols_,
+                         "giy": int(ty) * int(r.h) + rows_,
+                         col: arr[rows_, cols_].astype(np.float64)}))
+                if recs:
+                    yield pd.concat(recs, ignore_index=True)
+        return _pixels
+
+    parts = []
+    for mode, col in (("tri", "tri"), ("tpi", "tpi"), ("roughness", "rough")):
+        parts.append(terrain_index_stitched(ras, mode=mode).mapInPandas(
+            _pixtab(col), schema=f"gix long, giy long, {col} double"))
+    out = parts[0].join(parts[1], ["gix", "giy"]).join(parts[2], ["gix", "giy"])
+    return out.select("gix", "giy", "tri", "tpi", "rough")
+
+
 def q_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """360° horizon extraction from DEM tiles, gated against a DuckDB
     brute-force oracle over the same closed-form pixels (azimuth/
@@ -2979,6 +3025,54 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .cast("double").alias("length")))
     out = shortest_paths(edges, ["n0"], weight_col="length")
     return out.select("source", "node", F.col("dist").cast("double").alias("dist"))
+
+
+def _service_area_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted graph for the isochrone gates (nodes =
+    ids mod 200, affine edge map, integer weights 1-5 so every distance
+    is an exact integer)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    u = F.col("event_id") % 200
+    v = (F.col("event_id") * 13 + 7) % 200
+    return (ev.where(F.col("event_id") % 7 == 0)
+            .select(F.least(u, v).alias("__u"), F.greatest(u, v).alias("__v"))
+            .where(F.col("__u") != F.col("__v")).distinct()
+            .select(F.concat(F.lit("n"), F.col("__u").cast("string")).alias("src_key"),
+                    F.concat(F.lit("n"), F.col("__v").cast("string")).alias("dst_key"),
+                    (1 + (F.col("__u") * 31 + F.col("__v") * 17) % 5)
+                    .cast("double").alias("length")))
+
+
+_SA_SOURCES = ["n0", "n3", "n11"]
+_SA_CUTOFF = 9.0
+
+
+def q_service_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network service areas / isochrones (operators/network.py
+    service_area): multi-source distributed Bellman-Ford with per-round
+    cutoff pruning — the frontier stays inside the isochrone ball, the
+    100 TB property. Oracle: independent DuckDB recursive-CTE walk
+    bounded by the same cutoff + per-(source, node) min. Integer
+    weights keep every distance exact."""
+    _tune(spark)
+    from gis_tools_spark.operators.network import service_area
+
+    out = service_area(_service_area_edges(spark, sf_dir), _SA_SOURCES,
+                       cutoff=_SA_CUTOFF)
+    return out.select("source", "node", F.col("dist").cast("double").alias("dist"))
+
+
+def q_facility_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facility allocation (operators/network.nearest_facility): each
+    node within the cutoff assigned to its nearest source, ties to the
+    lexicographically smallest source — one window over the service
+    area. Oracle replays argmin + tie-break in SQL."""
+    _tune(spark)
+    from gis_tools_spark.operators.network import nearest_facility
+
+    out = nearest_facility(_service_area_edges(spark, sf_dir), _SA_SOURCES,
+                           cutoff=_SA_CUTOFF)
+    return out.select("node", "facility", F.col("dist").cast("double").alias("dist"))
 
 
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3365,6 +3459,25 @@ def q_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("mk_z") * 1000000.0 + F.lit(0.5)).cast("long")
         .alias("mkz6"),
         "sen_scaled2", "trend")
+
+
+def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrography (operators/centrography.py): per-event-type mean
+    center, standard distance and standard deviational ellipse (Yuill
+    1971) — ONE partial-aggregable groupBy to six moments, then pure
+    closed-form columns (center, RMS radius, rotation, √2-scaled axis
+    deviations). The oracle mirrors the expression tree over the same
+    moments; trig/sqrt quantized at 1e-6."""
+    _tune(spark)
+    from gis_tools_spark.operators.centrography import std_deviational_ellipse
+
+    out = std_deviational_ellipse(DT.events_points(spark, sf_dir),
+                                  by=["event_type"])
+    r6 = lambda c: F.floor(F.col(c) * 1000000.0 + F.lit(0.5)).cast("long").alias(c + "6")  # noqa: E731
+    return out.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        r6("mean_x"), r6("mean_y"), r6("std_dist"),
+        r6("theta_rad"), r6("sigma_x"), r6("sigma_y"))
 
 
 # ------------------------------------------------- image-training batch prep
@@ -3870,6 +3983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed": q_viewshed,
         "raster_hillshade": q_raster_hillshade,
         "raster_focal_mean": q_raster_focal_mean,
+        "terrain_indices": q_terrain_indices,
         "raster_polygonize": q_raster_polygonize,
         "buffer_area": q_buffer_area,
         "katana_split": q_katana_split,
@@ -3935,6 +4049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "graph_components": q_graph_components,
         "graph_shortest_paths": q_graph_shortest_paths,
+        "service_area": q_service_area,
+        "facility_alloc": q_facility_alloc,
         "great_circle": q_great_circle,
         "events_sessionize": q_events_sessionize,
         "events_hourly": q_events_hourly,
@@ -3943,6 +4059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi": q_hotspot_gi,
         "lisa_quadrants": q_lisa_quadrants,
         "mk_trend": q_mk_trend,
+        "std_ellipse": q_std_ellipse,
         "moran_grid": q_moran_grid,
         "user_tracks": q_user_tracks,
         "od_flows": q_od_flows,
@@ -6225,6 +6342,57 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'ZZ' END AS quadrant
             FROM j
         """,
+        "std_ellipse": """
+            WITH p AS (
+              SELECT event_type,
+                     5.0 + (event_id * 37 % 100000) / 20000.0 AS lon,
+                     40.0 + (event_id * 7919 % 100000) / 20000.0 AS lat
+              FROM events
+            ), m AS (
+              SELECT event_type,
+                     CAST(count(*) AS DOUBLE) AS w_n,
+                     sum(lon) AS s_x, sum(lat) AS s_y,
+                     sum(lon*lon) AS s_xx, sum(lat*lat) AS s_yy,
+                     sum(lon*lat) AS s_xy
+              FROM p GROUP BY event_type
+            ), c AS (
+              SELECT *,
+                     s_xx - s_x*s_x/w_n AS dxx,
+                     s_yy - s_y*s_y/w_n AS dyy,
+                     s_xy - s_x*s_y/w_n AS dxy
+              FROM m
+            ), t AS (
+              SELECT *,
+                CASE WHEN dxy = 0.0
+                     THEN (CASE WHEN dxx - dyy >= 0.0
+                                THEN 0.0 ELSE 1.5707963267948966 END)
+                     ELSE atan(((dxx - dyy)
+                                + sqrt((dxx - dyy)*(dxx - dyy)
+                                       + 4.0*dxy*dxy)) / (2.0*dxy))
+                END AS th0
+              FROM c
+            ), t2 AS (
+              SELECT *, CASE WHEN th0 < 0.0
+                             THEN th0 + 3.141592653589793
+                             ELSE th0 END AS theta
+              FROM t
+            )
+            SELECT event_type, CAST(w_n AS BIGINT) AS n,
+              CAST(floor((s_x/w_n)*1000000.0 + 0.5) AS BIGINT) AS mean_x6,
+              CAST(floor((s_y/w_n)*1000000.0 + 0.5) AS BIGINT) AS mean_y6,
+              CAST(floor(sqrt((dxx + dyy)/w_n)*1000000.0 + 0.5) AS BIGINT)
+                AS std_dist6,
+              CAST(floor(theta*1000000.0 + 0.5) AS BIGINT) AS theta_rad6,
+              CAST(floor(sqrt(2.0)*sqrt((cos(theta)*cos(theta)*dxx
+                     - 2.0*cos(theta)*sin(theta)*dxy
+                     + sin(theta)*sin(theta)*dyy)/w_n)*1000000.0 + 0.5)
+                   AS BIGINT) AS sigma_x6,
+              CAST(floor(sqrt(2.0)*sqrt((sin(theta)*sin(theta)*dxx
+                     + 2.0*cos(theta)*sin(theta)*dxy
+                     + cos(theta)*cos(theta)*dyy)/w_n)*1000000.0 + 0.5)
+                   AS BIGINT) AS sigma_y6
+            FROM t2
+        """,
         "mk_trend": f"""
             WITH p AS (
               SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep,
@@ -7001,6 +7169,47 @@ FROM k
             "degrees(atan2(dzdy, -dzdx))").replace("AS slope_v", "AS aspect_v"),
         "raster_hillshade": _hillshade_oracle_sql(),
         "raster_focal_mean": _focal_mean_oracle_sql(),
+        "terrain_indices": """
+WITH px AS (
+  SELECT gix, giy,
+    CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+         ELSE CAST((gix*7 + giy*13) % 997 AS DOUBLE) END AS val
+  FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+  CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b
+), n AS (
+  SELECT c.gix, c.giy, c.val,
+    max(CASE WHEN d.dx=-1 AND d.dy=-1 THEN p2.val END) AS zmm,
+    max(CASE WHEN d.dx= 0 AND d.dy=-1 THEN p2.val END) AS z0m,
+    max(CASE WHEN d.dx= 1 AND d.dy=-1 THEN p2.val END) AS zpm,
+    max(CASE WHEN d.dx=-1 AND d.dy= 0 THEN p2.val END) AS zm0,
+    max(CASE WHEN d.dx= 1 AND d.dy= 0 THEN p2.val END) AS zp0,
+    max(CASE WHEN d.dx=-1 AND d.dy= 1 THEN p2.val END) AS zmp,
+    max(CASE WHEN d.dx= 0 AND d.dy= 1 THEN p2.val END) AS z0p,
+    max(CASE WHEN d.dx= 1 AND d.dy= 1 THEN p2.val END) AS zpp
+  FROM px c
+  CROSS JOIN (SELECT * FROM (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(1,0),
+                                    (-1,1),(0,1),(1,1)) t(dx, dy)) d
+  JOIN px p2
+    ON p2.gix = least(greatest(c.gix + d.dx, 0), 127)
+   AND p2.giy = least(greatest(c.giy + d.dy, 0), 127)
+  GROUP BY c.gix, c.giy, c.val
+)
+SELECT CAST(gix AS BIGINT) AS gix, CAST(giy AS BIGINT) AS giy,
+  CAST(CAST(sqrt((zmm-val)*(zmm-val) + (z0m-val)*(z0m-val)
+                 + (zpm-val)*(zpm-val) + (zm0-val)*(zm0-val)
+                 + (zp0-val)*(zp0-val) + (zmp-val)*(zmp-val)
+                 + (z0p-val)*(z0p-val) + (zpp-val)*(zpp-val))
+       AS REAL) AS DOUBLE) AS tri,
+  CAST(CAST(val - (zmm+z0m+zpm+zm0+zp0+zmp+z0p+zpp)/8.0
+       AS REAL) AS DOUBLE) AS tpi,
+  CAST(CAST(greatest(val, zmm, z0m, zpm, zm0, zp0, zmp, z0p, zpp)
+            - least(val, zmm, z0m, zpm, zm0, zp0, zmp, z0p, zpp)
+       AS REAL) AS DOUBLE) AS rough
+FROM n
+WHERE val IS NOT NULL AND zmm IS NOT NULL AND z0m IS NOT NULL
+  AND zpm IS NOT NULL AND zm0 IS NOT NULL AND zp0 IS NOT NULL
+  AND zmp IS NOT NULL AND z0p IS NOT NULL AND zpp IS NOT NULL
+""",
         "raster_resample": """
 WITH px AS (
   SELECT gix, giy,
@@ -7155,6 +7364,64 @@ FROM px GROUP BY 1, 2
             SELECT 'n0' AS source, 'n' || CAST(node AS VARCHAR) AS node,
                    min(dist) AS dist
             FROM walk GROUP BY node
+        """,
+        "service_area": """
+            WITH RECURSIVE base AS (
+              SELECT least(event_id % 200, (event_id*13+7) % 200) AS u,
+                     greatest(event_id % 200, (event_id*13+7) % 200) AS v
+              FROM events WHERE event_id % 7 = 0
+            ), e0 AS (SELECT DISTINCT u, v FROM base WHERE u <> v),
+            w AS (SELECT u, v, CAST(1 + (u*31 + v*17) % 5 AS DOUBLE) AS w FROM e0),
+            e AS (SELECT u AS a, v AS b, w FROM w
+                  UNION ALL SELECT v AS a, u AS b, w FROM w),
+            seed AS (
+              SELECT s.node FROM (VALUES (0), (3), (11)) s(node)
+              WHERE s.node IN (SELECT a FROM e)
+            ),
+            walk AS (
+              SELECT node AS source, node, CAST(0.0 AS DOUBLE) AS dist
+              FROM seed
+              UNION
+              SELECT walk.source, e.b AS node, walk.dist + e.w AS dist
+              FROM e JOIN walk ON e.a = walk.node
+              WHERE walk.dist + e.w <= 9.0
+            )
+            SELECT 'n' || CAST(source AS VARCHAR) AS source,
+                   'n' || CAST(node AS VARCHAR) AS node,
+                   min(dist) AS dist
+            FROM walk GROUP BY source, node
+        """,
+        "facility_alloc": """
+            WITH RECURSIVE base AS (
+              SELECT least(event_id % 200, (event_id*13+7) % 200) AS u,
+                     greatest(event_id % 200, (event_id*13+7) % 200) AS v
+              FROM events WHERE event_id % 7 = 0
+            ), e0 AS (SELECT DISTINCT u, v FROM base WHERE u <> v),
+            w AS (SELECT u, v, CAST(1 + (u*31 + v*17) % 5 AS DOUBLE) AS w FROM e0),
+            e AS (SELECT u AS a, v AS b, w FROM w
+                  UNION ALL SELECT v AS a, u AS b, w FROM w),
+            seed AS (
+              SELECT s.node FROM (VALUES (0), (3), (11)) s(node)
+              WHERE s.node IN (SELECT a FROM e)
+            ),
+            walk AS (
+              SELECT node AS source, node, CAST(0.0 AS DOUBLE) AS dist
+              FROM seed
+              UNION
+              SELECT walk.source, e.b AS node, walk.dist + e.w AS dist
+              FROM e JOIN walk ON e.a = walk.node
+              WHERE walk.dist + e.w <= 9.0
+            ),
+            sa AS (
+              SELECT source, node, min(dist) AS dist
+              FROM walk GROUP BY source, node
+            ),
+            best AS (SELECT node, min(dist) AS dist FROM sa GROUP BY node)
+            SELECT 'n' || CAST(sa.node AS VARCHAR) AS node,
+                   min('n' || CAST(sa.source AS VARCHAR)) AS facility,
+                   best.dist AS dist
+            FROM sa JOIN best ON sa.node = best.node AND sa.dist = best.dist
+            GROUP BY sa.node, best.dist
         """,
         "graph_components": """
             WITH RECURSIVE base AS (

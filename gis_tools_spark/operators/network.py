@@ -188,7 +188,7 @@ def travel_times(lines: DataFrame, *, wkb_col: str = "geometry_wkb",
 
 
 def _bellman_ford(edges: DataFrame, sources: list[str], weight_col: str,
-                  max_iter: int = 0) -> DataFrame:
+                  max_iter: int = 0, cutoff: float | None = None) -> DataFrame:
     """Iterative DataFrame frontier relaxation (distributed
     Bellman-Ford): each round joins the improved frontier against the
     symmetrized edge set and keeps strictly better (source, node)
@@ -218,8 +218,13 @@ def _bellman_ford(edges: DataFrame, sources: list[str], weight_col: str,
         it += 1
         cand = (frontier.join(sym, frontier["node"] == sym["u"])
                 .select("source", F.col("v").alias("node"),
-                        (F.col("dist") + F.col("w")).alias("dist"))
-                .groupBy("source", "node").agg(F.min("dist").alias("dist")))
+                        (F.col("dist") + F.col("w")).alias("dist")))
+        if cutoff is not None:
+            # monotone positive weights: anything past the cutoff can
+            # never re-enter the ball, so the frontier stays local to
+            # the isochrone instead of flooding the whole component
+            cand = cand.where(F.col("dist") <= F.lit(float(cutoff)))
+        cand = cand.groupBy("source", "node").agg(F.min("dist").alias("dist"))
         prev = dist.select("source", "node",
                            F.col("dist").alias("dist_old"))
         improved = (cand.join(prev, on=["source", "node"], how="left")
@@ -296,6 +301,46 @@ def shortest_paths(edges: DataFrame, sources: list[str], *,
         out = out.unionByName(
             _bellman_ford(big_e, sources, weight_col, max_iter))
     return out
+
+
+def service_area(edges: DataFrame, sources: list[str], *,
+                 cutoff: float, weight_col: str = "length",
+                 max_iter: int = 0) -> DataFrame:
+    """Network service areas / isochrones: every (source, node, dist)
+    with dist ≤ cutoff — the graph analog of a drive-time polygon
+    (composition target of the reference's Dijkstra + travel_time
+    pipeline, network.py:625-774 + 846-1047).
+
+    Physical plan: the distributed Bellman-Ford frontier iteration with
+    per-round cutoff pruning. Positive weights make the prune safe
+    (dist only grows along a path), so each round's shuffle is bounded
+    by the isochrone ball, not the component — on a continental road
+    network the job touches only the tiles the cutoff can reach, which
+    is exactly the property a 100 TB graph needs. Rounds = hop diameter
+    of the ball; plans are cut per round with localCheckpoint."""
+    if cutoff <= 0:
+        raise ValueError("cutoff must be positive")
+    out = _bellman_ford(edges, sources, weight_col, max_iter, cutoff=cutoff)
+    # init rows for sources absent from the graph: _bellman_ford joins
+    # them away (init ⋈ nodes), so no filtering needed here
+    return out.where(F.col("dist") <= F.lit(float(cutoff)))
+
+
+def nearest_facility(edges: DataFrame, sources: list[str], *,
+                     cutoff: float, weight_col: str = "length",
+                     max_iter: int = 0) -> DataFrame:
+    """Facility allocation: each reachable node assigned to its nearest
+    source within the cutoff (ties → lexicographically smallest source,
+    deterministic). One window over the service_area output."""
+    from pyspark.sql import Window
+
+    sa = service_area(edges, sources, cutoff=cutoff,
+                      weight_col=weight_col, max_iter=max_iter)
+    w = Window.partitionBy("node").orderBy(F.col("dist").asc(),
+                                           F.col("source").asc())
+    return (sa.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", F.col("source").alias("facility"), "dist"))
 
 
 # ------------------------------------------------------------------ kinematics

@@ -145,6 +145,59 @@ def curvature_stitched(df: DataFrame, *, mode: str = "total",
     return stitched_apply(df, _fn, no_data=no_data)
 
 
+def terrain_index_stitched(df: DataFrame, *, mode: str = "tri",
+                           no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """gdaldem-family terrain indices through the same cross-tile halo
+    exchange as slope (reference exposes them via gdal.DEMProcessing,
+    raster.py:794-824):
+
+    mode='tri'        : Riley et al. 1999 Terrain Ruggedness Index —
+                        sqrt(Σ over the 8 neighbors of (z_n − z_C)²)
+    mode='tri_wilson' : Wilson et al. 2007 (gdaldem default) —
+                        mean |z_n − z_C| over the 8 neighbors
+    mode='tpi'        : Topographic Position Index — z_C minus the mean
+                        of the 8 neighbors
+    mode='roughness'  : max − min over the full 3×3 window
+
+    All four are rational arithmetic plus one IEEE-exact sqrt over
+    integer-valued inputs, so a SQL oracle mirrors them bit-for-bit
+    through the float32 output cast. NaN propagation matches gdaldem:
+    any NaN in the slots a mode reads makes the output pixel no-data;
+    mosaic-outer borders keep edge-replicate via the halo pad."""
+    if mode not in ("tri", "tri_wilson", "tpi", "roughness"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    def _fn(p: np.ndarray) -> np.ndarray:
+        zC = p[1:-1, 1:-1]
+        nb = [p[1 + dy:p.shape[0] - 1 + dy, 1 + dx:p.shape[1] - 1 + dx]
+              for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+              if not (dx == 0 and dy == 0)]
+        if mode == "tri":
+            s = np.zeros_like(zC)
+            for z in nb:
+                d = z - zC
+                s = s + d * d
+            return np.sqrt(s)
+        if mode == "tri_wilson":
+            s = np.zeros_like(zC)
+            for z in nb:
+                s = s + np.abs(z - zC)
+            return s / 8.0
+        if mode == "tpi":
+            s = np.zeros_like(zC)
+            for z in nb:
+                s = s + z
+            return zC - s / 8.0
+        hi = zC.copy()
+        lo = zC.copy()
+        for z in nb:
+            hi = np.maximum(hi, z)
+            lo = np.minimum(lo, z)
+        return hi - lo
+
+    return stitched_apply(df, _fn, no_data=no_data)
+
+
 # ESRI D8 codes in tie-break preference order (smallest code wins a
 # tie): E, SE, S, SW, W, NW, N, NE. dx = east offset, dy = south offset
 # (row indices grow southward in the tile layout).

@@ -193,3 +193,49 @@ def test_curvature_matches_global(spark):
                     tx * 16:(tx + 1) * 16] = out[f"tile_{tx}_{ty}"]
         np.testing.assert_allclose(got, w.astype(np.float32),
                                    rtol=1e-5, atol=1e-5, err_msg=mode)
+
+
+def test_terrain_indices_match_global(spark):
+    """TRI / TPI / roughness through the halo exchange vs the same
+    kernels on the single global array (incl. a NaN hole whose 3x3
+    footprint must drop on both sides)."""
+    from gis_tools_spark.raster.stitch import terrain_index_stitched
+
+    def fill(gx, gy):
+        return (gx * 3 + gy * 5) % 31 + ((gx * gy) % 7)
+
+    glob, pdf, rx, ry = _mosaic(2, 2, 16, fill)
+    glob = glob.copy()
+    glob[7, 20] = codec.NO_DATA_F32  # hole crossing nothing special
+    glob[15, 15] = codec.NO_DATA_F32  # hole adjacent to the tile seam
+    # rebuild tiles with the holes
+    rows = []
+    for ty in range(2):
+        for tx in range(2):
+            sub = glob[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16]
+            r = list(pdf.iloc[ty * 2 + tx])
+            r[1] = codec.encode_raw_f32(sub)
+            rows.append(tuple(r))
+    pdf2 = pd.DataFrame(rows, columns=list(pdf.columns))
+    df = spark.createDataFrame(pdf2)
+
+    a = np.where(glob == codec.NO_DATA_F32, np.nan, glob.astype(np.float64))
+    p = np.pad(a, 1, mode="edge")
+    zC = p[1:-1, 1:-1]
+    nb = [p[1 + dy:p.shape[0] - 1 + dy, 1 + dx:p.shape[1] - 1 + dx]
+          for dy in (-1, 0, 1) for dx in (-1, 0, 1) if not (dx == 0 and dy == 0)]
+    want = {
+        "tri": np.sqrt(sum((z - zC) ** 2 for z in nb)),
+        "tri_wilson": sum(abs(z - zC) for z in nb) / 8.0,
+        "tpi": zC - sum(nb) / 8.0,
+        "roughness": np.maximum.reduce([zC] + nb) - np.minimum.reduce([zC] + nb),
+    }
+    for mode, w in want.items():
+        out = {r["image_id"]: codec.decode_raw_f32(bytes(r["bytes"]), 16, 16)
+               for r in terrain_index_stitched(df, mode=mode).collect()}
+        got = np.zeros((32, 32), np.float32)
+        for ty in range(2):
+            for tx in range(2):
+                got[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16] = out[f"tile_{tx}_{ty}"]
+        wf = np.where(np.isnan(w), codec.NO_DATA_F32, w).astype(np.float32)
+        np.testing.assert_allclose(got, wf, rtol=1e-6, atol=1e-6, err_msg=mode)
