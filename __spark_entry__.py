@@ -3461,6 +3461,46 @@ def q_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sen_scaled2", "trend")
 
 
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging hot spot classification (operators/hotspot.py
+    emerging_hotspots): all-time Gi* heat × Mann-Kendall count trend
+    per res-12 cell, 9-way category. Both inputs are the bit-stable
+    mirrored pieces of the hotspot_gi / mk_trend gates; the oracle
+    re-composes the two expression trees and replays the CASE ladder,
+    so the category strings (threshold comparisons on RAW z-scores)
+    hash exactly."""
+    _tune(spark)
+    from gis_tools_spark.operators.hotspot import emerging_hotspots
+
+    out = emerging_hotspots(_user_points(spark, sf_dir), res=HOTSPOT_RES,
+                            n_bins=MK_BINS)
+    return out.select(
+        "cell", "ix", "iy",
+        F.col("x").cast("long").alias("x"),
+        F.floor(F.col("gi_z") * 1000000.0 + F.lit(0.5)).cast("long").alias("gi_z6"),
+        F.floor(F.col("mk_z") * 1000000.0 + F.lit(0.5)).cast("long").alias("mkz6"),
+        "trend", "category")
+
+
+def q_line_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line density (operators/hotspot.line_density): exact parametric
+    clipping of deterministic event segments onto a 0.25-degree grid —
+    bounded sequence() bbox explode + ONE cell groupBy, contributions
+    quantized to 1e-9 so the sum is partition-order independent. The
+    oracle replays the identical interval arithmetic over a closed-form
+    grid cross join."""
+    _tune(spark)
+    from gis_tools_spark.operators.hotspot import line_density
+
+    pts = DT.events_points(spark, sf_dir)
+    seg = pts.select(
+        F.col("lon").alias("x0"), F.col("lat").alias("y0"),
+        (F.col("lon") + ((F.col("event_id") * 53 % 41) - 20) / 200.0).alias("x1"),
+        (F.col("lat") + ((F.col("event_id") * 97 % 37) - 18) / 200.0).alias("y1"))
+    out = line_density(seg, cell_size=0.25, quantize_decimals=9)
+    return out.select("cx", "cy", "density")
+
+
 def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centrography (operators/centrography.py): per-event-type mean
     center, standard distance and standard deviational ellipse (Yuill
@@ -4059,6 +4099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_gi": q_hotspot_gi,
         "lisa_quadrants": q_lisa_quadrants,
         "mk_trend": q_mk_trend,
+        "emerging_hotspots": q_emerging_hotspots,
+        "line_density": q_line_density,
         "std_ellipse": q_std_ellipse,
         "moran_grid": q_moran_grid,
         "user_tracks": q_user_tracks,
@@ -6341,6 +6383,165 @@ def oracle_sql() -> dict[str, str]:
                        THEN 'LH'
                      ELSE 'ZZ' END AS quadrant
             FROM j
+        """,
+        "emerging_hotspots": _hotspot_cells_sql() + f""",
+            ns AS (
+              SELECT a.ix AS ix, a.iy AS iy, sum(b.x) AS nsum
+              FROM cc a JOIN cc b
+                ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+               AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+              GROUP BY a.ix, a.iy),
+            gij AS (
+              SELECT cc.cell, cc.ix, cc.iy, cc.x,
+                     (coalesce(ns.nsum, 0.0)
+                      - (g.sx / g.n)
+                        * CAST((least(cc.ix + 1, g.ix1)
+                                - greatest(cc.ix - 1, g.ix0) + 1)
+                             * (least(cc.iy + 1, g.iy1)
+                                - greatest(cc.iy - 1, g.iy0) + 1)
+                               AS DOUBLE))
+                     / (sqrt(g.sxx / g.n - (g.sx / g.n) * (g.sx / g.n))
+                        * sqrt((g.n * CAST((least(cc.ix + 1, g.ix1)
+                                - greatest(cc.ix - 1, g.ix0) + 1)
+                             * (least(cc.iy + 1, g.iy1)
+                                - greatest(cc.iy - 1, g.iy0) + 1) AS DOUBLE)
+                                - CAST((least(cc.ix + 1, g.ix1)
+                                - greatest(cc.ix - 1, g.ix0) + 1)
+                             * (least(cc.iy + 1, g.iy1)
+                                - greatest(cc.iy - 1, g.iy0) + 1) AS DOUBLE)
+                                * CAST((least(cc.ix + 1, g.ix1)
+                                - greatest(cc.ix - 1, g.ix0) + 1)
+                             * (least(cc.iy + 1, g.iy1)
+                                - greatest(cc.iy - 1, g.iy0) + 1) AS DOUBLE))
+                               / (g.n - 1.0))) AS gi_z
+              FROM cc LEFT JOIN ns ON ns.ix = cc.ix AND ns.iy = cc.iy
+              CROSS JOIN g),
+            mp AS (
+              SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                     {C.cell_sql('5.0 + (event_id * 37 % 100000) / 20000.0',
+                                 '40.0 + (event_id * 7919 % 100000) / 20000.0',
+                                 HOTSPOT_RES)} AS cell
+              FROM events),
+            mm AS (SELECT min(ep) AS mn, max(ep) AS mx FROM mp),
+            mc AS (SELECT cell, (ep - mn) * {MK_BINS} // (mx - mn + 1) AS bin
+                   FROM mp CROSS JOIN mm),
+            mcnt AS (SELECT cell, bin, count(*) AS x FROM mc GROUP BY 1, 2),
+            mcl AS (SELECT cell, sum(x) AS n_events FROM mcnt GROUP BY 1),
+            mdense AS (
+              SELECT mcl.cell, gs.b AS bin, coalesce(mcnt.x, 0) AS x
+              FROM mcl CROSS JOIN
+                (SELECT unnest(generate_series(0, {MK_BINS - 1})) AS b) gs
+              LEFT JOIN mcnt ON mcnt.cell = mcl.cell AND mcnt.bin = gs.b),
+            mpr AS (
+              SELECT a.cell,
+                sum(CASE WHEN b.x > a.x THEN 1
+                         WHEN b.x < a.x THEN -1 ELSE 0 END) AS s
+              FROM mdense a JOIN mdense b
+                ON b.cell = a.cell AND b.bin > a.bin
+              GROUP BY 1),
+            mtie AS (
+              SELECT cell, sum(t * (t - 1) * (2 * t + 5)) AS tie_sum
+              FROM (SELECT cell, x, count(*) AS t FROM mdense GROUP BY 1, 2)
+              GROUP BY 1),
+            mfz AS (
+              SELECT mpr.cell AS cell,
+                CASE WHEN ({MK_BINS * (MK_BINS - 1) * (2 * MK_BINS + 5)}
+                           - mtie.tie_sum) = 0 THEN 0.0
+                     WHEN mpr.s > 0 THEN (mpr.s - 1)
+                       / sqrt(({MK_BINS * (MK_BINS - 1) * (2 * MK_BINS + 5)}
+                               - mtie.tie_sum) / 18.0)
+                     WHEN mpr.s < 0 THEN (mpr.s + 1)
+                       / sqrt(({MK_BINS * (MK_BINS - 1) * (2 * MK_BINS + 5)}
+                               - mtie.tie_sum) / 18.0)
+                     ELSE 0.0 END AS z
+              FROM mpr JOIN mtie ON mtie.cell = mpr.cell),
+            lab AS (
+              SELECT gij.cell, gij.ix, gij.iy, gij.x, gij.gi_z, mfz.z,
+                     CASE WHEN mfz.z > 1.959964 THEN 'increasing'
+                          WHEN mfz.z < -1.959964 THEN 'decreasing'
+                          ELSE 'no_trend' END AS trend,
+                     CASE WHEN gij.gi_z > 1.959964 THEN 'hot'
+                          WHEN gij.gi_z < -1.959964 THEN 'cold'
+                          ELSE 'neutral' END AS heat
+              FROM gij JOIN mfz ON mfz.cell = gij.cell)
+            SELECT cell, ix, iy, CAST(x AS BIGINT) AS x,
+                   CAST(floor(gi_z * 1000000.0 + 0.5) AS BIGINT) AS gi_z6,
+                   CAST(floor(z * 1000000.0 + 0.5) AS BIGINT) AS mkz6,
+                   trend,
+                   CASE
+                     WHEN heat = 'hot' AND trend = 'increasing'
+                       THEN 'intensifying-hot'
+                     WHEN heat = 'hot' AND trend = 'no_trend'
+                       THEN 'persistent-hot'
+                     WHEN heat = 'hot' AND trend = 'decreasing'
+                       THEN 'diminishing-hot'
+                     WHEN heat = 'cold' AND trend = 'decreasing'
+                       THEN 'intensifying-cold'
+                     WHEN heat = 'cold' AND trend = 'no_trend'
+                       THEN 'persistent-cold'
+                     WHEN heat = 'cold' AND trend = 'increasing'
+                       THEN 'diminishing-cold'
+                     WHEN heat = 'neutral' AND trend = 'increasing'
+                       THEN 'emerging'
+                     WHEN heat = 'neutral' AND trend = 'decreasing'
+                       THEN 'receding'
+                     ELSE 'none' END AS category
+            FROM lab
+        """,
+        "line_density": """
+            WITH seg AS (
+              SELECT
+                5.0 + (event_id * 37 % 100000) / 20000.0 AS x0,
+                40.0 + (event_id * 7919 % 100000) / 20000.0 AS y0,
+                5.0 + (event_id * 37 % 100000) / 20000.0
+                  + ((event_id * 53 % 41) - 20) / 200.0 AS x1,
+                40.0 + (event_id * 7919 % 100000) / 20000.0
+                  + ((event_id * 97 % 37) - 18) / 200.0 AS y1
+              FROM events
+            ), grid AS (
+              SELECT gx.cx, gy.cy
+              FROM (SELECT unnest(generate_series(18, 41)) AS cx) gx
+              CROSS JOIN (SELECT unnest(generate_series(158, 181)) AS cy) gy
+            ), pairs AS (
+              SELECT g.cx, g.cy, s.x0, s.y0, s.x1, s.y1
+              FROM seg s JOIN grid g
+                ON g.cx BETWEEN CAST(floor(least(s.x0, s.x1) / 0.25) AS BIGINT)
+                            AND CAST(floor(greatest(s.x0, s.x1) / 0.25) AS BIGINT)
+               AND g.cy BETWEEN CAST(floor(least(s.y0, s.y1) / 0.25) AS BIGINT)
+                            AND CAST(floor(greatest(s.y0, s.y1) / 0.25) AS BIGINT)
+            ), iv AS (
+              SELECT cx, cy, x0, y0, x1, y1,
+                CASE WHEN (x1 - x0) = 0.0 THEN 0.0
+                     ELSE least((CAST(cx AS DOUBLE) * 0.25 - x0) / (x1 - x0),
+                                (CAST(cx AS DOUBLE) * 0.25 + 0.25 - x0) / (x1 - x0))
+                END AS txlo,
+                CASE WHEN (x1 - x0) = 0.0 THEN 1.0
+                     ELSE greatest((CAST(cx AS DOUBLE) * 0.25 - x0) / (x1 - x0),
+                                   (CAST(cx AS DOUBLE) * 0.25 + 0.25 - x0) / (x1 - x0))
+                END AS txhi,
+                CASE WHEN (y1 - y0) = 0.0 THEN 0.0
+                     ELSE least((CAST(cy AS DOUBLE) * 0.25 - y0) / (y1 - y0),
+                                (CAST(cy AS DOUBLE) * 0.25 + 0.25 - y0) / (y1 - y0))
+                END AS tylo,
+                CASE WHEN (y1 - y0) = 0.0 THEN 1.0
+                     ELSE greatest((CAST(cy AS DOUBLE) * 0.25 - y0) / (y1 - y0),
+                                   (CAST(cy AS DOUBLE) * 0.25 + 0.25 - y0) / (y1 - y0))
+                END AS tyhi
+              FROM pairs
+            ), q AS (
+              SELECT cx, cy,
+                CAST(floor(
+                  greatest(least(txhi, tyhi, 1.0) - greatest(txlo, tylo, 0.0),
+                           0.0)
+                  * sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+                  * 1.0
+                  * 1000000000.0 + 0.5) AS BIGINT) AS c
+              FROM iv
+            )
+            SELECT CAST(cx AS BIGINT) AS cx, CAST(cy AS BIGINT) AS cy,
+                   CAST(sum(c) AS DOUBLE) / 1000000000.0 AS density
+            FROM q GROUP BY cx, cy
+            HAVING CAST(sum(c) AS DOUBLE) / 1000000000.0 > 0.0
         """,
         "std_ellipse": """
             WITH p AS (

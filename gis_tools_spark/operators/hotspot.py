@@ -383,3 +383,143 @@ def moran_i(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
         n.cast("long").alias("n_cells"),
         w_sum.alias("w_sum"),
         ((n / w_sum) * (num / den)).alias("moran_i"))
+
+
+def emerging_hotspots(points: DataFrame, *, ts_col: str = "ts",
+                      lon: str = "lon", lat: str = "lat",
+                      res: int = 11, n_bins: int = 12,
+                      z_crit: float = 1.959964) -> DataFrame:
+    """Emerging hot spot classification — the composition ArcGIS ships
+    as "Emerging Hot Spot Analysis", built from the two mirrored pieces
+    this module already provides: per-cell Getis-Ord Gi* over all time
+    (spatial heat) joined with the Mann-Kendall trend of the per-bin
+    counts (temporal direction). Simplified 9-way taxonomy (this is NOT
+    the 17-category ArcGIS legend, which needs per-slice Gi*):
+
+        heat (hot / cold / neutral at ±z_crit) × trend
+          hot, increasing   -> intensifying-hot
+          hot, no_trend     -> persistent-hot
+          hot, decreasing   -> diminishing-hot
+          cold, decreasing  -> intensifying-cold
+          cold, no_trend    -> persistent-cold
+          cold, increasing  -> diminishing-cold
+          neutral, increasing -> emerging
+          neutral, decreasing -> receding
+          else              -> none
+
+    Plan: both inputs collapse the point volume to O(occupied cells)
+    with one data shuffle each, and the classification join is on the
+    tiny cell table — nothing here grows with row count except the two
+    initial groupBys. Returns one row per occupied cell:
+    (cell, ix, iy, x, gi_z, mk_z, trend, category)."""
+    gi = getis_ord_gi(points, lon=lon, lat=lat, res=res)
+    mk = mann_kendall_trend(points, ts_col=ts_col, lon=lon, lat=lat,
+                            res=res, n_bins=n_bins, z_crit=z_crit)
+    j = gi.join(mk.select("cell", "n_events", "mk_z", "trend"), on="cell")
+    heat = (F.when(F.col("gi_z") > z_crit, F.lit("hot"))
+            .when(F.col("gi_z") < -z_crit, F.lit("cold"))
+            .otherwise(F.lit("neutral")))
+    j = j.withColumn("__heat", heat)
+    cat = (F.when((F.col("__heat") == "hot") & (F.col("trend") == "increasing"),
+                  F.lit("intensifying-hot"))
+           .when((F.col("__heat") == "hot") & (F.col("trend") == "no_trend"),
+                 F.lit("persistent-hot"))
+           .when((F.col("__heat") == "hot") & (F.col("trend") == "decreasing"),
+                 F.lit("diminishing-hot"))
+           .when((F.col("__heat") == "cold") & (F.col("trend") == "decreasing"),
+                 F.lit("intensifying-cold"))
+           .when((F.col("__heat") == "cold") & (F.col("trend") == "no_trend"),
+                 F.lit("persistent-cold"))
+           .when((F.col("__heat") == "cold") & (F.col("trend") == "increasing"),
+                 F.lit("diminishing-cold"))
+           .when((F.col("__heat") == "neutral") & (F.col("trend") == "increasing"),
+                 F.lit("emerging"))
+           .when((F.col("__heat") == "neutral") & (F.col("trend") == "decreasing"),
+                 F.lit("receding"))
+           .otherwise(F.lit("none")))
+    return j.select("cell", "ix", "iy", "x", "gi_z", "mk_z", "trend",
+                    cat.alias("category"))
+
+
+def line_density(segments: DataFrame, *, x0: str = "x0", y0: str = "y0",
+                 x1: str = "x1", y1: str = "y1",
+                 cell_size: float, weight: str | None = None,
+                 quantize_decimals: int | None = None,
+                 max_cells_per_segment: int = 4096,
+                 per_area: bool = False) -> DataFrame:
+    """Line density onto a square grid (ArcGIS "Line Density" / QGIS
+    v.kernel.rast line mode semantics, box kernel): per cell, the total
+    length of the input segments CLIPPED to that cell (optionally
+    weighted, optionally divided by the cell area).
+
+    Exact parametric clipping in pure codegen: for segment P0→P1 and
+    cell (cx, cy) the inside-interval along t is
+
+        [tlo, thi] = [max(tx_lo, ty_lo, 0), min(tx_hi, ty_hi, 1)]
+
+    with tx_* the crossings of the two vertical cell walls ((cx·s −
+    x0)/dx, ((cx+1)·s − x0)/dx, ordered; the full [0,1] when dx = 0 —
+    the bbox explode already guarantees x0 lies in the cell column
+    then), and the clipped length max(thi − tlo, 0) · |P1 − P0|.
+
+    Plan: each segment explodes to its bbox cells via sequence()
+    (fan-out bounded by the segment-length/cell-size ratio — raise
+    ``max_cells_per_segment`` guard for long diagonals rather than
+    silently flooding), then ONE groupBy(cell) sums. Whole-stage
+    codegen end to end; one shuffle on the cell key — the same 100 TB
+    shape as kde_density. ``quantize_decimals`` rounds each (segment,
+    cell) contribution to exact integer units before the sum, making
+    the result partition-order independent and SQL-mirrorable.
+
+    Returns (cx, cy, density) — density in length units (divided by
+    s² when per_area)."""
+    s = float(cell_size)
+    ax0, ay0 = F.col(x0), F.col(y0)
+    ax1, ay1 = F.col(x1), F.col(y1)
+    w = F.col(weight) if weight else F.lit(1.0)
+    cxmin = F.floor(F.least(ax0, ax1) / s).cast("long")
+    cxmax = F.floor(F.greatest(ax0, ax1) / s).cast("long")
+    cymin = F.floor(F.least(ay0, ay1) / s).cast("long")
+    cymax = F.floor(F.greatest(ay0, ay1) / s).cast("long")
+    guard = (cxmax - cxmin + 1) * (cymax - cymin + 1)
+    base = (segments
+            .select(ax0.alias("__x0"), ay0.alias("__y0"),
+                    ax1.alias("__x1"), ay1.alias("__y1"), w.alias("__w"),
+                    cxmin.alias("__cx0"), cxmax.alias("__cx1"),
+                    cymin.alias("__cy0"), cymax.alias("__cy1"),
+                    guard.alias("__fan")))
+    n_bad = base.where(F.col("__fan") > max_cells_per_segment).limit(1).count()
+    if n_bad:
+        raise ValueError(
+            f"a segment spans more than {max_cells_per_segment} grid "
+            "cells; raise max_cells_per_segment or use a coarser grid "
+            "(bounded fan-out is the scale contract)")
+    e = (base
+         .withColumn("cx", F.explode(F.sequence("__cx0", "__cx1")))
+         .withColumn("cy", F.explode(F.sequence("__cy0", "__cy1"))))
+    dx = F.col("__x1") - F.col("__x0")
+    dy = F.col("__y1") - F.col("__y0")
+    cxs = F.col("cx").cast("double") * s
+    cys = F.col("cy").cast("double") * s
+    txa = (cxs - F.col("__x0")) / dx
+    txb = (cxs + F.lit(s) - F.col("__x0")) / dx
+    tya = (cys - F.col("__y0")) / dy
+    tyb = (cys + F.lit(s) - F.col("__y0")) / dy
+    txlo = F.when(dx == 0.0, F.lit(0.0)).otherwise(F.least(txa, txb))
+    txhi = F.when(dx == 0.0, F.lit(1.0)).otherwise(F.greatest(txa, txb))
+    tylo = F.when(dy == 0.0, F.lit(0.0)).otherwise(F.least(tya, tyb))
+    tyhi = F.when(dy == 0.0, F.lit(1.0)).otherwise(F.greatest(tya, tyb))
+    tlo = F.greatest(txlo, tylo, F.lit(0.0))
+    thi = F.least(txhi, tyhi, F.lit(1.0))
+    seglen = F.sqrt(dx * dx + dy * dy)
+    contrib = F.greatest(thi - tlo, F.lit(0.0)) * seglen * F.col("__w")
+    if quantize_decimals is not None:
+        q = float(10 ** quantize_decimals)
+        qsum = F.sum(F.floor(contrib * q + F.lit(0.5)).cast("long"))
+        dens = qsum.cast("double") / q
+    else:
+        dens = F.sum(contrib)
+    if per_area:
+        dens = dens / F.lit(s * s)
+    out = e.groupBy("cx", "cy").agg(dens.alias("density"))
+    return out.where(F.col("density") > 0.0)

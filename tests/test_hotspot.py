@@ -287,3 +287,84 @@ def test_kde_quantized_partition_invariant(spark):
     b = b.sort_values(["ix", "iy"]).reset_index(drop=True)
     assert (a["density"] == b["density"]).all()
     assert len(a) > 50
+
+
+def test_line_density_conservation_and_exact(spark):
+    import numpy as np
+    import pandas as pd
+    from gis_tools_spark.operators.hotspot import line_density
+
+    rng = np.random.default_rng(5)
+    n = 300
+    pdf = pd.DataFrame({
+        "x0": rng.uniform(0, 10, n), "y0": rng.uniform(0, 10, n),
+        "x1": rng.uniform(0, 10, n), "y1": rng.uniform(0, 10, n)})
+    out = line_density(spark.createDataFrame(pdf), cell_size=1.0).toPandas()
+    total = np.hypot(pdf.x1 - pdf.x0, pdf.y1 - pdf.y0).sum()
+    # clipped pieces partition each segment: cell sums == total length
+    assert abs(out.density.sum() - total) < 1e-6 * total
+    # hand case: unit diagonal of cell (2,3) -> sqrt(2) in exactly it
+    one = pd.DataFrame({"x0": [2.0], "y0": [3.0], "x1": [3.0], "y1": [4.0]})
+    r = line_density(spark.createDataFrame(one), cell_size=1.0).toPandas()
+    got = {(int(c.cx), int(c.cy)): c.density for c in r.itertuples()}
+    assert sum(v for v in got.values()) == pytest.approx(np.sqrt(2.0))
+    assert got[(2, 3)] == pytest.approx(np.sqrt(2.0))
+    # axis-aligned (dy=0) segment crossing three columns
+    h = pd.DataFrame({"x0": [0.5], "y0": [0.5], "x1": [2.5], "y1": [0.5]})
+    r2 = line_density(spark.createDataFrame(h), cell_size=1.0).toPandas()
+    got2 = {(int(c.cx), int(c.cy)): c.density for c in r2.itertuples()}
+    assert got2 == {(0, 0): pytest.approx(0.5), (1, 0): pytest.approx(1.0),
+                    (2, 0): pytest.approx(0.5)}
+
+
+def test_line_density_fanout_guard(spark):
+    import pandas as pd
+    import pytest as _pt
+    from gis_tools_spark.operators.hotspot import line_density
+
+    seg = pd.DataFrame({"x0": [0.0], "y0": [0.0], "x1": [99.0], "y1": [99.0]})
+    with _pt.raises(ValueError, match="grid cells"):
+        line_density(spark.createDataFrame(seg), cell_size=1.0,
+                     max_cells_per_segment=100)
+
+
+def test_emerging_hotspots_consistent_with_components(spark):
+    import numpy as np
+    import pandas as pd
+    from gis_tools_spark.operators.hotspot import (
+        emerging_hotspots, getis_ord_gi, mann_kendall_trend)
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    pdf = pd.DataFrame({
+        "lon": np.concatenate([rng.normal(5.0, 0.3, n // 2),
+                               rng.uniform(0, 10, n // 2)]),
+        "lat": np.concatenate([rng.normal(45.0, 0.3, n // 2),
+                               rng.uniform(40, 50, n // 2)]),
+        "ts": pd.to_datetime(
+            np.sort(rng.integers(1_600_000_000, 1_600_900_000, n)), unit="s"),
+    })
+    df = spark.createDataFrame(pdf)
+    out = emerging_hotspots(df, res=8, n_bins=6).toPandas().set_index("cell")
+    gi = getis_ord_gi(df, res=8).toPandas().set_index("cell")
+    mk = mann_kendall_trend(df, res=8, n_bins=6).toPandas().set_index("cell")
+    assert set(out.index) == set(gi.index) == set(mk.index)
+    zc = 1.959964
+    for cell, r in out.iterrows():
+        heat = ("hot" if gi.loc[cell].gi_z > zc
+                else "cold" if gi.loc[cell].gi_z < -zc else "neutral")
+        trend = mk.loc[cell].trend
+        expect = {
+            ("hot", "increasing"): "intensifying-hot",
+            ("hot", "no_trend"): "persistent-hot",
+            ("hot", "decreasing"): "diminishing-hot",
+            ("cold", "decreasing"): "intensifying-cold",
+            ("cold", "no_trend"): "persistent-cold",
+            ("cold", "increasing"): "diminishing-cold",
+            ("neutral", "increasing"): "emerging",
+            ("neutral", "decreasing"): "receding",
+            ("neutral", "no_trend"): "none",
+        }[(heat, trend)]
+        assert r.category == expect, (cell, heat, trend, r.category)
+    # the constructed cluster must actually produce some hot cells
+    assert (out.category.str.endswith("hot")).any()
