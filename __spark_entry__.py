@@ -3501,6 +3501,57 @@ def q_line_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cx", "cy", "density")
 
 
+def _tri_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer-lattice point groups for the triangulation
+    gates. The quadratic hash breaks the affine lattice structure —
+    audited degeneracy-free (no duplicate points, no collinear triples,
+    no cocircular 4-subsets) at sf0.001 AND sf0.01, so the engine's
+    deterministic tie-breaks never diverge from the oracle's strict
+    empty-circumcircle enumeration."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.col("event_id")
+    return ev.where(k % 5 == 0).select(
+        (k % 64).alias("zone"), k.alias("id"),
+        ((k * k * 7919 + k * 13 + 11) % 9973).alias("x"),
+        ((k * k * 104729 + k * 29 + 7) % 9967).alias("y"))
+
+
+def q_delaunay_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone exact Delaunay triangulation (operators/triangulate.py:
+    integer-predicate edge wavefront via applyInPandas — the per-tile
+    pattern that scales to millions of groups). Oracle: independent
+    DuckDB enumeration — a triangle is Delaunay iff non-degenerate and
+    NO point lies strictly inside its circumcircle (BIGINT lifted
+    determinant, overflow-free at |coord| < 1e4) — then edges distinct.
+    Two different algorithms, identical edge sets."""
+    _tune(spark)
+    from gis_tools_spark.operators.triangulate import delaunay_edges
+
+    return delaunay_edges(_tri_points(spark, sf_dir), by="zone").select(
+        "zone", "i", "j")
+
+
+def q_voronoi_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zone Voronoi cells (operators/triangulate.voronoi_cells:
+    bisector half-plane clipping against the unit box) gated on the
+    conservation law the construction must satisfy: every site gets a
+    non-empty cell and the cells PARTITION the box — per zone,
+    n_cells = site count and sum(area) = 1 exactly at 1e-6 (float64
+    clipping error is ~1e-12). Cell-level geometry is pinned by the
+    Monte-Carlo ownership pytest."""
+    _tune(spark)
+    from gis_tools_spark.operators.triangulate import voronoi_cells
+
+    pts = _tri_points(spark, sf_dir).select(
+        "zone", "id",
+        (F.col("x") / 9973.0).alias("x"), (F.col("y") / 9967.0).alias("y"))
+    out = voronoi_cells(pts, by="zone", box=(0.0, 0.0, 1.0, 1.0))
+    return out.groupBy("zone").agg(
+        F.count("*").alias("n_cells"),
+        F.floor(F.sum("area") * 1000000.0 + F.lit(0.5)).cast("long")
+        .alias("area6"))
+
+
 def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centrography (operators/centrography.py): per-event-type mean
     center, standard distance and standard deviational ellipse (Yuill
@@ -4101,6 +4152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mk_trend": q_mk_trend,
         "emerging_hotspots": q_emerging_hotspots,
         "line_density": q_line_density,
+        "delaunay_edges": q_delaunay_edges,
+        "voronoi_areas": q_voronoi_areas,
         "std_ellipse": q_std_ellipse,
         "moran_grid": q_moran_grid,
         "user_tracks": q_user_tracks,
@@ -6487,6 +6540,57 @@ def oracle_sql() -> dict[str, str]:
                        THEN 'receding'
                      ELSE 'none' END AS category
             FROM lab
+        """,
+        "delaunay_edges": """
+            WITH p AS (
+              SELECT event_id % 64 AS zone, event_id AS id,
+                     (event_id*event_id*7919 + event_id*13 + 11) % 9973 AS x,
+                     (event_id*event_id*104729 + event_id*29 + 7) % 9967 AS y
+              FROM events WHERE event_id % 5 = 0
+            ), cand AS (
+              SELECT a.zone AS zone, a.id AS i, b.id AS j, c.id AS k,
+                     a.x AS ax, a.y AS ay, b.x AS bx, b.y AS bb,
+                     c.x AS cx, c.y AS cy
+              FROM p a JOIN p b ON b.zone = a.zone AND b.id > a.id
+                       JOIN p c ON c.zone = a.zone AND c.id > b.id
+              WHERE (b.x - a.x) * (c.y - a.y)
+                    - (b.y - a.y) * (c.x - a.x) <> 0
+            ), bad AS (
+              SELECT DISTINCT cand.zone AS zone, cand.i AS i,
+                              cand.j AS j, cand.k AS k
+              FROM cand JOIN p m
+                ON m.zone = cand.zone
+               AND m.id <> cand.i AND m.id <> cand.j AND m.id <> cand.k
+              WHERE sign(
+                      (ax - m.x) * ((bb - m.y)
+                          * ((cx - m.x)*(cx - m.x) + (cy - m.y)*(cy - m.y))
+                        - ((bx - m.x)*(bx - m.x) + (bb - m.y)*(bb - m.y))
+                          * (cy - m.y))
+                    - (ay - m.y) * ((bx - m.x)
+                          * ((cx - m.x)*(cx - m.x) + (cy - m.y)*(cy - m.y))
+                        - ((bx - m.x)*(bx - m.x) + (bb - m.y)*(bb - m.y))
+                          * (cx - m.x))
+                    + ((ax - m.x)*(ax - m.x) + (ay - m.y)*(ay - m.y))
+                        * ((bx - m.x)*(cy - m.y) - (bb - m.y)*(cx - m.x)))
+                    = sign((bx - ax)*(cy - ay) - (bb - ay)*(cx - ax))
+            ), tri AS (
+              SELECT zone, i, j, k FROM cand
+              ANTI JOIN bad USING (zone, i, j, k)
+            ), e AS (
+              SELECT zone, i, j FROM tri
+              UNION SELECT zone, i AS i, k AS j FROM tri
+              UNION SELECT zone, j AS i, k AS j FROM tri
+            )
+            SELECT zone, i, j FROM e
+        """,
+        "voronoi_areas": """
+            WITH p AS (
+              SELECT event_id % 64 AS zone, event_id AS id
+              FROM events WHERE event_id % 5 = 0
+            )
+            SELECT zone, CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST(1000000 AS BIGINT) AS area6
+            FROM p GROUP BY zone
         """,
         "line_density": """
             WITH seg AS (

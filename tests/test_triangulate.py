@@ -1,0 +1,133 @@
+"""Delaunay wavefront (operators/triangulate.py) vs an INDEPENDENT
+brute-force enumeration (float circumcircle, margin-checked), plus the
+Voronoi partition-of-the-box conservation property and the
+Delaunay–Voronoi duality (neighbors share an edge)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gis_tools_spark.operators.triangulate import (
+    delaunay_edges, delaunay_triangles, triangulate_points, voronoi_cells)
+
+
+def _brute_delaunay(xs, ys):
+    """Independent oracle: triangle (i,j,k) is Delaunay iff non-degenerate
+    and no other point strictly inside its circumcircle (float math with
+    an explicit margin guard so ties would fail loudly, not silently)."""
+    n = len(xs)
+    out = set()
+    P = np.column_stack([xs, ys]).astype(float)
+    for i in range(n):
+        for j in range(i + 1, n):
+            for k in range(j + 1, n):
+                a, b, c = P[i], P[j], P[k]
+                d = 2 * (a[0] * (b[1] - c[1]) + b[0] * (c[1] - a[1])
+                         + c[0] * (a[1] - b[1]))
+                if abs(d) < 1e-9:
+                    continue
+                ux = ((a @ a) * (b[1] - c[1]) + (b @ b) * (c[1] - a[1])
+                      + (c @ c) * (a[1] - b[1])) / d
+                uy = ((a @ a) * (c[0] - b[0]) + (b @ b) * (a[0] - c[0])
+                      + (c @ c) * (b[0] - a[0])) / d
+                r2 = (a[0] - ux) ** 2 + (a[1] - uy) ** 2
+                d2 = (P[:, 0] - ux) ** 2 + (P[:, 1] - uy) ** 2
+                d2[[i, j, k]] = np.inf
+                margin = np.abs(d2 - r2).min()
+                assert margin > 1e-9 * max(r2, 1.0), \
+                    "test data is near-cocircular; pick another seed"
+                if (d2 > r2).all():
+                    out.add((i, j, k))
+    return out
+
+
+def _general_position_points(n, seed, span=2000):
+    rng = np.random.default_rng(seed)
+    pts = set()
+    while len(pts) < n:
+        pts.add((int(rng.integers(0, span)), int(rng.integers(0, span))))
+    arr = np.array(sorted(pts), dtype=np.int64)
+    return arr[:, 0], arr[:, 1]
+
+
+@pytest.mark.parametrize("seed,n", [(1, 12), (2, 25), (3, 40)])
+def test_wavefront_matches_bruteforce(seed, n):
+    xs, ys = _general_position_points(n, seed)
+    got = set(triangulate_points(xs, ys))
+    want = _brute_delaunay(xs, ys)
+    assert got == want
+
+
+def test_degenerate_inputs():
+    assert triangulate_points(np.array([0, 5]), np.array([0, 5])) == []
+    # all collinear
+    assert triangulate_points(np.array([0, 1, 2, 3]),
+                              np.array([0, 2, 4, 6])) == []
+    # square + center: 4 triangles, no crossing diagonal pair
+    xs = np.array([0, 10, 10, 0, 5])
+    ys = np.array([0, 0, 10, 10, 5])
+    tris = triangulate_points(xs, ys)
+    assert len(tris) == 4 and all(4 in t for t in tris)
+
+
+def test_cocircular_square_is_valid_triangulation():
+    # exactly cocircular 2x2 square: either diagonal is fine, but the
+    # result must be exactly two non-overlapping triangles, deterministic
+    xs = np.array([0, 10, 10, 0])
+    ys = np.array([0, 0, 10, 10])
+    t1 = triangulate_points(xs, ys)
+    t2 = triangulate_points(xs, ys)
+    assert t1 == t2 and len(t1) == 2
+    shared = set(t1[0]) & set(t1[1])
+    assert len(shared) == 2  # one shared diagonal, not a crossing pair
+
+
+def test_spark_edges_and_duality(spark):
+    xs, ys = _general_position_points(30, 7)
+    pdf = pd.DataFrame({"zone": 0, "id": np.arange(30), "x": xs, "y": ys})
+    pdf2 = pdf.copy()
+    pdf2["zone"] = 1  # second group: same result, proves group isolation
+    df = spark.createDataFrame(pd.concat([pdf, pdf2]))
+    edges = delaunay_edges(df, by="zone").toPandas()
+    tris = delaunay_triangles(df, by="zone").toPandas()
+    want = _brute_delaunay(xs, ys)
+    for z in (0, 1):
+        got_t = {tuple(r) for r in
+                 tris[tris.zone == z][["i", "j", "k"]].to_numpy()}
+        assert got_t == want
+        got_e = {tuple(r) for r in
+                 edges[edges.zone == z][["i", "j"]].to_numpy()}
+        want_e = {tuple(sorted((t[a], t[b])))
+                  for t in want for a, b in ((0, 1), (0, 2), (1, 2))}
+        assert got_e == want_e
+
+
+def test_voronoi_partitions_box(spark):
+    xs, ys = _general_position_points(40, 11, span=1000)
+    pdf = pd.DataFrame({"zone": np.arange(40) % 2, "id": np.arange(40),
+                        "x": xs, "y": ys})
+    df = spark.createDataFrame(pdf)
+    out = voronoi_cells(df, by="zone", box=(0.0, 0.0, 1000.0, 1000.0)).toPandas()
+    for z, sub in out.groupby("zone"):
+        assert len(sub) == (pdf.zone == z).sum()
+        np.testing.assert_allclose(sub.area.sum(), 1000.0 * 1000.0, rtol=1e-9)
+        assert (sub.area > 0).all()
+
+
+def test_voronoi_cell_ownership(spark):
+    # brute-force point location: random probes must be closest to the
+    # site whose cell they fall in -> check via per-site area by Monte
+    # Carlo against the reported exact areas
+    xs, ys = _general_position_points(12, 13, span=100)
+    pdf = pd.DataFrame({"zone": 0, "id": np.arange(12), "x": xs, "y": ys})
+    out = (voronoi_cells(spark.createDataFrame(pdf), by="zone",
+                         box=(0.0, 0.0, 100.0, 100.0))
+           .toPandas().set_index("id"))
+    rng = np.random.default_rng(3)
+    probes = rng.uniform(0, 100, (200_000, 2))
+    d2 = ((probes[:, None, 0] - xs[None, :]) ** 2
+          + (probes[:, None, 1] - ys[None, :]) ** 2)
+    owner = d2.argmin(axis=1)
+    mc = np.bincount(owner, minlength=12) / len(probes) * 100.0 * 100.0
+    np.testing.assert_allclose(out.loc[np.arange(12)].area.to_numpy(), mc,
+                               rtol=0.05, atol=2.0)
