@@ -3552,6 +3552,44 @@ def q_voronoi_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("area6"))
 
 
+def q_alpha_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha-shape boundary edges per zone (operators/triangulate.
+    alpha_shape_edges, alpha = 1500 lattice units): Delaunay triangles
+    kept by the EXACT integer circumradius test |ab|²|bc|²|ca|² <
+    α²·cross², boundary = edges with exactly one kept triangle. Oracle:
+    the independent enumeration triangulation + the same radius test in
+    HUGEINT + HAVING count(*) = 1. Tie-audited: no equality cases at
+    either SF."""
+    _tune(spark)
+    from gis_tools_spark.operators.triangulate import alpha_shape_edges
+
+    return alpha_shape_edges(_tri_points(spark, sf_dir), by="zone",
+                             alpha=1500.0).select("zone", "i", "j")
+
+
+def q_tin_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIN surface interpolation (operators/triangulate.tin_interpolate):
+    query points located in the per-zone Delaunay triangulation and
+    barycentrically interpolated — every step exact integer rationals,
+    emitted as floor(num·1e6/den). The oracle re-derives the
+    triangulation by enumeration, replays containment + barycentric in
+    HUGEINT, and picks min over on-edge duplicates (linear continuity
+    makes them equal, so min is a no-op)."""
+    _tune(spark)
+    from gis_tools_spark.operators.triangulate import tin_interpolate
+
+    sites = _tri_points(spark, sf_dir).withColumn(
+        "z", (F.col("id") * 31 + 7) % 1000)
+    k = F.col("event_id")
+    queries = (spark.read.parquet(f"{sf_dir}/events.parquet")
+               .where(k % 5 == 1)
+               .select((k % 64).alias("zone"), k.alias("qid"),
+                       ((k * k * 7919 + k * 13 + 11) % 9973).alias("x"),
+                       ((k * k * 104729 + k * 29 + 7) % 9967).alias("y")))
+    out = tin_interpolate(sites, queries, by="zone")
+    return out.select("zone", "qid", "zq")
+
+
 def q_std_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Centrography (operators/centrography.py): per-event-type mean
     center, standard distance and standard deviational ellipse (Yuill
@@ -4154,6 +4192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_density": q_line_density,
         "delaunay_edges": q_delaunay_edges,
         "voronoi_areas": q_voronoi_areas,
+        "alpha_shape": q_alpha_shape,
+        "tin_surface": q_tin_surface,
         "std_ellipse": q_std_ellipse,
         "moran_grid": q_moran_grid,
         "user_tracks": q_user_tracks,
@@ -5659,6 +5699,52 @@ JOIN ({DT.ZONES_SQL.strip()}) z
 """
 
 
+def _delaunay_tri_sql() -> str:
+    """Shared CTE prefix for the triangulation-family oracles: the
+    INDEPENDENT Delaunay derivation — a triangle (i<j<k) is Delaunay
+    iff non-degenerate and no other zone point lies STRICTLY inside its
+    circumcircle (BIGINT lifted determinant; the sign comparison folds
+    the orientation so CW triples test correctly). The point derivation
+    is audited degeneracy-free (no dups / collinear triples / cocircular
+    4-subsets) at sf0.001 and sf0.01."""
+    return """
+            WITH p AS (
+              SELECT event_id % 64 AS zone, event_id AS id,
+                     (event_id*event_id*7919 + event_id*13 + 11) % 9973 AS x,
+                     (event_id*event_id*104729 + event_id*29 + 7) % 9967 AS y
+              FROM events WHERE event_id % 5 = 0
+            ), cand AS (
+              SELECT a.zone AS zone, a.id AS i, b.id AS j, c.id AS k,
+                     a.x AS ax, a.y AS ay, b.x AS bx, b.y AS bb,
+                     c.x AS cx, c.y AS cy
+              FROM p a JOIN p b ON b.zone = a.zone AND b.id > a.id
+                       JOIN p c ON c.zone = a.zone AND c.id > b.id
+              WHERE (b.x - a.x) * (c.y - a.y)
+                    - (b.y - a.y) * (c.x - a.x) <> 0
+            ), bad AS (
+              SELECT DISTINCT cand.zone AS zone, cand.i AS i,
+                              cand.j AS j, cand.k AS k
+              FROM cand JOIN p m
+                ON m.zone = cand.zone
+               AND m.id <> cand.i AND m.id <> cand.j AND m.id <> cand.k
+              WHERE sign(
+                      (ax - m.x) * ((bb - m.y)
+                          * ((cx - m.x)*(cx - m.x) + (cy - m.y)*(cy - m.y))
+                        - ((bx - m.x)*(bx - m.x) + (bb - m.y)*(bb - m.y))
+                          * (cy - m.y))
+                    - (ay - m.y) * ((bx - m.x)
+                          * ((cx - m.x)*(cx - m.x) + (cy - m.y)*(cy - m.y))
+                        - ((bx - m.x)*(bx - m.x) + (bb - m.y)*(bb - m.y))
+                          * (cx - m.x))
+                    + ((ax - m.x)*(ax - m.x) + (ay - m.y)*(ay - m.y))
+                        * ((bx - m.x)*(cy - m.y) - (bb - m.y)*(cx - m.x)))
+                    = sign((bx - ax)*(cy - ay) - (bb - ay)*(cx - ax))
+            ), tri AS (
+              SELECT zone, i, j, k FROM cand
+              ANTI JOIN bad USING (zone, i, j, k)
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     cell14 = C.cell_sql("p.lon", "p.lat", CELL_RES)
     corner = lambda xe, ye: C.cell_sql(xe, ye, TILE_RES)  # noqa: E731
@@ -6541,47 +6627,66 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'none' END AS category
             FROM lab
         """,
-        "delaunay_edges": """
-            WITH p AS (
-              SELECT event_id % 64 AS zone, event_id AS id,
-                     (event_id*event_id*7919 + event_id*13 + 11) % 9973 AS x,
-                     (event_id*event_id*104729 + event_id*29 + 7) % 9967 AS y
-              FROM events WHERE event_id % 5 = 0
-            ), cand AS (
-              SELECT a.zone AS zone, a.id AS i, b.id AS j, c.id AS k,
-                     a.x AS ax, a.y AS ay, b.x AS bx, b.y AS bb,
-                     c.x AS cx, c.y AS cy
-              FROM p a JOIN p b ON b.zone = a.zone AND b.id > a.id
-                       JOIN p c ON c.zone = a.zone AND c.id > b.id
-              WHERE (b.x - a.x) * (c.y - a.y)
-                    - (b.y - a.y) * (c.x - a.x) <> 0
-            ), bad AS (
-              SELECT DISTINCT cand.zone AS zone, cand.i AS i,
-                              cand.j AS j, cand.k AS k
-              FROM cand JOIN p m
-                ON m.zone = cand.zone
-               AND m.id <> cand.i AND m.id <> cand.j AND m.id <> cand.k
-              WHERE sign(
-                      (ax - m.x) * ((bb - m.y)
-                          * ((cx - m.x)*(cx - m.x) + (cy - m.y)*(cy - m.y))
-                        - ((bx - m.x)*(bx - m.x) + (bb - m.y)*(bb - m.y))
-                          * (cy - m.y))
-                    - (ay - m.y) * ((bx - m.x)
-                          * ((cx - m.x)*(cx - m.x) + (cy - m.y)*(cy - m.y))
-                        - ((bx - m.x)*(bx - m.x) + (bb - m.y)*(bb - m.y))
-                          * (cx - m.x))
-                    + ((ax - m.x)*(ax - m.x) + (ay - m.y)*(ay - m.y))
-                        * ((bx - m.x)*(cy - m.y) - (bb - m.y)*(cx - m.x)))
-                    = sign((bx - ax)*(cy - ay) - (bb - ay)*(cx - ax))
-            ), tri AS (
-              SELECT zone, i, j, k FROM cand
-              ANTI JOIN bad USING (zone, i, j, k)
-            ), e AS (
+        "delaunay_edges": _delaunay_tri_sql() + """, e AS (
               SELECT zone, i, j FROM tri
               UNION SELECT zone, i AS i, k AS j FROM tri
               UNION SELECT zone, j AS i, k AS j FROM tri
             )
             SELECT zone, i, j FROM e
+        """,
+        "alpha_shape": _delaunay_tri_sql() + """, kept AS (
+              SELECT t.zone AS zone, t.i AS i, t.j AS j, t.k AS k
+              FROM tri t
+              JOIN p a ON a.zone = t.zone AND a.id = t.i
+              JOIN p b ON b.zone = t.zone AND b.id = t.j
+              JOIN p c ON c.zone = t.zone AND c.id = t.k
+              WHERE CAST((b.x-a.x)*(b.x-a.x)+(b.y-a.y)*(b.y-a.y) AS HUGEINT)
+                  * CAST((c.x-b.x)*(c.x-b.x)+(c.y-b.y)*(c.y-b.y) AS HUGEINT)
+                  * CAST((a.x-c.x)*(a.x-c.x)+(a.y-c.y)*(a.y-c.y) AS HUGEINT)
+                  < CAST(9000000 AS HUGEINT)
+                  * CAST((b.x-a.x)*(c.y-a.y)-(b.y-a.y)*(c.x-a.x) AS HUGEINT)
+                  * CAST((b.x-a.x)*(c.y-a.y)-(b.y-a.y)*(c.x-a.x) AS HUGEINT)
+            ), ed AS (
+              SELECT zone, i, j FROM kept
+              UNION ALL SELECT zone, i AS i, k AS j FROM kept
+              UNION ALL SELECT zone, j AS i, k AS j FROM kept
+            )
+            SELECT zone, i, j FROM ed
+            GROUP BY zone, i, j HAVING count(*) = 1
+        """,
+        "tin_surface": _delaunay_tri_sql() + """, qq AS (
+              SELECT event_id % 64 AS zone, event_id AS qid,
+                     (event_id*event_id*7919 + event_id*13 + 11) % 9973 AS qx,
+                     (event_id*event_id*104729 + event_id*29 + 7) % 9967 AS qy
+              FROM events WHERE event_id % 5 = 1
+            ), tz AS (
+              SELECT t.zone AS zone,
+                     a.x AS ax, a.y AS ay, (a.id*31+7) % 1000 AS az,
+                     b.x AS bx, b.y AS bb, (b.id*31+7) % 1000 AS bz,
+                     c.x AS cx, c.y AS cy, (c.id*31+7) % 1000 AS cz,
+                     sign((b.x-a.x)*(c.y-a.y)-(b.y-a.y)*(c.x-a.x)) AS s
+              FROM tri t
+              JOIN p a ON a.zone = t.zone AND a.id = t.i
+              JOIN p b ON b.zone = t.zone AND b.id = t.j
+              JOIN p c ON c.zone = t.zone AND c.id = t.k
+            ), w AS (
+              SELECT q.zone AS zone, q.qid AS qid,
+                     t.s * ((t.cx-t.bx)*(q.qy-t.bb)-(t.cy-t.bb)*(q.qx-t.bx)) AS wa,
+                     t.s * ((t.ax-t.cx)*(q.qy-t.cy)-(t.ay-t.cy)*(q.qx-t.cx)) AS wb,
+                     t.s * ((t.bx-t.ax)*(q.qy-t.ay)-(t.bb-t.ay)*(q.qx-t.ax)) AS wc,
+                     t.az AS az, t.bz AS bz, t.cz AS cz
+              FROM qq q JOIN tz t ON t.zone = q.zone
+            ), hit AS (
+              SELECT zone, qid,
+                     CAST((CAST(wa AS HUGEINT) * CAST(az AS HUGEINT)
+                           + CAST(wb AS HUGEINT) * CAST(bz AS HUGEINT)
+                           + CAST(wc AS HUGEINT) * CAST(cz AS HUGEINT))
+                          * CAST(1000000 AS HUGEINT)
+                          // (CAST(wa AS HUGEINT) + CAST(wb AS HUGEINT)
+                              + CAST(wc AS HUGEINT)) AS BIGINT) AS zq
+              FROM w WHERE wa >= 0 AND wb >= 0 AND wc >= 0
+            )
+            SELECT zone, qid, min(zq) AS zq FROM hit GROUP BY zone, qid
         """,
         "voronoi_areas": """
             WITH p AS (

@@ -119,7 +119,10 @@ def main() -> None:
                 "kde_heatmap", "lisa_quadrants", "mk_trend",
                 "areal_transfer", "raster_flowacc", "raster_watershed",
                 "idw_surface", "snap_to_road", "raster_curvature",
-                "zone_choropleth", "viewshed", "cost_distance"]
+                "zone_choropleth", "viewshed", "cost_distance",
+                "std_ellipse", "terrain_indices", "service_area",
+                "emerging_hotspots", "line_density", "delaunay_edges",
+                "voronoi_areas", "alpha_shape", "tin_surface"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))

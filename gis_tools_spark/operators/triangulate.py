@@ -259,3 +259,130 @@ def voronoi_cells(points: DataFrame, *, by: str, id_col: str = "id",
 
     return (points.repartition(by).groupBy(by)
             .applyInPandas(_fn, schema=schema))
+
+
+def _kept_alpha(X, Y, tris, alpha2: int):
+    """Delaunay triangles with circumradius² < alpha² — exact integer
+    comparison: R = |ab||bc||ca| / (4·area) and cross = 2·area, so
+    R² = |ab|²|bc|²|ca|² / (4·cross²): keep iff
+    |ab|²|bc|²|ca|² < 4 · alpha² · cross² (Python ints, no overflow)."""
+    kept = []
+    for a, b, c in tris:
+        abx, aby = X[b] - X[a], Y[b] - Y[a]
+        bcx, bcy = X[c] - X[b], Y[c] - Y[b]
+        cax, cay = X[a] - X[c], Y[a] - Y[c]
+        ab2 = abx * abx + aby * aby
+        bc2 = bcx * bcx + bcy * bcy
+        ca2 = cax * cax + cay * cay
+        cross = abx * (Y[c] - Y[a]) - aby * (X[c] - X[a])
+        if ab2 * bc2 * ca2 < 4 * alpha2 * cross * cross:
+            kept.append((a, b, c))
+    return kept
+
+
+def alpha_shape_edges(points: DataFrame, *, by: str, id_col: str = "id",
+                      x_col: str = "x", y_col: str = "y",
+                      alpha: float) -> DataFrame:
+    """Alpha-shape boundary per group (Edelsbrunner 1983 concave hull):
+    keep Delaunay triangles with circumradius < alpha, return the edges
+    used by exactly ONE kept triangle — the concave outline(s) of the
+    point set, holes included. Same exact-integer kernel and per-group
+    plan as delaunay_edges; the radius test is an exact integer
+    comparison so the boundary is deterministic."""
+    alpha2 = int(round(float(alpha) ** 2))
+    schema = T.StructType([
+        points.schema[by],
+        T.StructField("i", T.LongType()),
+        T.StructField("j", T.LongType()),
+    ])
+
+    def _fn(key, pdf):
+        ids, xs, ys = _dedupe(pdf[id_col].to_numpy(),
+                              pdf[x_col].to_numpy(), pdf[y_col].to_numpy())
+        tris = triangulate_points(xs, ys)
+        X = [int(v) for v in xs]
+        Y = [int(v) for v in ys]
+        cnt: dict[tuple[int, int], int] = {}
+        for a, b, c in _kept_alpha(X, Y, tris, alpha2):
+            for p, q in ((a, b), (a, c), (b, c)):
+                e = (min(int(ids[p]), int(ids[q])),
+                     max(int(ids[p]), int(ids[q])))
+                cnt[e] = cnt.get(e, 0) + 1
+        edges = sorted(e for e, n in cnt.items() if n == 1)
+        return pd.DataFrame({by: [key[0]] * len(edges),
+                             "i": [e[0] for e in edges],
+                             "j": [e[1] for e in edges]})
+
+    return (points.repartition(by).groupBy(by)
+            .applyInPandas(_fn, schema=schema))
+
+
+def tin_interpolate(points: DataFrame, queries: DataFrame, *, by: str,
+                    id_col: str = "id", x_col: str = "x", y_col: str = "y",
+                    z_col: str = "z", q_id_col: str = "qid",
+                    quantize: int = 1_000_000) -> DataFrame:
+    """TIN (linear Delaunay) surface interpolation per group: each query
+    point inside the sites' hull gets the barycentric interpolation of
+    its containing triangle's z values — the classic DEM-from-samples
+    operator (ArcGIS "TIN to Raster" semantics).
+
+    All inputs are lattice integers, so containment (orient signs) and
+    the interpolated value num/den are EXACT rationals; the emitted
+    ``zq`` is floor(num·quantize / den) in arbitrary-precision ints —
+    deterministic, partition-independent, and SQL-mirrorable in
+    HUGEINT. On-edge queries interpolate identically from either
+    adjacent triangle (linear continuity), so triangle choice can't
+    change the answer. Queries outside the hull are dropped.
+
+    Plan: sites and queries co-shuffle once on the group key; the
+    per-group kernel is O(queries × triangles) with small groups (the
+    per-tile pattern — katana/fishnet the AOI upstream)."""
+    schema = T.StructType([
+        T.StructField("__g", points.schema[by].dataType),
+        T.StructField("qid", T.LongType()),
+        T.StructField("zq", T.LongType()),
+    ])
+    p = points.select(F.col(by).alias("__g"), F.col(id_col).alias("id"),
+                      F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+                      F.col(z_col).alias("z"), F.lit(None).cast("long").alias("qid"))
+    q = queries.select(F.col(by).alias("__g"), F.lit(None).cast("long").alias("id"),
+                       F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+                       F.lit(None).cast("long").alias("z"),
+                       F.col(q_id_col).alias("qid"))
+    u = p.unionByName(q)
+    qz = int(quantize)
+
+    def _fn(key, pdf):
+        sites = pdf[pdf["id"].notna()]
+        qs = pdf[pdf["qid"].notna()]
+        ids, xs, ys = _dedupe(sites["id"].to_numpy(),
+                              sites["x"].to_numpy(), sites["y"].to_numpy())
+        zmap = {int(r.id): int(r.z) for r in sites.itertuples(index=False)}
+        tris = triangulate_points(xs, ys)
+        X = [int(v) for v in xs]
+        Y = [int(v) for v in ys]
+        # normalize to CCW so barycentric weights are non-negative inside
+        norm = []
+        for a, b, c in tris:
+            if _orient(X[a], Y[a], X[b], Y[b], X[c], Y[c]) < 0:
+                a, b, c = a, c, b
+            norm.append((a, b, c))
+        rows = []
+        for r in qs.itertuples(index=False):
+            qx, qy, qid = int(r.x), int(r.y), int(r.qid)
+            for a, b, c in norm:
+                wa = (X[c] - X[b]) * (qy - Y[b]) - (Y[c] - Y[b]) * (qx - X[b])
+                wb = (X[a] - X[c]) * (qy - Y[c]) - (Y[a] - Y[c]) * (qx - X[c])
+                wc = (X[b] - X[a]) * (qy - Y[a]) - (Y[b] - Y[a]) * (qx - X[a])
+                if wa < 0 or wb < 0 or wc < 0:
+                    continue
+                den = wa + wb + wc  # == the (positive) doubled CCW area
+                num = (wa * zmap[int(ids[a])] + wb * zmap[int(ids[b])]
+                       + wc * zmap[int(ids[c])])
+                rows.append((key[0], qid, (num * qz) // den))
+                break
+        return pd.DataFrame(rows, columns=["__g", "qid", "zq"])
+
+    out = (u.repartition("__g").groupBy("__g")
+           .applyInPandas(_fn, schema=schema))
+    return out.withColumnRenamed("__g", by)

@@ -131,3 +131,70 @@ def test_voronoi_cell_ownership(spark):
     mc = np.bincount(owner, minlength=12) / len(probes) * 100.0 * 100.0
     np.testing.assert_allclose(out.loc[np.arange(12)].area.to_numpy(), mc,
                                rtol=0.05, atol=2.0)
+
+
+def test_alpha_shape_concave_outline(spark):
+    from gis_tools_spark.operators.triangulate import alpha_shape_edges
+
+    # dense unit grid strip + a far outlier: alpha slightly above the
+    # grid diagonal keeps only grid triangles; boundary = strip outline
+    xs, ys, ids = [], [], []
+    k = 0
+    for gx in range(8):
+        for gy in range(3):
+            xs.append(gx * 10)
+            ys.append(gy * 10)
+            ids.append(k)
+            k += 1
+    xs.append(500)
+    ys.append(500)
+    ids.append(k)
+    pdf = pd.DataFrame({"zone": 0, "id": ids, "x": xs, "y": ys})
+    out = alpha_shape_edges(spark.createDataFrame(pdf), by="zone",
+                            alpha=7.0).toPandas()
+    # alpha below the grid right-triangle circumradius (~7.07): nothing
+    assert len(out) == 0
+    out2 = alpha_shape_edges(spark.createDataFrame(pdf), by="zone",
+                             alpha=8.0 * np.sqrt(2)).toPandas()
+    edges = {tuple(e) for e in out2[["i", "j"]].to_numpy()}
+    # outlier never on the boundary; outline of the 70x20 strip has
+    # 2*(7+2) horizontal+vertical boundary edges = 18
+    assert all(80 not in e for e in edges)
+    assert len(edges) == 18
+    span = lambda e: (abs(xs[e[0]] - xs[e[1]]), abs(ys[e[0]] - ys[e[1]]))  # noqa: E731
+    assert all(span(e) in ((10, 0), (0, 10)) for e in edges)
+
+
+def test_tin_interpolate_reproduces_plane(spark):
+    from gis_tools_spark.operators.triangulate import tin_interpolate
+
+    xs, ys = _general_position_points(25, 21, span=1000)
+    z = 2 * xs + 3 * ys  # exact plane: TIN must reproduce it anywhere
+    sites = pd.DataFrame({"zone": 0, "id": np.arange(25),
+                          "x": xs, "y": ys, "z": z})
+    rng = np.random.default_rng(4)
+    hull_interior = pd.DataFrame({
+        "zone": 0, "qid": np.arange(200),
+        "x": rng.integers(xs.min() + 1, xs.max() - 1, 200),
+        "y": rng.integers(ys.min() + 1, ys.max() - 1, 200)})
+    out = tin_interpolate(spark.createDataFrame(sites),
+                          spark.createDataFrame(hull_interior),
+                          by="zone").toPandas().set_index("qid")
+    for r in hull_interior.itertuples(index=False):
+        if r.qid in out.index:
+            want = (2 * int(r.x) + 3 * int(r.y)) * 1_000_000
+            assert int(out.loc[r.qid].zq) == want
+    # site locations themselves interpolate to exactly their z
+    qs = pd.DataFrame({"zone": 0, "qid": 1000 + np.arange(25),
+                       "x": xs, "y": ys})
+    out2 = tin_interpolate(spark.createDataFrame(sites),
+                           spark.createDataFrame(qs),
+                           by="zone").toPandas().set_index("qid")
+    for i in range(25):
+        assert int(out2.loc[1000 + i].zq) == int(z[i]) * 1_000_000
+    # a query far outside the hull yields no row
+    far = pd.DataFrame({"zone": [0], "qid": [9999],
+                        "x": [100000 // 20], "y": [0]})
+    out3 = tin_interpolate(spark.createDataFrame(sites),
+                           spark.createDataFrame(far), by="zone").toPandas()
+    assert 9999 not in set(out3.qid)
