@@ -4062,6 +4062,191 @@ def q_img_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "block_pos"))
 
 
+# ================================================= clustering / geostat / covers
+
+KMEANS_K, KMEANS_ITERS = 8, 3
+
+
+def q_kmeans_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer k-means (operators/kmeans.py): Lloyd iterations
+    with floor-mean centroids and int64 argmin assignment — every step
+    is exact integer arithmetic, so the DuckDB oracle replays the
+    identical iteration chain (init = id%k buckets, 3 rounds) and the
+    final per-cluster (centroid, count, within-cluster SS) hash-match
+    bit for bit."""
+    _tune(spark)
+    from gis_tools_spark.operators.kmeans import kmeans
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        (F.col("event_id") * 37 % 100000).alias("xi"),
+        (F.col("event_id") * 7919 % 100000).alias("yi"))
+    asg = kmeans(pts, k=KMEANS_K, n_iter=KMEANS_ITERS,
+                 x="xi", y="yi", id_col="event_id")
+    return (asg.groupBy("j", "cx", "cy")
+            .agg(F.count("*").alias("n_points"),
+                 F.sum("d2").alias("wss")))
+
+
+def _kmeans_oracle_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    pts = ("SELECT event_id, (event_id*37)%100000 AS xi, "
+           "(event_id*7919)%100000 AS yi FROM events")
+    ctes = [f"pts AS MATERIALIZED ({pts})",
+            f"c0 AS MATERIALIZED (SELECT event_id % {k} AS j, "
+            f"CAST(SUM(xi) // COUNT(*) AS BIGINT) AS cx, "
+            f"CAST(SUM(yi) // COUNT(*) AS BIGINT) AS cy "
+            f"FROM pts GROUP BY 1)"]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT event_id, xi, yi, j FROM ("
+            f"SELECT p.event_id, p.xi, p.yi, c.j, ROW_NUMBER() OVER ("
+            f"PARTITION BY p.event_id ORDER BY "
+            f"(p.xi-c.cx)*(p.xi-c.cx)+(p.yi-c.cy)*(p.yi-c.cy), c.j) AS rn "
+            f"FROM pts p CROSS JOIN {prev} c) WHERE rn = 1)")
+        ctes.append(
+            f"n{t} AS MATERIALIZED (SELECT j, "
+            f"CAST(SUM(xi) // COUNT(*) AS BIGINT) AS cx, "
+            f"CAST(SUM(yi) // COUNT(*) AS BIGINT) AS cy "
+            f"FROM a{t} GROUP BY j)")
+        ctes.append(
+            f"c{t} AS MATERIALIZED (SELECT c.j, COALESCE(n.cx, c.cx) AS cx, "
+            f"COALESCE(n.cy, c.cy) AS cy "
+            f"FROM {prev} c LEFT JOIN n{t} n USING (j))")
+        prev = f"c{t}"
+    return f"""
+        WITH {', '.join(ctes)},
+        fin AS (SELECT * FROM (
+          SELECT p.xi, p.yi, c.j, c.cx, c.cy,
+            (p.xi-c.cx)*(p.xi-c.cx)+(p.yi-c.cy)*(p.yi-c.cy) AS d2,
+            ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY
+              (p.xi-c.cx)*(p.xi-c.cx)+(p.yi-c.cy)*(p.yi-c.cy), c.j) AS rn
+          FROM pts p CROSS JOIN {prev} c) WHERE rn = 1)
+        SELECT j, cx, cy, count(*) AS n_points,
+               CAST(SUM(d2) AS BIGINT) AS wss
+        FROM fin GROUP BY j, cx, cy
+    """
+
+
+CCOVER_RES = 10
+
+
+def q_cell_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cover compaction (operators/cellcover.py): the
+    event-point cover at res 10 compacts bottom-up (complete sibling
+    quartets promote). The oracle replays every promotion round in
+    MATERIALIZED CTEs over the identical bit layout."""
+    _tune(spark)
+    from gis_tools_spark.operators.cellcover import compact_cells
+
+    pts = DT.events_points(spark, sf_dir)
+    cov = pts.select(C.cell_column(F.col("lon"), F.col("lat"),
+                                   CCOVER_RES).alias("cell")).distinct()
+    out = compact_cells(cov)
+    return out.select(
+        "cell",
+        (F.col("cell") / F.lit(1 << C.RES_SHIFT)).cast("long").alias("res"))
+
+
+def q_cell_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compact → uncompact round-trip must reproduce the original
+    single-res cover EXACTLY — the oracle is the independent closed
+    form (the distinct res-10 cells), so this gate catches any drift in
+    either direction of the hierarchy walk."""
+    _tune(spark)
+    from gis_tools_spark.operators.cellcover import (compact_cells,
+                                                     uncompact_cells)
+
+    pts = DT.events_points(spark, sf_dir)
+    cov = pts.select(C.cell_column(F.col("lon"), F.col("lat"),
+                                   CCOVER_RES).alias("cell")).distinct()
+    return uncompact_cells(compact_cells(cov), res=CCOVER_RES)
+
+
+def _cell_compact_oracle_sql() -> str:
+    from gis_tools_spark.operators.cellcover import compact_sql
+
+    cell = C.cell_sql("p.lon", "p.lat", CCOVER_RES)
+    body, final = compact_sql("cov0", res=CCOVER_RES)
+    return f"""
+        WITH cov0 AS MATERIALIZED (
+          SELECT DISTINCT {cell} AS cell
+          FROM ({DT.POINTS_SQL.strip()}) p), {body}
+        SELECT cell, cell // {1 << C.RES_SHIFT} AS res FROM {final}
+    """
+
+
+VARIO_LAG, VARIO_BINS = 0.5, 10
+
+
+def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed empirical semivariogram (operators/kriging.py):
+    grid-binned pair join at the lag cutoff, exact int64 quantized
+    sums (partition-order independent), one IEEE sqrt per pair. The
+    oracle replays the identical quantization + binned pair join; the
+    two final divisions are bit-stable, emitted at 1e-9."""
+    _tune(spark)
+    from gis_tools_spark.operators.kriging import empirical_variogram
+
+    out = empirical_variogram(
+        DT.events_points(spark, sf_dir), value_col="value",
+        max_lag=VARIO_LAG, n_bins=VARIO_BINS)
+    return out.select(
+        "lag_bin", "n_pairs",
+        F.floor(F.col("gamma") * 1e9 + F.lit(0.5)).cast("long")
+        .alias("gamma9"),
+        F.floor(F.col("mean_lag") * 1e9 + F.lit(0.5)).cast("long")
+        .alias("mean_lag9"))
+
+
+def _variogram_oracle_sql(max_lag: float = VARIO_LAG,
+                          n_bins: int = VARIO_BINS) -> str:
+    L = int(round(max_lag * 1e6))
+    w = L / float(n_bins)
+    return f"""
+        WITH q AS MATERIALIZED (
+          SELECT event_id,
+                 CAST(floor(p.lon * 1000000.0 + 0.5) AS BIGINT) AS xi,
+                 CAST(floor(p.lat * 1000000.0 + 0.5) AS BIGINT) AS yi,
+                 CAST(floor(p.value * 100.0 + 0.5) AS BIGINT) AS vi
+          FROM ({DT.POINTS_SQL.strip()}) p),
+        offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                 (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+        l AS MATERIALIZED (
+          SELECT q.*, (xi - xi % {L}) // {L} + offs.dx AS bx,
+                      (yi - yi % {L}) // {L} + offs.dy AS by
+          FROM q, offs),
+        r AS MATERIALIZED (
+          SELECT q.*, (xi - xi % {L}) // {L} AS bx,
+                      (yi - yi % {L}) // {L} AS by
+          FROM q),
+        pr AS MATERIALIZED (
+          SELECT (l.xi-r.xi)*(l.xi-r.xi) + (l.yi-r.yi)*(l.yi-r.yi) AS d2,
+                 (l.vi-r.vi)*(l.vi-r.vi) AS dv2
+          FROM l JOIN r USING (bx, by)
+          WHERE l.event_id < r.event_id
+            AND (l.xi-r.xi)*(l.xi-r.xi) + (l.yi-r.yi)*(l.yi-r.yi) < {L * L}
+            AND (l.xi-r.xi)*(l.xi-r.xi) + (l.yi-r.yi)*(l.yi-r.yi) > 0),
+        g AS (
+          SELECT CAST(floor(sqrt(CAST(d2 AS DOUBLE)) / {w}) AS INT)
+                   AS lag_bin,
+                 count(*) AS n_pairs,
+                 CAST(SUM(dv2) AS BIGINT) AS sdv2,
+                 CAST(SUM(CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT))
+                   AS BIGINT) AS sd
+          FROM pr GROUP BY 1)
+        SELECT lag_bin, n_pairs,
+          CAST(floor((CAST(sdv2 AS DOUBLE)
+            / (2.0 * CAST(n_pairs AS DOUBLE) * 100.0 * 100.0))
+            * 1000000000.0 + 0.5) AS BIGINT) AS gamma9,
+          CAST(floor((CAST(sd AS DOUBLE)
+            / (CAST(n_pairs AS DOUBLE) * 1000000.0))
+            * 1000000000.0 + 0.5) AS BIGINT) AS mean_lag9
+        FROM g
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4203,6 +4388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_majority": q_zonal_majority,
         "kde_heatmap": q_kde_heatmap,
         "idw_surface": q_idw_surface,
+        "kmeans_zones": q_kmeans_zones,
+        "cell_compact": q_cell_compact,
+        "cell_roundtrip": q_cell_roundtrip,
+        "variogram": q_variogram,
     }
 
 
@@ -7898,4 +8087,11 @@ FROM events),
                    event_type, count(*) AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "kmeans_zones": _kmeans_oracle_sql(),
+        "cell_compact": _cell_compact_oracle_sql(),
+        "cell_roundtrip": f"""
+            SELECT DISTINCT {C.cell_sql("p.lon", "p.lat", CCOVER_RES)} AS cell
+            FROM ({DT.POINTS_SQL.strip()}) p
+        """,
+        "variogram": _variogram_oracle_sql(),
     }
