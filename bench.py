@@ -122,7 +122,8 @@ def main() -> None:
                 "zone_choropleth", "viewshed", "cost_distance",
                 "std_ellipse", "terrain_indices", "service_area",
                 "emerging_hotspots", "line_density", "delaunay_edges",
-                "voronoi_areas", "alpha_shape", "tin_surface"]
+                "voronoi_areas", "alpha_shape", "tin_surface",
+                "kmeans_zones", "cell_compact", "variogram"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))
