@@ -4247,6 +4247,80 @@ def _variogram_oracle_sql(max_lag: float = VARIO_LAG,
     """
 
 
+EXIF_RES = 11
+
+
+def q_exif_gps_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF geotag ingest (raster/exif.py + operators/imgmeta.py): the
+    events sample becomes real JPEG blobs carrying EXIF APP1 GPS
+    (degree/minute/second RATIONALs encoded (d,1)(0,1)(9·rem,2500) —
+    exact at microdegree resolution), then exif_gps lifts lat/lon/alt/
+    orientation back out of the bytes in Arrow batches and the cell
+    index is computed from the recovered microdegrees. The oracle is
+    the pure closed form from event_id — any drift in the APP1 writer,
+    the IFD walk, the rational arithmetic or the DMS reassembly breaks
+    the hash. Reference analog: GDAL header metadata scan,
+    raster.py:158-165."""
+    _tune(spark)
+    from gis_tools_spark.operators.imgmeta import exif_gps
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where("event_id % 7 = 0").select("event_id"))
+
+    def _gen(it):
+        import numpy as np
+        import pandas as pd
+
+        from gis_tools_spark.raster import exif as X
+        from gis_tools_spark.raster import jpeg as J
+
+        base = J.encode(np.full((8, 8), 128, np.uint8), quality=90)
+        for pdf in it:
+            rows = []
+            for e in pdf["event_id"]:
+                e = int(e)
+                lon_u = 5_000_000 + (e * 37 % 100000) * 50
+                lat_u = 40_000_000 + (e * 7919 % 100000) * 50
+                rows.append((e, X.geotag(
+                    base, lat_udeg=lat_u, lon_udeg=lon_u,
+                    alt_mm=e % 100000, orientation=1 + e % 8)))
+            yield pd.DataFrame(rows, columns=["event_id", "bytes"])
+
+    imgs = ev.repartition(16).mapInPandas(_gen,
+                                          "event_id long, bytes binary")
+    meta = exif_gps(imgs, id_col="event_id")
+    q = meta.select(
+        "event_id",
+        F.floor(F.col("lat") * 1e6 + F.lit(0.5)).cast("long")
+        .alias("lat_udeg"),
+        F.floor(F.col("lon") * 1e6 + F.lit(0.5)).cast("long")
+        .alias("lon_udeg"),
+        F.floor(F.col("alt_m") * 1e3 + F.lit(0.5)).cast("long")
+        .alias("alt_mm"),
+        "orientation")
+    return q.withColumn(
+        "cell", C.cell_column(F.col("lon_udeg") / F.lit(1000000.0),
+                              F.col("lat_udeg") / F.lit(1000000.0),
+                              EXIF_RES))
+
+
+def _exif_oracle_sql() -> str:
+    cell = C.cell_sql("lon_udeg / 1000000.0", "lat_udeg / 1000000.0",
+                      EXIF_RES)
+    return f"""
+        WITH e AS (
+          SELECT event_id,
+                 40000000 + (event_id * 7919 % 100000) * 50 AS lat_udeg,
+                 5000000 + (event_id * 37 % 100000) * 50 AS lon_udeg,
+                 event_id % 100000 AS alt_mm,
+                 CAST(1 + event_id % 8 AS INT) AS orientation
+          FROM events WHERE event_id % 7 = 0)
+        SELECT event_id, lat_udeg, lon_udeg, alt_mm, orientation,
+               {cell} AS cell
+        FROM e
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4392,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_compact": q_cell_compact,
         "cell_roundtrip": q_cell_roundtrip,
         "variogram": q_variogram,
+        "exif_gps_cells": q_exif_gps_cells,
     }
 
 
@@ -8094,4 +8169,5 @@ FROM events),
             FROM ({DT.POINTS_SQL.strip()}) p
         """,
         "variogram": _variogram_oracle_sql(),
+        "exif_gps_cells": _exif_oracle_sql(),
     }

@@ -123,7 +123,8 @@ def main() -> None:
                 "std_ellipse", "terrain_indices", "service_area",
                 "emerging_hotspots", "line_density", "delaunay_edges",
                 "voronoi_areas", "alpha_shape", "tin_surface",
-                "kmeans_zones", "cell_compact", "variogram"]
+                "kmeans_zones", "cell_compact", "variogram",
+                "exif_gps_cells"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))
