@@ -4262,7 +4262,7 @@ def q_exif_gps_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash. Reference analog: GDAL header metadata scan,
     raster.py:158-165."""
     _tune(spark)
-    from gis_tools_spark.operators.imgmeta import exif_gps
+    from gis_tools_spark.raster.exif import image_exif
 
     ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
           .where("event_id % 7 = 0").select("event_id"))
@@ -4281,21 +4281,21 @@ def q_exif_gps_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                 e = int(e)
                 lon_u = 5_000_000 + (e * 37 % 100000) * 50
                 lat_u = 40_000_000 + (e * 7919 % 100000) * 50
-                rows.append((e, X.geotag(
+                rows.append((str(e), X.geotag(
                     base, lat_udeg=lat_u, lon_udeg=lon_u,
                     alt_mm=e % 100000, orientation=1 + e % 8)))
-            yield pd.DataFrame(rows, columns=["event_id", "bytes"])
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
 
     imgs = ev.repartition(16).mapInPandas(_gen,
-                                          "event_id long, bytes binary")
-    meta = exif_gps(imgs, id_col="event_id")
+                                          "image_id string, bytes binary")
+    meta = image_exif(imgs)
     q = meta.select(
-        "event_id",
+        F.col("image_id").cast("long").alias("event_id"),
         F.floor(F.col("lat") * 1e6 + F.lit(0.5)).cast("long")
         .alias("lat_udeg"),
         F.floor(F.col("lon") * 1e6 + F.lit(0.5)).cast("long")
         .alias("lon_udeg"),
-        F.floor(F.col("alt_m") * 1e3 + F.lit(0.5)).cast("long")
+        F.floor(F.col("alt") * 1e3 + F.lit(0.5)).cast("long")
         .alias("alt_mm"),
         "orientation")
     return q.withColumn(

@@ -1,259 +1,379 @@
-"""EXIF APP1 reader/writer for JPEG image tables (pure stdlib+struct).
+"""EXIF metadata — GPS extraction from JPEG APP1 segments, from scratch.
 
-The engine's input model is a geotagged image+caption table; in the
-wild the geotag lives in the JPEG itself as an EXIF APP1 segment — a
-little-endian TIFF stream whose IFD0 links an Exif sub-IFD (capture
-time) and a GPS IFD (lat/lon/alt as degree/minute/second RATIONALs
-with N/S/E/W refs, EXIF 2.3 §4.6.6).  This module writes and parses
-that segment from scratch, reusing the repo's TIFF IFD reader
-(raster/geotiff.py:_read_ifd_at) for the parse side.
+The north-star pipeline's input is a table of GEOTAGGED images; in a
+real crawl the geotag lives in the EXIF APP1 segment (a TIFF IFD tree
+inside the JPEG), not in a parquet column.  ``image_exif`` turns blob
+rows into (lon, lat, alt, timestamp, orientation, camera) columns that
+feed ``pip_join``/``image_tile_assignment`` directly — closing the
+loop from raw crawl bytes to the spatial join without any wheel.
 
-The reference reads geo metadata through GDAL's header scan
-(/root/reference/gistools/raster.py:158-165); here the same job is a
-pure-Python byte walk so a 10^12-row table can geotag-extract in Arrow
-batches without any native dependency.
+Implements the public TIFF 6.0 + EXIF 2.3 layout: both byte orders,
+IFD walking with sub-IFD pointers (ExifIFD 0x8769, GPS 0x8825),
+rational decoding, and the GPS degree/minute/second + N/S/E/W ref
+conventions.  ``build_exif``/``embed_exif`` write a conformant APP1
+segment (used for fixtures and as the sink for annotating images).
 
-Exactness contract (drives the driver gate): ``build_exif`` encodes
-latitude/longitude from integer microdegrees ``u`` as
-``(deg, 1) (0, 1) (9*rem, 2500)`` — exact rationals, since
-``rem`` microdegrees = ``9*rem/2500`` arc-seconds.  The parser's
-``deg + min/60 + sec/3600`` double arithmetic lands within 3 ulp of
-``u/1e6``, so ``floor(lat*1e6 + 0.5)`` recovers ``u`` EXACTLY.
+Reference parity: gis-tools has no EXIF reader, but its entire query
+surface assumes geolocated features; this is the missing ingest step
+for the brief's image-table scale-out.  (TIFF IFD mechanics shared
+with raster/geotiff.py; EXIF needs sub-IFD recursion + tag semantics,
+so it gets its own walker.)
 """
 
 from __future__ import annotations
 
 import struct
+from typing import Iterator
 
-from .geotiff import _read_ifd_at
+import numpy as np
 
-# IFD0 tags
-_T_ORIENTATION = 274
-_T_DATETIME = 306
-_T_EXIF_IFD = 34665
-_T_GPS_IFD = 34853
-# Exif sub-IFD
-_T_DT_ORIGINAL = 36867
-# GPS IFD
-_T_LAT_REF, _T_LAT = 1, 2
-_T_LON_REF, _T_LON = 3, 4
-_T_ALT_REF, _T_ALT = 5, 6
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 9: "i"}
 
-_TIFF_LE = b"II*\x00\x08\x00\x00\x00"
+TAG_ORIENTATION = 0x0112
+TAG_MAKE = 0x010F
+TAG_MODEL = 0x0110
+TAG_EXIF_IFD = 0x8769
+TAG_GPS_IFD = 0x8825
+TAG_DATETIME_ORIG = 0x9003
+TAG_DATETIME = 0x0132
+GPS_LAT_REF, GPS_LAT = 1, 2
+GPS_LON_REF, GPS_LON = 3, 4
+GPS_ALT_REF, GPS_ALT = 5, 6
 
+
+class ExifError(ValueError):
+    pass
+
+
+def _read_ifd(buf: bytes, bo: str, off: int) -> dict[int, tuple]:
+    if off + 2 > len(buf):
+        raise ExifError("IFD offset past end")
+    n = struct.unpack(bo + "H", buf[off:off + 2])[0]
+    if off + 2 + 12 * n > len(buf):
+        raise ExifError("IFD overruns buffer")
+    tags: dict[int, tuple] = {}
+    for i in range(n):
+        e = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(bo + "HHI", buf[e:e + 8])
+        if typ not in _TYPE_SIZE:
+            continue
+        size = _TYPE_SIZE[typ] * cnt
+        voff = e + 8 if size <= 4 else struct.unpack(bo + "I",
+                                                     buf[e + 8:e + 12])[0]
+        raw = buf[voff:voff + size]
+        if len(raw) < size:
+            continue                      # tolerate truncated tail tags
+        if typ == 2:
+            tags[tag] = (raw.split(b"\0")[0].decode("latin1"),)
+        elif typ in (5, 10):
+            fmt = "I" if typ == 5 else "i"
+            pairs = struct.unpack(bo + "%d%s" % (2 * cnt, fmt), raw)
+            tags[tag] = tuple(pairs[2 * k] / (pairs[2 * k + 1] or 1)
+                              for k in range(cnt))
+        elif typ == 7:
+            tags[tag] = (bytes(raw),)
+        else:
+            tags[tag] = struct.unpack(bo + "%d%s" % (cnt, _TYPE_FMT[typ]),
+                                      raw)
+    return tags
+
+
+def _app1_payload(jpeg: bytes) -> bytes | None:
+    """The Exif APP1 TIFF block, scanned from the JPEG marker stream."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ExifError("not a JPEG (no SOI)")
+    i = 2
+    while i + 4 <= len(jpeg):
+        if jpeg[i] != 0xFF:
+            return None
+        marker = jpeg[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xDA:                # SOS: no headers beyond this
+            return None
+        seglen = int.from_bytes(jpeg[i + 2:i + 4], "big")
+        if marker == 0xE1 and jpeg[i + 4:i + 10] == b"Exif\x00\x00":
+            return jpeg[i + 10:i + 2 + seglen]
+        i += 2 + seglen
+    return None
+
+
+def _dms_to_deg(dms: tuple, ref: str) -> float:
+    d = dms[0] + (dms[1] if len(dms) > 1 else 0) / 60.0 \
+        + (dms[2] if len(dms) > 2 else 0) / 3600.0
+    return -d if ref in ("S", "W") else d
+
+
+def parse_exif(jpeg: bytes) -> dict:
+    """EXIF fields of one JPEG: lon/lat/alt (signed degrees/metres),
+    timestamp string, orientation, make/model.  Missing APP1 -> {}."""
+    tiff = _app1_payload(bytes(jpeg))
+    if tiff is None:
+        return {}
+    try:
+        return _parse_tiff(tiff)
+    except struct.error as e:      # truncated mid-field: one error type
+        raise ExifError(str(e)) from e
+
+
+def _parse_tiff(tiff: bytes) -> dict:
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ExifError("bad TIFF byte-order mark")
+    if struct.unpack(bo + "H", tiff[2:4])[0] != 42:
+        raise ExifError("bad TIFF magic")
+    ifd0 = _read_ifd(tiff, bo, struct.unpack(bo + "I", tiff[4:8])[0])
+    out: dict = {}
+    if TAG_ORIENTATION in ifd0:
+        out["orientation"] = int(ifd0[TAG_ORIENTATION][0])
+    make = ifd0.get(TAG_MAKE, ("",))[0]
+    model = ifd0.get(TAG_MODEL, ("",))[0]
+    if make or model:
+        out["camera"] = (make + " " + model).strip()
+    if TAG_DATETIME in ifd0:
+        out["timestamp"] = ifd0[TAG_DATETIME][0]
+    if TAG_EXIF_IFD in ifd0:
+        exif = _read_ifd(tiff, bo, int(ifd0[TAG_EXIF_IFD][0]))
+        if TAG_DATETIME_ORIG in exif:
+            out["timestamp"] = exif[TAG_DATETIME_ORIG][0]
+    if TAG_GPS_IFD in ifd0:
+        gps = _read_ifd(tiff, bo, int(ifd0[TAG_GPS_IFD][0]))
+        if GPS_LAT in gps and GPS_LON in gps:
+            out["lat"] = _dms_to_deg(gps[GPS_LAT],
+                                     gps.get(GPS_LAT_REF, ("N",))[0])
+            out["lon"] = _dms_to_deg(gps[GPS_LON],
+                                     gps.get(GPS_LON_REF, ("E",))[0])
+        if GPS_ALT in gps:
+            alt = float(gps[GPS_ALT][0])
+            if gps.get(GPS_ALT_REF, (0,))[0] == 1:
+                alt = -alt
+            out["alt"] = alt
+    return out
+
+
+# ------------------------------------------------------------------ writer
+
+def _deg_to_dms(v: float) -> tuple:
+    v = abs(v)
+    d = int(v)
+    m = int((v - d) * 60)
+    s = (v - d - m / 60.0) * 3600.0
+    return d, m, s
+
+
+def build_exif(*, lon: float | None = None, lat: float | None = None,
+               alt: float | None = None, timestamp: str | None = None,
+               orientation: int = 1, camera: str = "gis_tools_spark"
+               ) -> bytes:
+    """A conformant little-endian Exif APP1 TIFF block."""
+    heap = bytearray()
+    entries0: list[tuple] = []
+    gps_entries: list[tuple] = []
+
+    def rational(vals, signed=False):
+        off = len(heap)
+        for v in vals:
+            den = 1_000_000
+            heap.extend(struct.pack("<iI" if signed else "<II",
+                                    int(round(v * den)), den))
+        return off
+
+    def add(entries, tag, typ, values):
+        entries.append((tag, typ, values))
+
+    add(entries0, TAG_ORIENTATION, 3, (orientation,))
+    add(entries0, TAG_MODEL, 2, (camera,))
+    if timestamp:
+        add(entries0, TAG_DATETIME, 2, (timestamp,))
+    if lat is not None and lon is not None:
+        add(gps_entries, GPS_LAT_REF, 2, ("N" if lat >= 0 else "S",))
+        add(gps_entries, GPS_LAT, 5, _deg_to_dms(lat))
+        add(gps_entries, GPS_LON_REF, 2, ("E" if lon >= 0 else "W",))
+        add(gps_entries, GPS_LON, 5, _deg_to_dms(lon))
+    if alt is not None:
+        add(gps_entries, GPS_ALT_REF, 1, (1 if alt < 0 else 0,))
+        add(gps_entries, GPS_ALT, 5, (abs(alt),))
+
+    def pack_ifd(entries, base):
+        """(ifd bytes, heap) with value offsets relative to tiff start."""
+        n = len(entries)
+        ifd = bytearray(struct.pack("<H", n))
+        local_heap = bytearray()
+        heap_base = base + 2 + 12 * n + 4
+        for tag, typ, values in sorted(entries):
+            if typ == 2:
+                raw = values[0].encode("latin1") + b"\x00"
+                cnt = len(raw)
+            elif typ == 5:
+                raw = b"".join(struct.pack("<II", int(round(v * 1_000_000)),
+                                           1_000_000) for v in values)
+                cnt = len(values)
+            elif typ == 1:
+                raw = bytes(values)
+                cnt = len(values)
+            else:
+                raw = b"".join(struct.pack("<H", v) for v in values)
+                cnt = len(values)
+            if len(raw) <= 4:
+                val = raw.ljust(4, b"\x00")
+            else:
+                val = struct.pack("<I", heap_base + len(local_heap))
+                local_heap.extend(raw)
+            ifd += struct.pack("<HHI", tag, typ, cnt) + val
+        ifd += struct.pack("<I", 0)
+        return bytes(ifd) + bytes(local_heap)
+
+    # layout: header(8) | IFD0 | IFD0 heap | GPS IFD | GPS heap
+    # compute IFD0 size first (entries + gps pointer)
+    n0 = len(entries0) + (1 if gps_entries else 0)
+    ifd0_size_guess = 2 + 12 * n0 + 4
+    # assemble with gps pointer placeholder resolved iteratively
+    for _ in range(3):
+        e0 = list(entries0)
+        gps_off = None
+        ifd0 = pack_ifd(e0, 8)
+        gps_off = 8 + len(ifd0)
+        if gps_entries:
+            e0 = e0 + [(TAG_GPS_IFD, 4, (gps_off,))]
+            ifd0b = pack_ifd(e0, 8)
+            gps_off = 8 + len(ifd0b)
+            e0 = list(entries0) + [(TAG_GPS_IFD, 4, (gps_off,))]
+            ifd0 = pack_ifd(e0, 8)
+        gps = pack_ifd(gps_entries, gps_off) if gps_entries else b""
+        tiff = b"II" + struct.pack("<HI", 42, 8) + ifd0 + gps
+        break
+    return tiff
+
+
+def embed_exif(jpeg: bytes, tiff: bytes) -> bytes:
+    """Insert an Exif APP1 segment right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ExifError("not a JPEG")
+    payload = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+# ------------------------------------------------------------------ Spark operator
+
+EXIF_SCHEMA = ("image_id string, lon double, lat double, alt double, "
+               "ts string, orientation int, camera string, has_gps boolean, "
+               "ok boolean")
+
+
+def image_exif(df, *, blob_col: str = "bytes", id_col: str = "image_id"):
+    """Blob rows -> EXIF columns; rows without GPS keep has_gps=false,
+    unparseable rows ok=false — the output's (lon, lat) feed pip_join /
+    image_tile_assignment unchanged (the crawl->geotable ingest step)."""
+    import pandas as pd
+
+    def _run(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for iid, blob in zip(pdf[id_col], pdf[blob_col]):
+                iid = str(iid)
+                try:
+                    e = parse_exif(bytes(blob))
+                    rows.append((iid, e.get("lon"), e.get("lat"),
+                                 e.get("alt"), e.get("timestamp"),
+                                 e.get("orientation"), e.get("camera"),
+                                 "lon" in e, True))
+                except (ExifError, ValueError, IndexError, struct.error):
+                    rows.append((iid, None, None, None, None, None, None,
+                                 False, False))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "lon", "lat", "alt", "ts", "orientation",
+                "camera", "has_gps", "ok"])
+
+    return df.select(id_col, blob_col).mapInPandas(_run, schema=EXIF_SCHEMA)
+
+
+# ------------------------------------------------- exact-microdegree writer
 
 def _dms_rationals(udeg: int) -> tuple:
-    """|microdegrees| -> ((d,1),(0,1),(9*rem,2500)) exact DMS."""
+    """|microdegrees| -> ((d,1),(0,1),(9*rem,2500)) EXACT DMS rationals.
+
+    ``rem`` microdegrees = ``9*rem/2500`` arc-seconds exactly, and the
+    parse-side ``d + 0/60 + (9*rem/2500)/3600`` lands within a few ulp
+    of ``udeg/1e6`` — so ``floor(deg*1e6 + 0.5)`` recovers ``udeg``
+    bit-exactly (property-tested over hemisphere corners + 200 draws).
+    The generic ``build_exif`` writer quantizes through round(x*1e6)
+    float rationals instead, which is NOT exact at the last µdeg."""
     d, rem = divmod(abs(int(udeg)), 1_000_000)
     return ((d, 1), (0, 1), (9 * rem, 2500))
 
 
-class _IfdWriter:
-    """One little-endian classic-TIFF IFD with a trailing value heap.
-
-    Entries must be added in ascending tag order (TIFF requirement).
-    ``place(off)`` resolves heap offsets once the IFD's absolute
-    position inside the TIFF stream is known.
-    """
-
-    def __init__(self):
-        self.entries: list[tuple[int, int, int, bytes, bool]] = []
-
-    def add(self, tag: int, typ: int, values) -> None:
-        if typ == 2:                       # ASCII
-            raw = values.encode("latin1") + b"\x00"
-            cnt = len(raw)
-        elif typ == 5:                     # RATIONAL pairs
-            cnt = len(values)
-            raw = b"".join(struct.pack("<II", n, d) for n, d in values)
-        elif typ == 3:                     # SHORT
-            cnt = len(values)
-            raw = struct.pack("<%dH" % cnt, *values)
-        elif typ == 4:                     # LONG
-            cnt = len(values)
-            raw = struct.pack("<%dI" % cnt, *values)
-        elif typ == 1:                     # BYTE
-            cnt = len(values)
-            raw = bytes(values)
-        else:
-            raise ValueError(f"unsupported TIFF type {typ}")
-        self.entries.append((tag, typ, cnt, raw, len(raw) > 4))
-
-    def size(self) -> int:
-        heap = sum(len(r) + (len(r) & 1) for *_, r, big in self.entries
-                   if big)
-        return 2 + 12 * len(self.entries) + 4 + heap
-
-    def place(self, off: int) -> bytes:
-        """Serialize with the IFD starting at absolute offset ``off``."""
-        body = struct.pack("<H", len(self.entries))
-        heap = bytearray()
-        heap_base = off + 2 + 12 * len(self.entries) + 4
-        for tag, typ, cnt, raw, big in self.entries:
-            if big:
-                voff = heap_base + len(heap)
-                heap.extend(raw)
-                if len(heap) & 1:
-                    heap.append(0)
-                body += struct.pack("<HHII", tag, typ, cnt, voff)
+def build_exif_udeg(*, lat_udeg: int, lon_udeg: int,
+                    alt_mm: int | None = None, dt: str | None = None,
+                    orientation: int | None = None) -> bytes:
+    """Little-endian EXIF TIFF block from integer microdegrees /
+    millimetres — the exact-roundtrip companion of ``build_exif``
+    (same layout: header | IFD0 | heap | GPS IFD | heap)."""
+    def pack_ifd(entries, base):
+        n = len(entries)
+        ifd = bytearray(struct.pack("<H", n))
+        local_heap = bytearray()
+        heap_base = base + 2 + 12 * n + 4
+        for tag, typ, values in sorted(entries):
+            if typ == 2:
+                raw = values[0].encode("latin1") + b"\x00"
+                cnt = len(raw)
+            elif typ == 5:
+                raw = b"".join(struct.pack("<II", num, den)
+                               for num, den in values)
+                cnt = len(values)
+            elif typ == 1:
+                raw = bytes(values)
+                cnt = len(values)
+            elif typ == 4:
+                raw = b"".join(struct.pack("<I", v) for v in values)
+                cnt = len(values)
             else:
-                body += struct.pack("<HHI", tag, typ, cnt) + raw.ljust(
-                    4, b"\x00")
-        body += struct.pack("<I", 0)       # next-IFD = none
-        return body + bytes(heap)
+                raw = b"".join(struct.pack("<H", v) for v in values)
+                cnt = len(values)
+            if len(raw) <= 4:
+                val = raw.ljust(4, b"\x00")
+            else:
+                val = struct.pack("<I", heap_base + len(local_heap))
+                local_heap.extend(raw)
+                if len(local_heap) & 1:
+                    local_heap.append(0)
+            ifd += struct.pack("<HHI", tag, typ, cnt) + val
+        ifd += struct.pack("<I", 0)
+        return bytes(ifd) + bytes(local_heap)
 
-
-def build_exif(*, lat_udeg: int | None = None, lon_udeg: int | None = None,
-               alt_mm: int | None = None, dt: str | None = None,
-               orientation: int | None = None) -> bytes:
-    """EXIF APP1 segment (marker + length + Exif\\0\\0 + TIFF stream).
-
-    ``lat_udeg``/``lon_udeg`` are signed integer MICRODEGREES (exact
-    round-trip — see module docstring), ``alt_mm`` integer millimetres
-    above (>=0) / below (<0) sea level, ``dt`` an EXIF
-    'YYYY:MM:DD HH:MM:SS' string stored as both DateTime and
-    DateTimeOriginal, ``orientation`` the EXIF 1-8 code.
-    """
-    ifd0, exif, gps = _IfdWriter(), _IfdWriter(), _IfdWriter()
+    entries0: list[tuple] = []
+    gps: list[tuple] = []
     if orientation is not None:
-        ifd0.add(_T_ORIENTATION, 3, (int(orientation),))
+        entries0.append((TAG_ORIENTATION, 3, (int(orientation),)))
     if dt is not None:
-        ifd0.add(_T_DATETIME, 2, dt)
-        exif.add(_T_DT_ORIGINAL, 2, dt)
-    if lat_udeg is not None and lon_udeg is not None:
-        gps.add(_T_LAT_REF, 2, "N" if lat_udeg >= 0 else "S")
-        gps.add(_T_LAT, 5, _dms_rationals(lat_udeg))
-        gps.add(_T_LON_REF, 2, "E" if lon_udeg >= 0 else "W")
-        gps.add(_T_LON, 5, _dms_rationals(lon_udeg))
+        entries0.append((TAG_DATETIME, 2, (dt,)))
+    gps.append((GPS_LAT_REF, 2, ("N" if lat_udeg >= 0 else "S",)))
+    gps.append((GPS_LAT, 5, _dms_rationals(lat_udeg)))
+    gps.append((GPS_LON_REF, 2, ("E" if lon_udeg >= 0 else "W",)))
+    gps.append((GPS_LON, 5, _dms_rationals(lon_udeg)))
     if alt_mm is not None:
-        gps.add(_T_ALT_REF, 1, (0 if alt_mm >= 0 else 1,))
-        gps.add(_T_ALT, 5, ((abs(int(alt_mm)), 1000),))
-    # IFD0 links the sub-IFDs by absolute TIFF offset: lay out
-    # IFD0 | Exif IFD | GPS IFD after the 8-byte TIFF header.
-    have_exif, have_gps = bool(exif.entries), bool(gps.entries)
-    # sub-IFD pointer entries must be counted before sizing IFD0
-    if have_exif:
-        ifd0.add(_T_EXIF_IFD, 4, (0,))
-    if have_gps:
-        ifd0.add(_T_GPS_IFD, 4, (0,))
-    off0 = 8
-    off_exif = off0 + ifd0.size()
-    off_gps = off_exif + (exif.size() if have_exif else 0)
-    # patch the pointer values now that offsets are known
-    fixed = []
-    for tag, typ, cnt, raw, big in ifd0.entries:
-        if tag == _T_EXIF_IFD:
-            raw = struct.pack("<I", off_exif)
-        elif tag == _T_GPS_IFD:
-            raw = struct.pack("<I", off_gps)
-        fixed.append((tag, typ, cnt, raw, big))
-    ifd0.entries = sorted(fixed)           # TIFF: ascending tag order
-    tiff = _TIFF_LE + ifd0.place(off0)
-    if have_exif:
-        tiff += exif.place(off_exif)
-    if have_gps:
-        tiff += gps.place(off_gps)
-    payload = b"Exif\x00\x00" + tiff
-    return b"\xFF\xE1" + struct.pack(">H", len(payload) + 2) + payload
-
-
-def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
-    """Insert an APP1 segment right after SOI (EXIF 2.3 placement)."""
-    jpeg = bytes(jpeg)
-    if jpeg[:2] != b"\xFF\xD8":
-        raise ValueError("not a JPEG (missing SOI)")
-    return jpeg[:2] + app1 + jpeg[2:]
+        gps.append((GPS_ALT_REF, 1, (0 if alt_mm >= 0 else 1,)))
+        gps.append((GPS_ALT, 5, ((abs(int(alt_mm)), 1000),)))
+    # two-pass: IFD0 size depends only on entry COUNT, so one repack
+    # with the real GPS offset converges
+    e0 = entries0 + [(TAG_GPS_IFD, 4, (0,))]
+    gps_off = 8 + len(pack_ifd(e0, 8))
+    e0 = entries0 + [(TAG_GPS_IFD, 4, (gps_off,))]
+    ifd0 = pack_ifd(e0, 8)
+    assert 8 + len(ifd0) == gps_off
+    return b"II" + struct.pack("<HI", 42, 8) + ifd0 + pack_ifd(gps, gps_off)
 
 
 def geotag(jpeg: bytes, *, lat_udeg: int, lon_udeg: int,
            alt_mm: int | None = None, dt: str | None = None,
            orientation: int | None = None) -> bytes:
-    """Convenience: build + insert in one call."""
-    return insert_app1(jpeg, build_exif(
+    """Stamp an exact-microdegree GPS APP1 into a JPEG (build + embed)."""
+    return embed_exif(jpeg, build_exif_udeg(
         lat_udeg=lat_udeg, lon_udeg=lon_udeg, alt_mm=alt_mm, dt=dt,
         orientation=orientation))
-
-
-def _find_app1(jpeg: bytes) -> bytes | None:
-    """Marker walk to the first APP1 whose payload is Exif\\0\\0."""
-    if jpeg[:2] != b"\xFF\xD8":
-        return None
-    pos, n = 2, len(jpeg)
-    while pos < n - 3:
-        if jpeg[pos] != 0xFF:
-            return None                    # desynced: not a marker
-        marker = jpeg[pos + 1]
-        if marker == 0xFF:
-            pos += 1
-            continue
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            pos += 2
-            continue
-        if marker in (0xD9, 0xDA):         # EOI / entropy data: stop
-            return None
-        ln = int.from_bytes(jpeg[pos + 2:pos + 4], "big")
-        if marker == 0xE1 and jpeg[pos + 4:pos + 10] == b"Exif\x00\x00":
-            return jpeg[pos + 10:pos + 2 + ln]
-        pos += 2 + ln
-    return None
-
-
-def _sub_ifd(tiff: bytes, bo: str, ifd0: dict, tag: int) -> dict:
-    off = ifd0.get(tag)
-    if not off:
-        return {}
-    try:
-        return _read_ifd_at(tiff, bo, False, int(off[0]))[0]
-    except (ValueError, struct.error):
-        return {}
-
-
-def parse_exif(jpeg: bytes) -> dict:
-    """Parse geotag metadata out of a JPEG's EXIF APP1.
-
-    Returns {'lat': float|None, 'lon': float|None, 'alt_m': float|None,
-    'dt': str|None, 'orientation': int|None}; all-None when the image
-    has no (well-formed) EXIF.  Never raises on arbitrary bytes.
-    """
-    out = {"lat": None, "lon": None, "alt_m": None, "dt": None,
-           "orientation": None}
-    try:
-        tiff = _find_app1(bytes(jpeg))
-        if tiff is None or len(tiff) < 8:
-            return out
-        if tiff[:4] == b"II*\x00":
-            bo = "<"
-        elif tiff[:4] == b"MM\x00*":
-            bo = ">"
-        else:
-            return out
-        off0 = struct.unpack(bo + "I", tiff[4:8])[0]
-        ifd0 = _read_ifd_at(tiff, bo, False, off0)[0]
-    except (ValueError, struct.error, IndexError):
-        return out
-    if _T_ORIENTATION in ifd0:
-        out["orientation"] = int(ifd0[_T_ORIENTATION][0])
-    if _T_DATETIME in ifd0:
-        out["dt"] = str(ifd0[_T_DATETIME][0])
-    sub = _sub_ifd(tiff, bo, ifd0, _T_EXIF_IFD)
-    if _T_DT_ORIGINAL in sub:
-        out["dt"] = str(sub[_T_DT_ORIGINAL][0])
-    gps = _sub_ifd(tiff, bo, ifd0, _T_GPS_IFD)
-    try:
-        if _T_LAT in gps and _T_LON in gps:
-            d, m, s = (list(gps[_T_LAT]) + [0.0, 0.0])[:3]
-            lat = d + m / 60.0 + s / 3600.0
-            if str(gps.get(_T_LAT_REF, ("N",))[0]).upper().startswith("S"):
-                lat = -lat
-            d, m, s = (list(gps[_T_LON]) + [0.0, 0.0])[:3]
-            lon = d + m / 60.0 + s / 3600.0
-            if str(gps.get(_T_LON_REF, ("E",))[0]).upper().startswith("W"):
-                lon = -lon
-            out["lat"], out["lon"] = float(lat), float(lon)
-        if _T_ALT in gps:
-            alt = float(gps[_T_ALT][0])
-            ref = gps.get(_T_ALT_REF, (0,))[0]
-            out["alt_m"] = -alt if ref in (1, b"\x01") else alt
-    except (TypeError, ValueError, IndexError):
-        pass
-    return out

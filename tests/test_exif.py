@@ -1,10 +1,10 @@
-"""EXIF geotag codec + Spark extraction operators.
+"""Exact-microdegree EXIF geotag writer (raster/exif.py
+build_exif_udeg/geotag) + the geotag_images egress operator.
 
-Oracle strategy: the codec round-trip is proven exact at microdegree
-resolution over hemisphere corners and random draws; the Spark ops are
-checked against the per-row pure-Python parse and for decode
-invariance (APP1 insertion must not change a single decoded pixel).
-"""
+The generic reader/writer (parse_exif/build_exif/image_exif) is
+covered by test_imgtrain/test_warc_html; these tests pin the EXACT
+round-trip contract of the µdeg writer and the Spark stamp→extract
+loop."""
 
 import numpy as np
 import pandas as pd
@@ -36,83 +36,52 @@ def test_roundtrip_exact_microdegrees():
 def test_fields_roundtrip_and_decode_invariance():
     buf = _jpeg(3)
     g = X.geotag(buf, lat_udeg=1_500_000, lon_udeg=-2_250_000,
-                 alt_mm=-12_345, dt="2026:01/bad", orientation=8)
+                 alt_mm=-12_345, dt="2026:01:02 03:04:05", orientation=8)
     p = X.parse_exif(g)
     assert p["orientation"] == 8
-    assert p["dt"] == "2026:01/bad"
-    assert abs(p["alt_m"] - (-12.345)) < 1e-12
+    assert p["timestamp"] == "2026:01:02 03:04:05"
+    assert abs(p["alt"] - (-12.345)) < 1e-12
     assert np.array_equal(J.decode(g), J.decode(buf))
 
 
-def test_partial_exif():
+def test_float_writer_vs_udeg_writer_agreement():
+    """The generic float build_exif and the exact µdeg writer must
+    agree to within 1 µdeg (the float path's documented tolerance)."""
     buf = _jpeg(4)
-    only_ori = X.insert_app1(buf, X.build_exif(orientation=3))
-    p = X.parse_exif(only_ori)
-    assert p["orientation"] == 3 and p["lat"] is None
-    only_gps = X.insert_app1(
-        buf, X.build_exif(lat_udeg=10, lon_udeg=-10))
-    p = X.parse_exif(only_gps)
-    assert p["orientation"] is None
-    assert int(np.floor(p["lat"] * 1e6 + 0.5)) == 10
-    assert int(np.floor(p["lon"] * 1e6 + 0.5)) == -10
+    for lat, lon in [(48.85837, 2.294481), (-33.86882, 151.20929)]:
+        a = X.parse_exif(X.embed_exif(buf, X.build_exif(lon=lon, lat=lat)))
+        b = X.parse_exif(X.geotag(buf, lat_udeg=round(lat * 1e6),
+                                  lon_udeg=round(lon * 1e6)))
+        assert abs(a["lat"] - b["lat"]) < 2e-6
+        assert abs(a["lon"] - b["lon"]) < 2e-6
 
 
-def test_malformed_inputs_never_raise():
+def test_malformed_inputs():
     buf = _jpeg(5)
     g = X.geotag(buf, lat_udeg=1, lon_udeg=1)
-    for b in (b"", b"\xff", b"\xff\xd8", buf, b"PNG" * 10,
-              g[:40], g[:2] + b"\xff\xe1\x00\x04Ex", bytes(64)):
-        out = X.parse_exif(b)
-        assert set(out) == {"lat", "lon", "alt_m", "dt", "orientation"}
-    # truncations of a valid geotagged stream
+    assert X.parse_exif(buf) == {}
+    with pytest.raises(X.ExifError):
+        X.parse_exif(b"PNG" * 10)
+    # truncations of a valid geotagged stream: parse either returns a
+    # dict or raises ExifError — never a different exception
     for cut in range(2, min(len(g), 220), 7):
-        X.parse_exif(g[:cut])
+        try:
+            X.parse_exif(g[:cut])
+        except X.ExifError:
+            pass
 
 
-def test_app1_after_app0_is_found():
-    """Real cameras put APP1 after JFIF's APP0 — the walk must skip
-    over APP0 (and any other marker segment) to find it."""
-    buf = _jpeg(6)
-    app1 = X.build_exif(lat_udeg=777, lon_udeg=-777)
-    assert buf[2:4] == b"\xff\xe0"  # encoder emits JFIF APP0 first
-    spliced = buf[:20] + app1 + buf[20:]  # after the 18-byte APP0
-    p = X.parse_exif(spliced)
-    assert int(np.floor(p["lat"] * 1e6 + 0.5)) == 777
+@pytest.mark.parametrize("alt_mm,want", [(0, 0.0), (8_848_860, 8848.86),
+                                         (-430_500, -430.5)])
+def test_altitude_exact(alt_mm, want):
+    p = X.parse_exif(X.geotag(_jpeg(10), lat_udeg=1, lon_udeg=1,
+                              alt_mm=alt_mm))
+    assert abs(p["alt"] - want) < 1e-9
 
 
-def test_spark_exif_gps_matches_pure_python(spark):  # noqa: F811
-    from gis_tools_spark.operators.imgmeta import exif_gps
-
-    base = _jpeg(8)
-    rows = []
-    for i in range(60):
-        lat_u = (i * 9973 % 180_000_001) - 90_000_000
-        lon_u = (i * 7919 % 360_000_001) - 180_000_000
-        if i % 5 == 0:
-            rows.append((f"img{i}", base, lat_u, lon_u))  # no EXIF
-        elif i % 7 == 0:
-            rows.append((f"img{i}", b"not a jpeg", lat_u, lon_u))
-        else:
-            rows.append((f"img{i}",
-                         X.geotag(base, lat_udeg=lat_u, lon_udeg=lon_u,
-                                  orientation=1 + i % 8),
-                         lat_u, lon_u))
-    df = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["image_id", "bytes", "lu", "lo"]))
-    out = exif_gps(df).toPandas().set_index("image_id")
-    for iid, buf, lu, lo in rows:
-        r = out.loc[iid]
-        if iid in out.index and r["has_gps"]:
-            assert int(np.floor(r["lat"] * 1e6 + 0.5)) == lu
-            assert int(np.floor(r["lon"] * 1e6 + 0.5)) == lo
-        else:
-            assert pd.isna(r["lat"])
-    n_gps = sum(1 for i in range(60) if i % 5 and i % 7)
-    assert int(out["has_gps"].sum()) == n_gps
-
-
-def test_spark_geotag_images_roundtrip(spark):  # noqa: F811
-    from gis_tools_spark.operators.imgmeta import exif_gps, geotag_images
+def test_spark_geotag_images_roundtrip(spark):
+    from gis_tools_spark.operators.imgmeta import geotag_images
+    from gis_tools_spark.raster.exif import image_exif
 
     base = _jpeg(9)
     pdf = pd.DataFrame({
@@ -125,7 +94,7 @@ def test_spark_geotag_images_roundtrip(spark):  # noqa: F811
     df = spark.createDataFrame(pdf)
     stamped = geotag_images(df, orientation="ori")
     assert stamped.columns == df.columns
-    out = exif_gps(stamped).toPandas().set_index("image_id")
+    out = image_exif(stamped).toPandas().set_index("image_id")
     for _, row in pdf.iterrows():
         r = out.loc[row["image_id"]]
         if row["bytes"][:2] == b"\xff\xd8":
@@ -136,9 +105,17 @@ def test_spark_geotag_images_roundtrip(spark):  # noqa: F811
             assert not r["has_gps"]
 
 
-@pytest.mark.parametrize("alt_mm,want", [(0, 0.0), (8_848_860, 8848.86),
-                                         (-430_500, -430.5)])
-def test_altitude_ref(alt_mm, want):
-    p = X.parse_exif(X.geotag(_jpeg(10), lat_udeg=1, lon_udeg=1,
-                              alt_mm=alt_mm))
-    assert abs(p["alt_m"] - want) < 1e-9
+def test_spark_geotag_null_coords_passthrough(spark):
+    from gis_tools_spark.operators.imgmeta import geotag_images
+
+    base = _jpeg(11)
+    pdf = pd.DataFrame({
+        "image_id": ["a", "b"],
+        "bytes": [base, base],
+        "lat_udeg": pd.array([1_000_000, None], dtype="Int64"),
+        "lon_udeg": pd.array([2_000_000, None], dtype="Int64"),
+    })
+    df = spark.createDataFrame(pdf)
+    out = geotag_images(df).toPandas().set_index("image_id")
+    assert bytes(out.loc["b", "bytes"]) == base          # untouched
+    assert bytes(out.loc["a", "bytes"]) != base          # stamped
