@@ -4321,37 +4321,6 @@ def _exif_oracle_sql() -> str:
     """
 
 
-GH_PREC = 7
-
-
-def q_geohash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geohash indexing (functions/geohash.py): the public base-32
-    interleaved-bit standard as a THIRD cell family next to the
-    quadtree cells and fishnet — built as pure column bit arithmetic
-    (~350 shift/mask terms, zero UDFs, whole-stage codegen), mirrored
-    token-for-token in SQL by the same generator. Encoder proven
-    against published geohash.org vectors + an independent
-    interval-bisection reference in pytest; here the full event table
-    is bucketed at precision 7."""
-    _tune(spark)
-    from gis_tools_spark.functions.geohash import geohash_column
-
-    pts = DT.events_points(spark, sf_dir)
-    return (pts.select(geohash_column(F.col("lon"), F.col("lat"),
-                                      GH_PREC).alias("gh"))
-            .groupBy("gh").agg(F.count("*").alias("n")))
-
-
-def _geohash_oracle_sql() -> str:
-    from gis_tools_spark.functions.geohash import geohash_sql
-
-    gh = geohash_sql("p.lon", "p.lat", GH_PREC)
-    return f"""
-        SELECT {gh} AS gh, count(*) AS n
-        FROM ({DT.POINTS_SQL.strip()}) p GROUP BY 1
-    """
-
-
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4498,7 +4467,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_roundtrip": q_cell_roundtrip,
         "variogram": q_variogram,
         "exif_gps_cells": q_exif_gps_cells,
-        "geohash_counts": q_geohash_counts,
     }
 
 
@@ -8202,5 +8170,4 @@ FROM events),
         """,
         "variogram": _variogram_oracle_sql(),
         "exif_gps_cells": _exif_oracle_sql(),
-        "geohash_counts": _geohash_oracle_sql(),
     }

@@ -353,3 +353,41 @@ def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 8) -> str:
     concat = " || ".join(chars)
     return (f"(SELECT {concat} FROM (SELECT {ix} AS __gx, {iy} AS __gy)"
             f" AS __g)")
+
+def geohash_decode(gh_col):
+    """(lon, lat) cell-center Columns from a geohash string Column of
+    any per-row length 1..12 — the inverse of geohash_column.
+
+    Linear-size expression tree: the de-interleaved lon/lat integers
+    accumulate as flat sums of bit terms per possible precision, then
+    one CASE on length picks the matching closed-form center.  (The
+    naive interval-bisection column build doubles the tree per bit —
+    2^60 nodes — and OOMs the driver; this form is ~400 small terms,
+    still pure codegen.)  Unknown lengths / characters yield NULL."""
+    from pyspark.sql import functions as F
+
+    n = F.length(gh_col)
+    codes = [(F.instr(F.lit(GEOHASH32), F.substring(gh_col, c + 1, 1))
+              - F.lit(1)).cast("long") for c in range(12)]
+    lon_e = lat_e = None
+    for p in range(1, 13):
+        nlon, nlat, plans = _geohash_char_terms(p)
+        ix = F.lit(0).cast("long")
+        iy = F.lit(0).cast("long")
+        for c, terms in enumerate(plans):
+            for src, sh, out_sh in terms:
+                bit = F.shiftright(codes[c], out_sh).bitwiseAND(F.lit(1))
+                if src == "x":
+                    ix = ix + bit * F.lit(1 << sh)
+                else:
+                    iy = iy + bit * F.lit(1 << sh)
+        clon = F.lit(-180.0) + (ix.cast("double") + F.lit(0.5)) * \
+            F.lit(360.0 / float(1 << nlon))
+        clat = F.lit(-90.0) + (iy.cast("double") + F.lit(0.5)) * \
+            F.lit(180.0 / float(1 << nlat))
+        cond = n == p
+        lon_e = F.when(cond, clon) if lon_e is None else \
+            lon_e.when(cond, clon)
+        lat_e = F.when(cond, clat) if lat_e is None else \
+            lat_e.when(cond, clat)
+    return (lon_e.otherwise(F.lit(None)), lat_e.otherwise(F.lit(None)))

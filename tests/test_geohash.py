@@ -1,96 +1,19 @@
-"""Geohash column functions vs published test vectors + a from-scratch
-pure-Python reference implementation (independent bit walk)."""
+"""geohash_decode (cells) — inverse of the existing geohash encode
+(encode itself is pinned in test_cells.py against published vectors)."""
 
 import numpy as np
 import pandas as pd
-import pytest
 from pyspark.sql import functions as F
 
-from gis_tools_spark.functions.geohash import (geohash_column,
-                                               geohash_decode, geohash_sql)
-
-_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
-
-
-def _ref_geohash(lon: float, lat: float, precision: int) -> str:
-    """Independent reference: classic interval-bisection algorithm
-    (textbook form, no shared code with the column builder)."""
-    lon_i = [-180.0, 180.0]
-    lat_i = [-90.0, 90.0]
-    out, bits, ch, even = [], 0, 0, True
-    while len(out) < precision:
-        iv, v = (lon_i, lon) if even else (lat_i, lat)
-        mid = (iv[0] + iv[1]) / 2
-        ch <<= 1
-        if v >= mid:
-            ch |= 1
-            iv[0] = mid
-        else:
-            iv[1] = mid
-        even = not even
-        bits += 1
-        if bits == 5:
-            out.append(_B32[ch])
-            bits, ch = 0, 0
-    return "".join(out)
-
-
-# published vectors (geohash.org / Wikipedia examples)
-VECTORS = [
-    (10.40744, 57.64911, "u4pruydqqvj"),
-    (-5.6, 42.6, "ezs42"),
-    (0.0, 0.0, "s00000000000"),
-    (-0.0000001, -0.0000001, "7zzzzzzzzzzz"),
-]
-
-
-@pytest.mark.parametrize("lon,lat,want", VECTORS)
-def test_published_vectors(spark, lon, lat, want):
-    df = spark.createDataFrame(pd.DataFrame({"lon": [lon], "lat": [lat]}))
-    got = df.select(geohash_column(F.col("lon"), F.col("lat"),
-                                   len(want)).alias("g")).head()[0]
-    assert got == want
-
-
-def test_matches_reference_random(spark):
-    rng = np.random.RandomState(11)
-    pdf = pd.DataFrame({
-        "lon": rng.uniform(-180, 180, 300),
-        "lat": rng.uniform(-90, 90, 300),
-    })
-    df = spark.createDataFrame(pdf)
-    for p in (1, 5, 9, 12):
-        got = [r[0] for r in df.select(
-            geohash_column(F.col("lon"), F.col("lat"), p)).collect()]
-        want = [_ref_geohash(lo, la, p)
-                for lo, la in zip(pdf["lon"], pdf["lat"])]
-        assert got == want
-
-
-def test_sql_mirror_identical(spark):
-    rng = np.random.RandomState(13)
-    pdf = pd.DataFrame({
-        "lon": rng.uniform(-180, 180, 200),
-        "lat": rng.uniform(-90, 90, 200),
-    })
-    df = spark.createDataFrame(pdf)
-    df.createOrReplaceTempView("gh_pts")
-    a = [r[0] for r in df.select(
-        geohash_column(F.col("lon"), F.col("lat"), 9)).collect()]
-    b = [r[0] for r in spark.sql(
-        f"SELECT {geohash_sql('lon', 'lat', 9)} FROM gh_pts").collect()]
-    assert a == b
-    import duckdb
-    c = [r[0] for r in duckdb.sql(
-        f"SELECT {geohash_sql('lon', 'lat', 9)} FROM pdf").fetchall()]
-    assert sorted(a) == sorted(c)
+from gis_tools_spark.cells import (geohash, geohash_column,
+                                   geohash_decode)
 
 
 def test_decode_center_within_cell(spark):
     rng = np.random.RandomState(17)
     pdf = pd.DataFrame({
-        "lon": rng.uniform(-180, 180, 100),
-        "lat": rng.uniform(-90, 90, 100),
+        "lon": rng.uniform(-180, 180, 120),
+        "lat": rng.uniform(-90, 90, 120),
     })
     df = spark.createDataFrame(pdf)
     for p, tol_lon, tol_lat in ((5, 360 / 2**13, 180 / 2**12),
@@ -105,23 +28,28 @@ def test_decode_center_within_cell(spark):
         assert (np.abs(out["lat"] - out["dlat"]) <= tol_lat / 2 + 1e-12).all()
 
 
-def test_mixed_lengths_decode(spark):
-    pdf = pd.DataFrame({"g": ["u", "u4", "u4pruydqqvj", "ezs42", "s"]})
+def test_mixed_lengths_reencode_stable(spark):
+    pdf = pd.DataFrame({"g": ["u", "u4", "u4pruydqqvj", "ezs42", "s",
+                              "7zzzzzzzzzzz"]})
     df = spark.createDataFrame(pdf)
     dlon, dlat = geohash_decode(F.col("g"))
     out = df.select("g", dlon.alias("lon"), dlat.alias("lat")).toPandas()
-    # decode(encode(center)) stability: re-encoding the center at the
-    # same precision must reproduce the geohash
-    df2 = spark.createDataFrame(out)
     for _, r in out.iterrows():
-        got = df2.where(F.col("g") == r["g"]).select(
-            geohash_column(F.col("lon"), F.col("lat"), len(r["g"]))).head()[0]
-        assert got == r["g"]
+        # re-encoding the decoded center at the same precision must
+        # reproduce the geohash exactly (center is strictly interior)
+        assert geohash(r["lon"], r["lat"], len(r["g"])) == r["g"]
 
 
-def test_plan_is_pure_codegen(spark):
-    df = spark.range(10).select(
-        (F.col("id") * 1.5 - 5).alias("lon"), (F.col("id") * 0.5).alias("lat"))
-    plan = df.select(geohash_column(F.col("lon"), F.col("lat"), 9)) \
-        ._jdf.queryExecution().executedPlan().toString()
+def test_unsupported_length_null(spark):
+    df = spark.createDataFrame(pd.DataFrame({"g": ["", "0123456789bcd"]}))
+    dlon, dlat = geohash_decode(F.col("g"))
+    out = df.select(dlon.alias("lon"), dlat.alias("lat")).toPandas()
+    assert out["lon"].isna().all() and out["lat"].isna().all()
+
+
+def test_decode_plan_is_pure_codegen(spark):
+    df = spark.createDataFrame(pd.DataFrame({"g": ["ezs42"]}))
+    dlon, dlat = geohash_decode(F.col("g"))
+    plan = df.select(dlon, dlat)._jdf.queryExecution() \
+        .executedPlan().toString()
     assert "Python" not in plan and "BatchEval" not in plan
