@@ -4321,6 +4321,61 @@ def _exif_oracle_sql() -> str:
     """
 
 
+STAY_RES, STAY_MIN_DWELL_S, STAY_MIN_PINGS = 6, 3600, 2
+
+
+def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point (dwell) detection (operators/trajectory.staypoints):
+    per-user maximal same-cell runs at res 6 kept at >=1h dwell and
+    >=2 pings — lag window marks cell changes, running sum forms run
+    ids, one groupBy per run; both stages share the user hash
+    partitioning (O(1) state per run at a billion pings). The oracle
+    replays the identical lag/cumsum/groupBy chain over epoch_us — the
+    emitted columns are all exact integers."""
+    _tune(spark)
+    from gis_tools_spark.operators.trajectory import staypoints
+
+    out = staypoints(_user_points(spark, sf_dir), key_cols=["user_id"],
+                     res=STAY_RES, min_dwell_s=STAY_MIN_DWELL_S,
+                     min_pings=STAY_MIN_PINGS, order_tiebreak="event_id")
+    return out.select("user_id", "stay_idx", "cell", "enter_us",
+                      "exit_us", F.col("n_pings").cast("long")
+                      .alias("n_pings"))
+
+
+def _staypoints_oracle_sql() -> str:
+    cell = C.cell_sql("lon", "lat", STAY_RES)
+    return f"""
+        WITH p AS MATERIALIZED (
+          SELECT user_id, event_id, epoch_us(ts) AS us, {cell} AS cell
+          FROM ({_USER_POINTS_SQL.strip()}) u),
+        m AS MATERIALIZED (
+          SELECT *, CASE WHEN lag(cell) OVER w IS NULL
+                           OR lag(cell) OVER w <> cell
+                         THEN 1 ELSE 0 END AS chg
+          FROM p WINDOW w AS (PARTITION BY user_id
+                              ORDER BY us, event_id)),
+        r AS MATERIALIZED (
+          SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS run
+          FROM m),
+        g AS (
+          SELECT user_id, run, MIN(cell) AS cell, MIN(us) AS enter_us,
+                 MAX(us) AS exit_us, COUNT(*) AS n_pings
+          FROM r GROUP BY 1, 2),
+        f AS (
+          SELECT * FROM g
+          WHERE n_pings >= {STAY_MIN_PINGS}
+            AND exit_us - enter_us >= {STAY_MIN_DWELL_S * 1_000_000})
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY enter_us, run) - 1 AS stay_idx,
+               cell, enter_us, exit_us, n_pings
+        FROM f
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4467,6 +4522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_roundtrip": q_cell_roundtrip,
         "variogram": q_variogram,
         "exif_gps_cells": q_exif_gps_cells,
+        "staypoints": q_staypoints,
     }
 
 
@@ -8170,4 +8226,5 @@ FROM events),
         """,
         "variogram": _variogram_oracle_sql(),
         "exif_gps_cells": _exif_oracle_sql(),
+        "staypoints": _staypoints_oracle_sql(),
     }
