@@ -4376,6 +4376,91 @@ def _staypoints_oracle_sql() -> str:
     """
 
 
+FRECHET_K = 6
+
+
+def q_frechet_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Fréchet distance (operators/trajectory.frechet_pairs):
+    consecutive-user track pairs over each user's first 6 pings in
+    exact integer micro-units, metric euclidean_sq ⇒ every lattice
+    distance is an exact int64 and so is the Fréchet value. The oracle
+    is INDEPENDENT of the DP: a recursive CTE enumerates every monotone
+    coupling path through the n×m lattice (Delannoy-many) carrying a
+    running max, then takes the min — enumeration vs dynamic program,
+    not a mirrored procedure."""
+    _tune(spark)
+    from pyspark.sql import Window
+
+    from gis_tools_spark.operators.trajectory import frechet_pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "user_id", "event_id", "ts",
+        ((F.col("event_id") * 37 % 100000) * 50).cast("double").alias("xi"),
+        ((F.col("event_id") * 7919 % 100000) * 50).cast("double")
+        .alias("yi"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    short = (pts.withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") <= FRECHET_K).drop("__rn"))
+    users = short.select("user_id").distinct()
+    pairs = (users.alias("a")
+             .join(users.alias("b"),
+                   F.col("b.user_id") == F.col("a.user_id") + 1)
+             .select(F.col("a.user_id").alias("key_a"),
+                     F.col("b.user_id").alias("key_b")))
+    out = frechet_pairs(short, pairs, metric="euclidean_sq",
+                        lon="xi", lat="yi", order_tiebreak="event_id")
+    return out.select("key_a", "key_b",
+                      F.col("n_a").cast("long").alias("n_a"),
+                      F.col("n_b").cast("long").alias("n_b"),
+                      F.col("frechet").cast("long").alias("frechet_sq"))
+
+
+def _frechet_oracle_sql(k: int = FRECHET_K) -> str:
+    return f"""
+        WITH p AS MATERIALIZED (
+          SELECT * FROM (
+            SELECT user_id, event_id,
+                   (event_id * 37 % 100000) * 50 AS xi,
+                   (event_id * 7919 % 100000) * 50 AS yi,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+                     AS rn
+            FROM events) WHERE rn <= {k}),
+        sz AS MATERIALIZED (
+          SELECT user_id, max(rn) AS len FROM p GROUP BY 1),
+        pr AS MATERIALIZED (
+          SELECT a.user_id AS ka, b.user_id AS kb,
+                 a.len AS na, b.len AS nb
+          FROM sz a JOIN sz b ON b.user_id = a.user_id + 1),
+        d AS MATERIALIZED (
+          SELECT pr.ka, pr.kb, pa.rn AS i, pb.rn AS j,
+                 (pa.xi - pb.xi) * (pa.xi - pb.xi)
+                 + (pa.yi - pb.yi) * (pa.yi - pb.yi) AS d2
+          FROM pr
+          JOIN p pa ON pa.user_id = pr.ka
+          JOIN p pb ON pb.user_id = pr.kb),
+        walk AS (
+          WITH RECURSIVE w(ka, kb, i, j, dmax) AS (
+            SELECT ka, kb, i, j, d2 FROM d WHERE i = 1 AND j = 1
+            UNION ALL
+            SELECT w.ka, w.kb, d.i, d.j, greatest(w.dmax, d.d2)
+            FROM w JOIN d ON d.ka = w.ka AND d.kb = w.kb
+             AND ((d.i = w.i + 1 AND d.j = w.j)
+               OR (d.i = w.i AND d.j = w.j + 1)
+               OR (d.i = w.i + 1 AND d.j = w.j + 1)))
+          SELECT * FROM w)
+        SELECT pr.ka AS key_a, pr.kb AS key_b,
+               pr.na AS n_a, pr.nb AS n_b,
+               CAST(MIN(w.dmax) AS BIGINT) AS frechet_sq
+        FROM pr JOIN walk w
+          ON w.ka = pr.ka AND w.kb = pr.kb
+         AND w.i = pr.na AND w.j = pr.nb
+        GROUP BY 1, 2, 3, 4
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4523,6 +4608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variogram": q_variogram,
         "exif_gps_cells": q_exif_gps_cells,
         "staypoints": q_staypoints,
+        "frechet_tracks": q_frechet_tracks,
     }
 
 
@@ -8227,4 +8313,5 @@ FROM events),
         "variogram": _variogram_oracle_sql(),
         "exif_gps_cells": _exif_oracle_sql(),
         "staypoints": _staypoints_oracle_sql(),
+        "frechet_tracks": _frechet_oracle_sql(),
     }

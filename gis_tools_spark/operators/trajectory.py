@@ -27,7 +27,8 @@ from ..functions.geodesy import great_circle_meters
 from .sessions import sessionize
 from .sjoin import pip_join
 
-__all__ = ["track_stats", "od_flows", "geofence_events", "staypoints"]
+__all__ = ["track_stats", "od_flows", "geofence_events", "staypoints",
+           "frechet_pairs"]
 
 
 def track_stats(df: DataFrame, *, key_cols: Sequence[str],
@@ -219,3 +220,99 @@ def staypoints(df: DataFrame, *, key_cols: Sequence[str],
                       ((F.col("exit_us") - F.col("enter_us"))
                        / F.lit(1_000_000.0)).alias("dwell_s"),
                       "n_pings", "lon_c", "lat_c")
+
+
+def frechet_pairs(points: DataFrame, pairs: DataFrame, *,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  lon: str = "lon", lat: str = "lat",
+                  metric: str = "greatcircle",
+                  order_tiebreak: str | None = None,
+                  max_len: int = 2000) -> DataFrame:
+    """Discrete Fréchet distance between pairs of tracks — the
+    dog-leash trajectory similarity measure (Eiter & Mannila 1994),
+    the standard way to score 'did these two devices travel the same
+    route'.
+
+    ``pairs`` has columns (key_a, key_b) naming tracks in ``points``.
+    Returns (key_a, key_b, n_a, n_b, frechet) where ``frechet`` is in
+    meters (metric='greatcircle') or squared coordinate units
+    (metric='euclidean_sq' — exact when coordinates are integers, the
+    oracle-able form).
+
+    Plan: each track collapses to ONE array row via array_sort over
+    (ts[, tiebreak]) structs — a single groupBy, no per-ping shuffle to
+    the pair stage; two broadcast-able joins attach the arrays to the
+    pair list; the O(n·m) DP runs vectorized per pair in Arrow batches.
+    ``max_len`` guards the quadratic DP (longer tracks raise — resample
+    upstream, e.g. keep every k-th ping, rather than OOM a task).
+    """
+    if metric not in ("greatcircle", "euclidean_sq"):
+        raise ValueError(f"unknown metric {metric!r}")
+    order = [F.col(ts_col).asc()]
+    tb = [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    srt = F.array_sort(F.collect_list(F.struct(
+        F.col(ts_col).cast("timestamp").cast("long").alias("t"),
+        *([F.col(order_tiebreak).cast("long").alias("tb")]
+          if order_tiebreak else []),
+        F.col(lon).cast("double").alias("x"),
+        F.col(lat).cast("double").alias("y"))))
+    tracks = (points.groupBy(F.col(key_col).alias("__k"))
+              .agg(srt.alias("__pts")))
+    j = (pairs.select("key_a", "key_b")
+         .join(tracks.select(F.col("__k").alias("key_a"),
+                             F.col("__pts").alias("__pa")), on="key_a")
+         .join(tracks.select(F.col("__k").alias("key_b"),
+                             F.col("__pts").alias("__pb")), on="key_b"))
+
+    import pandas as pd
+
+    def _run(it):
+        import numpy as np
+
+        for pdf in it:
+            out = []
+            for ka, kb, pa, pb in zip(pdf["key_a"], pdf["key_b"],
+                                      pdf["__pa"], pdf["__pb"]):
+                ax = np.array([p["x"] for p in pa])
+                ay = np.array([p["y"] for p in pa])
+                bx = np.array([p["x"] for p in pb])
+                by = np.array([p["y"] for p in pb])
+                n, m = len(ax), len(bx)
+                if n == 0 or m == 0:
+                    out.append((ka, kb, n, m, None))
+                    continue
+                if n > max_len or m > max_len:
+                    raise ValueError(
+                        f"track length {max(n, m)} exceeds max_len="
+                        f"{max_len}; resample upstream")
+                if metric == "greatcircle":
+                    la1 = np.radians(ay)[:, None]
+                    la2 = np.radians(by)[None, :]
+                    dla = (la2 - la1) / 2.0
+                    dlo = np.radians(bx[None, :] - ax[:, None]) / 2.0
+                    h = (np.sin(dla) ** 2
+                         + np.cos(la1) * np.cos(la2) * np.sin(dlo) ** 2)
+                    d = 2.0 * 6_371_000.0 * np.arcsin(np.sqrt(h))
+                else:
+                    d = ((ax[:, None] - bx[None, :]) ** 2
+                         + (ay[:, None] - by[None, :]) ** 2)
+                # DP over the coupling lattice, row by row
+                ca = np.empty((n, m))
+                ca[0, 0] = d[0, 0]
+                for jj in range(1, m):
+                    ca[0, jj] = max(ca[0, jj - 1], d[0, jj])
+                for ii in range(1, n):
+                    ca[ii, 0] = max(ca[ii - 1, 0], d[ii, 0])
+                    prev = ca[ii - 1]
+                    row = ca[ii]
+                    for jj in range(1, m):
+                        row[jj] = max(min(prev[jj], prev[jj - 1],
+                                          row[jj - 1]), d[ii, jj])
+                out.append((ka, kb, n, m, float(ca[n - 1, m - 1])))
+            yield pd.DataFrame(out, columns=["key_a", "key_b", "n_a",
+                                             "n_b", "frechet"])
+
+    kt = dict(pairs.dtypes)
+    schema = (f"key_a {kt['key_a']}, key_b {kt['key_b']}, "
+              "n_a int, n_b int, frechet double")
+    return j.mapInPandas(_run, schema=schema)
