@@ -4461,6 +4461,49 @@ def _frechet_oracle_sql(k: int = FRECHET_K) -> str:
     """
 
 
+DT_RES, DT_PX = 6, 64
+
+
+def q_density_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-tile rendering round-trip (raster/render.py): events →
+    per-pixel counts (one codegen groupBy) → 24-bit-RGB-packed PNG per
+    tile → DECODE BACK to the per-tile histogram summary. The oracle is
+    the pure closed form of the same floor arithmetic from events —
+    the gate value-checks the whole image egress chain (pixel mapping,
+    count packing, from-scratch PNG encode, full-spec PNG decode,
+    unpacking); any bit lost anywhere breaks sum/count/max. Reference
+    analog: gdal.RasterizeLayer burn, raster.py:720-738."""
+    _tune(spark)
+    from gis_tools_spark.raster.render import (density_tile_stats,
+                                               render_density_tiles)
+
+    pts = DT.events_points(spark, sf_dir)
+    tiles = render_density_tiles(pts, res=DT_RES, tile_px=DT_PX)
+    return density_tile_stats(tiles)
+
+
+def _density_tiles_oracle_sql() -> str:
+    pbits = DT_PX.bit_length() - 1
+    n_p = (1 << DT_RES) << pbits
+    return f"""
+        WITH g AS MATERIALIZED (
+          SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0
+                     * {float(n_p)}), 0), {n_p - 1}) AS BIGINT) AS gx,
+                 CAST(least(greatest(floor((lat + 90.0) / 180.0
+                     * {float(n_p)}), 0), {n_p - 1}) AS BIGINT) AS gy
+          FROM ({DT.POINTS_SQL.strip()}) p),
+        px AS (
+          SELECT gx >> {pbits} AS tile_x, gy >> {pbits} AS tile_y,
+                 gx & {DT_PX - 1} AS px,
+                 {DT_PX - 1} - (gy & {DT_PX - 1}) AS py,
+                 count(*) AS n
+          FROM g GROUP BY 1, 2, 3, 4)
+        SELECT tile_x, tile_y, SUM(n) AS sum_n,
+               COUNT(*) AS n_pixels, MAX(n) AS max_n
+        FROM px GROUP BY 1, 2
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4609,6 +4652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exif_gps_cells": q_exif_gps_cells,
         "staypoints": q_staypoints,
         "frechet_tracks": q_frechet_tracks,
+        "density_tiles": q_density_tiles,
     }
 
 
@@ -8314,4 +8358,5 @@ FROM events),
         "exif_gps_cells": _exif_oracle_sql(),
         "staypoints": _staypoints_oracle_sql(),
         "frechet_tracks": _frechet_oracle_sql(),
+        "density_tiles": _density_tiles_oracle_sql(),
     }

@@ -124,7 +124,8 @@ def main() -> None:
                 "emerging_hotspots", "line_density", "delaunay_edges",
                 "voronoi_areas", "alpha_shape", "tin_surface",
                 "kmeans_zones", "cell_compact", "variogram",
-                "exif_gps_cells", "staypoints", "frechet_tracks"]
+                "exif_gps_cells", "staypoints", "frechet_tracks",
+                "density_tiles"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))
