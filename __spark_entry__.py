@@ -4504,6 +4504,123 @@ def _density_tiles_oracle_sql() -> str:
     """
 
 
+RIPLEY_RADII = (0.05, 0.1, 0.2, 0.4)
+QUADRAT_RES = 10
+
+
+def q_ripleys_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K/L point-pattern statistic (operators/pointpattern.py):
+    the location-clustering member of the ESDA family. Pairs join
+    through the same 3×3 grid-bin equi-join as the variogram — exact
+    int64 micro-unit distances, O(n·density) pair volume — then radius
+    membership is an exact integer compare and K/L are identical IEEE
+    expressions both sides (emitted at 1e-12)."""
+    _tune(spark)
+    from gis_tools_spark.operators.pointpattern import ripleys_k
+
+    out = ripleys_k(DT.events_points(spark, sf_dir),
+                    radii=RIPLEY_RADII, area=25.0)
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("long")  # noqa: E731
+    return out.select("r_idx", "n_pairs_le",
+                      q12(F.col("k_hat")).alias("k12"),
+                      q12(F.col("l_hat")).alias("l12"))
+
+
+def _ripley_oracle_sql() -> str:
+    rs = [int(round(r * 1e6)) for r in RIPLEY_RADII]
+    L = rs[-1]
+    case = "CASE " + " ".join(
+        f"WHEN d2 <= {r * r} THEN {k}" for k, r in enumerate(rs)) + " END"
+    rad_rows = ", ".join(f"({k})" for k in range(len(rs)))
+    return f"""
+        WITH q AS MATERIALIZED (
+          SELECT CAST(floor(p.lon * 1000000.0 + 0.5) AS BIGINT) AS xi,
+                 CAST(floor(p.lat * 1000000.0 + 0.5) AS BIGINT) AS yi,
+                 ROW_NUMBER() OVER () AS rid
+          FROM ({DT.POINTS_SQL.strip()}) p),
+        offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                 (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+        l AS MATERIALIZED (
+          SELECT q.*, (xi - xi % {L}) // {L} + offs.dx AS bx,
+                      (yi - yi % {L}) // {L} + offs.dy AS by
+          FROM q, offs),
+        r AS MATERIALIZED (
+          SELECT q.*, (xi - xi % {L}) // {L} AS bx,
+                      (yi - yi % {L}) // {L} AS by
+          FROM q),
+        pr AS MATERIALIZED (
+          SELECT (l.xi-r.xi)*(l.xi-r.xi) + (l.yi-r.yi)*(l.yi-r.yi) AS d2
+          FROM l JOIN r USING (bx, by)
+          WHERE l.rid < r.rid
+            AND (l.xi-r.xi)*(l.xi-r.xi) + (l.yi-r.yi)*(l.yi-r.yi) > 0
+            AND (l.xi-r.xi)*(l.xi-r.xi) + (l.yi-r.yi)*(l.yi-r.yi)
+                  <= {L}::BIGINT * {L}::BIGINT),
+        per AS (
+          SELECT {case} AS r_idx, count(*) AS c FROM pr GROUP BY 1),
+        rad AS (SELECT * FROM (VALUES {rad_rows}) v(r_idx)),
+        cum AS (
+          SELECT rad.r_idx,
+                 2 * SUM(COALESCE(per.c, 0)) OVER (
+                   ORDER BY rad.r_idx ROWS UNBOUNDED PRECEDING)
+                   AS n_pairs_le
+          FROM rad LEFT JOIN per USING (r_idx)),
+        nn AS (SELECT count(*) AS n FROM q)
+        SELECT c.r_idx, c.n_pairs_le,
+          CAST(floor((25.0 * CAST(c.n_pairs_le AS DOUBLE)
+            / (CAST(nn.n AS DOUBLE) * CAST(nn.n - 1 AS DOUBLE)))
+            * 1000000000000.0 + 0.5) AS BIGINT) AS k12,
+          CAST(floor(sqrt((25.0 * CAST(c.n_pairs_le AS DOUBLE)
+            / (CAST(nn.n AS DOUBLE) * CAST(nn.n - 1 AS DOUBLE))) / pi())
+            * 1000000000000.0 + 0.5) AS BIGINT) AS l12
+        FROM cum c, nn
+    """
+
+
+def q_quadrat_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadrat-count CSR test (operators/pointpattern.py): χ² over the
+    bounding-box grid cells at res 10 via the exact algebraic collapse
+    χ² = m·Σo²/n − n (empty cells included without materializing
+    them). All columns integer except chi2, which is the identical
+    IEEE expression both sides (emitted at 1e-6)."""
+    _tune(spark)
+    from gis_tools_spark.operators.pointpattern import quadrat_test
+
+    out = quadrat_test(DT.events_points(spark, sf_dir), res=QUADRAT_RES)
+    return out.select(
+        "n_points", "n_cells", "n_occupied", "sum_sq",
+        F.floor(F.col("chi2") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        .alias("chi2_6"), "dof")
+
+
+def _quadrat_oracle_sql() -> str:
+    n_g = 1 << QUADRAT_RES
+    cell = C.cell_sql("p.lon", "p.lat", QUADRAT_RES)
+    gx = (f"CAST(least(greatest(floor((p.lon + 180.0) / 360.0 "
+          f"* {float(n_g)}), 0), {n_g - 1}) AS BIGINT)")
+    gy = (f"CAST(least(greatest(floor((p.lat + 90.0) / 180.0 "
+          f"* {float(n_g)}), 0), {n_g - 1}) AS BIGINT)")
+    return f"""
+        WITH p2 AS MATERIALIZED (
+          SELECT {cell} AS cell, {gx} AS gx, {gy} AS gy
+          FROM ({DT.POINTS_SQL.strip()}) p),
+        occ AS (SELECT cell, count(*) AS o FROM p2 GROUP BY 1),
+        ext AS (SELECT min(gx) AS x0, max(gx) AS x1, min(gy) AS y0,
+                       max(gy) AS y1, count(*) AS n FROM p2),
+        s AS (SELECT SUM(o * o) AS sum_sq, count(*) AS n_occupied
+              FROM occ)
+        SELECT ext.n AS n_points,
+               (ext.x1 - ext.x0 + 1) * (ext.y1 - ext.y0 + 1) AS n_cells,
+               s.n_occupied, s.sum_sq,
+               CAST(floor((CAST((ext.x1 - ext.x0 + 1)
+                     * (ext.y1 - ext.y0 + 1) AS DOUBLE)
+                   * CAST(s.sum_sq AS DOUBLE) / CAST(ext.n AS DOUBLE)
+                   - CAST(ext.n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                 AS chi2_6,
+               (ext.x1 - ext.x0 + 1) * (ext.y1 - ext.y0 + 1) - 1 AS dof
+        FROM ext, s
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4653,6 +4770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staypoints": q_staypoints,
         "frechet_tracks": q_frechet_tracks,
         "density_tiles": q_density_tiles,
+        "ripleys_k": q_ripleys_k,
+        "quadrat_csr": q_quadrat_csr,
     }
 
 
@@ -8359,4 +8478,6 @@ FROM events),
         "staypoints": _staypoints_oracle_sql(),
         "frechet_tracks": _frechet_oracle_sql(),
         "density_tiles": _density_tiles_oracle_sql(),
+        "ripleys_k": _ripley_oracle_sql(),
+        "quadrat_csr": _quadrat_oracle_sql(),
     }

@@ -1,0 +1,141 @@
+"""Point-pattern analysis — Ripley's K/L and the quadrat CSR test.
+
+The two classic "is this point set clustered, random, or dispersed"
+statistics (Ripley 1977; the ESDA siblings of Moran/Gi* which test
+VALUES — these test LOCATIONS):
+
+``ripleys_k``  K̂(t) = A/(n(n-1)) · Σ_{i≠j} 1(d_ij ≤ t) at a ladder of
+radii, plus the variance-stabilized L̂(t) = √(K̂/π) (CSR ⇒ L(t) = t).
+Distributed exactly like the variogram (kriging.py): coordinates
+quantize to int64 micro-units, a 3×3 grid-bin equi-join at the max
+radius bounds pair volume to O(n · local density) — never O(n²) — and
+every pair's squared distance is an exact integer, so radius
+membership (d² ≤ r²) is exact and the whole statistic is
+SQL-mirrorable.  No edge correction (the naive estimator; documented —
+corrections are multiplicative weights that would join the same pairs).
+
+``quadrat_test``  χ² CSR test over the grid cells of the pattern's
+bounding box: with m cells and n points, χ² = m·Σo²/n − n (the
+algebraic collapse of Σ(o−e)²/e with e = n/m — exact given integer
+Σo², including every EMPTY cell without materializing it).
+
+Reference scope: gis-tools has no point-pattern statistics; these
+close the ESDA §2 family (hotspot_gi / moran / lisa test values,
+ripleys_k / quadrat_test test locations).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["ripleys_k", "quadrat_test"]
+
+
+def ripleys_k(points: DataFrame, *, radii: Sequence[float], area: float,
+              lon: str = "lon", lat: str = "lat",
+              scale_xy: float = 1e6) -> DataFrame:
+    """One row per radius: (r_idx, r, n_pairs_le, k_hat, l_hat).
+
+    ``n_pairs_le`` is the ORDERED pair count Σ_{i≠j} 1(0 < d_ij ≤ r)
+    (coincident quantized points are excluded — they carry no spatial
+    information at the quantization scale).  ``area`` is the study
+    region area in squared coordinate units.
+    """
+    radii = sorted(float(r) for r in radii)
+    if not radii or radii[0] <= 0:
+        raise ValueError("radii must be positive")
+    r_int = [int(round(r * scale_xy)) for r in radii]
+    L = r_int[-1]
+    xi = F.floor(F.col(lon) * scale_xy + 0.5).cast("long")
+    yi = F.floor(F.col(lat) * scale_xy + 0.5).cast("long")
+    b = points.select(xi.alias("xi"), yi.alias("yi"),
+                      F.monotonically_increasing_id().alias("__rid"))
+    n = b.count()
+    if n < 2:
+        raise ValueError("need at least 2 points")
+    bx = (F.col("xi") - F.col("xi") % L) / L
+    by = (F.col("yi") - F.col("yi") % L) / L
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    left = b.select(
+        F.col("xi").alias("ax"), F.col("yi").alias("ay"),
+        F.col("__rid").alias("ra"),
+        F.explode(F.array(*[
+            F.struct((bx.cast("long") + dx).alias("bx"),
+                     (by.cast("long") + dy).alias("by"))
+            for dx, dy in offs])).alias("t")
+    ).select("ax", "ay", "ra",
+             F.col("t.bx").alias("bx"), F.col("t.by").alias("by"))
+    right = b.select(F.col("xi").alias("cx"), F.col("yi").alias("cy"),
+                     F.col("__rid").alias("rb"),
+                     bx.cast("long").alias("bx"),
+                     by.cast("long").alias("by"))
+    dx = F.col("ax") - F.col("cx")
+    dy = F.col("ay") - F.col("cy")
+    d2 = dx * dx + dy * dy
+    pairs = (left.join(right, on=["bx", "by"])
+             .where((F.col("ra") < F.col("rb")) & (d2 > 0)
+                    & (d2 <= F.lit(L * L).cast("long")))
+             .select(d2.alias("d2")))
+    # smallest radius index containing the pair (exact integer compare)
+    idx = None
+    for k in range(len(r_int) - 1, -1, -1):
+        cond = F.col("d2") <= F.lit(r_int[k] * r_int[k]).cast("long")
+        idx = F.when(cond, F.lit(k)) if idx is None else \
+            F.when(cond, F.lit(k)).otherwise(idx)
+    # reversed scan: the final expression assigns the SMALLEST k
+    per = pairs.groupBy(idx.alias("r_idx")).agg(
+        F.count("*").alias("__c"))
+    # densify to every radius and cumulate (n_radii rows: tiny)
+    rad_df = points.sparkSession.createDataFrame(
+        [(k, radii[k]) for k in range(len(radii))], "r_idx int, r double")
+    cum = (rad_df.join(per, on="r_idx", how="left")
+           .withColumn("__c", F.coalesce("__c", F.lit(0)))
+           .withColumn("n_pairs_le",
+                       F.lit(2) * F.sum("__c").over(
+                           Window.orderBy("r_idx")
+                           .rowsBetween(Window.unboundedPreceding, 0))))
+    k_hat = (F.lit(float(area)) * F.col("n_pairs_le").cast("double")
+             / F.lit(float(n) * float(n - 1)))
+    return cum.select("r_idx", "r",
+                      F.col("n_pairs_le").cast("long").alias("n_pairs_le"),
+                      k_hat.alias("k_hat"),
+                      F.sqrt(k_hat / F.lit(float(np.pi))).alias("l_hat"))
+
+
+def quadrat_test(points: DataFrame, *, res: int, lon: str = "lon",
+                 lat: str = "lat") -> DataFrame:
+    """Quadrat-count CSR test over the grid cells of the pattern's
+    bounding box at ``res``.  ONE row: (n_points, n_cells,
+    n_occupied, sum_sq, chi2, dof).  χ² = m·Σo²/n − n exactly (see
+    module docstring); compare against χ²_{m−1} upstream."""
+    from .. import cells as C
+
+    cell = C.cell_column(F.col(lon), F.col(lat), res)
+    occ = points.select(cell.alias("cell")).groupBy("cell").agg(
+        F.count("*").alias("o"))
+    n_g = 1 << res
+    gx = F.least(F.greatest(F.floor((F.col(lon) + F.lit(180.0))
+                                    / F.lit(360.0) * F.lit(float(n_g))),
+                            F.lit(0)), F.lit(n_g - 1)).cast("long")
+    gy = F.least(F.greatest(F.floor((F.col(lat) + F.lit(90.0))
+                                    / F.lit(180.0) * F.lit(float(n_g))),
+                            F.lit(0)), F.lit(n_g - 1)).cast("long")
+    ext = points.agg(F.min(gx).alias("x0"), F.max(gx).alias("x1"),
+                     F.min(gy).alias("y0"), F.max(gy).alias("y1"),
+                     F.count("*").alias("n"))
+    s = occ.agg(F.sum(F.col("o") * F.col("o")).alias("sum_sq"),
+                F.count("*").alias("n_occupied"))
+    out = ext.crossJoin(s)
+    m = ((F.col("x1") - F.col("x0") + 1)
+         * (F.col("y1") - F.col("y0") + 1)).cast("long")
+    chi2 = (m.cast("double") * F.col("sum_sq").cast("double")
+            / F.col("n").cast("double") - F.col("n").cast("double"))
+    return out.select(F.col("n").cast("long").alias("n_points"),
+                      m.alias("n_cells"),
+                      F.col("n_occupied").cast("long").alias("n_occupied"),
+                      F.col("sum_sq").cast("long").alias("sum_sq"),
+                      chi2.alias("chi2"),
+                      (m - 1).alias("dof"))

@@ -1,0 +1,97 @@
+"""ripleys_k / quadrat_test vs brute-force references."""
+
+import numpy as np
+import pandas as pd
+
+from gis_tools_spark.operators.pointpattern import quadrat_test, ripleys_k
+
+
+def _brute_k(pdf, radii, area):
+    x = np.floor(pdf["lon"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    y = np.floor(pdf["lat"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    n = len(x)
+    d2 = ((x[:, None] - x[None, :]) ** 2
+          + (y[:, None] - y[None, :]) ** 2)
+    np.fill_diagonal(d2, -1)
+    out = []
+    for r in sorted(radii):
+        ri = int(round(r * 1e6))
+        c = int(((d2 > 0) & (d2 <= ri * ri)).sum())
+        out.append((c, area * c / (n * (n - 1))))
+    return out
+
+
+def test_matches_bruteforce(spark):
+    rng = np.random.RandomState(4)
+    pdf = pd.DataFrame({"lon": rng.uniform(0, 1, 400),
+                        "lat": rng.uniform(0, 1, 400)})
+    radii = [0.03, 0.07, 0.15, 0.5]
+    got = (ripleys_k(spark.createDataFrame(pdf), radii=radii, area=1.0)
+           .orderBy("r_idx").collect())
+    want = _brute_k(pdf, radii, 1.0)
+    for g, (c, k) in zip(got, want):
+        assert g["n_pairs_le"] == c
+        assert abs(g["k_hat"] - k) < 1e-12
+        assert abs(g["l_hat"] - np.sqrt(k / np.pi)) < 1e-12
+
+
+def test_csr_l_near_r_and_cluster_exceeds(spark):
+    rng = np.random.RandomState(7)
+    csr = pd.DataFrame({"lon": rng.uniform(0, 1, 2500),
+                        "lat": rng.uniform(0, 1, 2500)})
+    centers = rng.uniform(0.2, 0.8, (12, 2))
+    cl = centers[rng.randint(0, 12, 2500)] + rng.normal(0, 0.01, (2500, 2))
+    clus = pd.DataFrame({"lon": cl[:, 0], "lat": cl[:, 1]})
+    r = [0.05]
+    k_csr = ripleys_k(spark.createDataFrame(csr), radii=r,
+                      area=1.0).head()["k_hat"]
+    k_cl = ripleys_k(spark.createDataFrame(clus), radii=r,
+                     area=1.0).head()["k_hat"]
+    expected = np.pi * 0.05 ** 2
+    assert abs(k_csr - expected) / expected < 0.25   # CSR ≈ πr² (edge bias)
+    assert k_cl > 3 * k_csr                          # clustering detected
+
+
+def test_coincident_points_excluded(spark):
+    pdf = pd.DataFrame({"lon": [0.5] * 10 + [0.6],
+                        "lat": [0.5] * 10 + [0.6]})
+    out = ripleys_k(spark.createDataFrame(pdf), radii=[0.01, 1.0],
+                    area=1.0).orderBy("r_idx").collect()
+    assert out[0]["n_pairs_le"] == 0              # coincident ⇒ d2=0 out
+    assert out[1]["n_pairs_le"] == 2 * 10         # each dup ↔ the far point
+
+
+def test_quadrat_matches_bruteforce(spark):
+    rng = np.random.RandomState(9)
+    pdf = pd.DataFrame({"lon": rng.uniform(2, 9, 1200),
+                        "lat": rng.uniform(41, 44, 1200)})
+    res = 9
+    row = quadrat_test(spark.createDataFrame(pdf), res=res).head()
+    n_g = 1 << res
+    gx = np.clip(np.floor((pdf["lon"] + 180) / 360 * n_g), 0, n_g - 1) \
+        .astype(np.int64)
+    gy = np.clip(np.floor((pdf["lat"] + 90) / 180 * n_g), 0, n_g - 1) \
+        .astype(np.int64)
+    m = (gx.max() - gx.min() + 1) * (gy.max() - gy.min() + 1)
+    counts = pd.Series(zip(gx, gy)).value_counts()
+    ss = int((counts ** 2).sum())
+    n = len(pdf)
+    assert row["n_points"] == n and row["n_cells"] == m
+    assert row["sum_sq"] == ss
+    assert abs(row["chi2"] - (m * ss / n - n)) < 1e-9
+    # χ² equals the literal per-cell sum including empties
+    e = n / m
+    chi_direct = ((counts - e) ** 2 / e).sum() + (m - len(counts)) * e
+    assert abs(row["chi2"] - chi_direct) < 1e-6
+
+
+def test_uniform_vs_clustered_chi2(spark):
+    rng = np.random.RandomState(11)
+    uni = pd.DataFrame({"lon": rng.uniform(0, 40, 4000),
+                        "lat": rng.uniform(0, 20, 4000)})
+    cl = pd.DataFrame({"lon": 20 + rng.normal(0, 0.3, 4000),
+                       "lat": 10 + rng.normal(0, 0.3, 4000)})
+    a = quadrat_test(spark.createDataFrame(uni), res=7).head()
+    b = quadrat_test(spark.createDataFrame(cl), res=7).head()
+    # normalized by dof: clustered far exceeds uniform
+    assert b["chi2"] / max(b["dof"], 1) > 10 * a["chi2"] / max(a["dof"], 1)
