@@ -4621,6 +4621,63 @@ def _quadrat_oracle_sql() -> str:
     """
 
 
+def q_raster_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land-cover change crosstab (raster/ops.raster_crosstab): two
+    co-gridded closed-form categorical layers (A = (7·gix+13·giy) mod
+    19, B = (11·gix+3·giy) mod 16, each with its own no-data mask)
+    decode per tile pair, crosstab locally, and one groupBy sums the
+    partial transition matrices. The oracle enumerates both layers
+    with generate_series — counts are exact integers; any decode,
+    join, mask or shape slip changes the matrix. Reference analog:
+    two-raster numpy compare via gdal reads, raster.py:104-141."""
+    _tune(spark)
+    import numpy as np
+    import pandas as pd
+
+    from gis_tools_spark.raster import codec
+    from gis_tools_spark.raster.ops import raster_crosstab
+
+    def _layer(mult_x, mult_y, mod, nod_x, nod_y, nod_mod, nod_lt):
+        rows = []
+        for ty in range(2):
+            for tx in range(2):
+                gx = tx * 64 + np.arange(64)[None, :]
+                gy = ty * 64 + np.arange(64)[:, None]
+                val = ((gx * mult_x + gy * mult_y) % mod).astype(np.float32)
+                val[(gx * nod_x + gy * nod_y) % nod_mod < nod_lt] = \
+                    codec.NO_DATA_F32
+                rows.append((f"t_{tx}_{ty}", codec.encode_raw_f32(val),
+                             64, 64, "raw_f32"))
+        return spark.createDataFrame(pd.DataFrame(
+            rows, columns=["image_id", "bytes", "w", "h", "fmt"]))
+
+    a = _layer(7, 13, 19, 31, 17, 101, 3)
+    b = _layer(11, 3, 16, 29, 23, 97, 2)
+    out = raster_crosstab(a, b)
+    return out.select(F.col("val_a").cast("long").alias("val_a"),
+                      F.col("val_b").cast("long").alias("val_b"),
+                      "n_pixels")
+
+
+def _crosstab_oracle_sql() -> str:
+    return """
+        WITH px AS (
+          SELECT gix, giy,
+            CASE WHEN (gix*31 + giy*17) % 101 < 3 THEN NULL
+                 ELSE (gix*7 + giy*13) % 19 END AS val_a,
+            CASE WHEN (gix*29 + giy*23) % 97 < 2 THEN NULL
+                 ELSE (gix*11 + giy*3) % 16 END AS val_b
+          FROM (SELECT unnest(generate_series(0, 127)) AS gix) a
+          CROSS JOIN (SELECT unnest(generate_series(0, 127)) AS giy) b)
+        SELECT CAST(val_a AS BIGINT) AS val_a,
+               CAST(val_b AS BIGINT) AS val_b,
+               count(*) AS n_pixels
+        FROM px
+        WHERE val_a IS NOT NULL AND val_b IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4772,6 +4829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_tiles": q_density_tiles,
         "ripleys_k": q_ripleys_k,
         "quadrat_csr": q_quadrat_csr,
+        "raster_crosstab": q_raster_crosstab,
     }
 
 
@@ -8480,4 +8538,5 @@ FROM events),
         "density_tiles": _density_tiles_oracle_sql(),
         "ripleys_k": _ripley_oracle_sql(),
         "quadrat_csr": _quadrat_oracle_sql(),
+        "raster_crosstab": _crosstab_oracle_sql(),
     }

@@ -125,7 +125,8 @@ def main() -> None:
                 "voronoi_areas", "alpha_shape", "tin_surface",
                 "kmeans_zones", "cell_compact", "variogram",
                 "exif_gps_cells", "staypoints", "frechet_tracks",
-                "density_tiles", "ripleys_k", "quadrat_csr"]
+                "density_tiles", "ripleys_k", "quadrat_csr",
+                "raster_crosstab"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))

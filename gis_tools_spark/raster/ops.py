@@ -292,3 +292,51 @@ def raster_pyramid(tiles: DataFrame, *, levels: int, origin: tuple,
     for c in cached:
         res = persist_scoped(c, res)
     return res
+
+
+def raster_crosstab(a: DataFrame, b: DataFrame, *, id_col: str = "image_id",
+                    bytes_col: str = "bytes",
+                    no_data: float = codec.NO_DATA_F32) -> DataFrame:
+    """Change-detection cross-tabulation of two co-gridded categorical
+    raster layers: (val_a, val_b, n_pixels) over every pixel where
+    BOTH layers have data — the transition matrix behind land-cover
+    change analysis (reference runs this through two gdal reads + numpy
+    in memory, raster.py:104-141; here each tile pair crosstabs
+    locally and one groupBy sums the partial matrices).
+
+    Tiles join on ``id_col`` (same tiling both layers — the engine's
+    raster contract); per-tile partial crosstabs are tiny
+    (distinct-pair counts), so the shuffle after the Arrow stage is
+    O(tiles × distinct transitions), not O(pixels)."""
+    need = [id_col, bytes_col, "w", "h", "fmt"]
+    j = (a.select(*[F.col(c).alias(f"a_{c}") for c in need])
+         .join(b.select(*[F.col(c).alias(f"b_{c}") for c in need]),
+               F.col(f"a_{id_col}") == F.col(f"b_{id_col}")))
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parts = []
+            for r in pdf.itertuples(index=False):
+                va = codec.decode(getattr(r, f"a_{bytes_col}"),
+                                  int(r.a_w), int(r.a_h), r.a_fmt)
+                vb = codec.decode(getattr(r, f"b_{bytes_col}"),
+                                  int(r.b_w), int(r.b_h), r.b_fmt)
+                if va.shape != vb.shape:
+                    raise ValueError(
+                        f"tile {getattr(r, f'a_{id_col}')}: shape "
+                        f"{va.shape} vs {vb.shape} — layers not co-gridded")
+                ok = (va != no_data) & (vb != no_data) \
+                    & ~np.isnan(va) & ~np.isnan(vb)
+                if not ok.any():
+                    continue
+                pair = pd.DataFrame({"val_a": va[ok], "val_b": vb[ok]})
+                g = (pair.groupby(["val_a", "val_b"], sort=False)
+                     .size().reset_index(name="n"))
+                parts.append(g)
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    partial = j.mapInPandas(_run,
+                            schema="val_a double, val_b double, n long")
+    return (partial.groupBy("val_a", "val_b")
+            .agg(F.sum("n").alias("n_pixels")))
