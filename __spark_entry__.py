@@ -4678,6 +4678,151 @@ def _crosstab_oracle_sql() -> str:
     """
 
 
+ISO_N, ISO_CUTOFF, ISO_ALPHA = 20, 10.0, 2000.0
+ISO_SOURCES = ["g3_3", "g14_6", "g8_15"]
+
+
+def _iso_graph(spark: SparkSession):
+    """Jittered-lattice road graph for the isochrone gate: 20×20 nodes,
+    4-neighbor edges with integer weights 1-3, integer coordinates =
+    lattice step 1000 + deterministic jitter < 400. Audited
+    degeneracy-free (no dup/collinear/cocircular reach subsets)."""
+    n = ISO_N
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("gx"),
+        (F.col("id") % n).alias("gy"))
+    key = F.concat(F.lit("g"), F.col("gx").cast("string"), F.lit("_"),
+                   F.col("gy").cast("string"))
+    nodes = g.select(
+        key.alias("node"), (F.col("gx") * n + F.col("gy")).alias("nid"),
+        (F.col("gx") * 1000
+         + (F.col("gx") * F.col("gx") * 7919 + F.col("gy") * 104729
+            + F.col("gx") * F.col("gy") * 13) % 397).alias("x"),
+        (F.col("gy") * 1000
+         + (F.col("gy") * F.col("gy") * 6271 + F.col("gx") * 92821
+            + F.col("gx") * F.col("gy") * 29) % 389).alias("y"))
+    k2 = lambda a, b: F.concat(F.lit("g"), a.cast("string"), F.lit("_"),  # noqa: E731
+                               b.cast("string"))
+    right = (g.where(F.col("gx") < n - 1)
+             .select(key.alias("src_key"),
+                     k2(F.col("gx") + 1, F.col("gy")).alias("dst_key"),
+                     (1 + (F.col("gx") * 31 + F.col("gy") * 17) % 3)
+                     .cast("double").alias("length")))
+    up = (g.where(F.col("gy") < n - 1)
+          .select(key.alias("src_key"),
+                  k2(F.col("gx"), F.col("gy") + 1).alias("dst_key"),
+                  (1 + (F.col("gx") * 37 + F.col("gy") * 23) % 3)
+                  .cast("double").alias("length")))
+    return right.unionByName(up), nodes
+
+
+def q_isochrones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone polygons (operators/isochrone.py): service_area reach
+    (gated Bellman-Ford) composed with alpha_shape_edges (gated exact
+    concave hull) — drive-time outline per depot in one call. The
+    oracle re-derives BOTH stages independently: a recursive-CTE
+    Dijkstra walk bounded by the cutoff, then the enumeration Delaunay
+    + HUGEINT circumradius test + boundary HAVING over each reach set.
+    Emits the boundary edge set (source, i, j) — exact integers."""
+    _tune(spark)
+    from gis_tools_spark.operators.isochrone import isochrone_boundaries
+
+    edges, nodes = _iso_graph(spark)
+    out = isochrone_boundaries(edges, nodes, ISO_SOURCES,
+                               cutoff=ISO_CUTOFF, alpha=ISO_ALPHA)
+    return out.select("source", "i", "j")
+
+
+def _iso_oracle_sql() -> str:
+    n = ISO_N
+    a4 = int(4 * ISO_ALPHA * ISO_ALPHA)
+    seeds = ", ".join(f"({sx * n + sy})" for sx, sy in
+                      ((3, 3), (14, 6), (8, 15)))
+    return f"""
+        WITH RECURSIVE g AS (
+          SELECT i // {n} AS gx, i % {n} AS gy
+          FROM (SELECT unnest(generate_series(0, {n * n - 1})) AS i)),
+        nd AS (
+          SELECT gx * {n} + gy AS nid,
+                 gx * 1000 + (gx*gx*7919 + gy*104729 + gx*gy*13) % 397
+                   AS x,
+                 gy * 1000 + (gy*gy*6271 + gx*92821 + gx*gy*29) % 389
+                   AS y
+          FROM g),
+        ew AS (
+          SELECT gx * {n} + gy AS u, (gx + 1) * {n} + gy AS v,
+                 CAST(1 + (gx*31 + gy*17) % 3 AS DOUBLE) AS w
+          FROM g WHERE gx < {n - 1}
+          UNION ALL
+          SELECT gx * {n} + gy AS u, gx * {n} + gy + 1 AS v,
+                 CAST(1 + (gx*37 + gy*23) % 3 AS DOUBLE) AS w
+          FROM g WHERE gy < {n - 1}),
+        e AS (SELECT u AS a, v AS b, w FROM ew
+              UNION ALL SELECT v AS a, u AS b, w FROM ew),
+        walk AS (
+          SELECT s.nid AS source, s.nid AS node, CAST(0.0 AS DOUBLE)
+                   AS dist
+          FROM (VALUES {seeds}) s(nid)
+          UNION
+          SELECT walk.source, e.b, walk.dist + e.w
+          FROM e JOIN walk ON e.a = walk.node
+          WHERE walk.dist + e.w <= {ISO_CUTOFF}),
+        reach AS (
+          SELECT source, node FROM walk GROUP BY source, node),
+        p AS (
+          SELECT r.source AS zone, nd.nid AS id, nd.x, nd.y
+          FROM reach r JOIN nd ON nd.nid = r.node),
+        tri AS (
+          SELECT a.zone, a.id AS i, b.id AS j, c.id AS k,
+                 a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by,
+                 c.x AS cx, c.y AS cy
+          FROM p a JOIN p b ON b.zone = a.zone AND b.id > a.id
+          JOIN p c ON c.zone = a.zone AND c.id > b.id
+          WHERE (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) <> 0
+            AND NOT EXISTS (
+              SELECT 1 FROM p q
+              WHERE q.zone = a.zone
+                AND q.id NOT IN (a.id, b.id, c.id)
+                AND CAST(CASE WHEN (b.x-a.x)*(c.y-a.y)
+                                   - (b.y-a.y)*(c.x-a.x) > 0
+                              THEN 1 ELSE -1 END AS HUGEINT) * (
+                  CAST(a.x-q.x AS HUGEINT)
+                    * (CAST(b.y-q.y AS HUGEINT)
+                         * ((CAST(c.x AS HUGEINT)-q.x)*(c.x-q.x)
+                            + (CAST(c.y AS HUGEINT)-q.y)*(c.y-q.y))
+                       - CAST(c.y-q.y AS HUGEINT)
+                         * ((CAST(b.x AS HUGEINT)-q.x)*(b.x-q.x)
+                            + (CAST(b.y AS HUGEINT)-q.y)*(b.y-q.y)))
+                  - CAST(a.y-q.y AS HUGEINT)
+                    * (CAST(b.x-q.x AS HUGEINT)
+                         * ((CAST(c.x AS HUGEINT)-q.x)*(c.x-q.x)
+                            + (CAST(c.y AS HUGEINT)-q.y)*(c.y-q.y))
+                       - CAST(c.x-q.x AS HUGEINT)
+                         * ((CAST(b.x AS HUGEINT)-q.x)*(b.x-q.x)
+                            + (CAST(b.y AS HUGEINT)-q.y)*(b.y-q.y)))
+                  + ((CAST(a.x AS HUGEINT)-q.x)*(a.x-q.x)
+                     + (CAST(a.y AS HUGEINT)-q.y)*(a.y-q.y))
+                    * (CAST(b.x-q.x AS HUGEINT)*(c.y-q.y)
+                       - CAST(b.y-q.y AS HUGEINT)*(c.x-q.x))
+                ) > 0)),
+        kept AS (
+          SELECT zone, i, j, k FROM tri
+          WHERE CAST((bx-ax)*(bx-ax)+(by-ay)*(by-ay) AS HUGEINT)
+              * CAST((cx-bx)*(cx-bx)+(cy-by)*(cy-by) AS HUGEINT)
+              * CAST((ax-cx)*(ax-cx)+(ay-cy)*(ay-cy) AS HUGEINT)
+              < CAST({a4} AS HUGEINT)
+              * CAST((bx-ax)*(cy-ay)-(by-ay)*(cx-ax) AS HUGEINT)
+              * CAST((bx-ax)*(cy-ay)-(by-ay)*(cx-ax) AS HUGEINT)),
+        ed AS (
+          SELECT zone, i, j FROM kept
+          UNION ALL SELECT zone, i, k AS j FROM kept
+          UNION ALL SELECT zone, j AS i, k AS j FROM kept)
+        SELECT 'g' || CAST(zone // {n} AS VARCHAR) || '_'
+                 || CAST(zone % {n} AS VARCHAR) AS source, i, j
+        FROM ed GROUP BY zone, i, j HAVING count(*) = 1
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4830,6 +4975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ripleys_k": q_ripleys_k,
         "quadrat_csr": q_quadrat_csr,
         "raster_crosstab": q_raster_crosstab,
+        "isochrones": q_isochrones,
     }
 
 
@@ -8539,4 +8685,5 @@ FROM events),
         "ripleys_k": _ripley_oracle_sql(),
         "quadrat_csr": _quadrat_oracle_sql(),
         "raster_crosstab": _crosstab_oracle_sql(),
+        "isochrones": _iso_oracle_sql(),
     }

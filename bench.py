@@ -126,7 +126,7 @@ def main() -> None:
                 "kmeans_zones", "cell_compact", "variogram",
                 "exif_gps_cells", "staypoints", "frechet_tracks",
                 "density_tiles", "ripleys_k", "quadrat_csr",
-                "raster_crosstab"]
+                "raster_crosstab", "isochrones"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))
