@@ -3366,6 +3366,28 @@ HOTSPOT_RES = 12
 _IXY_MASK = (1 << 29) - 1
 
 
+_NS_SQL = """,
+            ns AS (
+              SELECT a.ix AS ix, a.iy AS iy, sum(b.x) AS nsum
+              FROM cc a JOIN cc b
+                ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+               AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+               AND NOT (b.ix = a.ix AND b.iy = a.iy)
+              GROUP BY a.ix, a.iy),
+            j AS (
+              SELECT cc.x, coalesce(ns.nsum, 0.0) AS nsum,
+                     CAST((least(cc.ix + 1, g.ix1)
+                           - greatest(cc.ix - 1, g.ix0) + 1)
+                        * (least(cc.iy + 1, g.iy1)
+                           - greatest(cc.iy - 1, g.iy0) + 1)
+                          AS DOUBLE) - 1.0 AS wi,
+                     g.n AS n, g.sx AS sx, g.sxx AS sxx,
+                     CAST(g.ix1 - g.ix0 + 1 AS DOUBLE) AS R,
+                     CAST(g.iy1 - g.iy0 + 1 AS DOUBLE) AS C
+              FROM cc LEFT JOIN ns ON ns.ix = cc.ix AND ns.iy = cc.iy
+              CROSS JOIN g)"""
+
+
 def _hotspot_cells_sql() -> str:
     """Shared CTE prefix: occupied cells + global moments over the
     events points grid, expression-identical to operators/hotspot.py."""
@@ -4823,6 +4845,46 @@ def _iso_oracle_sql() -> str:
     """
 
 
+def q_geary_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Geary's C (operators/hotspot.geary_c): the
+    difference-based sibling of Moran's I over the same queen-weight
+    grid, collapsed to occupied-cell sums (2·Σdeg·x² − 2·Σx·L) exactly
+    — same machinery, one extra aggregate. Oracle mirrors the
+    expression tree; emitted at 1e-9."""
+    _tune(spark)
+    from gis_tools_spark.operators.hotspot import geary_c
+
+    out = geary_c(DT.events_points(spark, sf_dir), res=HOTSPOT_RES)
+    return out.select(
+        "n_cells", F.col("w_sum").cast("long").alias("w_sum"),
+        F.floor(F.col("geary_c") * 1000000000.0 + F.lit(0.5))
+        .cast("long").alias("geary_c9"))
+
+
+def q_general_g_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord General G (operators/hotspot.general_g): global
+    high/low clustering — G = Σx·L / (sx² − sxx), empties zero in every
+    term. Oracle mirrors; 1e-12 quantization (G is tiny)."""
+    _tune(spark)
+    from gis_tools_spark.operators.hotspot import general_g
+
+    out = general_g(DT.events_points(spark, sf_dir), res=HOTSPOT_RES)
+    return out.select(
+        "n_cells", F.col("w_sum").cast("long").alias("w_sum"),
+        F.floor(F.col("general_g") * 1e12 + F.lit(0.5))
+        .cast("long").alias("general_g12"))
+
+
+def q_join_counts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary join-count statistics (operators/hotspot.join_counts):
+    BB/BW/WW queen adjacencies of the occupancy indicator — every
+    output an exact integer from occupied-cell sums only."""
+    _tune(spark)
+    from gis_tools_spark.operators.hotspot import join_counts
+
+    return join_counts(DT.events_points(spark, sf_dir), res=HOTSPOT_RES)
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4976,6 +5038,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadrat_csr": q_quadrat_csr,
         "raster_crosstab": q_raster_crosstab,
         "isochrones": q_isochrones,
+        "geary_grid": q_geary_grid,
+        "general_g_grid": q_general_g_grid,
+        "join_counts_grid": q_join_counts_grid,
     }
 
 
@@ -8686,4 +8751,75 @@ FROM events),
         "quadrat_csr": _quadrat_oracle_sql(),
         "raster_crosstab": _crosstab_oracle_sql(),
         "isochrones": _iso_oracle_sql(),
+        "geary_grid": _hotspot_cells_sql() + f"""{_NS_SQL},
+            a AS (
+              SELECT sum(x * nsum) AS num_raw,
+                     sum(x * x * wi) AS sq_cross,
+                     any_value(n) AS n, any_value(sx) AS sx,
+                     any_value(sxx) AS sxx,
+                     any_value(R) AS R, any_value(C) AS C
+              FROM j)
+            SELECT CAST(n AS BIGINT) AS n_cells,
+                   CAST(2.0 * ((R * (C - 1) + C * (R - 1))
+                               + (2.0 * (R - 1)) * (C - 1)) AS BIGINT)
+                     AS w_sum,
+                   CAST(floor(
+                     ((n - 1) * (2.0 * (sq_cross - num_raw)))
+                     / ((2.0 * (2.0 * ((R * (C - 1) + C * (R - 1))
+                                       + (2.0 * (R - 1)) * (C - 1))))
+                        * (sxx - n * ((sx / n) * (sx / n))))
+                     * 1000000000.0 + 0.5) AS BIGINT) AS geary_c9
+            FROM a
+        """,
+        "general_g_grid": _hotspot_cells_sql() + f"""{_NS_SQL},
+            a AS (
+              SELECT sum(x * nsum) AS num_raw,
+                     any_value(n) AS n, any_value(sx) AS sx,
+                     any_value(sxx) AS sxx,
+                     any_value(R) AS R, any_value(C) AS C
+              FROM j)
+            SELECT CAST(n AS BIGINT) AS n_cells,
+                   CAST(2.0 * ((R * (C - 1) + C * (R - 1))
+                               + (2.0 * (R - 1)) * (C - 1)) AS BIGINT)
+                     AS w_sum,
+                   CAST(floor(num_raw / (sx * sx - sxx)
+                     * 1000000000000.0 + 0.5) AS BIGINT) AS general_g12
+            FROM a
+        """,
+        "join_counts_grid": _hotspot_cells_sql() + """,
+            bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
+            ns AS (
+              SELECT a.ix AS ix, a.iy AS iy, sum(b.x) AS nsum
+              FROM bsrc a JOIN bsrc b
+                ON b.ix BETWEEN a.ix - 1 AND a.ix + 1
+               AND b.iy BETWEEN a.iy - 1 AND a.iy + 1
+               AND NOT (b.ix = a.ix AND b.iy = a.iy)
+              GROUP BY a.ix, a.iy),
+            j AS (
+              SELECT coalesce(ns.nsum, 0.0) AS nsum,
+                     CAST((least(bsrc.ix + 1, g.ix1)
+                           - greatest(bsrc.ix - 1, g.ix0) + 1)
+                        * (least(bsrc.iy + 1, g.iy1)
+                           - greatest(bsrc.iy - 1, g.iy0) + 1)
+                          AS DOUBLE) - 1.0 AS wi,
+                     g.n AS n,
+                     g.ix1 - g.ix0 + 1 AS R, g.iy1 - g.iy0 + 1 AS C
+              FROM bsrc LEFT JOIN ns ON ns.ix = bsrc.ix AND ns.iy = bsrc.iy
+              CROSS JOIN g),
+            a AS (
+              SELECT sum(nsum) AS bb2, sum(wi) AS deg_b,
+                     count(*) AS n_occ, any_value(n) AS n,
+                     any_value(R) AS R, any_value(C) AS C
+              FROM j)
+            SELECT CAST(n AS BIGINT) AS n_cells,
+                   CAST(n_occ AS BIGINT) AS n_occupied,
+                   CAST(R * (C - 1) + C * (R - 1) + 2 * (R - 1) * (C - 1)
+                     AS BIGINT) AS n_joins,
+                   CAST(bb2 / 2.0 AS BIGINT) AS bb,
+                   CAST(deg_b - bb2 AS BIGINT) AS bw,
+                   CAST(R * (C - 1) + C * (R - 1) + 2 * (R - 1) * (C - 1)
+                     AS BIGINT) - CAST(bb2 / 2.0 AS BIGINT)
+                     - CAST(deg_b - bb2 AS BIGINT) AS ww
+            FROM a
+        """,
     }

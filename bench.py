@@ -126,7 +126,8 @@ def main() -> None:
                 "kmeans_zones", "cell_compact", "variogram",
                 "exif_gps_cells", "staypoints", "frechet_tracks",
                 "density_tiles", "ripleys_k", "quadrat_csr",
-                "raster_crosstab", "isochrones"]
+                "raster_crosstab", "isochrones", "geary_grid",
+                "general_g_grid", "join_counts_grid"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))

@@ -523,3 +523,113 @@ def line_density(segments: DataFrame, *, x0: str = "x0", y0: str = "y0",
         dens = dens / F.lit(s * s)
     out = e.groupBy("cx", "cy").agg(dens.alias("density"))
     return out.where(F.col("density") > 0.0)
+
+
+def geary_c(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
+            res: int = 11, value_col: str | None = None) -> DataFrame:
+    """Global Geary's C over the bbox grid (queen weights, empties as
+    x=0) — the difference-based sibling of Moran's I (C < 1 clustered,
+    C > 1 dispersed):
+
+        C = (n-1)/(2W) * sum_ij w_ij (x_i - x_j)^2 / sum_i (x_i - xbar)^2
+
+    The ordered double sum collapses to occupied-cell sums exactly:
+    sum_ij w_ij (x_i-x_j)^2 = 2*sum_i deg_i x_i^2 - 2*sum_i x_i L_i
+    (deg_i = clipped queen degree, L_i = neighbor value sum; empty
+    cells contribute zero to both). Returns 1 row: (n_cells, w_sum,
+    geary_c)."""
+    cells = cell_stats(points, lon=lon, lat=lat, res=res,
+                       value_col=value_col)
+    nsums = _neighbor_sums(cells, include_self=False)
+    g = _global_moments(cells)
+    j = (cells.join(nsums, on=["ix", "iy"], how="left")
+         .withColumn("nsum", F.coalesce("nsum", F.lit(0.0)))
+         .crossJoin(F.broadcast(g)))
+    wi = _wi(include_self=False)
+    agg = j.agg(
+        F.sum(F.col("x") * F.col("nsum")).alias("num_raw"),
+        F.sum(F.col("x") * F.col("x") * wi).alias("sq_cross"),
+        F.first("n").alias("n"), F.first("sx").alias("sx"),
+        F.first("sxx").alias("sxx"),
+        F.first(F.col("ix1") - F.col("ix0") + 1).alias("R"),
+        F.first(F.col("iy1") - F.col("iy0") + 1).alias("C"))
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    R, C = F.col("R").cast("double"), F.col("C").cast("double")
+    xbar = sx / n
+    w_sum = F.lit(2.0) * (R * (C - 1) + C * (R - 1)
+                          + F.lit(2.0) * (R - 1) * (C - 1))
+    num = F.lit(2.0) * (F.col("sq_cross") - F.col("num_raw"))
+    den = sxx - n * xbar * xbar
+    return agg.select(
+        n.cast("long").alias("n_cells"), w_sum.alias("w_sum"),
+        (((n - 1) * num) / (F.lit(2.0) * w_sum * den)).alias("geary_c"))
+
+
+def general_g(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
+              res: int = 11, value_col: str | None = None) -> DataFrame:
+    """Getis-Ord General G (global high/low clustering; x must be
+    non-negative — counts are):
+
+        G = sum_ij w_ij x_i x_j / sum_{i != j} x_i x_j
+          = sum_i x_i L_i / (sx^2 - sxx)
+
+    Empties contribute zero to every term. Returns 1 row: (n_cells,
+    w_sum, general_g)."""
+    cells = cell_stats(points, lon=lon, lat=lat, res=res,
+                       value_col=value_col)
+    nsums = _neighbor_sums(cells, include_self=False)
+    g = _global_moments(cells)
+    j = (cells.join(nsums, on=["ix", "iy"], how="left")
+         .withColumn("nsum", F.coalesce("nsum", F.lit(0.0)))
+         .crossJoin(F.broadcast(g)))
+    agg = j.agg(
+        F.sum(F.col("x") * F.col("nsum")).alias("num_raw"),
+        F.first("n").alias("n"), F.first("sx").alias("sx"),
+        F.first("sxx").alias("sxx"),
+        F.first(F.col("ix1") - F.col("ix0") + 1).alias("R"),
+        F.first(F.col("iy1") - F.col("iy0") + 1).alias("C"))
+    R, C = F.col("R").cast("double"), F.col("C").cast("double")
+    w_sum = F.lit(2.0) * (R * (C - 1) + C * (R - 1)
+                          + F.lit(2.0) * (R - 1) * (C - 1))
+    return agg.select(
+        F.col("n").cast("long").alias("n_cells"), w_sum.alias("w_sum"),
+        (F.col("num_raw")
+         / (F.col("sx") * F.col("sx") - F.col("sxx"))).alias("general_g"))
+
+
+def join_counts(points: DataFrame, *, lon: str = "lon", lat: str = "lat",
+                res: int = 11) -> DataFrame:
+    """Binary join-count statistics over the bbox grid: black cells =
+    occupied, white = empty. Counts the unordered queen adjacencies by
+    color — the categorical-data autocorrelation test (BB ≫ expected ⇒
+    occupied cells clump):
+
+        BB = black-black joins,  BW = black-white,  WW = white-white
+        BB + BW + WW = W/2 (all joins)
+
+    All outputs exact integers from occupied-cell sums only:
+    BB = sum_b nsum_b/2 over the occupancy indicator, BW = sum_b deg_b
+    - 2 BB, WW = W/2 - BB - BW. Returns 1 row: (n_cells, n_occupied,
+    n_joins, bb, bw, ww)."""
+    cells = cell_stats(points, lon=lon, lat=lat, res=res)
+    b = cells.select("cell", "ix", "iy", F.lit(1.0).alias("x"))
+    nsums = _neighbor_sums(b, include_self=False)
+    g = _global_moments(cells)
+    j = (b.join(nsums, on=["ix", "iy"], how="left")
+         .withColumn("nsum", F.coalesce("nsum", F.lit(0.0)))
+         .crossJoin(F.broadcast(g)))
+    wi = _wi(include_self=False)
+    agg = j.agg(F.sum("nsum").alias("bb2"), F.sum(wi).alias("deg_b"),
+                F.count("*").alias("n_occ"), F.first("n").alias("n"),
+                F.first(F.col("ix1") - F.col("ix0") + 1).alias("R"),
+                F.first(F.col("iy1") - F.col("iy0") + 1).alias("C"))
+    R, C = F.col("R"), F.col("C")
+    w_half = (R * (C - 1) + C * (R - 1) + 2 * (R - 1) * (C - 1))
+    bb = (F.col("bb2") / F.lit(2.0)).cast("long")
+    bw = (F.col("deg_b") - F.col("bb2")).cast("long")
+    return agg.select(
+        F.col("n").cast("long").alias("n_cells"),
+        F.col("n_occ").cast("long").alias("n_occupied"),
+        w_half.cast("long").alias("n_joins"),
+        bb.alias("bb"), bw.alias("bw"),
+        (w_half.cast("long") - bb - bw.cast("long")).alias("ww"))
