@@ -4885,6 +4885,110 @@ def q_join_counts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_counts(DT.events_points(spark, sf_dir), res=HOTSPOT_RES)
 
 
+ST_EPS, ST_EPS_T, ST_MIN_PTS = 0.025, 129600, 5
+
+
+def q_st_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-DBSCAN (operators/cluster.st_dbscan, Birant & Kut 2007 core
+    semantics): density clustering whose neighborhood needs BOTH
+    planar distance ≤ eps AND time gap ≤ eps_t — the 3-dimensional
+    (bx, by, bt) bin join, then the same deterministic label phase as
+    dbscan (min-core-id components, min-rule borders). The oracle
+    replays the 27-bin join and closes components with an independent
+    recursive-CTE min-label walk (with the lossless comp<=node prune).
+    Points are 97 closed-form spatial blobs (radius 0.01, spacing
+    0.05) whose events spread over the 30-day ts range, so eps_t=36h
+    splits each blob into temporal episodes — the ST part is load-
+    bearing, and components stay small enough for the enumeration
+    oracle."""
+    _tune(spark)
+    from gis_tools_spark.operators.cluster import st_dbscan
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.col("event_id") % 97
+    pts = ev.select(
+        "event_id", "ts",
+        (F.lit(5.0) + (k * 53 % 97) * F.lit(0.05)
+         + ((F.col("event_id") * 7919) % 2001 - 1000) / F.lit(100000.0))
+        .alias("lon"),
+        (F.lit(40.0) + (k * 71 % 97) * F.lit(0.05)
+         + ((F.col("event_id") * 104729) % 2001 - 1000)
+         / F.lit(100000.0)).alias("lat"))
+    out = st_dbscan(pts, id_col="event_id", eps=ST_EPS,
+                    eps_t_s=ST_EPS_T, min_pts=ST_MIN_PTS)
+    return out.select("event_id", "is_core", "cluster")
+
+
+def _st_dbscan_oracle_sql() -> str:
+    et_us = ST_EPS_T * 1_000_000
+    return f"""
+        WITH RECURSIVE p AS (
+          SELECT event_id AS id,
+                 5.0 + ((event_id % 97) * 53 % 97) * 0.05
+                   + ((event_id * 7919) % 2001 - 1000) / 100000.0 AS lon,
+                 40.0 + ((event_id % 97) * 71 % 97) * 0.05
+                   + ((event_id * 104729) % 2001 - 1000) / 100000.0
+                   AS lat,
+                 epoch_us(ts) AS t
+          FROM events),
+        b AS (
+          SELECT *, CAST(floor(lon / {ST_EPS!r}) AS BIGINT) AS bx,
+                    CAST(floor(lat / {ST_EPS!r}) AS BIGINT) AS by,
+                    CAST(floor(CAST(t AS DOUBLE) / {et_us}) AS BIGINT)
+                      AS bt
+          FROM p),
+        offs AS (
+          SELECT dx.v AS dx, dy.v AS dy, dt.v AS dt
+          FROM (VALUES (-1),(0),(1)) dx(v), (VALUES (-1),(0),(1)) dy(v),
+               (VALUES (-1),(0),(1)) dt(v)),
+        bl AS (
+          SELECT b.*, b.bx + o.dx AS jx, b.by + o.dy AS jy,
+                 b.bt + o.dt AS jt
+          FROM b, offs o),
+        pr AS (
+          SELECT a.id AS ia, c.id AS ib
+          FROM bl a JOIN b c
+            ON c.bx = a.jx AND c.by = a.jy AND c.bt = a.jt
+          WHERE (a.lon - c.lon) * (a.lon - c.lon)
+               + (a.lat - c.lat) * (a.lat - c.lat)
+               <= {ST_EPS * ST_EPS!r}
+           AND abs(a.t - c.t) <= {et_us}),
+        core AS (
+          SELECT ia AS id FROM pr
+          GROUP BY ia HAVING count(*) >= {ST_MIN_PTS}),
+        e0 AS (
+          SELECT pr.ia AS u, pr.ib AS v FROM pr
+          JOIN core c1 ON pr.ia = c1.id
+          JOIN core c2 ON pr.ib = c2.id
+          WHERE pr.ia <> pr.ib),
+        reach AS (
+          SELECT id AS node, id AS comp FROM core
+          UNION
+          SELECT e0.u AS node, r.comp FROM e0 JOIN reach r
+            ON e0.v = r.node
+          WHERE r.comp <= e0.u),
+        -- the comp<=node prune is lossless: the component minimum is
+        -- <= every member, so its rows are never pruned on any path;
+        -- larger labels that are pruned can never be a node's min
+        cl AS (
+          SELECT node AS id, min(comp) AS cluster FROM reach
+          GROUP BY node),
+        border AS (
+          SELECT pr.ia AS id, min(cl.cluster) AS cluster
+          FROM pr JOIN cl ON pr.ib = cl.id
+          WHERE pr.ia <> pr.ib
+            AND pr.ia NOT IN (SELECT id FROM core)
+          GROUP BY pr.ia)
+        SELECT p.id AS event_id,
+               cl.id IS NOT NULL AS is_core,
+               CAST(coalesce(cl.cluster, border.cluster) AS BIGINT)
+                 AS cluster
+        FROM p
+        LEFT JOIN cl ON p.id = cl.id
+        LEFT JOIN border ON p.id = border.id
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5041,6 +5145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geary_grid": q_geary_grid,
         "general_g_grid": q_general_g_grid,
         "join_counts_grid": q_join_counts_grid,
+        "st_dbscan": q_st_dbscan,
     }
 
 
@@ -8786,6 +8891,7 @@ FROM events),
                      * 1000000000000.0 + 0.5) AS BIGINT) AS general_g12
             FROM a
         """,
+        "st_dbscan": _st_dbscan_oracle_sql(),
         "join_counts_grid": _hotspot_cells_sql() + """,
             bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
             ns AS (

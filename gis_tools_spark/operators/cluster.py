@@ -46,7 +46,8 @@ from pyspark.sql import DataFrame, functions as F
 from .core import persist_scoped
 from .network import connected_components
 
-__all__ = ["dbscan", "eps_neighbor_pairs"]
+__all__ = ["dbscan", "eps_neighbor_pairs", "st_dbscan",
+           "st_neighbor_pairs"]
 
 
 def eps_neighbor_pairs(points: DataFrame, *, id_col: str = "id",
@@ -87,7 +88,17 @@ def dbscan(points: DataFrame, *, id_col: str = "id",
     NULL for noise). Deterministic: cluster = min core id of the
     component; borders take the min neighboring cluster."""
     pairs = eps_neighbor_pairs(points, id_col=id_col, lon=lon, lat=lat,
-                               eps=eps).persist()
+                               eps=eps)
+    return _labels_from_pairs(points, pairs, id_col=id_col,
+                              min_pts=min_pts)
+
+
+def _labels_from_pairs(points: DataFrame, pairs: DataFrame, *,
+                       id_col: str, min_pts: int) -> DataFrame:
+    """Shared DBSCAN label phase over any reflexive-symmetric neighbor
+    pair relation (ia, ib): core filter → pointer-jumping components on
+    the core graph → min-rule border assignment."""
+    pairs = pairs.persist()
     core = (pairs.groupBy("ia").agg(F.count("*").alias("__n"))
             .where(F.col("__n") >= int(min_pts))
             .select(F.col("ia").alias("__cid")))
@@ -121,3 +132,63 @@ def dbscan(points: DataFrame, *, id_col: str = "id",
                F.coalesce("__core_cluster", "__cluster").cast("long")
                .alias("cluster")))
     return persist_scoped(pairs, persist_scoped(core_clusters, out))
+
+
+def st_neighbor_pairs(points: DataFrame, *, id_col: str = "id",
+                      lon: str = "lon", lat: str = "lat",
+                      ts_col: str = "ts", eps: float,
+                      eps_t_s: float) -> DataFrame:
+    """All ordered pairs (ia, ib) neighboring in SPACE AND TIME:
+    planar distance <= eps and |Δt| <= eps_t_s seconds (self pair
+    included). Grid-binned in 3 dimensions — (bx, by, bt) at widths
+    (eps, eps, eps_t) — so candidates are exactly the 27 neighbor
+    bins; pair volume is O(n · local spatiotemporal density)."""
+    e = F.lit(float(eps))
+    et_us = int(round(eps_t_s * 1_000_000))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    b = points.select(
+        F.col(id_col).alias("__pid"),
+        F.col(lon).alias("__px"), F.col(lat).alias("__py"),
+        us.alias("__pt"),
+        F.floor(F.col(lon) / e).alias("bx"),
+        F.floor(F.col(lat) / e).alias("by"),
+        F.floor(us / F.lit(et_us)).alias("bt"))
+    offs = [(dx, dy, dt) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            for dt in (-1, 0, 1)]
+    left = b.select(
+        F.col("__pid").alias("ia"), F.col("__px").alias("ax"),
+        F.col("__py").alias("ay"), F.col("__pt").alias("at"),
+        F.explode(F.array(*[
+            F.struct((F.col("bx") + dx).alias("bx"),
+                     (F.col("by") + dy).alias("by"),
+                     (F.col("bt") + dt).alias("bt"))
+            for dx, dy, dt in offs])).alias("t"),
+    ).select("ia", "ax", "ay", "at", F.col("t.bx").alias("bx"),
+             F.col("t.by").alias("by"), F.col("t.bt").alias("bt"))
+    right = b.select(F.col("__pid").alias("ib"),
+                     F.col("__px").alias("bx_c"),
+                     F.col("__py").alias("by_c"),
+                     F.col("__pt").alias("bt_c"), "bx", "by", "bt")
+    dx = F.col("ax") - F.col("bx_c")
+    dy = F.col("ay") - F.col("by_c")
+    return (left.join(right, on=["bx", "by", "bt"])
+            .where((dx * dx + dy * dy <= e * e)
+                   & (F.abs(F.col("at") - F.col("bt_c"))
+                      <= F.lit(et_us)))
+            .select("ia", "ib"))
+
+
+def st_dbscan(points: DataFrame, *, id_col: str = "id",
+              lon: str = "lon", lat: str = "lat", ts_col: str = "ts",
+              eps: float, eps_t_s: float, min_pts: int) -> DataFrame:
+    """ST-DBSCAN (Birant & Kut 2007 core semantics): DBSCAN whose
+    neighborhood requires BOTH planar distance <= eps AND time gap
+    <= eps_t_s — events close in space but hours apart no longer chain
+    into one blob, which is what separates recurring gatherings from
+    one continuous one. Same deterministic label contract as dbscan
+    (min-core-id components, min-rule borders), same 100 TB plan shape
+    with one extra bin dimension."""
+    pairs = st_neighbor_pairs(points, id_col=id_col, lon=lon, lat=lat,
+                              ts_col=ts_col, eps=eps, eps_t_s=eps_t_s)
+    return _labels_from_pairs(points, pairs, id_col=id_col,
+                              min_pts=min_pts)
