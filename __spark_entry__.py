@@ -4989,6 +4989,83 @@ def _st_dbscan_oracle_sql() -> str:
     """
 
 
+def q_trend_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend surface (operators/interpolate.trend_surface): plane
+    fit per event_type by Cramer's rule over the nine monomial moments
+    — one map-side-combinable aggregation, no solver, no Python. Gate
+    inputs are pre-quantized to integers (µdeg coords, 1e-2 values) so
+    every moment is an EXACT int64 and the downstream double
+    arithmetic is order-independent; the oracle mirrors the Cramer
+    expression tree token-for-token, coefficients emitted at 1e12/1e9."""
+    _tune(spark)
+    from gis_tools_spark.operators.interpolate import trend_surface
+
+    pts = DT.events_points(spark, sf_dir).select(
+        "event_type",
+        (F.floor(F.col("lon") * 1e6 + F.lit(0.5)) - 5000000).alias("xi"),
+        (F.floor(F.col("lat") * 1e6 + F.lit(0.5)) - 40000000)
+        .alias("yi"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).alias("vi"))
+    out = trend_surface(pts, value_col="vi", by=["event_type"],
+                        lon="xi", lat="yi")
+    return out.select(
+        "event_type", "n",
+        F.floor(F.col("a") * 1e9 + F.lit(0.5)).cast("long").alias("a9"),
+        F.floor(F.col("b") * 1e12 + F.lit(0.5)).cast("long").alias("b12"),
+        F.floor(F.col("c") * 1e12 + F.lit(0.5)).cast("long").alias("c12"),
+        F.floor(F.col("r2") * 1e9 + F.lit(0.5)).cast("long").alias("r29"))
+
+
+def _trend_oracle_sql() -> str:
+    return f"""
+        WITH q AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(floor(p.lon * 1000000.0 + 0.5) AS BIGINT)
+                   - 5000000 AS x,
+                 CAST(floor(p.lat * 1000000.0 + 0.5) AS BIGINT)
+                   - 40000000 AS y,
+                 CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS v
+          FROM ({DT.POINTS_SQL.strip()}) p),
+        m AS (
+          SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x * x) AS DOUBLE) AS sxx,
+                 CAST(sum(x * y) AS DOUBLE) AS sxy,
+                 CAST(sum(y * y) AS DOUBLE) AS syy,
+                 CAST(sum(v) AS DOUBLE) AS sv,
+                 CAST(sum(x * v) AS DOUBLE) AS sxv,
+                 CAST(sum(y * v) AS DOUBLE) AS syv,
+                 CAST(sum(v * v) AS DOUBLE) AS svv
+          FROM q GROUP BY 1),
+        c AS (
+          SELECT *,
+            (n * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy))
+              + sy * (sx * sxy - sxx * sy) AS det,
+            (sv * (sxx * syy - sxy * sxy) - sx * (sxv * syy - sxy * syv))
+              + sy * (sxv * sxy - sxx * syv) AS det_a,
+            (n * (sxv * syy - sxy * syv) - sv * (sx * syy - sxy * sy))
+              + sy * (sx * syv - sxv * sy) AS det_b,
+            (n * (sxx * syv - sxv * sxy) - sx * (sx * syv - sxv * sy))
+              + sv * (sx * sxy - sxx * sy) AS det_c
+          FROM m),
+        f AS (
+          SELECT event_type, n,
+                 det_a / det AS a, det_b / det AS b, det_c / det AS c,
+                 svv - (((det_a / det) * sv + (det_b / det) * sxv)
+                        + (det_c / det) * syv) AS sse,
+                 svv - (sv * sv) / n AS sst
+          FROM c WHERE abs(det) > 0.0)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(floor(a * 1000000000.0 + 0.5) AS BIGINT) AS a9,
+               CAST(floor(b * 1000000000000.0 + 0.5) AS BIGINT) AS b12,
+               CAST(floor(c * 1000000000000.0 + 0.5) AS BIGINT) AS c12,
+               CAST(floor((1.0 - sse / sst) * 1000000000.0 + 0.5)
+                 AS BIGINT) AS r29
+        FROM f
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5146,6 +5223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "general_g_grid": q_general_g_grid,
         "join_counts_grid": q_join_counts_grid,
         "st_dbscan": q_st_dbscan,
+        "trend_surface": q_trend_surface,
     }
 
 
@@ -8892,6 +8970,7 @@ FROM events),
             FROM a
         """,
         "st_dbscan": _st_dbscan_oracle_sql(),
+        "trend_surface": _trend_oracle_sql(),
         "join_counts_grid": _hotspot_cells_sql() + """,
             bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
             ns AS (

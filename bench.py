@@ -127,7 +127,8 @@ def main() -> None:
                 "exif_gps_cells", "staypoints", "frechet_tracks",
                 "density_tiles", "ripleys_k", "quadrat_csr",
                 "raster_crosstab", "isochrones", "geary_grid",
-                "general_g_grid", "join_counts_grid", "st_dbscan"]
+                "general_g_grid", "join_counts_grid", "st_dbscan",
+                "trend_surface"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))

@@ -23,6 +23,8 @@ kde_density.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..cells import IX_SHIFT, RES_SHIFT
@@ -89,3 +91,57 @@ def idw_grid(points: DataFrame, *, value_col: str,
                     cx.alias("cx"), cy.alias("cy"),
                     (F.col("__num") / F.col("__den")).alias("idw_value"),
                     "n_samples"))
+
+
+def trend_surface(points: DataFrame, *, value_col: str,
+                  by: Sequence[str] | None = None,
+                  lon: str = "lon", lat: str = "lat") -> DataFrame:
+    """First-order trend surface (OLS plane fit v = a + b·x + c·y) per
+    group — the global-drift summary that classically precedes kriging
+    (fit the trend, krige the residuals) and the cheapest "which way
+    does this field slope" answer.
+
+    One map-side-combinable aggregation collects the nine monomial
+    moments; the normal equations solve in closed form by Cramer's
+    rule as pure column expressions — no solver, no Python, exactly
+    SQL-mirrorable. R² comes from the same moments via the OLS
+    orthogonality identity SSE = Σv² − aΣv − bΣxv − cΣyv.
+
+    Returns per group: (n, a, b, c, r2). Degenerate groups (collinear
+    or < 3 points ⇒ singular normal matrix) return NULL coefficients.
+    """
+    keys = list(by) if by else []
+    # sums keep the INPUT type: integer columns aggregate exactly
+    # (partition-order independent — the oracle contract); the cast to
+    # double happens on the nine moments, not per row
+    x, y, v = F.col(lon), F.col(lat), F.col(value_col)
+    base = points.groupBy(*keys).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(v).alias("sv"), F.sum(x * v).alias("sxv"),
+        F.sum(y * v).alias("syv"), F.sum(v * v).alias("svv"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n, sx, sy = F.col("n"), d("sx"), d("sy")
+    sxx, sxy, syy = d("sxx"), d("sxy"), d("syy")
+    sv, sxv, syv, svv = d("sv"), d("sxv"), d("syv"), d("svv")
+    # det of [[n,sx,sy],[sx,sxx,sxy],[sy,sxy,syy]] and Cramer columns
+    det = (n * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy)
+           + sy * (sx * sxy - sxx * sy))
+    det_a = (sv * (sxx * syy - sxy * sxy) - sx * (sxv * syy - sxy * syv)
+             + sy * (sxv * sxy - sxx * syv))
+    det_b = (n * (sxv * syy - sxy * syv) - sv * (sx * syy - sxy * sy)
+             + sy * (sx * syv - sxv * sy))
+    det_c = (n * (sxx * syv - sxv * sxy) - sx * (sx * syv - sxv * sy)
+             + sv * (sx * sxy - sxx * sy))
+    ok = F.abs(det) > F.lit(0.0)
+    a = F.when(ok, det_a / det)
+    b = F.when(ok, det_b / det)
+    c = F.when(ok, det_c / det)
+    sse = svv - (a * sv + b * sxv + c * syv)
+    sst = svv - (sv * sv) / n
+    r2 = F.when(ok & (sst > 0), F.lit(1.0) - sse / sst)
+    return base.select(*keys, n.cast("long").alias("n"),
+                       a.alias("a"), b.alias("b"), c.alias("c"),
+                       r2.alias("r2"))
