@@ -5066,6 +5066,39 @@ def _trend_oracle_sql() -> str:
     """
 
 
+def q_spherical_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical polygon area (functions/geom_funcs.geom_spherical_area
+    over geom/kernels.ring_area_spherical_signed): EXACT Green's-
+    theorem area on the sphere for lat/lon-linear edges — the
+    geodesic-aware counterpart of planar area, which is degree² and
+    latitude-distorted at global scale. Per-region sums over the
+    nation rectangles; the oracle is the rect closed form
+    R²·Δλ·(sin φ₂ − sin φ₁). Emitted in 1000 m² units — coarse enough
+    to absorb both libm sin() ulp differences and double-sum
+    reassociation across zones (≤1e-4 m² at 1e11 m² magnitude)."""
+    _tune(spark)
+    from gis_tools_spark.functions.geom_funcs import geom_spherical_area
+
+    z = DT.nation_zones(spark, sf_dir)
+    a = z.withColumn("sph", geom_spherical_area()(F.col("geometry_wkb")))
+    return (a.groupBy("regionkey")
+            .agg(F.floor(F.sum("sph") / F.lit(1000.0) + F.lit(0.5))
+                 .cast("long").alias("area_km")))
+
+
+def _spherical_area_oracle_sql() -> str:
+    return f"""
+        SELECT z.regionkey,
+               CAST(floor(sum(
+                 6371000.0 * 6371000.0
+                 * radians(z.zmaxx - z.zminx)
+                 * (sin(radians(z.zmaxy)) - sin(radians(z.zminy)))
+               ) / 1000.0 + 0.5) AS BIGINT) AS area_km
+        FROM ({DT.ZONES_SQL.strip()}) z
+        GROUP BY z.regionkey
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5224,6 +5257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_counts_grid": q_join_counts_grid,
         "st_dbscan": q_st_dbscan,
         "trend_surface": q_trend_surface,
+        "spherical_area": q_spherical_area,
     }
 
 
@@ -8971,6 +9005,7 @@ FROM events),
         """,
         "st_dbscan": _st_dbscan_oracle_sql(),
         "trend_surface": _trend_oracle_sql(),
+        "spherical_area": _spherical_area_oracle_sql(),
         "join_counts_grid": _hotspot_cells_sql() + """,
             bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
             ns AS (

@@ -45,6 +45,13 @@ def geom_length():
     return _wkb_to_double(K.length)
 
 
+def geom_spherical_area(radius: float = 6_371_000.0):
+    """Spherical polygon area in m² (lat/lon-linear edges, exact —
+    geom/kernels.ring_area_spherical_signed); planar ``geom_area`` is
+    degree² and distorts with latitude."""
+    return _wkb_to_double(lambda g: K.spherical_area(g, radius))
+
+
 def geom_shape_factor():
     """Circularity 4πA/L² (reference layer.py:1888-1900)."""
     return _wkb_to_double(

@@ -78,6 +78,39 @@ def area(g: dict) -> float:
     return total
 
 
+def ring_area_spherical_signed(r: np.ndarray,
+                               radius: float = 6_371_000.0) -> float:
+    """EXACT signed spherical area (m²) of a ring whose edges are
+    straight in the (lon, lat) plane — the interpretation every other
+    operator gives WKB lon/lat polygons.  Green's theorem on the
+    sphere: A = R² ∮ sin(φ) dλ with φ(λ) linear per edge, so each
+    edge contributes (Δλ/Δφ)·(cos φ₁ − cos φ₂) exactly (Δλ·sin φ for
+    the constant-latitude case).  Positive = CCW.  Antimeridian-naive
+    by design: Δλ is taken literally, matching the planar kernels
+    (split at ±180 upstream, as for planar area)."""
+    lam = np.radians(r[:-1, 0]), np.radians(r[1:, 0])
+    phi = np.radians(r[:-1, 1]), np.radians(r[1:, 1])
+    dlam = lam[1] - lam[0]
+    dphi = phi[1] - phi[0]
+    flat = np.abs(dphi) < 1e-15
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sloped = (dlam / dphi) * (np.cos(phi[0]) - np.cos(phi[1]))
+    contrib = np.where(flat, dlam * np.sin(phi[0]), sloped)
+    return float(radius * radius * contrib.sum())
+
+
+def spherical_area(g: dict, radius: float = 6_371_000.0) -> float:
+    """Unsigned spherical area in m² (holes subtracted) — the
+    geodesic-aware counterpart of ``area`` for global-scale layers,
+    where planar degree² area is meaningless."""
+    total = 0.0
+    for rings in polygons_of(g):
+        total += abs(ring_area_spherical_signed(rings[0], radius))
+        for hole in rings[1:]:
+            total -= abs(ring_area_spherical_signed(hole, radius))
+    return total
+
+
 def length(g: dict) -> float:
     t = g["type"]
     if t in ("Point", "MultiPoint"):
