@@ -5099,6 +5099,81 @@ def _spherical_area_oracle_sql() -> str:
     """
 
 
+CROSSK_RADII = (0.05, 0.1, 0.2, 0.4)
+
+
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Ripley's K₁₂ (operators/pointpattern.cross_k):
+    click-type events vs purchase-type events — does one process
+    cluster around the other? Same exact-integer grid-bin pair join as
+    ripleys_k but between the two layers (coincident cross pairs
+    count); K/L identical IEEE expressions both sides at 1e-12."""
+    _tune(spark)
+    from gis_tools_spark.operators.pointpattern import cross_k
+
+    pts = DT.events_points(spark, sf_dir)
+    a = pts.where(F.col("event_type") == "click")
+    b = pts.where(F.col("event_type") == "purchase")
+    out = cross_k(a, b, radii=CROSSK_RADII, area=25.0)
+    q12 = lambda c: F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("long")  # noqa: E731
+    return out.select("r_idx", "n_pairs_le",
+                      q12(F.col("k_hat")).alias("k12"),
+                      q12(F.col("l_hat")).alias("l12"))
+
+
+def _cross_k_oracle_sql() -> str:
+    rs = [int(round(r * 1e6)) for r in CROSSK_RADII]
+    L = rs[-1]
+    case = "CASE " + " ".join(
+        f"WHEN d2 <= {r * r} THEN {k}" for k, r in enumerate(rs)) + " END"
+    rad_rows = ", ".join(f"({k})" for k in range(len(rs)))
+    return f"""
+        WITH qa AS MATERIALIZED (
+          SELECT CAST(floor(p.lon * 1000000.0 + 0.5) AS BIGINT) AS xi,
+                 CAST(floor(p.lat * 1000000.0 + 0.5) AS BIGINT) AS yi
+          FROM ({DT.POINTS_SQL.strip()}) p WHERE p.event_type = 'click'),
+        qb AS MATERIALIZED (
+          SELECT CAST(floor(p.lon * 1000000.0 + 0.5) AS BIGINT) AS xi,
+                 CAST(floor(p.lat * 1000000.0 + 0.5) AS BIGINT) AS yi
+          FROM ({DT.POINTS_SQL.strip()}) p
+          WHERE p.event_type = 'purchase'),
+        offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                 (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+        l AS MATERIALIZED (
+          SELECT qa.*, (xi - xi % {L}) // {L} + offs.dx AS bx,
+                       (yi - yi % {L}) // {L} + offs.dy AS by
+          FROM qa, offs),
+        r AS MATERIALIZED (
+          SELECT qb.*, (xi - xi % {L}) // {L} AS bx,
+                       (yi - yi % {L}) // {L} AS by
+          FROM qb),
+        pr AS MATERIALIZED (
+          SELECT (l.xi-r.xi)*(l.xi-r.xi) + (l.yi-r.yi)*(l.yi-r.yi) AS d2
+          FROM l JOIN r USING (bx, by)
+          WHERE (l.xi-r.xi)*(l.xi-r.xi) + (l.yi-r.yi)*(l.yi-r.yi)
+                  <= {L}::BIGINT * {L}::BIGINT),
+        per AS (
+          SELECT {case} AS r_idx, count(*) AS c FROM pr GROUP BY 1),
+        rad AS (SELECT * FROM (VALUES {rad_rows}) v(r_idx)),
+        cum AS (
+          SELECT rad.r_idx,
+                 SUM(COALESCE(per.c, 0)) OVER (
+                   ORDER BY rad.r_idx ROWS UNBOUNDED PRECEDING)
+                   AS n_pairs_le
+          FROM rad LEFT JOIN per USING (r_idx)),
+        nn AS (SELECT (SELECT count(*) FROM qa) AS n1,
+                      (SELECT count(*) FROM qb) AS n2)
+        SELECT c.r_idx, c.n_pairs_le,
+          CAST(floor((25.0 * CAST(c.n_pairs_le AS DOUBLE)
+            / (CAST(nn.n1 AS DOUBLE) * CAST(nn.n2 AS DOUBLE)))
+            * 1000000000000.0 + 0.5) AS BIGINT) AS k12,
+          CAST(floor(sqrt((25.0 * CAST(c.n_pairs_le AS DOUBLE)
+            / (CAST(nn.n1 AS DOUBLE) * CAST(nn.n2 AS DOUBLE))) / pi())
+            * 1000000000000.0 + 0.5) AS BIGINT) AS l12
+        FROM cum c, nn
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5258,6 +5333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_dbscan": q_st_dbscan,
         "trend_surface": q_trend_surface,
         "spherical_area": q_spherical_area,
+        "cross_k": q_cross_k,
     }
 
 
@@ -9006,6 +9082,7 @@ FROM events),
         "st_dbscan": _st_dbscan_oracle_sql(),
         "trend_surface": _trend_oracle_sql(),
         "spherical_area": _spherical_area_oracle_sql(),
+        "cross_k": _cross_k_oracle_sql(),
         "join_counts_grid": _hotspot_cells_sql() + """,
             bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
             ns AS (

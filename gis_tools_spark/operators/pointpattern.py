@@ -31,7 +31,7 @@ from typing import Sequence
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["ripleys_k", "quadrat_test"]
+__all__ = ["ripleys_k", "quadrat_test", "cross_k"]
 
 
 def ripleys_k(points: DataFrame, *, radii: Sequence[float], area: float,
@@ -139,3 +139,73 @@ def quadrat_test(points: DataFrame, *, res: int, lon: str = "lon",
                       F.col("sum_sq").cast("long").alias("sum_sq"),
                       chi2.alias("chi2"),
                       (m - 1).alias("dof"))
+
+
+def cross_k(points_a: DataFrame, points_b: DataFrame, *,
+            radii: Sequence[float], area: float,
+            lon: str = "lon", lat: str = "lat",
+            scale_xy: float = 1e6) -> DataFrame:
+    """Bivariate (cross-type) Ripley's K̂₁₂: does type B cluster AROUND
+    type A (attraction) or avoid it (repulsion)?  Under independence
+    K₁₂(t) = πt².
+
+        K̂₁₂(t) = A/(n₁·n₂) · Σ_{i∈A} Σ_{j∈B} 1(d_ij ≤ t)
+
+    Same exact-integer grid-bin machinery as ``ripleys_k``; coincident
+    A/B points DO count (d=0 is a valid cross distance).  Returns one
+    row per radius: (r_idx, r, n_pairs_le, k_hat, l_hat)."""
+    radii = sorted(float(r) for r in radii)
+    if not radii or radii[0] <= 0:
+        raise ValueError("radii must be positive")
+    r_int = [int(round(r * scale_xy)) for r in radii]
+    L = r_int[-1]
+
+    def _q(df):
+        return df.select(
+            F.floor(F.col(lon) * scale_xy + 0.5).cast("long").alias("xi"),
+            F.floor(F.col(lat) * scale_xy + 0.5).cast("long").alias("yi"))
+
+    a, b = _q(points_a), _q(points_b)
+    n1, n2 = a.count(), b.count()
+    if n1 == 0 or n2 == 0:
+        raise ValueError("both layers need at least 1 point")
+    bx = (F.col("xi") - F.col("xi") % L) / L
+    by = (F.col("yi") - F.col("yi") % L) / L
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    left = a.select(
+        F.col("xi").alias("ax"), F.col("yi").alias("ay"),
+        F.explode(F.array(*[
+            F.struct((bx.cast("long") + dx).alias("bx"),
+                     (by.cast("long") + dy).alias("by"))
+            for dx, dy in offs])).alias("t")
+    ).select("ax", "ay", F.col("t.bx").alias("bx"),
+             F.col("t.by").alias("by"))
+    right = b.select(F.col("xi").alias("cx"), F.col("yi").alias("cy"),
+                     bx.cast("long").alias("bx"),
+                     by.cast("long").alias("by"))
+    dx = F.col("ax") - F.col("cx")
+    dy = F.col("ay") - F.col("cy")
+    d2 = dx * dx + dy * dy
+    pairs = (left.join(right, on=["bx", "by"])
+             .where(d2 <= F.lit(L * L).cast("long"))
+             .select(d2.alias("d2")))
+    idx = None
+    for k in range(len(r_int) - 1, -1, -1):
+        cond = F.col("d2") <= F.lit(r_int[k] * r_int[k]).cast("long")
+        idx = F.when(cond, F.lit(k)) if idx is None else \
+            F.when(cond, F.lit(k)).otherwise(idx)
+    per = pairs.groupBy(idx.alias("r_idx")).agg(F.count("*").alias("__c"))
+    rad_df = points_a.sparkSession.createDataFrame(
+        [(k, radii[k]) for k in range(len(radii))], "r_idx int, r double")
+    cum = (rad_df.join(per, on="r_idx", how="left")
+           .withColumn("__c", F.coalesce("__c", F.lit(0)))
+           .withColumn("n_pairs_le",
+                       F.sum("__c").over(
+                           Window.orderBy("r_idx")
+                           .rowsBetween(Window.unboundedPreceding, 0))))
+    k_hat = (F.lit(float(area)) * F.col("n_pairs_le").cast("double")
+             / F.lit(float(n1) * float(n2)))
+    return cum.select("r_idx", "r",
+                      F.col("n_pairs_le").cast("long").alias("n_pairs_le"),
+                      k_hat.alias("k_hat"),
+                      F.sqrt(k_hat / F.lit(float(np.pi))).alias("l_hat"))

@@ -95,3 +95,52 @@ def test_uniform_vs_clustered_chi2(spark):
     b = quadrat_test(spark.createDataFrame(cl), res=7).head()
     # normalized by dof: clustered far exceeds uniform
     assert b["chi2"] / max(b["dof"], 1) > 10 * a["chi2"] / max(a["dof"], 1)
+
+
+def test_cross_k_bruteforce(spark):
+    from gis_tools_spark.operators.pointpattern import cross_k
+
+    rng = np.random.RandomState(12)
+    a = pd.DataFrame({"lon": rng.uniform(0, 1, 150),
+                      "lat": rng.uniform(0, 1, 150)})
+    b = pd.DataFrame({"lon": rng.uniform(0, 1, 200),
+                      "lat": rng.uniform(0, 1, 200)})
+    radii = [0.05, 0.2]
+    got = cross_k(spark.createDataFrame(a), spark.createDataFrame(b),
+                  radii=radii, area=1.0).orderBy("r_idx").collect()
+    ax = np.floor(a["lon"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    ay = np.floor(a["lat"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    bx = np.floor(b["lon"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    by = np.floor(b["lat"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    d2 = ((ax[:, None] - bx[None, :]) ** 2
+          + (ay[:, None] - by[None, :]) ** 2)
+    for g, r in zip(got, sorted(radii)):
+        ri = int(round(r * 1e6))
+        c = int((d2 <= ri * ri).sum())
+        assert g["n_pairs_le"] == c
+        assert abs(g["k_hat"] - c / (150 * 200)) < 1e-12
+
+
+def test_cross_k_attraction_vs_independence(spark):
+    from gis_tools_spark.operators.pointpattern import cross_k
+
+    rng = np.random.RandomState(13)
+    a = pd.DataFrame({"lon": rng.uniform(0, 1, 300),
+                      "lat": rng.uniform(0, 1, 300)})
+    # B clustered tightly around A points -> attraction
+    pick = rng.randint(0, 300, 600)
+    b_near = pd.DataFrame({
+        "lon": a["lon"].to_numpy()[pick] + rng.normal(0, 0.002, 600),
+        "lat": a["lat"].to_numpy()[pick] + rng.normal(0, 0.002, 600)})
+    b_ind = pd.DataFrame({"lon": rng.uniform(0, 1, 600),
+                          "lat": rng.uniform(0, 1, 600)})
+    r = [0.02]
+    k_near = cross_k(spark.createDataFrame(a),
+                     spark.createDataFrame(b_near),
+                     radii=r, area=1.0).head()["k_hat"]
+    k_ind = cross_k(spark.createDataFrame(a),
+                    spark.createDataFrame(b_ind),
+                    radii=r, area=1.0).head()["k_hat"]
+    csr = np.pi * 0.02 ** 2
+    assert k_near > 3 * csr        # strong attraction
+    assert abs(k_ind - csr) / csr < 0.5
