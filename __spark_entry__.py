@@ -5174,6 +5174,67 @@ def _cross_k_oracle_sql() -> str:
     """
 
 
+def q_rhumb_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rhumb-line navigation (functions/geodesy.py): loxodrome distance
+    + constant compass course between consecutive event points — pure
+    column ln/tan/atan2 (validated against the published Movable Type
+    worked example in pytest). The oracle mirrors the expression tree;
+    mm / µdeg quantization absorbs libm ulps (rel ≤1e-15 on 5e6 m)."""
+    _tune(spark)
+    from gis_tools_spark.functions.geodesy import (rhumb_bearing_deg,
+                                                   rhumb_distance_meters)
+
+    pts = DT.events_points(spark, sf_dir).where("event_id % 11 = 0")
+    a = pts.select(F.col("event_id").alias("ida"),
+                   F.col("lon").alias("lon1"), F.col("lat").alias("lat1"))
+    b = pts.select((F.col("event_id") - 11).alias("ida"),
+                   F.col("lon").alias("lon2"), F.col("lat").alias("lat2"))
+    j = a.join(b, on="ida")
+    return j.select(
+        "ida",
+        F.floor(rhumb_distance_meters(
+            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"))
+            * 1000 + F.lit(0.5)).cast("long").alias("d_mm"),
+        F.floor(rhumb_bearing_deg(
+            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"))
+            * 1e6 + F.lit(0.5)).cast("long").alias("brg_u"))
+
+
+def _rhumb_oracle_sql() -> str:
+    import numpy as np
+
+    pi4 = repr(float(np.pi / 4))
+    return f"""
+        WITH p AS MATERIALIZED (
+          SELECT event_id, lon, lat
+          FROM ({DT.POINTS_SQL.strip()}) p WHERE event_id % 11 = 0),
+        j AS (
+          SELECT a.event_id AS ida, a.lon AS lon1, a.lat AS lat1,
+                 b.lon AS lon2, b.lat AS lat2
+          FROM p a JOIN p b ON b.event_id = a.event_id + 11),
+        t AS (
+          SELECT ida,
+                 radians(lat2) - radians(lat1) AS dphi,
+                 radians(lon2 - lon1) AS dlam,
+                 ln(tan({pi4} + radians(lat2) / 2)
+                    / tan({pi4} + radians(lat1) / 2)) AS dpsi,
+                 radians(lat1) AS p1
+          FROM j),
+        u AS (
+          SELECT ida, dphi, dlam, dpsi,
+                 CASE WHEN abs(dphi) > 1e-12 THEN dphi / dpsi
+                      ELSE cos(p1) END AS q
+          FROM t)
+        SELECT ida,
+               CAST(floor(6371000.0 * sqrt(dphi * dphi
+                     + (q * q) * (dlam * dlam)) * 1000 + 0.5) AS BIGINT)
+                 AS d_mm,
+               CAST(floor(((degrees(atan2(dlam, dpsi)) + 360.0)
+                     % 360.0) * 1000000.0 + 0.5) AS BIGINT) AS brg_u
+        FROM u
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5334,6 +5395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_surface": q_trend_surface,
         "spherical_area": q_spherical_area,
         "cross_k": q_cross_k,
+        "rhumb_lines": q_rhumb_lines,
     }
 
 
@@ -9083,6 +9145,7 @@ FROM events),
         "trend_surface": _trend_oracle_sql(),
         "spherical_area": _spherical_area_oracle_sql(),
         "cross_k": _cross_k_oracle_sql(),
+        "rhumb_lines": _rhumb_oracle_sql(),
         "join_counts_grid": _hotspot_cells_sql() + """,
             bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
             ns AS (

@@ -128,7 +128,8 @@ def main() -> None:
                 "density_tiles", "ripleys_k", "quadrat_csr",
                 "raster_crosstab", "isochrones", "geary_grid",
                 "general_g_grid", "join_counts_grid", "st_dbscan",
-                "trend_surface", "spherical_area", "cross_k"]
+                "trend_surface", "spherical_area", "cross_k",
+                "rhumb_lines"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))

@@ -90,3 +90,54 @@ def geodesic_meters():
         return pd.Series(d)
 
     return _udf
+
+
+def rhumb_distance_meters(lon1: Column, lat1: Column, lon2: Column,
+                          lat2: Column,
+                          radius: float = EARTH_RADIUS_M) -> Column:
+    """Loxodrome (constant-bearing) distance in meters — what a ship
+    holding one compass course actually sails; always >= the great
+    circle. Pure column math (ln/tan/sqrt), whole-stage codegen.
+    Standard inverse-Mercator form: q = Δφ/Δψ with
+    ψ = ln tan(π/4 + φ/2) (q → cos φ as Δφ → 0);
+    d = R·√(Δφ² + q²·Δλ²)."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = p2 - p1
+    dlam = F.radians(lon2 - lon1)
+    dpsi = (F.log(F.tan(F.lit(np.pi / 4) + p2 / 2)
+                  / F.tan(F.lit(np.pi / 4) + p1 / 2)))
+    q = F.when(F.abs(dphi) > F.lit(1e-12), dphi / dpsi) \
+        .otherwise(F.cos(p1))
+    return F.lit(float(radius)) * F.sqrt(dphi * dphi
+                                         + q * q * dlam * dlam)
+
+
+def rhumb_bearing_deg(lon1: Column, lat1: Column, lon2: Column,
+                      lat2: Column) -> Column:
+    """Constant compass course from point 1 to point 2, degrees
+    clockwise from north in [0, 360)."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dlam = F.radians(lon2 - lon1)
+    dpsi = (F.log(F.tan(F.lit(np.pi / 4) + p2 / 2)
+                  / F.tan(F.lit(np.pi / 4) + p1 / 2)))
+    th = F.degrees(F.atan2(dlam, dpsi))
+    return (th + F.lit(360.0)) % F.lit(360.0)
+
+
+def rhumb_destination(lon1: Column, lat1: Column, bearing_deg: Column,
+                      dist_m: Column,
+                      radius: float = EARTH_RADIUS_M
+                      ) -> tuple[Column, Column]:
+    """(lon, lat) after sailing ``dist_m`` on a constant course.
+    Inverse of the distance/bearing pair (round-trip pytest-pinned)."""
+    th = F.radians(bearing_deg)
+    p1 = F.radians(lat1)
+    delta = dist_m / F.lit(float(radius))
+    dphi = delta * F.cos(th)
+    p2 = p1 + dphi
+    dpsi = (F.log(F.tan(F.lit(np.pi / 4) + p2 / 2)
+                  / F.tan(F.lit(np.pi / 4) + p1 / 2)))
+    q = F.when(F.abs(dphi) > F.lit(1e-12), dphi / dpsi) \
+        .otherwise(F.cos(p1))
+    dlam = delta * F.sin(th) / q
+    return (lon1 + F.degrees(dlam), F.degrees(p2))
