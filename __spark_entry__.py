@@ -5235,6 +5235,39 @@ def _rhumb_oracle_sql() -> str:
     """
 
 
+def q_label_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pole of inaccessibility (functions/geom_funcs.geom_label_point →
+    geom/kernels.polylabel, the Mapbox quadtree-refinement algorithm):
+    per-zone label anchors. For the rectangular nation zones the pole
+    is the exact center with dist = half the short side — the closed
+    form the oracle states; concave/holed shapes are pinned in pytest
+    against brute-force grids and analytic corner solutions. Emitted
+    at 1e-4 deg (the refinement precision is 1e-6 of the diagonal)."""
+    _tune(spark)
+    from gis_tools_spark.functions.geom_funcs import geom_label_point
+
+    z = DT.nation_zones(spark, sf_dir)
+    lp = z.withColumn("lp", geom_label_point(precision=1e-8)(
+        F.col("geometry_wkb")))
+    q4 = lambda c: F.floor(c * 10000.0 + F.lit(0.5)).cast("long")  # noqa: E731
+    return lp.select("gid", q4(F.col("lp.lx")).alias("lx4"),
+                     q4(F.col("lp.ly")).alias("ly4"),
+                     q4(F.col("lp.ldist")).alias("ld4"))
+
+
+def _label_points_oracle_sql() -> str:
+    return f"""
+        SELECT z.gid,
+               CAST(floor((z.zminx + z.zmaxx) / 2 * 10000.0 + 0.5)
+                 AS BIGINT) AS lx4,
+               CAST(floor((z.zminy + z.zmaxy) / 2 * 10000.0 + 0.5)
+                 AS BIGINT) AS ly4,
+               CAST(floor(least(z.zmaxx - z.zminx, z.zmaxy - z.zminy)
+                 / 2 * 10000.0 + 0.5) AS BIGINT) AS ld4
+        FROM ({DT.ZONES_SQL.strip()}) z
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5396,6 +5429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spherical_area": q_spherical_area,
         "cross_k": q_cross_k,
         "rhumb_lines": q_rhumb_lines,
+        "label_points": q_label_points,
     }
 
 
@@ -9146,6 +9180,7 @@ FROM events),
         "spherical_area": _spherical_area_oracle_sql(),
         "cross_k": _cross_k_oracle_sql(),
         "rhumb_lines": _rhumb_oracle_sql(),
+        "label_points": _label_points_oracle_sql(),
         "join_counts_grid": _hotspot_cells_sql() + """,
             bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
             ns AS (

@@ -45,6 +45,26 @@ def geom_length():
     return _wkb_to_double(K.length)
 
 
+def geom_label_point(precision: float | None = None):
+    """(lx, ly, ldist) struct: pole of inaccessibility (Mapbox
+    polylabel) — the interior point farthest from the boundary, the
+    right label anchor for concave polygons where the centroid falls
+    outside (geom/kernels.polylabel)."""
+    @F.pandas_udf(T.StructType([T.StructField("lx", T.DoubleType()),
+                                T.StructField("ly", T.DoubleType()),
+                                T.StructField("ldist", T.DoubleType())]))
+    def _udf(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in s:
+            if b is None:
+                rows.append((np.nan, np.nan, np.nan))
+                continue
+            rows.append(K.polylabel(wkb.decode(b), precision))
+        return pd.DataFrame(rows, columns=["lx", "ly", "ldist"])
+
+    return _udf
+
+
 def geom_spherical_area(radius: float = 6_371_000.0):
     """Spherical polygon area in m² (lat/lon-linear edges, exact —
     geom/kernels.ring_area_spherical_signed); planar ``geom_area`` is

@@ -880,3 +880,67 @@ def project_on_line(coords: np.ndarray, x: float, y: float) -> float:
     seg = np.sqrt(l2)
     cum = np.concatenate([[0.0], np.cumsum(seg)])
     return float(cum[i] + t[i] * seg[i])
+
+
+def _signed_boundary_dist(g: dict, xs: np.ndarray,
+                          ys: np.ndarray) -> np.ndarray:
+    """Signed distance to the polygon boundary: positive inside,
+    negative outside (the polylabel objective)."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    d = np.full(len(xs), np.inf)
+    for r in ring_list(g):
+        d = np.minimum(d, _pts_to_segments_min(r, xs, ys))
+    inside = covers_xy(g, xs, ys, boundary_tol=0)
+    return np.where(inside, d, -d)
+
+
+def polylabel(g: dict, precision: float | None = None) -> tuple:
+    """Pole of inaccessibility (Mapbox polylabel, Agafonkin 2016): the
+    interior point farthest from the polygon boundary — the right
+    label/anchor point for concave shapes, where the centroid can fall
+    outside.  Quadtree cell refinement with the standard
+    max-possible = dist + r·√2 bound; returns (x, y, dist).
+    ``precision`` defaults to bbox diagonal / 1e4."""
+    import heapq
+
+    minx, miny, maxx, maxy = bounds(g)
+    w, h = maxx - minx, maxy - miny
+    if w <= 0 and h <= 0:
+        return float(minx), float(miny), 0.0
+    if precision is None:
+        precision = max(np.hypot(w, h) / 1e4, 1e-12)
+    size = min(w, h) or max(w, h)
+    half = size / 2.0
+
+    def cell(cx, cy, hw):
+        d = float(_signed_boundary_dist(g, np.array([cx]),
+                                        np.array([cy]))[0])
+        return (-(d + hw * np.sqrt(2.0)), d, cx, cy, hw)
+
+    heap = []
+    y = miny
+    while y < maxy:
+        x = minx
+        while x < maxx:
+            heapq.heappush(heap, cell(x + half, y + half, half))
+            x += size
+        y += size
+    # seeds: centroid + bbox center
+    cgx, cgy = centroid(g)
+    best = cell(cgx, cgy, 0.0)
+    cand = cell(minx + w / 2, miny + h / 2, 0.0)
+    if cand[1] > best[1]:
+        best = cand
+    while heap:
+        neg_max, d, cx, cy, hw = heapq.heappop(heap)
+        if -neg_max - best[1] <= precision:
+            break
+        if d > best[1]:
+            best = (neg_max, d, cx, cy, hw)
+        if hw > precision / 2:
+            q = hw / 2.0
+            for dx in (-q, q):
+                for dy in (-q, q):
+                    heapq.heappush(heap, cell(cx + dx, cy + dy, q))
+    return float(best[2]), float(best[3]), float(best[1])
