@@ -5268,6 +5268,64 @@ def _label_points_oracle_sql() -> str:
     """
 
 
+def q_heading_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular heading statistics (operators/trajectory.heading_stats,
+    Mardia): per-user mean direction, resultant length and circular
+    variance of the track's segment azimuths — one lag window + one
+    groupBy, all codegen. The oracle mirrors the forward-azimuth atan2
+    and the resultant algebra; 1e-6 quantization absorbs libm +
+    reassociation noise (≤1e-13 on ≤70-segment sums)."""
+    _tune(spark)
+    from gis_tools_spark.operators.trajectory import heading_stats
+
+    out = heading_stats(_user_points(spark, sf_dir),
+                        key_cols=["user_id"], order_tiebreak="event_id")
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    return out.select("user_id", "n_segs",
+                      q6(F.col("mean_heading_deg")).alias("mh6"),
+                      q6(F.col("resultant")).alias("res6"),
+                      q6(F.col("circ_var")).alias("cv6"))
+
+
+def _heading_oracle_sql() -> str:
+    return f"""
+        WITH p AS MATERIALIZED (
+          SELECT user_id, event_id, epoch_us(ts) AS us, lon, lat
+          FROM ({_USER_POINTS_SQL.strip()}) u),
+        m AS (
+          SELECT user_id,
+                 lag(lon) OVER w AS plon, lag(lat) OVER w AS plat,
+                 lon, lat
+          FROM p WINDOW w AS (PARTITION BY user_id
+                              ORDER BY us, event_id)),
+        t AS (
+          SELECT user_id,
+                 radians(((degrees(atan2(
+                   sin(radians(lon - plon)) * cos(radians(lat)),
+                   cos(radians(plat)) * sin(radians(lat))
+                     - sin(radians(plat)) * cos(radians(lat))
+                       * cos(radians(lon - plon)))) + 360.0) % 360.0))
+                   AS th
+          FROM m
+          WHERE plon IS NOT NULL
+            AND (plon <> lon OR plat <> lat)),
+        a AS (
+          SELECT user_id, count(*) AS n_segs,
+                 sum(sin(th)) AS ss, sum(cos(th)) AS sc
+          FROM t GROUP BY 1)
+        SELECT user_id, n_segs,
+               CAST(floor(((degrees(atan2(ss, sc)) + 360.0) % 360.0)
+                 * 1000000.0 + 0.5) AS BIGINT) AS mh6,
+               CAST(floor((sqrt(ss * ss + sc * sc)
+                 / CAST(n_segs AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                 AS res6,
+               CAST(floor((1.0 - sqrt(ss * ss + sc * sc)
+                 / CAST(n_segs AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                 AS cv6
+        FROM a
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5430,6 +5488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_k": q_cross_k,
         "rhumb_lines": q_rhumb_lines,
         "label_points": q_label_points,
+        "heading_stats": q_heading_stats,
     }
 
 
@@ -9181,6 +9240,7 @@ FROM events),
         "cross_k": _cross_k_oracle_sql(),
         "rhumb_lines": _rhumb_oracle_sql(),
         "label_points": _label_points_oracle_sql(),
+        "heading_stats": _heading_oracle_sql(),
         "join_counts_grid": _hotspot_cells_sql() + """,
             bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
             ns AS (

@@ -141,3 +141,16 @@ def rhumb_destination(lon1: Column, lat1: Column, bearing_deg: Column,
         .otherwise(F.cos(p1))
     dlam = delta * F.sin(th) / q
     return (lon1 + F.degrees(dlam), F.degrees(p2))
+
+
+def initial_bearing_deg(lon1: Column, lat1: Column, lon2: Column,
+                        lat2: Column) -> Column:
+    """Great-circle forward azimuth at point 1, degrees clockwise from
+    north in [0, 360) — θ = atan2(sinΔλ·cosφ₂, cosφ₁·sinφ₂ −
+    sinφ₁·cosφ₂·cosΔλ). Pure codegen."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dl = F.radians(lon2 - lon1)
+    th = F.degrees(F.atan2(
+        F.sin(dl) * F.cos(p2),
+        F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dl)))
+    return (th + F.lit(360.0)) % F.lit(360.0)

@@ -28,7 +28,7 @@ from .sessions import sessionize
 from .sjoin import pip_join
 
 __all__ = ["track_stats", "od_flows", "geofence_events", "staypoints",
-           "frechet_pairs"]
+           "frechet_pairs", "heading_stats"]
 
 
 def track_stats(df: DataFrame, *, key_cols: Sequence[str],
@@ -316,3 +316,43 @@ def frechet_pairs(points: DataFrame, pairs: DataFrame, *,
     schema = (f"key_a {kt['key_a']}, key_b {kt['key_b']}, "
               "n_a int, n_b int, frechet double")
     return j.mapInPandas(_run, schema=schema)
+
+
+def heading_stats(points: DataFrame, *, key_cols: Sequence[str],
+                  ts_col: str = "ts", lon: str = "lon", lat: str = "lat",
+                  order_tiebreak: str | None = None) -> DataFrame:
+    """Circular statistics of a track's segment headings (Mardia):
+    per key — n_segs, mean_heading_deg (atan2 of the resultant
+    vector), resultant R̄ ∈ [0,1] (1 = dead straight course), and
+    circular variance 1−R̄.  "Does this device move with a consistent
+    direction" in one window + one groupBy, all codegen; degenerate
+    zero-length segments (consecutive identical positions) are
+    excluded (they have no heading)."""
+    from ..functions.geodesy import initial_bearing_deg
+
+    keys = list(key_cols)
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    plon, plat = F.lag(lon).over(w), F.lag(lat).over(w)
+    th = F.radians(initial_bearing_deg(plon, plat, F.col(lon),
+                                       F.col(lat)))
+    moved = plon.isNotNull() & ((plon != F.col(lon))
+                                | (plat != F.col(lat)))
+    s = points.select(*keys,
+                      F.when(moved, F.sin(th)).alias("__s"),
+                      F.when(moved, F.cos(th)).alias("__c"))
+    agg = s.groupBy(*keys).agg(
+        F.count("__s").alias("n_segs"),
+        F.sum("__s").alias("ss"), F.sum("__c").alias("sc"))
+    r = F.sqrt(F.col("ss") * F.col("ss") + F.col("sc") * F.col("sc")) \
+        / F.col("n_segs")
+    mean_h = (F.degrees(F.atan2(F.col("ss"), F.col("sc")))
+              + F.lit(360.0)) % F.lit(360.0)
+    has = F.col("n_segs") > 0
+    return agg.select(
+        *keys, F.col("n_segs").cast("long").alias("n_segs"),
+        F.when(has, mean_h).alias("mean_heading_deg"),
+        F.when(has, r).alias("resultant"),
+        F.when(has, F.lit(1.0) - r).alias("circ_var"))

@@ -114,3 +114,58 @@ def test_single_ping_runs(spark):
     assert out.count() == 3
     assert staypoints(df, key_cols=["user_id"], res=8, min_pings=2,
                       order_tiebreak="event_id").count() == 0
+
+
+def test_heading_stats_properties(spark):
+    from gis_tools_spark.operators.trajectory import heading_stats
+
+    # straight east-bound track: mean 90 deg, resultant 1
+    n = 20
+    straight = pd.DataFrame({
+        "user_id": ["s"] * n, "event_id": range(n),
+        "ts": pd.to_datetime(range(n), unit="s"),
+        "lon": np.linspace(0, 1, n), "lat": [10.0] * n})
+    # shuttle: east then west repeatedly -> resultant ~ 0
+    m = 21
+    shuttle = pd.DataFrame({
+        "user_id": ["z"] * m, "event_id": range(100, 100 + m),
+        "ts": pd.to_datetime(range(m), unit="s"),
+        "lon": [0.0, 1.0] * 10 + [0.0], "lat": [0.0] * m})
+    # stationary duplicates: no segments
+    still = pd.DataFrame({
+        "user_id": ["q"] * 3, "event_id": [200, 201, 202],
+        "ts": pd.to_datetime([0, 1, 2], unit="s"),
+        "lon": [5.0] * 3, "lat": [5.0] * 3})
+    df = spark.createDataFrame(pd.concat([straight, shuttle, still]))
+    out = {r["user_id"]: r for r in heading_stats(
+        df, key_cols=["user_id"], order_tiebreak="event_id").collect()}
+    assert abs(out["s"]["mean_heading_deg"] - 90.0) < 0.5
+    assert out["s"]["resultant"] > 0.999999
+    assert out["z"]["resultant"] < 0.06
+    assert out["q"]["n_segs"] == 0 and out["q"]["resultant"] is None
+
+
+def test_heading_stats_vs_reference(spark):
+    from gis_tools_spark.operators.trajectory import heading_stats
+
+    rng = np.random.RandomState(8)
+    pdf = pd.DataFrame({
+        "user_id": ["u"] * 40, "event_id": range(40),
+        "ts": pd.to_datetime(range(40), unit="s"),
+        "lon": rng.uniform(0, 1, 40), "lat": rng.uniform(40, 41, 40)})
+    r = heading_stats(spark.createDataFrame(pdf), key_cols=["user_id"],
+                      order_tiebreak="event_id").head()
+    # reference: numpy forward azimuths
+    lon = np.radians(pdf["lon"].to_numpy())
+    lat = np.radians(pdf["lat"].to_numpy())
+    dl = lon[1:] - lon[:-1]
+    th = np.arctan2(np.sin(dl) * np.cos(lat[1:]),
+                    np.cos(lat[:-1]) * np.sin(lat[1:])
+                    - np.sin(lat[:-1]) * np.cos(lat[1:]) * np.cos(dl))
+    th = np.radians((np.degrees(th) + 360.0) % 360.0)
+    ss, sc = np.sin(th).sum(), np.cos(th).sum()
+    res = np.hypot(ss, sc) / len(th)
+    mh = (np.degrees(np.arctan2(ss, sc)) + 360.0) % 360.0
+    assert r["n_segs"] == len(th)
+    assert abs(r["resultant"] - res) < 1e-12
+    assert abs(r["mean_heading_deg"] - mh) < 1e-9
