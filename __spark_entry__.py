@@ -5326,6 +5326,113 @@ def _heading_oracle_sql() -> str:
     """
 
 
+CHAIKIN_N, CHAIKIN_ITERS = 30, 2
+
+
+def q_line_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin corner-cut smoothing (geom/kernels.chaikin via
+    functions.geom_smooth): per-event-type closed-form polylines
+    smoothed 2 passes through the REAL WKB round-trip. All arithmetic
+    is dyadic (0.75/0.25), so every output vertex is a bit-exact
+    binary combination of the inputs — the oracle unrolls both passes
+    with index-arithmetic CTEs and matches at 1e-9."""
+    _tune(spark)
+    from pyspark.sql import Window
+
+    from gis_tools_spark.functions.geom_funcs import geom_smooth
+
+    pts = DT.events_points(spark, sf_dir).where("event_id % 13 = 0")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    v0 = (pts.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") <= CHAIKIN_N)
+          .select("event_type", "rn", "lon", "lat"))
+
+    def _mk(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        from gis_tools_spark.geom import wkb as W
+
+        pdf = pdf.sort_values("rn")
+        v = np.column_stack([pdf["lon"].to_numpy(),
+                             pdf["lat"].to_numpy()])
+        return pd.DataFrame([(key[0], W.encode(
+            {"type": "LineString", "coords": v}))],
+            columns=["event_type", "geometry_wkb"])
+
+    lines = v0.groupBy("event_type").applyInPandas(
+        _mk, schema="event_type string, geometry_wkb binary")
+    sm = lines.withColumn("g2", geom_smooth(CHAIKIN_ITERS)(
+        F.col("geometry_wkb")))
+
+    def _explode(it):
+        import pandas as pd
+
+        from gis_tools_spark.geom import wkb as W
+
+        for pdf in it:
+            rows = []
+            for et, buf in zip(pdf["event_type"], pdf["g2"]):
+                g = W.decode(bytes(buf))
+                for i, (x, y) in enumerate(g["coords"][:, :2]):
+                    rows.append((et, i, float(x), float(y)))
+            yield pd.DataFrame(rows, columns=["event_type", "idx",
+                                              "x", "y"])
+
+    out = sm.select("event_type", "g2").mapInPandas(
+        _explode, schema="event_type string, idx int, x double, y double")
+    q9 = lambda c: F.floor(c * 1e9 + F.lit(0.5)).cast("long")  # noqa: E731
+    return out.select("event_type", "idx", q9(F.col("x")).alias("x9"),
+                      q9(F.col("y")).alias("y9"))
+
+
+def _chaikin_pass_sql(src: str, dst: str) -> str:
+    """One Chaikin pass over (event_type, idx, x, y) with endpoint
+    pinning, as index-arithmetic CTE text."""
+    return f"""
+        {dst}_n AS (SELECT event_type, max(idx) AS last FROM {src}
+                    GROUP BY 1),
+        {dst} AS (
+          SELECT s.event_type, 0 AS idx, s.x, s.y
+          FROM {src} s WHERE s.idx = 0
+          UNION ALL
+          SELECT a.event_type, 1 + 2 * a.idx AS idx,
+                 0.75 * a.x + 0.25 * b.x AS x,
+                 0.75 * a.y + 0.25 * b.y AS y
+          FROM {src} a JOIN {src} b
+            ON b.event_type = a.event_type AND b.idx = a.idx + 1
+          UNION ALL
+          SELECT a.event_type, 2 + 2 * a.idx AS idx,
+                 0.25 * a.x + 0.75 * b.x AS x,
+                 0.25 * a.y + 0.75 * b.y AS y
+          FROM {src} a JOIN {src} b
+            ON b.event_type = a.event_type AND b.idx = a.idx + 1
+          UNION ALL
+          SELECT s.event_type, 2 * n.last + 1 AS idx, s.x, s.y
+          FROM {src} s JOIN {dst}_n n
+            ON n.event_type = s.event_type AND s.idx = n.last)"""
+
+
+def _line_smooth_oracle_sql() -> str:
+    return f"""
+        WITH v0 AS MATERIALIZED (
+          SELECT event_type, rn - 1 AS idx, lon AS x, lat AS y
+          FROM (
+            SELECT event_type, lon, lat,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY event_id) AS rn
+            FROM ({DT.POINTS_SQL.strip()}) p
+            WHERE event_id % 13 = 0)
+          WHERE rn <= {CHAIKIN_N}),
+        {_chaikin_pass_sql("v0", "v1")},
+        {_chaikin_pass_sql("v1", "v2")}
+        SELECT event_type, CAST(idx AS INT) AS idx,
+               CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT) AS x9,
+               CAST(floor(y * 1000000000.0 + 0.5) AS BIGINT) AS y9
+        FROM v2
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5489,6 +5596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rhumb_lines": q_rhumb_lines,
         "label_points": q_label_points,
         "heading_stats": q_heading_stats,
+        "line_smooth": q_line_smooth,
     }
 
 
@@ -9241,6 +9349,7 @@ FROM events),
         "rhumb_lines": _rhumb_oracle_sql(),
         "label_points": _label_points_oracle_sql(),
         "heading_stats": _heading_oracle_sql(),
+        "line_smooth": _line_smooth_oracle_sql(),
         "join_counts_grid": _hotspot_cells_sql() + """,
             bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
             ns AS (

@@ -129,7 +129,8 @@ def main() -> None:
                 "raster_crosstab", "isochrones", "geary_grid",
                 "general_g_grid", "join_counts_grid", "st_dbscan",
                 "trend_surface", "spherical_area", "cross_k",
-                "rhumb_lines", "label_points", "heading_stats"]
+                "rhumb_lines", "label_points", "heading_stats",
+                "line_smooth"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))

@@ -45,6 +45,19 @@ def geom_length():
     return _wkb_to_double(K.length)
 
 
+def geom_smooth(iterations: int = 2):
+    """WKB → WKB Chaikin corner-cut smoothing (geom/kernels.chaikin);
+    dyadic arithmetic, exact binary floats of the inputs."""
+    @F.pandas_udf(T.BinaryType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series([
+            None if b is None else wkb.encode(
+                K.chaikin(wkb.decode(b), iterations))
+            for b in s])
+
+    return _udf
+
+
 def geom_label_point(precision: float | None = None):
     """(lx, ly, ldist) struct: pole of inaccessibility (Mapbox
     polylabel) — the interior point farthest from the boundary, the

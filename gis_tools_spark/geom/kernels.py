@@ -944,3 +944,60 @@ def polylabel(g: dict, precision: float | None = None) -> tuple:
                 for dy in (-q, q):
                     heapq.heappush(heap, cell(cx + dx, cy + dy, q))
     return float(best[2]), float(best[3]), float(best[1])
+
+
+def _chaikin_once(v: np.ndarray, closed: bool) -> np.ndarray:
+    """One Chaikin corner-cut pass: each edge (P,Q) contributes
+    (3P+Q)/4 and (P+3Q)/4.  Open lines keep their endpoints; closed
+    rings stay closed (first == last)."""
+    pts = v[:-1] if closed else v
+    p = pts
+    q = np.roll(pts, -1, axis=0) if closed else pts[1:]
+    if not closed:
+        p = pts[:-1]
+    a = 0.75 * p + 0.25 * q
+    b = 0.25 * p + 0.75 * q
+    out = np.empty((len(a) * 2, v.shape[1]))
+    out[0::2] = a
+    out[1::2] = b
+    if closed:
+        return np.vstack([out, out[:1]])
+    return np.vstack([v[:1], out, v[-1:]])
+
+
+def chaikin(g: dict, iterations: int = 2) -> dict:
+    """Chaikin corner-cutting smoothing (Chaikin 1974 — the standard
+    cartographic line/ring smoother; converges to a quadratic
+    B-spline).  All arithmetic is dyadic (×0.75/×0.25), so results are
+    exact binary floats of the inputs — an ANSI-SQL oracle can replay
+    the passes bit-for-bit.  Applies to LineString/MultiLineString
+    (open, endpoints pinned) and Polygon/MultiPolygon rings (closed)."""
+    it = int(iterations)
+    t = g["type"]
+    if t in ("Point", "MultiPoint"):
+        return g
+    if t == "LineString":
+        v = np.asarray(g["coords"], dtype=np.float64)
+        for _ in range(it):
+            v = _chaikin_once(v, closed=False)
+        return {"type": "LineString", "coords": v}
+    if t == "MultiLineString":
+        lines = []
+        for l in g["lines"]:
+            v = np.asarray(l, dtype=np.float64)
+            for _ in range(it):
+                v = _chaikin_once(v, closed=False)
+            lines.append(v)
+        return {"type": "MultiLineString", "lines": lines}
+    polys = []
+    for rings in polygons_of(g):
+        out_rings = []
+        for r in rings:
+            v = np.asarray(r, dtype=np.float64)
+            for _ in range(it):
+                v = _chaikin_once(v, closed=True)
+            out_rings.append(v)
+        polys.append(out_rings)
+    if t == "Polygon":
+        return {"type": "Polygon", "rings": polys[0]}
+    return {"type": "MultiPolygon", "polygons": polys}
