@@ -5433,6 +5433,73 @@ def _line_smooth_oracle_sql() -> str:
     """
 
 
+GFUNC_RADII = (0.01, 0.02, 0.05, 0.1)
+
+
+def q_g_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbour G-function (operators/pointpattern.g_function):
+    the NN-distance CDF at a radius ladder — binned pair join + one
+    min-per-point groupBy, all exact int64; censoring beyond the max
+    radius reported. Oracle mirrors the join, the per-point min and
+    the ladder."""
+    _tune(spark)
+    from gis_tools_spark.operators.pointpattern import g_function
+
+    out = g_function(DT.events_points(spark, sf_dir), radii=GFUNC_RADII)
+    return out.select(
+        "r_idx", "n_le", "n_censored",
+        F.floor(F.col("g_hat") * 1e12 + F.lit(0.5)).cast("long")
+        .alias("g12"))
+
+
+def _g_function_oracle_sql() -> str:
+    rs = [int(round(r * 1e6)) for r in GFUNC_RADII]
+    L = rs[-1]
+    case = "CASE " + " ".join(
+        f"WHEN nn_d2 <= {r * r} THEN {k}" for k, r in enumerate(rs))         + " END"
+    rad_rows = ", ".join(f"({k})" for k in range(len(rs)))
+    return f"""
+        WITH q AS MATERIALIZED (
+          SELECT CAST(floor(p.lon * 1000000.0 + 0.5) AS BIGINT) AS xi,
+                 CAST(floor(p.lat * 1000000.0 + 0.5) AS BIGINT) AS yi,
+                 ROW_NUMBER() OVER () AS rid
+          FROM ({DT.POINTS_SQL.strip()}) p),
+        offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                 (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+        l AS MATERIALIZED (
+          SELECT q.*, (xi - xi % {L}) // {L} + offs.dx AS bx,
+                      (yi - yi % {L}) // {L} + offs.dy AS by
+          FROM q, offs),
+        r AS MATERIALIZED (
+          SELECT q.*, (xi - xi % {L}) // {L} AS bx,
+                      (yi - yi % {L}) // {L} AS by
+          FROM q),
+        nn AS MATERIALIZED (
+          SELECT l.rid,
+                 min((l.xi-r.xi)*(l.xi-r.xi)
+                     + (l.yi-r.yi)*(l.yi-r.yi)) AS nn_d2
+          FROM l JOIN r USING (bx, by)
+          WHERE l.rid <> r.rid
+            AND (l.xi-r.xi)*(l.xi-r.xi) + (l.yi-r.yi)*(l.yi-r.yi)
+                  <= {L}::BIGINT * {L}::BIGINT
+          GROUP BY l.rid),
+        per AS (
+          SELECT {case} AS r_idx, count(*) AS c FROM nn GROUP BY 1),
+        rad AS (SELECT * FROM (VALUES {rad_rows}) v(r_idx)),
+        cum AS (
+          SELECT rad.r_idx,
+                 SUM(COALESCE(per.c, 0)) OVER (
+                   ORDER BY rad.r_idx ROWS UNBOUNDED PRECEDING) AS n_le
+          FROM rad LEFT JOIN per USING (r_idx)),
+        nn_tot AS (SELECT (SELECT count(*) FROM q) AS n,
+                          (SELECT count(*) FROM nn) AS n_found)
+        SELECT c.r_idx, c.n_le, t.n - t.n_found AS n_censored,
+          CAST(floor((CAST(c.n_le AS DOUBLE) / CAST(t.n AS DOUBLE))
+            * 1000000000000.0 + 0.5) AS BIGINT) AS g12
+        FROM cum c, nn_tot t
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5597,6 +5664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_points": q_label_points,
         "heading_stats": q_heading_stats,
         "line_smooth": q_line_smooth,
+        "g_function": q_g_function,
     }
 
 
@@ -9350,6 +9418,7 @@ FROM events),
         "label_points": _label_points_oracle_sql(),
         "heading_stats": _heading_oracle_sql(),
         "line_smooth": _line_smooth_oracle_sql(),
+        "g_function": _g_function_oracle_sql(),
         "join_counts_grid": _hotspot_cells_sql() + """,
             bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
             ns AS (

@@ -31,7 +31,7 @@ from typing import Sequence
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["ripleys_k", "quadrat_test", "cross_k"]
+__all__ = ["ripleys_k", "quadrat_test", "cross_k", "g_function"]
 
 
 def ripleys_k(points: DataFrame, *, radii: Sequence[float], area: float,
@@ -209,3 +209,75 @@ def cross_k(points_a: DataFrame, points_b: DataFrame, *,
                       F.col("n_pairs_le").cast("long").alias("n_pairs_le"),
                       k_hat.alias("k_hat"),
                       F.sqrt(k_hat / F.lit(float(np.pi))).alias("l_hat"))
+
+
+def g_function(points: DataFrame, *, radii: Sequence[float],
+               lon: str = "lon", lat: str = "lat",
+               scale_xy: float = 1e6) -> DataFrame:
+    """Nearest-neighbour distance distribution Ĝ(r) = fraction of
+    points whose NN distance is ≤ r (CSR: G(r) = 1 − exp(−λπr²)) —
+    the third member of the point-pattern family after K and the
+    quadrat test: K counts ALL neighbours, G looks only at the
+    nearest, so it reacts to fine-scale inhibition/attraction K
+    smooths over.
+
+    Distances beyond max(radii) are censored: such points count in
+    ``n`` but in no bin (the standard reduced-sample treatment at the
+    search cutoff; ``n_censored`` reports how many).  Same exact-int
+    grid-bin pair join as ripleys_k, plus one min-per-point groupBy.
+    Returns one row per radius: (r_idx, r, n_le, g_hat) and the
+    censored count on every row."""
+    radii = sorted(float(r) for r in radii)
+    if not radii or radii[0] <= 0:
+        raise ValueError("radii must be positive")
+    r_int = [int(round(r * scale_xy)) for r in radii]
+    L = r_int[-1]
+    xi = F.floor(F.col(lon) * scale_xy + 0.5).cast("long")
+    yi = F.floor(F.col(lat) * scale_xy + 0.5).cast("long")
+    b = points.select(xi.alias("xi"), yi.alias("yi"),
+                      F.monotonically_increasing_id().alias("__rid"))
+    n = b.count()
+    if n < 2:
+        raise ValueError("need at least 2 points")
+    bx = (F.col("xi") - F.col("xi") % L) / L
+    by = (F.col("yi") - F.col("yi") % L) / L
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    left = b.select(
+        F.col("xi").alias("ax"), F.col("yi").alias("ay"),
+        F.col("__rid").alias("ra"),
+        F.explode(F.array(*[
+            F.struct((bx.cast("long") + dx).alias("bx"),
+                     (by.cast("long") + dy).alias("by"))
+            for dx, dy in offs])).alias("t")
+    ).select("ax", "ay", "ra",
+             F.col("t.bx").alias("bx"), F.col("t.by").alias("by"))
+    right = b.select(F.col("xi").alias("cx"), F.col("yi").alias("cy"),
+                     F.col("__rid").alias("rb"),
+                     bx.cast("long").alias("bx"),
+                     by.cast("long").alias("by"))
+    dx = F.col("ax") - F.col("cx")
+    dy = F.col("ay") - F.col("cy")
+    d2 = dx * dx + dy * dy
+    nn = (left.join(right, on=["bx", "by"])
+          .where((F.col("ra") != F.col("rb"))
+                 & (d2 <= F.lit(L * L).cast("long")))
+          .groupBy("ra").agg(F.min(d2).alias("nn_d2")))
+    n_found = nn.count()
+    idx = None
+    for k in range(len(r_int) - 1, -1, -1):
+        cond = F.col("nn_d2") <= F.lit(r_int[k] * r_int[k]).cast("long")
+        idx = F.when(cond, F.lit(k)) if idx is None else \
+            F.when(cond, F.lit(k)).otherwise(idx)
+    per = nn.groupBy(idx.alias("r_idx")).agg(F.count("*").alias("__c"))
+    rad_df = points.sparkSession.createDataFrame(
+        [(k, radii[k]) for k in range(len(radii))], "r_idx int, r double")
+    cum = (rad_df.join(per, on="r_idx", how="left")
+           .withColumn("__c", F.coalesce("__c", F.lit(0)))
+           .withColumn("n_le",
+                       F.sum("__c").over(
+                           Window.orderBy("r_idx")
+                           .rowsBetween(Window.unboundedPreceding, 0))))
+    return cum.select(
+        "r_idx", "r", F.col("n_le").cast("long").alias("n_le"),
+        (F.col("n_le").cast("double") / F.lit(float(n))).alias("g_hat"),
+        F.lit(n - n_found).cast("long").alias("n_censored"))

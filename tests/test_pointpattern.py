@@ -144,3 +144,43 @@ def test_cross_k_attraction_vs_independence(spark):
     csr = np.pi * 0.02 ** 2
     assert k_near > 3 * csr        # strong attraction
     assert abs(k_ind - csr) / csr < 0.5
+
+
+def test_g_function_bruteforce(spark):
+    from gis_tools_spark.operators.pointpattern import g_function
+
+    rng = np.random.RandomState(21)
+    pdf = pd.DataFrame({"lon": rng.uniform(0, 1, 250),
+                        "lat": rng.uniform(0, 1, 250)})
+    radii = [0.02, 0.05, 0.3]
+    got = (g_function(spark.createDataFrame(pdf), radii=radii)
+           .orderBy("r_idx").collect())
+    x = np.floor(pdf["lon"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    y = np.floor(pdf["lat"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    d2 = ((x[:, None] - x[None, :]) ** 2
+          + (y[:, None] - y[None, :]) ** 2).astype(float)
+    np.fill_diagonal(d2, np.inf)
+    nn = d2.min(1)
+    for g, r in zip(got, sorted(radii)):
+        ri = int(round(r * 1e6))
+        assert g["n_le"] == int((nn <= ri * ri).sum())
+        assert abs(g["g_hat"] - (nn <= ri * ri).mean()) < 1e-12
+    # max radius 0.3 on a unit square: nothing censored
+    assert got[0]["n_censored"] == 0
+
+
+def test_g_function_censoring_and_csr(spark):
+    from gis_tools_spark.operators.pointpattern import g_function
+
+    # two far-apart points: NN distance 1.0 > rmax=0.1 -> both censored
+    pdf = pd.DataFrame({"lon": [0.0, 1.0], "lat": [0.0, 0.0]})
+    got = g_function(spark.createDataFrame(pdf), radii=[0.1]).head()
+    assert got["n_censored"] == 2 and got["n_le"] == 0
+    # CSR: G(r) ~ 1 - exp(-lambda*pi*r^2)
+    rng = np.random.RandomState(22)
+    csr = pd.DataFrame({"lon": rng.uniform(0, 1, 2000),
+                        "lat": rng.uniform(0, 1, 2000)})
+    r = 0.012
+    got = g_function(spark.createDataFrame(csr), radii=[r]).head()
+    want = 1 - np.exp(-2000 * np.pi * r * r)
+    assert abs(got["g_hat"] - want) < 0.07
