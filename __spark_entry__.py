@@ -5500,6 +5500,84 @@ def _g_function_oracle_sql() -> str:
     """
 
 
+def q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming geofence transitions (streaming/windowed.py
+    geofence_transitions + sjoin.pip_tag, value-gated): user pings run
+    as a REAL stream — 6 time-sliced input files (ascending mtimes so
+    the file source replays event time), one per micro-batch — through
+    the join-free broadcast zone tagger and the GroupState transition
+    detector; the per-device last zone crosses micro-batch boundaries
+    in state. Because each user's pings arrive in ts order, the
+    multi-batch stream output equals the batch lag-window closed form,
+    which is the oracle."""
+    _tune(spark)
+    import os
+    import tempfile
+    import time
+
+    d = tempfile.mkdtemp(prefix="stream_gf_")
+    pts = _user_points(spark, sf_dir).where("event_id % 3 = 0")
+    n_files = 6
+    tile = F.ntile(n_files).over(
+        __import__("pyspark.sql.window", fromlist=["Window"])
+        .Window.orderBy("ts", "event_id"))
+    staged = pts.withColumn("__f", tile)
+    base = time.time() - 1000
+    for k in range(1, n_files + 1):
+        (staged.where(F.col("__f") == k).drop("__f")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{d}/in/f{k}"))
+        for root, _dirs, files in os.walk(f"{d}/in/f{k}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (base + k, base + k))
+
+    schema = pts.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(f"{d}/in/*"))
+    from gis_tools_spark.streaming.windowed import geofence_transitions
+
+    out = geofence_transitions(stream, DT.nation_zones(spark, sf_dir),
+                               order_tiebreak="event_id")
+    q = (out.writeStream.format("parquet")
+         .option("path", f"{d}/out")
+         .option("checkpointLocation", f"{d}/ckpt")
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    res = spark.read.parquet(f"{d}/out")
+    return res.select("user_id", "ts_us", "from_zone", "to_zone", "kind")
+
+
+def _stream_geofence_oracle_sql() -> str:
+    return f"""
+        WITH p AS (
+          SELECT * FROM ({_USER_POINTS_SQL.strip()}) u
+          WHERE event_id % 3 = 0),
+        zh AS (
+          SELECT p.event_id, min(zz.gid) AS zone
+          FROM p JOIN ({DT.ZONES_SQL.strip()}) zz
+            ON p.lon >= zz.zminx AND p.lon <= zz.zmaxx
+           AND p.lat >= zz.zminy AND p.lat <= zz.zmaxy
+          GROUP BY p.event_id),
+        z AS (
+          SELECT p.user_id, p.event_id, p.ts, zh.zone
+          FROM p LEFT JOIN zh ON p.event_id = zh.event_id),
+        o AS (
+          SELECT *, lag(zone) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM z)
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               CAST(prev AS BIGINT) AS from_zone,
+               CAST(zone AS BIGINT) AS to_zone,
+               CASE WHEN prev IS NULL THEN 'enter'
+                    WHEN zone IS NULL THEN 'exit'
+                    ELSE 'switch' END AS kind
+        FROM o WHERE zone IS DISTINCT FROM prev
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5665,6 +5743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heading_stats": q_heading_stats,
         "line_smooth": q_line_smooth,
         "g_function": q_g_function,
+        "stream_geofence": q_stream_geofence,
     }
 
 
@@ -9419,6 +9498,7 @@ FROM events),
         "heading_stats": _heading_oracle_sql(),
         "line_smooth": _line_smooth_oracle_sql(),
         "g_function": _g_function_oracle_sql(),
+        "stream_geofence": _stream_geofence_oracle_sql(),
         "join_counts_grid": _hotspot_cells_sql() + """,
             bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
             ns AS (

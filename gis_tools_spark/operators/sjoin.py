@@ -200,24 +200,13 @@ def _pip_cell_join(points: DataFrame, polygons: DataFrame, *, lon, lat,
     return refined if keep_poly_wkb else refined.drop(poly_wkb)
 
 
-def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
-                   poly_wkb, poly_id, predicate, res, keep_poly_wkb) -> DataFrame:
-    """Zero-shuffle path: decode+bucket polygons once, broadcast, stream
-    points through a single mapInPandas.
-
-    Parallelism guard: with no shuffle in the plan, the kernel inherits
-    the SCAN's partitioning — a small (or heavily filtered) point table
-    can arrive as 1-2 partitions and throttle the refine to 2 cores.
-    If the input has fewer partitions than the cluster's parallelism,
-    repartition first (cheap: only the narrow point columns move). At
-    production scale scans carry >> parallelism partitions, so this is
-    a no-op there — no extra shuffle on the 100 TB path."""
-    sc_ = points.sparkSession.sparkContext
-    if (not points.isStreaming
-            and points.rdd.getNumPartitions() < sc_.defaultParallelism):
-        points = points.repartition(sc_.defaultParallelism)
+def _broadcast_hits_udf(spark_session, polygons: DataFrame, *,
+                        poly_wkb: str, predicate: str, res: int):
+    """Shared broadcast-CSR point-in-polygon kernel: returns
+    (hits_udf, poly_rows) where hits_udf(lon, lat) emits the ARRAY of
+    matching polygon indices per point. Used by the batch broadcast
+    join (_pip_broadcast) and the streaming-safe tagger (pip_tag)."""
     poly_rows = polygons.collect()
-    attrs = [c for c in polygons.columns if c != poly_wkb or keep_poly_wkb]
     geoms = []
     pair_cells: list[int] = []
     pair_poly: list[int] = []
@@ -247,12 +236,11 @@ def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
     pc, pp = pc[o], pp[o]
     ucells, starts, counts = np.unique(pc, return_index=True, return_counts=True)
 
-    sc = points.sparkSession.sparkContext
-    bc = sc.broadcast((geoms, ucells, starts, counts, pp, res, big_polys))
+    bc = spark_session.sparkContext.broadcast(
+        (geoms, ucells, starts, counts, pp, res, big_polys))
 
     from pyspark.sql import types as T
 
-    poly_schema = polygons.schema
     test = K.covers_xy if predicate == "covers" else K.contains_xy
 
     # scalar UDF emits, per point, the ARRAY of matching polygon indices
@@ -317,6 +305,32 @@ def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
                 res_lists[int(p)] = G[b2[j]:b2[j + 1]].astype(int).tolist()
         return pd.Series(res_lists)
 
+    return _hits, poly_rows
+
+
+def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
+                   poly_wkb, poly_id, predicate, res, keep_poly_wkb) -> DataFrame:
+    """Zero-shuffle path: decode+bucket polygons once, broadcast, stream
+    points through a single scalar-UDF pass.
+
+    Parallelism guard: with no shuffle in the plan, the kernel inherits
+    the SCAN's partitioning — a small (or heavily filtered) point table
+    can arrive as 1-2 partitions and throttle the refine to 2 cores.
+    If the input has fewer partitions than the cluster's parallelism,
+    repartition first (cheap: only the narrow point columns move). At
+    production scale scans carry >> parallelism partitions, so this is
+    a no-op there — no extra shuffle on the 100 TB path."""
+    from pyspark.sql import types as T
+
+    sc_ = points.sparkSession.sparkContext
+    if (not points.isStreaming
+            and points.rdd.getNumPartitions() < sc_.defaultParallelism):
+        points = points.repartition(sc_.defaultParallelism)
+    _hits, poly_rows = _broadcast_hits_udf(
+        points.sparkSession, polygons, poly_wkb=poly_wkb,
+        predicate=predicate, res=res)
+    attrs = [c for c in polygons.columns if c != poly_wkb or keep_poly_wkb]
+    poly_schema = polygons.schema
     attr_schema = T.StructType([T.StructField("__pi", T.IntegerType())]
                                + [poly_schema[c] for c in attrs])
     attr_df = points.sparkSession.createDataFrame(
@@ -325,6 +339,27 @@ def _pip_broadcast(points: DataFrame, polygons: DataFrame, *, lon, lat,
     return (points.withColumn("__pi", F.explode(_hits(F.col(lon), F.col(lat))))
             .join(F.broadcast(attr_df), on="__pi")
             .drop("__pi"))
+
+
+def pip_tag(points: DataFrame, polygons: DataFrame, *,
+            lon: str = "lon", lat: str = "lat",
+            poly_wkb: str = "geometry_wkb", poly_id: str = "gid",
+            predicate: str = "covers", res: int = 11,
+            out_col: str = "zone") -> DataFrame:
+    """LEFT-tagging variant of the broadcast PIP join: adds ``out_col``
+    = the MIN ``poly_id`` covering each row (NULL outside every
+    polygon) without dropping or duplicating any row — and without any
+    join in the plan (the id lookup is a pure array expression over
+    the hit indices), so it is legal on STREAMING DataFrames where a
+    join-back on a surrogate id is not."""
+    _hits, poly_rows = _broadcast_hits_udf(
+        points.sparkSession, polygons, poly_wkb=poly_wkb,
+        predicate=predicate, res=res)
+    ids = F.array(*[F.lit(row[poly_id]) for row in poly_rows])
+    hits = _hits(F.col(lon), F.col(lat))
+    zone = F.array_min(F.transform(
+        hits, lambda i: F.element_at(ids, i + F.lit(1))))
+    return points.withColumn(out_col, zone)
 
 
 # ------------------------------------------------------------------ generic geometry-geometry join

@@ -100,3 +100,74 @@ def running_zone_totals(stream: DataFrame, zones: DataFrame, *,
                                     stateStructType=_STATE_SCHEMA,
                                     outputMode="update",
                                     timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def geofence_transitions(stream: DataFrame, zones: DataFrame, *,
+                         key_col: str = "user_id", ts_col: str = "ts",
+                         lon: str = "lon", lat: str = "lat",
+                         zone_id: str = "gid", res: int = 11,
+                         order_tiebreak: str | None = None) -> DataFrame:
+    """Streaming geofence transition detector — the stateful-stream
+    form of operators/trajectory.geofence_events: one output row per
+    ping at which a device's zone membership CHANGES (enter / exit /
+    switch), with the last-known zone carried ACROSS micro-batches in
+    GroupState (per-device state is two fields; overlapping fences
+    resolve to the MIN zone id, identical to the batch op).
+
+    Zone tagging uses ``pip_tag`` — the join-free broadcast CSR
+    variant — because left-join-back plans are illegal on streams.
+    Ordering: rows are ordered by (ts, key) WITHIN each micro-batch;
+    cross-batch order follows arrival, the standard low-latency
+    stateful contract (buffer upstream if strict event-time order is
+    required)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.sjoin import pip_tag
+
+    cols = [key_col, ts_col, lon, lat] + (
+        [order_tiebreak] if order_tiebreak else [])
+    tagged = pip_tag(stream.select(*cols), zones,
+                     poly_id=zone_id, res=res, out_col="__zone")
+    tagged = tagged.withColumn(
+        "__us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+    sort_cols = ["__us"] + ([order_tiebreak] if order_tiebreak else [])
+
+    out_schema = T.StructType([
+        tagged.schema[key_col],
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("from_zone", T.LongType()),
+        T.StructField("to_zone", T.LongType()),
+        T.StructField("kind", T.StringType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("has_zone", T.IntegerType()),
+        T.StructField("zone", T.LongType()),
+    ])
+
+    def _update(key, pdfs, state: GroupState):
+        if state.exists:
+            has_prev, prev = state.get
+            prev = None if not has_prev else int(prev)
+        else:
+            prev = None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(sort_cols)
+            for us, z in zip(pdf["__us"], pdf["__zone"]):
+                z = None if pd.isna(z) else int(z)
+                if z != prev:
+                    kind = ("enter" if prev is None
+                            else "exit" if z is None else "switch")
+                    rows.append((key[0], int(us), prev, z, kind))
+                prev = z
+        state.update((0 if prev is None else 1,
+                      -1 if prev is None else int(prev)))
+        yield pd.DataFrame(rows, columns=[key_col, "ts_us", "from_zone",
+                                          "to_zone", "kind"])
+
+    return (tagged.groupBy(key_col)
+            .applyInPandasWithState(_update, outputStructType=out_schema,
+                                    stateStructType=state_schema,
+                                    outputMode="append",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))

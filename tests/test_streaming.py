@@ -180,3 +180,59 @@ def test_sessionized_zone_counts_gap_sessions(spark, tmp_path):
     assert r["n"] == 2
     assert str(r["sess_start"]) == "2026-01-01 10:00:00"
     assert str(r["sess_end"]) == "2026-01-01 10:40:00"
+
+
+def test_geofence_transitions_state_across_batches(spark, tmp_path):
+    """Streaming geofence equals the BATCH geofence_events on the same
+    pings — including a transition whose two sides arrive in DIFFERENT
+    micro-batches (the GroupState carry)."""
+    import numpy as np
+
+    from gis_tools_spark.operators.trajectory import geofence_events
+    from gis_tools_spark.streaming.windowed import geofence_transitions
+
+    zones, zones_pd = _zone_df(spark)
+    z0 = zones_pd.iloc[0]
+    cx = (z0.zminx + z0.zmaxx) / 2 if hasattr(z0, "zminx") else None
+    # build pings straddling zone 0: inside -> inside -> outside in b1,
+    # outside -> inside in b2 (re-entry crosses the batch boundary)
+    import pandas as pd
+
+    from gis_tools_spark.geom import wkb as W
+    g = W.decode(bytes(z0.geometry_wkb))
+    import gis_tools_spark.geom.kernels as K
+    mnx, mny, mxx, mxy = K.bounds(g)
+    inx, iny = (mnx + mxx) / 2, (mny + mxy) / 2
+    outx, outy = mxx + 1.0, mxy + 1.0
+    def mk(ts_s, lon, lat):
+        return {"user_id": "u1", "ts": pd.Timestamp(ts_s, unit="s"),
+                "lon": lon, "lat": lat}
+    b1 = pd.DataFrame([mk(0, inx, iny), mk(10, inx, iny),
+                       mk(20, outx, outy)])
+    b2 = pd.DataFrame([mk(30, outx, outy), mk(40, inx, iny)])
+    src = tmp_path / "gf_in"
+    src.mkdir()
+    b1["ts"] = b1["ts"].astype("datetime64[us]")
+    b2["ts"] = b2["ts"].astype("datetime64[us]")
+    b1.to_parquet(src / "b1.parquet", index=False)
+    b2.to_parquet(src / "b2.parquet", index=False)
+    schema = spark.read.parquet(str(src / "b1.parquet")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = geofence_transitions(stream, zones)
+    q = (out.writeStream.format("memory").queryName("gft")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "gf_ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted((r["ts_us"], r["from_zone"], r["to_zone"], r["kind"])
+                 for r in spark.sql("select * from gft").collect())
+    # batch reference on the concatenated stream
+    allp = pd.concat([b1, b2]).reset_index(drop=True)
+    allp["event_id"] = range(len(allp))
+    ref = geofence_events(spark.createDataFrame(allp), zones,
+                          id_col="event_id", order_tiebreak="event_id")
+    want = sorted((int(r["ts"].timestamp() * 1e6),
+                   r["from_zone"], r["to_zone"], r["kind"])
+                  for r in ref.collect())
+    assert got == want and len(got) == 3    # enter, exit, re-enter
