@@ -5578,6 +5578,89 @@ def _stream_geofence_oracle_sql() -> str:
     """
 
 
+def q_line_zone_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Road-length-per-zone (operators/overlay.line_zone_length): the
+    consecutive-event polyline clipped into each nation rectangle by
+    exact parametric interval arithmetic in pure codegen — "km of
+    road per district" for bbox zones. Contributions quantize to 1e-9
+    before the sum (partition-order independent); the oracle replays
+    the slab algebra over the identical pair set."""
+    _tune(spark)
+    from gis_tools_spark.operators.overlay import line_zone_length
+
+    pts = DT.events_points(spark, sf_dir).where("event_id % 11 = 0")
+    a = pts.select(F.col("event_id").alias("ida"),
+                   F.col("lon").alias("x0"), F.col("lat").alias("y0"))
+    b = pts.select((F.col("event_id") - 11).alias("ida"),
+                   F.col("lon").alias("x1"), F.col("lat").alias("y1"))
+    segs = a.join(b, on="ida")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    minx, miny, maxx, maxy = DT.zone_bounds_cols()
+    zones = na.select(F.col("n_nationkey").alias("gid"),
+                      minx.alias("zminx"), miny.alias("zminy"),
+                      maxx.alias("zmaxx"), maxy.alias("zmaxy"))
+    out = line_zone_length(segs, zones, quantize_decimals=9)
+    return out.select(
+        "gid", "n_segments",
+        F.floor(F.col("length") * 1e9 + F.lit(0.5)).cast("long")
+        .alias("len9"))
+
+
+def _line_zone_oracle_sql() -> str:
+    return f"""
+        WITH p AS MATERIALIZED (
+          SELECT event_id, lon, lat
+          FROM ({DT.POINTS_SQL.strip()}) u WHERE event_id % 11 = 0),
+        s AS (
+          SELECT a.event_id AS ida, a.lon AS x0, a.lat AS y0,
+                 b.lon AS x1, b.lat AS y1
+          FROM p a JOIN p b ON b.event_id = a.event_id + 11),
+        c AS (
+          SELECT s.*, z.gid,
+                 z.zminx AS zx0, z.zminy AS zy0,
+                 z.zmaxx AS zx1, z.zmaxy AS zy1,
+                 s.x1 - s.x0 AS dx, s.y1 - s.y0 AS dy
+          FROM s JOIN ({DT.ZONES_SQL.strip()}) z
+            ON least(s.x0, s.x1) <= z.zmaxx
+           AND greatest(s.x0, s.x1) >= z.zminx
+           AND least(s.y0, s.y1) <= z.zmaxy
+           AND greatest(s.y0, s.y1) >= z.zminy),
+        t AS (
+          SELECT gid,
+            greatest(
+              CASE WHEN dx <> 0
+                   THEN least((zx0 - x0) / dx, (zx1 - x0) / dx)
+                   ELSE CASE WHEN x0 >= zx0 AND x0 <= zx1
+                             THEN 0.0 ELSE 1.0 END END,
+              CASE WHEN dy <> 0
+                   THEN least((zy0 - y0) / dy, (zy1 - y0) / dy)
+                   ELSE CASE WHEN y0 >= zy0 AND y0 <= zy1
+                             THEN 0.0 ELSE 1.0 END END,
+              0.0) AS tlo,
+            least(
+              CASE WHEN dx <> 0
+                   THEN greatest((zx0 - x0) / dx, (zx1 - x0) / dx)
+                   ELSE CASE WHEN x0 >= zx0 AND x0 <= zx1
+                             THEN 1.0 ELSE 0.0 END END,
+              CASE WHEN dy <> 0
+                   THEN greatest((zy0 - y0) / dy, (zy1 - y0) / dy)
+                   ELSE CASE WHEN y0 >= zy0 AND y0 <= zy1
+                             THEN 1.0 ELSE 0.0 END END,
+              1.0) AS thi,
+            sqrt(dx * dx + dy * dy) AS seg_len
+          FROM c),
+        k AS (
+          SELECT gid,
+                 greatest(thi - tlo, 0.0) * seg_len AS clip
+          FROM t)
+        SELECT gid, count(*) AS n_segments,
+               CAST(floor((SUM(floor(clip * 1000000000.0 + 0.5))
+                 / 1000000000.0) * 1000000000.0 + 0.5) AS BIGINT)
+                 AS len9
+        FROM k WHERE clip > 0 GROUP BY gid
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5744,6 +5827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_smooth": q_line_smooth,
         "g_function": q_g_function,
         "stream_geofence": q_stream_geofence,
+        "line_zone_length": q_line_zone_length,
     }
 
 
@@ -9499,6 +9583,7 @@ FROM events),
         "line_smooth": _line_smooth_oracle_sql(),
         "g_function": _g_function_oracle_sql(),
         "stream_geofence": _stream_geofence_oracle_sql(),
+        "line_zone_length": _line_zone_oracle_sql(),
         "join_counts_grid": _hotspot_cells_sql() + """,
             bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
             ns AS (

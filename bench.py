@@ -130,7 +130,8 @@ def main() -> None:
                 "general_g_grid", "join_counts_grid", "st_dbscan",
                 "trend_surface", "spherical_area", "cross_k",
                 "rhumb_lines", "label_points", "heading_stats",
-                "line_smooth", "g_function", "stream_geofence"]
+                "line_smooth", "g_function", "stream_geofence",
+                "line_zone_length"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))

@@ -398,3 +398,76 @@ def overlay(left: DataFrame, right: DataFrame, *, how: str = "union",
 def union_join(left: DataFrame, right: DataFrame, **kw) -> DataFrame:
     """overlay(how='union') — see overlay()."""
     return overlay(left, right, how="union", **kw)
+
+
+def line_zone_length(segments: DataFrame, zones: DataFrame, *,
+                     x0: str = "x0", y0: str = "y0",
+                     x1: str = "x1", y1: str = "y1",
+                     zone_id: str = "gid",
+                     zminx: str = "zminx", zminy: str = "zminy",
+                     zmaxx: str = "zmaxx", zmaxy: str = "zmaxy",
+                     quantize_decimals: int | None = None) -> DataFrame:
+    """Total segment length clipped into each axis-aligned zone
+    rectangle — "km of road per district" for bbox/tile-shaped zones
+    (general polygons: run the overlay intersection; this is the
+    pure-codegen fast path for the rectangular case, same parametric
+    interval arithmetic as hotspot.line_density but against arbitrary
+    per-zone walls instead of a uniform grid).
+
+    Per (segment, zone): the inside interval along t is
+    [max(txlo, tylo, 0), min(txhi, tyhi, 1)] with the wall crossings
+    ordered by the sign of dx/dy; zero-extent axes pass iff the
+    coordinate lies inside the slab. Candidates come from a broadcast
+    bbox-overlap join (zones are a dimension table); one groupBy(zone)
+    sums. ``quantize_decimals`` makes each contribution an exact
+    integer so the sum is partition-order independent (the oracle
+    contract).
+
+    Returns (zone_id, n_segments, length)."""
+    a0x, a0y = F.col(x0), F.col(y0)
+    a1x, a1y = F.col(x1), F.col(y1)
+    seg = segments.select(a0x.alias("__x0"), a0y.alias("__y0"),
+                          a1x.alias("__x1"), a1y.alias("__y1"))
+    zz = zones.select(F.col(zone_id).alias("__zid"),
+                      F.col(zminx).alias("__zx0"),
+                      F.col(zminy).alias("__zy0"),
+                      F.col(zmaxx).alias("__zx1"),
+                      F.col(zmaxy).alias("__zy1"))
+    cand = seg.join(
+        F.broadcast(zz),
+        (F.least("__x0", "__x1") <= F.col("__zx1"))
+        & (F.greatest("__x0", "__x1") >= F.col("__zx0"))
+        & (F.least("__y0", "__y1") <= F.col("__zy1"))
+        & (F.greatest("__y0", "__y1") >= F.col("__zy0")))
+    dx = F.col("__x1") - F.col("__x0")
+    dy = F.col("__y1") - F.col("__y0")
+
+    def slab(d, p0, wlo, whi):
+        ta = (F.col(wlo) - p0) / d
+        tb = (F.col(whi) - p0) / d
+        inside0 = (p0 >= F.col(wlo)) & (p0 <= F.col(whi))
+        lo = F.when(d != 0, F.least(ta, tb)) \
+            .otherwise(F.when(inside0, F.lit(0.0)).otherwise(F.lit(1.0)))
+        hi = F.when(d != 0, F.greatest(ta, tb)) \
+            .otherwise(F.when(inside0, F.lit(1.0)).otherwise(F.lit(0.0)))
+        return lo, hi
+
+    txlo, txhi = slab(dx, F.col("__x0"), "__zx0", "__zx1")
+    tylo, tyhi = slab(dy, F.col("__y0"), "__zy0", "__zy1")
+    tlo = F.greatest(txlo, tylo, F.lit(0.0))
+    thi = F.least(txhi, tyhi, F.lit(1.0))
+    seg_len = F.sqrt(dx * dx + dy * dy)
+    clip = F.greatest(thi - tlo, F.lit(0.0)) * seg_len
+    if quantize_decimals is not None:
+        q = 10.0 ** int(quantize_decimals)
+        contrib = F.floor(clip * F.lit(q) + F.lit(0.5))
+        out = (cand.where(clip > 0)
+               .groupBy("__zid")
+               .agg(F.count("*").alias("n_segments"),
+                    (F.sum(contrib) / F.lit(q)).alias("length")))
+    else:
+        out = (cand.where(clip > 0)
+               .groupBy("__zid")
+               .agg(F.count("*").alias("n_segments"),
+                    F.sum(clip).alias("length")))
+    return out.withColumnRenamed("__zid", zone_id)
