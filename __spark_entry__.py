@@ -5661,6 +5661,36 @@ def _line_zone_oracle_sql() -> str:
     """
 
 
+def q_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT interop (geom/wkt.py via st_astext/st_geomfromtext): the
+    nation WKB polygons round-trip WKB→WKT→WKB and the recovered
+    geometry's area must equal the rect closed form — any precision or
+    grammar slip in either direction of the text codec breaks the
+    hash."""
+    _tune(spark)
+    from gis_tools_spark.functions.geom_funcs import (geom_area,
+                                                      geom_as_text,
+                                                      geom_from_text)
+
+    z = DT.nation_zones(spark, sf_dir)
+    rt = z.withColumn("__t", geom_as_text()(F.col("geometry_wkb"))) \
+          .withColumn("__b", geom_from_text()(F.col("__t")))
+    return rt.select(
+        "gid",
+        (F.col("__t").startswith("POLYGON ((")).alias("wkt_ok"),
+        F.floor(geom_area()(F.col("__b")) * 1e9 + F.lit(0.5))
+        .cast("long").alias("area9"))
+
+
+def _wkt_oracle_sql() -> str:
+    return f"""
+        SELECT z.gid, TRUE AS wkt_ok,
+               CAST(floor((z.zmaxx - z.zminx) * (z.zmaxy - z.zminy)
+                 * 1000000000.0 + 0.5) AS BIGINT) AS area9
+        FROM ({DT.ZONES_SQL.strip()}) z
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5828,6 +5858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_function": q_g_function,
         "stream_geofence": q_stream_geofence,
         "line_zone_length": q_line_zone_length,
+        "wkt_roundtrip": q_wkt_roundtrip,
     }
 
 
@@ -9584,6 +9615,7 @@ FROM events),
         "g_function": _g_function_oracle_sql(),
         "stream_geofence": _stream_geofence_oracle_sql(),
         "line_zone_length": _line_zone_oracle_sql(),
+        "wkt_roundtrip": _wkt_oracle_sql(),
         "join_counts_grid": _hotspot_cells_sql() + """,
             bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
             ns AS (

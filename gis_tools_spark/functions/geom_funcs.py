@@ -45,6 +45,40 @@ def geom_length():
     return _wkb_to_double(K.length)
 
 
+def geom_as_text():
+    """WKB → WKT string (geom/wkt.py — shortest-round-trip decimals,
+    so from_text(as_text(g)) is bit-exact)."""
+    from ..geom import wkt as _wkt
+
+    @F.pandas_udf(T.StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series([None if b is None
+                          else _wkt.encode(wkb.decode(b)) for b in s])
+
+    return _udf
+
+
+def geom_from_text():
+    """WKT string → WKB (None on unparseable input — crawl-dirty
+    contract)."""
+    from ..geom import wkt as _wkt
+
+    @F.pandas_udf(T.BinaryType())
+    def _udf(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+                continue
+            try:
+                out.append(wkb.encode(_wkt.decode(t)))
+            except (ValueError, KeyError):
+                out.append(None)
+        return pd.Series(out)
+
+    return _udf
+
+
 def geom_smooth(iterations: int = 2):
     """WKB → WKB Chaikin corner-cut smoothing (geom/kernels.chaikin);
     dyadic arithmetic, exact binary floats of the inputs."""

@@ -99,6 +99,8 @@ def register_sql_functions(spark: SparkSession, *,
     reg = spark.udf.register
     entries = {
         "area": GF.geom_area(),
+        "astext": GF.geom_as_text(),
+        "geomfromtext": GF.geom_from_text(),
         "length": GF.geom_length(),
         "shape_factor": GF.geom_shape_factor(),
         "centroid": GF.geom_centroid_xy(),
