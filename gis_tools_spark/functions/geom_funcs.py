@@ -45,6 +45,41 @@ def geom_length():
     return _wkb_to_double(K.length)
 
 
+def geom_simplify_vw(min_area: float):
+    """WKB → WKB Visvalingam–Whyatt simplification (area criterion;
+    geom/kernels.simplify_vw) over LineString / MultiLineString /
+    Polygon rings — the cartographic alternative to Douglas–Peucker."""
+    @F.pandas_udf(T.BinaryType())
+    def _udf(s: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            g = wkb.decode(b)
+            t = g["type"]
+            if t == "LineString":
+                g = {"type": t, "coords": K.simplify_vw(g["coords"],
+                                                        min_area)}
+            elif t == "MultiLineString":
+                g = {"type": t, "lines": [K.simplify_vw(l, min_area)
+                                          for l in g["lines"]]}
+            elif t in ("Polygon", "MultiPolygon"):
+                def ring(r):
+                    out = K.simplify_vw(r, min_area)
+                    return out if len(out) >= 4 else r
+                if t == "Polygon":
+                    g = {"type": t,
+                         "rings": [ring(r) for r in g["rings"]]}
+                else:
+                    g = {"type": t,
+                         "polygons": [[ring(r) for r in rs]
+                                      for rs in g["polygons"]]}
+            return wkb.encode(g)
+
+        return pd.Series([one(b) for b in s])
+
+    return _udf
+
+
 def geom_as_text():
     """WKB → WKT string (geom/wkt.py — shortest-round-trip decimals,
     so from_text(as_text(g)) is bit-exact)."""

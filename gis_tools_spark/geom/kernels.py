@@ -1001,3 +1001,53 @@ def chaikin(g: dict, iterations: int = 2) -> dict:
     if t == "Polygon":
         return {"type": "Polygon", "rings": polys[0]}
     return {"type": "MultiPolygon", "polygons": polys}
+
+
+def simplify_vw(coords: np.ndarray, min_area: float) -> np.ndarray:
+    """Visvalingam–Whyatt simplification: repeatedly remove the vertex
+    whose effective triangle (with its two live neighbours) has the
+    smallest area, until every remaining vertex's triangle area is
+    ≥ ``min_area``.  Endpoints always survive.  The area-based
+    criterion keeps visually salient corners that Douglas–Peucker's
+    distance criterion can drop — the standard cartographic
+    alternative (Visvalingam & Whyatt 1993).
+
+    Heap with lazy invalidation + the standard monotone fix (an
+    effective area is taken as max(own, last removed) so removal order
+    is non-decreasing)."""
+    import heapq
+
+    v = np.asarray(coords, dtype=np.float64)
+    n = len(v)
+    if n <= 2:
+        return v.copy()
+
+    def tri(i, j, k):
+        return abs((v[j, 0] - v[i, 0]) * (v[k, 1] - v[i, 1])
+                   - (v[j, 1] - v[i, 1]) * (v[k, 0] - v[i, 0])) / 2.0
+
+    prev = np.arange(n) - 1
+    nxt = np.arange(n) + 1
+    alive = np.ones(n, dtype=bool)
+    version = np.zeros(n, dtype=np.int64)
+    heap = []
+    for i in range(1, n - 1):
+        heapq.heappush(heap, (tri(i - 1, i, i + 1), i, 0))
+    last = 0.0
+    while heap:
+        a, i, ver = heapq.heappop(heap)
+        if not alive[i] or ver != version[i]:
+            continue
+        a = max(a, last)
+        if a >= min_area:
+            break
+        last = a
+        alive[i] = False
+        p, q = prev[i], nxt[i]
+        nxt[p], prev[q] = q, p
+        for j in (p, q):
+            if 0 < j < n - 1 and alive[j]:
+                version[j] += 1
+                heapq.heappush(
+                    heap, (tri(prev[j], j, nxt[j]), j, version[j]))
+    return v[alive]
