@@ -4199,7 +4199,7 @@ def _cell_compact_oracle_sql() -> str:
     """
 
 
-VARIO_LAG, VARIO_BINS = 0.5, 10
+VARIO_LAG, VARIO_BINS = 0.15, 10
 
 
 def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4212,8 +4212,8 @@ def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gis_tools_spark.operators.kriging import empirical_variogram
 
     out = empirical_variogram(
-        DT.events_points(spark, sf_dir), value_col="value",
-        max_lag=VARIO_LAG, n_bins=VARIO_BINS)
+        DT.events_points(spark, sf_dir).where("event_id % 2 = 0"),
+        value_col="value", max_lag=VARIO_LAG, n_bins=VARIO_BINS)
     return out.select(
         "lag_bin", "n_pairs",
         F.floor(F.col("gamma") * 1e9 + F.lit(0.5)).cast("long")
@@ -4232,7 +4232,8 @@ def _variogram_oracle_sql(max_lag: float = VARIO_LAG,
                  CAST(floor(p.lon * 1000000.0 + 0.5) AS BIGINT) AS xi,
                  CAST(floor(p.lat * 1000000.0 + 0.5) AS BIGINT) AS yi,
                  CAST(floor(p.value * 100.0 + 0.5) AS BIGINT) AS vi
-          FROM ({DT.POINTS_SQL.strip()}) p),
+          FROM ({DT.POINTS_SQL.strip()}) p
+          WHERE p.event_id % 2 = 0),
         offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
                  (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
         l AS MATERIALIZED (
@@ -4904,7 +4905,8 @@ def q_st_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     _tune(spark)
     from gis_tools_spark.operators.cluster import st_dbscan
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where("event_id % 4 = 0"))
     k = F.col("event_id") % 97
     pts = ev.select(
         "event_id", "ts",
@@ -4930,7 +4932,7 @@ def _st_dbscan_oracle_sql() -> str:
                    + ((event_id * 104729) % 2001 - 1000) / 100000.0
                    AS lat,
                  epoch_us(ts) AS t
-          FROM events),
+          FROM events WHERE event_id % 4 = 0),
         b AS (
           SELECT *, CAST(floor(lon / {ST_EPS!r}) AS BIGINT) AS bx,
                     CAST(floor(lat / {ST_EPS!r}) AS BIGINT) AS by,

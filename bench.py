@@ -122,7 +122,7 @@ def main() -> None:
                 "zone_choropleth", "viewshed", "cost_distance",
                 "std_ellipse", "terrain_indices", "service_area",
                 "emerging_hotspots", "line_density", "delaunay_edges",
-                "voronoi_areas", "alpha_shape", "tin_surface",
+                "alpha_shape", "tin_surface",
                 "kmeans_zones", "cell_compact", "variogram",
                 "exif_gps_cells", "staypoints", "frechet_tracks",
                 "density_tiles", "ripleys_k", "quadrat_csr",
@@ -136,6 +136,17 @@ def main() -> None:
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))
         meta[f"{name}_rows"] = n
+
+    # -------- Voronoi in production shape: the GATE config runs every
+    # zone's full site set (~1.5k sites/zone at sf0.1 -> O(n²) clip per
+    # zone = a stress test). Bench times the realistic label-map shape
+    # (1/16 site sample, ~98 sites/zone).
+    from gis_tools_spark.operators.triangulate import voronoi_cells as _vc
+
+    _tri = E._tri_points(spark, SF_DIR).where(F.col("id") % 16 == 0)
+    n_vor = _timed("voronoi_areas", lambda: _count(
+        _vc(_tri, by="zone", box=(0.0, 0.0, 9973.0, 9967.0))))
+    meta["voronoi_areas_rows"] = n_vor
 
     # -------- DBSCAN in production shape: the GATE config (eps=0.05 on
     # the full sf0.1 lattice) percolates into county-sized clusters —
