@@ -5693,6 +5693,87 @@ def _wkt_oracle_sql() -> str:
     """
 
 
+FFUNC_RADII = (0.01, 0.02, 0.05, 0.1)
+FFUNC_GRID = 64
+
+
+def q_f_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-space F-function (operators/pointpattern.f_function): the
+    distance-to-nearest-data CDF from a deterministic 64×64 sample
+    grid over the AOI — G's dual. Same exact-int pair machinery; the
+    oracle generates the identical grid with generate_series and
+    mirrors the cross-NN min + ladder."""
+    _tune(spark)
+    from gis_tools_spark.operators.pointpattern import f_function
+
+    n = FFUNC_GRID
+    g = spark.range(n * n).select(
+        (F.lit(5.0) + ((F.col("id") / n).cast("long").cast("double")
+                       + F.lit(0.5)) * F.lit(5.0 / n)).alias("lon"),
+        (F.lit(40.0) + ((F.col("id") % n).cast("double")
+                        + F.lit(0.5)) * F.lit(5.0 / n)).alias("lat"))
+    out = f_function(DT.events_points(spark, sf_dir), g,
+                     radii=FFUNC_RADII)
+    return out.select(
+        "r_idx", "n_le", "n_censored",
+        F.floor(F.col("f_hat") * 1e12 + F.lit(0.5)).cast("long")
+        .alias("f12"))
+
+
+def _f_function_oracle_sql() -> str:
+    rs = [int(round(r * 1e6)) for r in FFUNC_RADII]
+    L = rs[-1]
+    n = FFUNC_GRID
+    case = "CASE " + " ".join(
+        f"WHEN nn_d2 <= {r * r} THEN {k}" for k, r in enumerate(rs))         + " END"
+    rad_rows = ", ".join(f"({k})" for k in range(len(rs)))
+    return f"""
+        WITH s AS MATERIALIZED (
+          SELECT CAST(floor((5.0 + (CAST(i // {n} AS DOUBLE) + 0.5)
+                   * {5.0 / n!r}) * 1000000.0 + 0.5) AS BIGINT) AS xi,
+                 CAST(floor((40.0 + (CAST(i % {n} AS DOUBLE) + 0.5)
+                   * {5.0 / n!r}) * 1000000.0 + 0.5) AS BIGINT) AS yi,
+                 i AS rid
+          FROM (SELECT unnest(generate_series(0, {n * n - 1})) AS i)),
+        q AS MATERIALIZED (
+          SELECT CAST(floor(p.lon * 1000000.0 + 0.5) AS BIGINT) AS xi,
+                 CAST(floor(p.lat * 1000000.0 + 0.5) AS BIGINT) AS yi
+          FROM ({DT.POINTS_SQL.strip()}) p),
+        offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+                 (0,1),(1,-1),(1,0),(1,1)) o(dx, dy)),
+        l AS MATERIALIZED (
+          SELECT s.*, (xi - xi % {L}) // {L} + offs.dx AS bx,
+                      (yi - yi % {L}) // {L} + offs.dy AS by
+          FROM s, offs),
+        r AS MATERIALIZED (
+          SELECT q.*, (xi - xi % {L}) // {L} AS bx,
+                      (yi - yi % {L}) // {L} AS by
+          FROM q),
+        nn AS MATERIALIZED (
+          SELECT l.rid,
+                 min((l.xi-r.xi)*(l.xi-r.xi)
+                     + (l.yi-r.yi)*(l.yi-r.yi)) AS nn_d2
+          FROM l JOIN r USING (bx, by)
+          WHERE (l.xi-r.xi)*(l.xi-r.xi) + (l.yi-r.yi)*(l.yi-r.yi)
+                  <= {L}::BIGINT * {L}::BIGINT
+          GROUP BY l.rid),
+        per AS (
+          SELECT {case} AS r_idx, count(*) AS c FROM nn GROUP BY 1),
+        rad AS (SELECT * FROM (VALUES {rad_rows}) v(r_idx)),
+        cum AS (
+          SELECT rad.r_idx,
+                 SUM(COALESCE(per.c, 0)) OVER (
+                   ORDER BY rad.r_idx ROWS UNBOUNDED PRECEDING) AS n_le
+          FROM rad LEFT JOIN per USING (r_idx)),
+        tot AS (SELECT {n * n} AS n_s,
+                       (SELECT count(*) FROM nn) AS n_found)
+        SELECT c.r_idx, c.n_le, t.n_s - t.n_found AS n_censored,
+          CAST(floor((CAST(c.n_le AS DOUBLE) / CAST(t.n_s AS DOUBLE))
+            * 1000000000000.0 + 0.5) AS BIGINT) AS f12
+        FROM cum c, tot t
+    """
+
+
 # ===================================================================== contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -5861,6 +5942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_geofence": q_stream_geofence,
         "line_zone_length": q_line_zone_length,
         "wkt_roundtrip": q_wkt_roundtrip,
+        "f_function": q_f_function,
     }
 
 
@@ -9618,6 +9700,7 @@ FROM events),
         "stream_geofence": _stream_geofence_oracle_sql(),
         "line_zone_length": _line_zone_oracle_sql(),
         "wkt_roundtrip": _wkt_oracle_sql(),
+        "f_function": _f_function_oracle_sql(),
         "join_counts_grid": _hotspot_cells_sql() + """,
             bsrc AS (SELECT ix, iy, 1.0 AS x FROM cc),
             ns AS (

@@ -131,7 +131,7 @@ def main() -> None:
                 "trend_surface", "spherical_area", "cross_k",
                 "rhumb_lines", "label_points", "heading_stats",
                 "line_smooth", "g_function", "stream_geofence",
-                "line_zone_length", "wkt_roundtrip"]
+                "line_zone_length", "wkt_roundtrip", "f_function"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))

@@ -31,7 +31,8 @@ from typing import Sequence
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["ripleys_k", "quadrat_test", "cross_k", "g_function"]
+__all__ = ["ripleys_k", "quadrat_test", "cross_k", "g_function",
+           "f_function"]
 
 
 def ripleys_k(points: DataFrame, *, radii: Sequence[float], area: float,
@@ -223,26 +224,50 @@ def g_function(points: DataFrame, *, radii: Sequence[float],
 
     Distances beyond max(radii) are censored: such points count in
     ``n`` but in no bin (the standard reduced-sample treatment at the
-    search cutoff; ``n_censored`` reports how many).  Same exact-int
-    grid-bin pair join as ripleys_k, plus one min-per-point groupBy.
-    Returns one row per radius: (r_idx, r, n_le, g_hat) and the
-    censored count on every row."""
+    search cutoff; ``n_censored`` reports how many).  Shares the
+    exact-int NN ladder with f_function.  Returns one row per radius:
+    (r_idx, r, n_le, g_hat) and the censored count on every row."""
+    cum, n, n_found = _nn_ladder(points, points, radii, same_set=True,
+                                 lon=lon, lat=lat, scale_xy=scale_xy)
+    if n < 2:
+        raise ValueError("need at least 2 points")
+    return cum.select(
+        "r_idx", "r", F.col("n_le").cast("long").alias("n_le"),
+        (F.col("n_le").cast("double") / F.lit(float(n))).alias("g_hat"),
+        F.lit(n - n_found).cast("long").alias("n_censored"))
+
+
+def _nn_ladder(a: DataFrame, b: DataFrame, radii, *, same_set: bool,
+               lon: str, lat: str, scale_xy: float):
+    """Shared NN-distance ladder: per a-row the min distance to b
+    (excluding self when same_set), bucketed by the radius ladder.
+    Returns (cum_df(r_idx, r, n_le), n_a, n_found)."""
     radii = sorted(float(r) for r in radii)
     if not radii or radii[0] <= 0:
         raise ValueError("radii must be positive")
     r_int = [int(round(r * scale_xy)) for r in radii]
     L = r_int[-1]
-    xi = F.floor(F.col(lon) * scale_xy + 0.5).cast("long")
-    yi = F.floor(F.col(lat) * scale_xy + 0.5).cast("long")
-    b = points.select(xi.alias("xi"), yi.alias("yi"),
-                      F.monotonically_increasing_id().alias("__rid"))
-    n = b.count()
-    if n < 2:
-        raise ValueError("need at least 2 points")
+
+    def _q(df, rid):
+        cols = [F.floor(F.col(lon) * scale_xy + 0.5).cast("long")
+                .alias("xi"),
+                F.floor(F.col(lat) * scale_xy + 0.5).cast("long")
+                .alias("yi")]
+        if rid:
+            cols.append(F.monotonically_increasing_id().alias("__rid"))
+        return df.select(*cols)
+
+    if same_set:
+        qa = _q(a, True)
+        qb = qa
+    else:
+        qa = _q(a, True)
+        qb = _q(b, False)
+    n_a = qa.count()
     bx = (F.col("xi") - F.col("xi") % L) / L
     by = (F.col("yi") - F.col("yi") % L) / L
     offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    left = b.select(
+    left = qa.select(
         F.col("xi").alias("ax"), F.col("yi").alias("ay"),
         F.col("__rid").alias("ra"),
         F.explode(F.array(*[
@@ -251,25 +276,26 @@ def g_function(points: DataFrame, *, radii: Sequence[float],
             for dx, dy in offs])).alias("t")
     ).select("ax", "ay", "ra",
              F.col("t.bx").alias("bx"), F.col("t.by").alias("by"))
-    right = b.select(F.col("xi").alias("cx"), F.col("yi").alias("cy"),
-                     F.col("__rid").alias("rb"),
-                     bx.cast("long").alias("bx"),
-                     by.cast("long").alias("by"))
+    rcols = [F.col("xi").alias("cx"), F.col("yi").alias("cy"),
+             bx.cast("long").alias("bx"), by.cast("long").alias("by")]
+    if same_set:
+        rcols.insert(2, F.col("__rid").alias("rb"))
+    right = qb.select(*rcols)
     dx = F.col("ax") - F.col("cx")
     dy = F.col("ay") - F.col("cy")
     d2 = dx * dx + dy * dy
-    nn = (left.join(right, on=["bx", "by"])
-          .where((F.col("ra") != F.col("rb"))
-                 & (d2 <= F.lit(L * L).cast("long")))
+    j = left.join(right, on=["bx", "by"])
+    if same_set:
+        j = j.where(F.col("ra") != F.col("rb"))
+    nn = (j.where(d2 <= F.lit(L * L).cast("long"))
           .groupBy("ra").agg(F.min(d2).alias("nn_d2")))
     n_found = nn.count()
     idx = None
     for k in range(len(r_int) - 1, -1, -1):
         cond = F.col("nn_d2") <= F.lit(r_int[k] * r_int[k]).cast("long")
-        idx = F.when(cond, F.lit(k)) if idx is None else \
-            F.when(cond, F.lit(k)).otherwise(idx)
+        idx = F.when(cond, F.lit(k)) if idx is None else             F.when(cond, F.lit(k)).otherwise(idx)
     per = nn.groupBy(idx.alias("r_idx")).agg(F.count("*").alias("__c"))
-    rad_df = points.sparkSession.createDataFrame(
+    rad_df = a.sparkSession.createDataFrame(
         [(k, radii[k]) for k in range(len(radii))], "r_idx int, r double")
     cum = (rad_df.join(per, on="r_idx", how="left")
            .withColumn("__c", F.coalesce("__c", F.lit(0)))
@@ -277,7 +303,24 @@ def g_function(points: DataFrame, *, radii: Sequence[float],
                        F.sum("__c").over(
                            Window.orderBy("r_idx")
                            .rowsBetween(Window.unboundedPreceding, 0))))
+    return cum, n_a, n_found
+
+
+def f_function(points: DataFrame, samples: DataFrame, *,
+               radii: Sequence[float], lon: str = "lon",
+               lat: str = "lat", scale_xy: float = 1e6) -> DataFrame:
+    """Empty-space function F̂(r): the CDF of the distance from the
+    given SAMPLE locations (a deterministic grid, typically) to the
+    nearest data point — G's dual (CSR: F = G; clustering pulls F
+    BELOW CSR where G goes above). Same censoring treatment at the
+    search cutoff as g_function. Returns (r_idx, r, n_le, f_hat,
+    n_censored)."""
+    cum, n_s, n_found = _nn_ladder(samples, points, radii,
+                                   same_set=False, lon=lon, lat=lat,
+                                   scale_xy=scale_xy)
     return cum.select(
         "r_idx", "r", F.col("n_le").cast("long").alias("n_le"),
-        (F.col("n_le").cast("double") / F.lit(float(n))).alias("g_hat"),
-        F.lit(n - n_found).cast("long").alias("n_censored"))
+        (F.col("n_le").cast("double") / F.lit(float(n_s)))
+        .alias("f_hat"),
+        F.lit(n_s - n_found).cast("long").alias("n_censored"))
+

@@ -184,3 +184,40 @@ def test_g_function_censoring_and_csr(spark):
     got = g_function(spark.createDataFrame(csr), radii=[r]).head()
     want = 1 - np.exp(-2000 * np.pi * r * r)
     assert abs(got["g_hat"] - want) < 0.07
+
+
+def test_f_function_bruteforce_and_csr_duality(spark):
+    from gis_tools_spark.operators.pointpattern import f_function
+
+    rng = np.random.RandomState(31)
+    pts = pd.DataFrame({"lon": rng.uniform(0, 1, 400),
+                        "lat": rng.uniform(0, 1, 400)})
+    smp = pd.DataFrame({"lon": rng.uniform(0, 1, 300),
+                        "lat": rng.uniform(0, 1, 300)})
+    radii = [0.02, 0.05, 0.4]
+    got = (f_function(spark.createDataFrame(pts),
+                      spark.createDataFrame(smp), radii=radii)
+           .orderBy("r_idx").collect())
+    px = np.floor(pts["lon"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    py = np.floor(pts["lat"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    sx = np.floor(smp["lon"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    sy = np.floor(smp["lat"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+    d2 = ((sx[:, None] - px[None, :]) ** 2
+          + (sy[:, None] - py[None, :]) ** 2)
+    nn = d2.min(1)
+    for g, r in zip(got, sorted(radii)):
+        ri = int(round(r * 1e6))
+        assert g["n_le"] == int((nn <= ri * ri).sum())
+    assert got[-1]["n_censored"] == 0
+    # clustered data pushes F BELOW the CSR curve (more empty space)
+    centers = rng.uniform(0.2, 0.8, (8, 2))
+    cl = centers[rng.randint(0, 8, 400)] + rng.normal(0, 0.01, (400, 2))
+    clus = pd.DataFrame({"lon": cl[:, 0], "lat": cl[:, 1]})
+    r = [0.03]
+    f_csr = f_function(spark.createDataFrame(pts),
+                       spark.createDataFrame(smp), radii=r) \
+        .head()["f_hat"]
+    f_cl = f_function(spark.createDataFrame(clus),
+                      spark.createDataFrame(smp), radii=r) \
+        .head()["f_hat"]
+    assert f_cl < 0.7 * f_csr
