@@ -154,3 +154,26 @@ def initial_bearing_deg(lon1: Column, lat1: Column, lon2: Column,
         F.sin(dl) * F.cos(p2),
         F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dl)))
     return (th + F.lit(360.0)) % F.lit(360.0)
+
+
+def great_circle_destination(lon1: Column, lat1: Column,
+                             bearing_deg: Column, dist_m: Column,
+                             radius: float = EARTH_RADIUS_M
+                             ) -> tuple[Column, Column]:
+    """(lon, lat) after travelling ``dist_m`` along the great circle
+    with initial ``bearing_deg`` — the direct geodesy problem
+    (spherical): φ₂ = asin(sinφ₁·cosδ + cosφ₁·sinδ·cosθ),
+    λ₂ = λ₁ + atan2(sinθ·sinδ·cosφ₁, cosδ − sinφ₁·sinφ₂).
+    Longitude normalized to (−180, 180]. Pure codegen; inverse of
+    (great_circle_meters, initial_bearing_deg) — round-trip
+    pytest-pinned."""
+    p1 = F.radians(lat1)
+    th = F.radians(bearing_deg)
+    d = dist_m / F.lit(float(radius))
+    sp2 = F.sin(p1) * F.cos(d) + F.cos(p1) * F.sin(d) * F.cos(th)
+    p2 = F.asin(F.least(F.greatest(sp2, F.lit(-1.0)), F.lit(1.0)))
+    dl = F.atan2(F.sin(th) * F.sin(d) * F.cos(p1),
+                 F.cos(d) - F.sin(p1) * F.sin(p2))
+    lon2 = lon1 + F.degrees(dl)
+    lon2 = ((lon2 + F.lit(540.0)) % F.lit(360.0)) - F.lit(180.0)
+    return lon2, F.degrees(p2)
