@@ -1635,6 +1635,48 @@ def q_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
+def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-analog cube-sphere cell encode (gate 161): the spherical
+    member of the cell-index family — cube-face gnomonic projection,
+    quadratic st transform, Hilbert-order 64-bit ids (cells/s2.py; an
+    analog of the published S2 design, not the library's ids).  Every
+    event point is encoded at level 12 and level 6, plus the level-6
+    occupancy of its cell via a self-aggregation — exercising both the
+    per-row codegen path and a groupBy on the id.  The oracle runs the
+    SQL generated from the SAME per-layer plan (s2._s2_layers), with
+    float32-rounded st so libm differences cannot flip a cell."""
+    _tune(spark)
+    from pyspark.sql import Window
+    from gis_tools_spark.cells import s2
+
+    pts = DT.events_points(spark, sf_dir)
+    enc = s2.with_s2_cell(pts, level=12, out="s2_12")
+    enc = s2.with_s2_cell(enc, level=6, out="s2_6")
+    out = enc.select(
+        "event_id", "s2_12", "s2_6",
+        F.count("*").over(Window.partitionBy("s2_6")).alias("cnt6"))
+    return out.orderBy("event_id")
+
+
+def q_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy XYZ tile / quadkey encode (gate 162): the Web-Mercator
+    tiling scheme every basemap pipeline speaks (OSM z/x/y, Bing
+    quadkeys; published worked examples pytest-pinned in
+    test_slippy).  Column and oracle run the ONE SQL text emitted by
+    cells/slippy.tile_sql — the Spark side is F.expr over it — with
+    the Mercator y rounded through float32 before quantization so
+    libm drift cannot flip a tile."""
+    _tune(spark)
+    from gis_tools_spark.cells import slippy as SL
+
+    pts = DT.events_points(spark, sf_dir)
+    tx, ty = SL.tile_columns("lon", "lat", 14)
+    out = pts.select(
+        "event_id", tx.alias("tx14"), ty.alias("ty14"),
+        SL.quadkey_column("lon", "lat", 8).alias("qk8"))
+    return out.orderBy("event_id")
+
+
 def q_crs_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRS reprojection driver gate (gate 83): 4326 → Web Mercator
     (EPSG 3857) through the engine registry path
@@ -5847,6 +5889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": q_tile_pyramid,
         "graph_pagerank": q_graph_pagerank,
         "geohash_encode": q_geohash_encode,
+        "s2_cells": q_s2_cells,
+        "slippy_tiles": q_slippy_tiles,
         "sql_api": q_sql_api,
         "crs_webmercator": q_crs_webmercator,
         "sjoin_rects": q_sjoin_rects,
@@ -6646,6 +6690,37 @@ SELECT doc_id,
        COUNT(*) AS n_windows
 FROM gg GROUP BY doc_id, grp
 """
+
+
+def _s2_cells_oracle_sql() -> str:
+    """DuckDB mirror of q_s2_cells: the s2_sql scalar generated from
+    the same per-layer plan as with_s2_cell, at both levels, plus the
+    level-6 occupancy count via a window."""
+    from gis_tools_spark.cells import s2
+
+    return f"""
+        SELECT event_id, s2_12, s2_6,
+               COUNT(*) OVER (PARTITION BY s2_6) AS cnt6
+        FROM (
+            SELECT p.event_id,
+                   {s2.s2_sql('p.lon', 'p.lat', 12)} AS s2_12,
+                   {s2.s2_sql('p.lon', 'p.lat', 6)} AS s2_6
+            FROM ({DT.POINTS_SQL.strip()}) p
+        ) e
+    """
+
+
+def _slippy_oracle_sql() -> str:
+    """DuckDB mirror of q_slippy_tiles — literally the same tile_sql /
+    quadkey_sql text the Spark side wraps in F.expr."""
+    from gis_tools_spark.cells import slippy as SL
+
+    sx, sy = SL.tile_sql("p.lon", "p.lat", 14)
+    return f"""
+        SELECT p.event_id, {sx} AS tx14, {sy} AS ty14,
+               {SL.quadkey_sql('p.lon', 'p.lat', 8)} AS qk8
+        FROM ({DT.POINTS_SQL.strip()}) p
+    """
 
 
 def _pagerank_oracle_sql(iters: int = 20, damping: float = 0.85) -> str:
@@ -7741,6 +7816,8 @@ def oracle_sql() -> dict[str, str]:
                    {C.geohash_sql('p.lon', 'p.lat', 4)} AS gh4
             FROM ({DT.POINTS_SQL.strip()}) p
         """,
+        "s2_cells": _s2_cells_oracle_sql(),
+        "slippy_tiles": _slippy_oracle_sql(),
         "crs_webmercator": f"""
             SELECT p.event_id,
               CAST(CAST(radians(p.lon) * 6378137.0 AS REAL) AS DOUBLE)

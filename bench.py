@@ -131,7 +131,8 @@ def main() -> None:
                 "trend_surface", "spherical_area", "cross_k",
                 "rhumb_lines", "label_points", "heading_stats",
                 "line_smooth", "g_function", "stream_geofence",
-                "line_zone_length", "wkt_roundtrip", "f_function"]
+                "line_zone_length", "wkt_roundtrip", "f_function",
+                "s2_cells", "slippy_tiles"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))

@@ -92,6 +92,81 @@ def geodesic_meters():
     return _udf
 
 
+def geodesic_destination():
+    """Ellipsoidal (WGS84) direct geodesy problem — the Geod.fwd
+    analog completing geodesic_meters (the inverse): position and
+    final azimuth after travelling ``dist_m`` from a point at initial
+    azimuth ``bearing_deg``.  Vectorized Vincenty direct iteration in
+    numpy inside one Arrow-batched pandas UDF returning a struct
+    (lon, lat, back_azimuth_deg).  Round-trip against the
+    independently-coded Vincenty inverse is pytest-pinned at sub-mm;
+    the quarter meridian (10 001 965.729 m equator→pole) lands on the
+    pole to sub-meter.
+
+    Usage::
+
+        dest = geodesic_destination()(lon, lat, bearing, dist)
+        df.select(dest["lon"], dest["lat"], dest["az2_deg"])
+    """
+    from pyspark.sql import types as T
+
+    A, FLAT = 6378137.0, 1 / 298.257223563
+    B = A * (1 - FLAT)
+    schema = T.StructType([
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("az2_deg", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def _udf(lon1: pd.Series, lat1: pd.Series, bearing: pd.Series,
+             dist: pd.Series) -> pd.DataFrame:
+        p1 = np.radians(lat1.to_numpy(np.float64))
+        a1 = np.radians(bearing.to_numpy(np.float64))
+        s = dist.to_numpy(np.float64)
+        u1 = np.arctan((1 - FLAT) * np.tan(p1))
+        su1, cu1 = np.sin(u1), np.cos(u1)
+        sa1, ca1 = np.sin(a1), np.cos(a1)
+        sig1 = np.arctan2(np.tan(u1), ca1)
+        sina = cu1 * sa1
+        cos2a = 1 - sina ** 2
+        usq = cos2a * (A * A - B * B) / (B * B)
+        ka = 1 + usq / 16384 * (4096 + usq * (-768 + usq * (320 - 175 * usq)))
+        kb = usq / 1024 * (256 + usq * (-128 + usq * (74 - 47 * usq)))
+        sig = s / (B * ka)
+        for _ in range(60):
+            tsm = 2 * sig1 + sig
+            ssig, csig = np.sin(sig), np.cos(sig)
+            c2sm = np.cos(tsm)
+            dsig = kb * ssig * (c2sm + kb / 4 * (
+                csig * (-1 + 2 * c2sm ** 2)
+                - kb / 6 * c2sm * (-3 + 4 * ssig ** 2)
+                * (-3 + 4 * c2sm ** 2)))
+            new = s / (B * ka) + dsig
+            if np.all(np.abs(new - sig) < 1e-13):
+                sig = new
+                break
+            sig = new
+        tsm = 2 * sig1 + sig
+        ssig, csig = np.sin(sig), np.cos(sig)
+        c2sm = np.cos(tsm)
+        tmp = su1 * ssig - cu1 * csig * ca1
+        p2 = np.arctan2(su1 * csig + cu1 * ssig * ca1,
+                        (1 - FLAT) * np.sqrt(sina ** 2 + tmp ** 2))
+        lam = np.arctan2(ssig * sa1, cu1 * csig - su1 * ssig * ca1)
+        cc = FLAT / 16 * cos2a * (4 + FLAT * (4 - 3 * cos2a))
+        dl = lam - (1 - cc) * FLAT * sina * (
+            sig + cc * ssig * (c2sm + cc * csig * (-1 + 2 * c2sm ** 2)))
+        lon2 = lon1.to_numpy(np.float64) + np.degrees(dl)
+        lon2 = (lon2 + 540.0) % 360.0 - 180.0
+        az2 = np.degrees(np.arctan2(sina, -tmp))
+        az2 = (az2 + 360.0) % 360.0
+        return pd.DataFrame({"lon": lon2, "lat": np.degrees(p2),
+                             "az2_deg": az2})
+
+    return _udf
+
+
 def rhumb_distance_meters(lon1: Column, lat1: Column, lon2: Column,
                           lat2: Column,
                           radius: float = EARTH_RADIUS_M) -> Column:
