@@ -1677,6 +1677,32 @@ def q_slippy_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_id")
 
 
+def q_gc_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle interpolation (gate 163): spherical slerp along
+    consecutive event-point pairs (lead window) at f=0.25 and f=0.5 —
+    the track-densification primitive.  Column and oracle share the
+    identical formula text (geodesy.great_circle_interpolate_sql);
+    outputs round through float32 so libm differences cannot flip the
+    compare (crs_webmercator precedent)."""
+    _tune(spark)
+    from pyspark.sql import Window
+    from gis_tools_spark.functions.geodesy import great_circle_interpolate
+
+    pts = DT.events_points(spark, sf_dir)
+    w = Window.orderBy("event_id")
+    pairs = pts.select(
+        "event_id", "lon", "lat",
+        F.lead("lon").over(w).alias("lon2"),
+        F.lead("lat").over(w).alias("lat2")).where(F.col("lon2").isNotNull())
+    cols = ["event_id"]
+    for name, frac in (("mid", 0.5), ("q1", 0.25)):
+        ln, lt = great_circle_interpolate(
+            F.col("lon"), F.col("lat"), F.col("lon2"), F.col("lat2"), frac)
+        cols += [ln.cast("float").cast("double").alias(f"{name}_lon"),
+                 lt.cast("float").cast("double").alias(f"{name}_lat")]
+    return pairs.select(*cols).orderBy("event_id")
+
+
 def q_crs_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CRS reprojection driver gate (gate 83): 4326 → Web Mercator
     (EPSG 3857) through the engine registry path
@@ -5891,6 +5917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash_encode": q_geohash_encode,
         "s2_cells": q_s2_cells,
         "slippy_tiles": q_slippy_tiles,
+        "gc_interpolate": q_gc_interpolate,
         "sql_api": q_sql_api,
         "crs_webmercator": q_crs_webmercator,
         "sjoin_rects": q_sjoin_rects,
@@ -6720,6 +6747,30 @@ def _slippy_oracle_sql() -> str:
         SELECT p.event_id, {sx} AS tx14, {sy} AS ty14,
                {SL.quadkey_sql('p.lon', 'p.lat', 8)} AS qk8
         FROM ({DT.POINTS_SQL.strip()}) p
+    """
+
+
+def _gc_interp_oracle_sql() -> str:
+    """DuckDB mirror of q_gc_interpolate — identical slerp text from
+    geodesy.great_circle_interpolate_sql, float32-rounded."""
+    from gis_tools_spark.functions.geodesy import (
+        great_circle_interpolate_sql)
+
+    cols = []
+    for name, frac in (("mid", 0.5), ("q1", 0.25)):
+        ln, lt = great_circle_interpolate_sql(
+            "lon", "lat", "lon2", "lat2", frac)
+        cols.append(f"CAST(CAST(({ln}) AS REAL) AS DOUBLE) AS {name}_lon")
+        cols.append(f"CAST(CAST(({lt}) AS REAL) AS DOUBLE) AS {name}_lat")
+    sel = ", ".join(cols)
+    return f"""
+        SELECT event_id, {sel}
+        FROM (
+            SELECT event_id, lon, lat,
+                   LEAD(lon) OVER (ORDER BY event_id) AS lon2,
+                   LEAD(lat) OVER (ORDER BY event_id) AS lat2
+            FROM ({DT.POINTS_SQL.strip()}) p
+        ) q WHERE lon2 IS NOT NULL
     """
 
 
@@ -7818,6 +7869,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s2_cells": _s2_cells_oracle_sql(),
         "slippy_tiles": _slippy_oracle_sql(),
+        "gc_interpolate": _gc_interp_oracle_sql(),
         "crs_webmercator": f"""
             SELECT p.event_id,
               CAST(CAST(radians(p.lon) * 6378137.0 AS REAL) AS DOUBLE)
