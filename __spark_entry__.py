@@ -3164,6 +3164,37 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("component").cast("long").alias("component"))
 
 
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Betweenness centrality (gate 164): exact Brandes, distributed by
+    (component, source-batch) — operators/centrality.py — on a
+    deterministic 4-regular-ish graph over Z_97 (two affine maps; the
+    same 97-node edge set materializes at every sf because event_id
+    covers all residues).  The DuckDB oracle is an INDEPENDENT
+    algorithm: unrolled BFS-level CTEs accumulate (dist, σ) from every
+    source, then the published pair-counting identity
+    b(v) = Σ_{s<t}[d(s,v)+d(v,t)=d(s,t)]·σ(s,v)·σ(v,t)/σ(s,t) — so the
+    gate checks the RESULT, not a mirrored procedure.  Scores are
+    emitted as micro-units with a shared +1e-3 bias inside the floor
+    (sum-order noise ~1e-6 µunits; rational scores never sit at the
+    biased boundary)."""
+    _tune(spark)
+    from gis_tools_spark.operators.centrality import betweenness
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    u = F.col("event_id") % 97
+    edges = (ev.select(u.alias("src_key"),
+                       ((u * 7 + 13) % 97).alias("dst_key"))
+             .unionByName(ev.select(
+                 u.alias("src_key"), ((u * 11 + 5) % 97).alias("dst_key")))
+             .where(F.col("src_key") != F.col("dst_key"))
+             .distinct())
+    bc = betweenness(edges, batch_size=16)
+    return bc.select(
+        F.col("node").cast("long").alias("node"),
+        F.floor(F.col("betweenness") * 1e6 + 0.5001).cast("long")
+        .alias("bc_micro")).orderBy("node")
+
+
 def q_great_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haversine great-circle distance (functions/geodesy — pure
     whole-stage-codegen column math) from every event point to the AOI
@@ -5918,6 +5949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_cells": q_s2_cells,
         "slippy_tiles": q_slippy_tiles,
         "gc_interpolate": q_gc_interpolate,
+        "graph_betweenness": q_graph_betweenness,
         "sql_api": q_sql_api,
         "crs_webmercator": q_crs_webmercator,
         "sjoin_rects": q_sjoin_rects,
@@ -6747,6 +6779,72 @@ def _slippy_oracle_sql() -> str:
         SELECT p.event_id, {sx} AS tx14, {sy} AS ty14,
                {SL.quadkey_sql('p.lon', 'p.lat', 8)} AS qk8
         FROM ({DT.POINTS_SQL.strip()}) p
+    """
+
+
+def _betweenness_oracle_sql(levels: int = 20) -> str:
+    """Independent DuckDB betweenness: unrolled BFS level CTEs build
+    the all-sources (dist, σ) table (``levels`` ≥ the fixture graph's
+    diameter — asserted in test_centrality_gate), then the
+    pair-counting identity aggregates per node."""
+    ctes = ["""
+        __edges0 AS MATERIALIZED (
+            SELECT DISTINCT (event_id % 97) AS u,
+                            ((event_id % 97) * 7 + 13) % 97 AS v
+            FROM events
+            UNION
+            SELECT DISTINCT (event_id % 97) AS u,
+                            ((event_id % 97) * 11 + 5) % 97 AS v
+            FROM events
+        )""", """
+        __edges AS MATERIALIZED (
+            SELECT u, v FROM __edges0 WHERE u <> v
+            UNION SELECT v, u FROM __edges0 WHERE u <> v
+        )""", """
+        __nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM __edges)""", """
+        __front_0 AS MATERIALIZED (
+            SELECT node AS src, node, CAST(1 AS DOUBLE) AS sigma
+            FROM __nodes
+        )""", """
+        __reach_0 AS MATERIALIZED (
+            SELECT src, node, 0 AS dist, sigma FROM __front_0
+        )"""]
+    for k in range(1, levels + 1):
+        ctes.append(f"""
+        __front_{k} AS MATERIALIZED (
+            SELECT l.src, e.v AS node, SUM(l.sigma) AS sigma
+            FROM __front_{k - 1} l
+            JOIN __edges e ON l.node = e.u
+            LEFT JOIN __reach_{k - 1} r
+              ON r.src = l.src AND r.node = e.v
+            WHERE r.src IS NULL
+            GROUP BY l.src, e.v
+        )""")
+        ctes.append(f"""
+        __reach_{k} AS MATERIALIZED (
+            SELECT * FROM __reach_{k - 1}
+            UNION ALL
+            SELECT src, node, {k} AS dist, sigma FROM __front_{k}
+        )""")
+    body = ",".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT n.node, CAST(floor(COALESCE(b.raw, 0.0) * 1e6 + 0.5001)
+                            AS BIGINT) AS bc_micro
+        FROM __nodes n
+        LEFT JOIN (
+            SELECT a.node,
+                   SUM(a.sigma * b.sigma / d.sigma) AS raw
+            FROM __reach_{levels} a
+            JOIN __reach_{levels} b
+              ON a.node = b.node AND a.src < b.src
+            JOIN __reach_{levels} d
+              ON d.src = a.src AND d.node = b.src
+            WHERE a.node <> a.src AND a.node <> b.src
+              AND a.dist + b.dist = d.dist
+            GROUP BY a.node
+        ) b ON b.node = n.node
+        ORDER BY n.node
     """
 
 
@@ -7870,6 +7968,7 @@ def oracle_sql() -> dict[str, str]:
         "s2_cells": _s2_cells_oracle_sql(),
         "slippy_tiles": _slippy_oracle_sql(),
         "gc_interpolate": _gc_interp_oracle_sql(),
+        "graph_betweenness": _betweenness_oracle_sql(),
         "crs_webmercator": f"""
             SELECT p.event_id,
               CAST(CAST(radians(p.lon) * 6378137.0 AS REAL) AS DOUBLE)

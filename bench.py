@@ -132,7 +132,8 @@ def main() -> None:
                 "rhumb_lines", "label_points", "heading_stats",
                 "line_smooth", "g_function", "stream_geofence",
                 "line_zone_length", "wkt_roundtrip", "f_function",
-                "s2_cells", "slippy_tiles", "gc_interpolate"]
+                "s2_cells", "slippy_tiles", "gc_interpolate",
+                "graph_betweenness"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))
