@@ -3195,6 +3195,34 @@ def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bc_micro")).orderBy("node")
 
 
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness + harmonic centrality (gate 165) on the same Z_97
+    affine graph as graph_betweenness, through the per-(component,
+    source-batch) pivot-SSSP plan (operators/centrality.closeness).
+    The oracle derives both scores from the independent unrolled-BFS
+    reach table (per-node distance sums) — distance sums are exact
+    integer-valued doubles, harmonic sums have denominators dividing
+    lcm(1..diameter) so the biased micro floor cannot straddle."""
+    _tune(spark)
+    from gis_tools_spark.operators.centrality import closeness
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    u = F.col("event_id") % 97
+    edges = (ev.select(u.alias("src_key"),
+                       ((u * 7 + 13) % 97).alias("dst_key"))
+             .unionByName(ev.select(
+                 u.alias("src_key"), ((u * 11 + 5) % 97).alias("dst_key")))
+             .where(F.col("src_key") != F.col("dst_key"))
+             .distinct())
+    out = closeness(edges, batch_size=16)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.floor(F.col("closeness") * 1e6 + 0.5001).cast("long")
+        .alias("closeness_micro"),
+        F.floor(F.col("harmonic") * 1e6 + 0.5001).cast("long")
+        .alias("harmonic_micro")).orderBy("node")
+
+
 def q_great_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haversine great-circle distance (functions/geodesy — pure
     whole-stage-codegen column math) from every event point to the AOI
@@ -5950,6 +5978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slippy_tiles": q_slippy_tiles,
         "gc_interpolate": q_gc_interpolate,
         "graph_betweenness": q_graph_betweenness,
+        "graph_closeness": q_graph_closeness,
         "sql_api": q_sql_api,
         "crs_webmercator": q_crs_webmercator,
         "sjoin_rects": q_sjoin_rects,
@@ -6782,11 +6811,12 @@ def _slippy_oracle_sql() -> str:
     """
 
 
-def _betweenness_oracle_sql(levels: int = 20) -> str:
-    """Independent DuckDB betweenness: unrolled BFS level CTEs build
-    the all-sources (dist, σ) table (``levels`` ≥ the fixture graph's
-    diameter — asserted in test_centrality_gate), then the
-    pair-counting identity aggregates per node."""
+def _graph_bfs_ctes(levels: int = 20) -> str:
+    """Shared unrolled-BFS CTE body over the Z_97 affine fixture graph:
+    builds __reach_{levels} = all-sources (src, node, dist, sigma)
+    (``levels`` >= the graph's diameter - asserted in
+    test_centrality.test_gate_fixture_graph).  MATERIALIZED is load-
+    bearing: inlined CTEs double the scan tree per level."""
     ctes = ["""
         __edges0 AS MATERIALIZED (
             SELECT DISTINCT (event_id % 97) AS u,
@@ -6826,7 +6856,13 @@ def _betweenness_oracle_sql(levels: int = 20) -> str:
             UNION ALL
             SELECT src, node, {k} AS dist, sigma FROM __front_{k}
         )""")
-    body = ",".join(ctes)
+    return ",".join(ctes)
+
+
+def _betweenness_oracle_sql(levels: int = 20) -> str:
+    """Independent DuckDB betweenness: the shared BFS (dist, sigma)
+    table + the published pair-counting identity."""
+    body = _graph_bfs_ctes(levels)
     return f"""
         WITH {body}
         SELECT n.node, CAST(floor(COALESCE(b.raw, 0.0) * 1e6 + 0.5001)
@@ -6843,6 +6879,30 @@ def _betweenness_oracle_sql(levels: int = 20) -> str:
             WHERE a.node <> a.src AND a.node <> b.src
               AND a.dist + b.dist = d.dist
             GROUP BY a.node
+        ) b ON b.node = n.node
+        ORDER BY n.node
+    """
+
+
+def _closeness_oracle_sql(levels: int = 20) -> str:
+    """Independent DuckDB closeness/harmonic: per-node distance sums
+    over the shared BFS reach table."""
+    body = _graph_bfs_ctes(levels)
+    return f"""
+        WITH {body}
+        SELECT n.node,
+               CAST(floor(CASE WHEN COALESCE(b.sum_d, 0) > 0
+                    THEN (b.n_src - 1) * 1.0 / b.sum_d ELSE 0.0 END
+                    * 1e6 + 0.5001) AS BIGINT) AS closeness_micro,
+               CAST(floor(COALESCE(b.sum_inv, 0.0) * 1e6 + 0.5001)
+                    AS BIGINT) AS harmonic_micro
+        FROM __nodes n
+        LEFT JOIN (
+            SELECT node, SUM(dist) AS sum_d,
+                   SUM(CASE WHEN dist > 0 THEN 1.0 / dist END) AS sum_inv,
+                   COUNT(*) AS n_src
+            FROM __reach_{levels}
+            GROUP BY node
         ) b ON b.node = n.node
         ORDER BY n.node
     """
@@ -7969,6 +8029,7 @@ def oracle_sql() -> dict[str, str]:
         "slippy_tiles": _slippy_oracle_sql(),
         "gc_interpolate": _gc_interp_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
+        "graph_closeness": _closeness_oracle_sql(),
         "crs_webmercator": f"""
             SELECT p.event_id,
               CAST(CAST(radians(p.lon) * 6378137.0 AS REAL) AS DOUBLE)

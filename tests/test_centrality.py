@@ -6,7 +6,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from gis_tools_spark.operators.centrality import betweenness
+from gis_tools_spark.operators.centrality import betweenness, closeness
 
 nx = pytest.importorskip("networkx")
 
@@ -130,3 +130,56 @@ def test_mega_component_guard(spark):
     _, pdf = _random_edges(2, n=30)
     with pytest.raises(ValueError, match="max_component_rows"):
         betweenness(spark.createDataFrame(pdf), max_component_rows=3)
+    with pytest.raises(ValueError, match="max_component_rows"):
+        closeness(spark.createDataFrame(pdf), max_component_rows=3)
+
+
+def test_closeness_vs_networkx(spark):
+    g, pdf = _random_edges(13, n=45)
+    out = closeness(spark.createDataFrame(pdf)).toPandas()
+    got_c = dict(zip(out["node"], out["closeness"]))
+    got_h = dict(zip(out["node"], out["harmonic"]))
+    # per-component closeness (no wf scaling): networkx closeness with
+    # wf_improved=False on each connected component
+    for compo in nx.connected_components(g):
+        sub = g.subgraph(compo)
+        if sub.number_of_edges() == 0:
+            continue
+        exp_c = nx.closeness_centrality(sub, wf_improved=False)
+        exp_h = nx.harmonic_centrality(sub)
+        for u in sub.nodes:
+            assert abs(got_c[f"n{u}"] - exp_c[u]) < 1e-9, u
+            assert abs(got_h[f"n{u}"] - exp_h[u]) < 1e-9, u
+
+
+def test_closeness_weighted_and_batches(spark):
+    g, pdf = _random_edges(17, n=35, weighted=True)
+    for u, v, w in zip(pdf["src_key"], pdf["dst_key"], pdf["length"]):
+        g[int(u[1:])][int(v[1:])]["weight"] = w
+    df = spark.createDataFrame(pdf)
+    a = closeness(df, weight_col="length", batch_size=3) \
+        .orderBy("node").toPandas()
+    b = closeness(df, weight_col="length", batch_size=500) \
+        .orderBy("node").toPandas()
+    assert np.allclose(a["closeness"], b["closeness"], atol=1e-9)
+    assert np.allclose(a["harmonic"], b["harmonic"], atol=1e-9)
+    got = dict(zip(a["node"], a["closeness"]))
+    for compo in nx.connected_components(g):
+        sub = g.subgraph(compo)
+        if sub.number_of_edges() == 0:
+            continue
+        exp = nx.closeness_centrality(sub, distance="weight",
+                                      wf_improved=False)
+        for u in sub.nodes:
+            assert abs(got[f"n{u}"] - exp[u]) < 1e-9, u
+
+
+def test_closeness_sampled(spark):
+    _, pdf = _random_edges(23, n=40)
+    df = spark.createDataFrame(pdf)
+    exact = closeness(df).orderBy("node").toPandas()
+    full = closeness(df, sample=10_000).orderBy("node").toPandas()
+    assert np.allclose(exact["closeness"], full["closeness"], atol=1e-9)
+    s1 = closeness(df, sample=8, seed=5).orderBy("node").toPandas()
+    s2 = closeness(df, sample=8, seed=5).orderBy("node").toPandas()
+    assert np.allclose(s1["harmonic"], s2["harmonic"], atol=1e-12)
