@@ -143,7 +143,7 @@ def quadkey_sql(lon_expr: str, lat_expr: str, z: int) -> str:
     digits concatenate from bit pairs (portable Spark SQL + DuckDB)."""
     sx, sy = tile_sql(lon_expr, lat_expr, z)
     digits = " || ".join(
-        f"CAST((((__qx >> {i}) & 1) + 2 * ((__qy >> {i}) & 1)) AS VARCHAR)"
+        f"CAST((((__qx >> {i}) & 1) + 2 * ((__qy >> {i}) & 1)) AS STRING)"
         for i in range(z - 1, -1, -1))
     return (f"(SELECT {digits} FROM (SELECT {sx} AS __qx, {sy} AS __qy)"
             f" AS __qk)")

@@ -125,3 +125,61 @@ def register_sql_functions(spark: SparkSession, *,
         reg(prefix + name, udf)
         names.append(prefix + name)
     return names
+
+
+def register_cell_sql_functions(spark: SparkSession, *,
+                                prefix: str = "st_",
+                                qcell_res: int = 16,
+                                geohash_precision: int = 8,
+                                tile_zoom: int = 14,
+                                quadkey_zoom: int = 8) -> list[str]:
+    """Register the cell-index encoders as Spark SQL *scalar functions*
+    (``CREATE FUNCTION … RETURN <expr>``) — unlike udf.register, the
+    body stays a Catalyst expression, so spark.sql/JDBC users get the
+    SAME whole-stage-codegen plan as the Column API (plan-asserted in
+    test_sql_cells).  Registered: ``st_qcell``, ``st_morton``,
+    ``st_geohash``, ``st_tile_x``/``st_tile_y``, ``st_quadkey``.
+
+    The S2-analog encoder is deliberately NOT registered: its
+    nested-subquery SQL body trips the analyzer's subquery inlining
+    into an exponential tree (same class of blowup as the
+    with_s2_cell self-join caveat) — use cells.s2.with_s2_cell."""
+    from gis_tools_spark import cells as CC
+    from gis_tools_spark.cells import slippy as SL
+
+    tx, ty = SL.tile_sql("lon", "lat", tile_zoom)
+    defs = {
+        "qcell": ("BIGINT", CC.cell_sql("lon", "lat", qcell_res)),
+        "morton": ("BIGINT", _morton_sql("lon", "lat", qcell_res)),
+        "geohash": ("STRING",
+                    CC.geohash_sql("lon", "lat", geohash_precision)),
+        "tile_x": ("BIGINT", tx),
+        "tile_y": ("BIGINT", ty),
+        "quadkey": ("STRING",
+                    SL.quadkey_sql("lon", "lat", quadkey_zoom)),
+    }
+    names = []
+    for name, (rtype, body) in defs.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {prefix}{name}"
+            f"(lon DOUBLE, lat DOUBLE) RETURNS {rtype} RETURN {body}")
+        names.append(prefix + name)
+    return names
+
+
+def _morton_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """ANSI-SQL Z-order key mirroring cells.morton_key (spread-mask
+    interleave as shift/mask arithmetic)."""
+    from gis_tools_spark.cells import _SPREAD_MASKS
+
+    n = 1 << res
+    def spread(e):
+        for sh, mask in _SPREAD_MASKS:
+            e = f"((({e}) | (({e}) << {sh})) & {mask})"
+        return e
+    ix = (f"CAST(least(greatest(floor((({lon_expr}) + 180.0) / 360.0"
+          f" * {n}), 0), {n - 1}) AS BIGINT)")
+    iy = (f"CAST(least(greatest(floor((({lat_expr}) + 90.0) / 180.0"
+          f" * {n}), 0), {n - 1}) AS BIGINT)")
+    return (f"(SELECT (({spread('__mx')}) << 1) | ({spread('__my')})"
+            f" FROM (SELECT {ix} AS __mx, {iy} AS __my) AS __m)")
