@@ -3223,6 +3223,26 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("harmonic_micro")).orderBy("node")
 
 
+def q_median_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median center / geometric median (gate 166): 12 fixed Weiszfeld
+    steps from the mean center per event_type
+    (operators/centrography.median_center — each step one broadcast
+    join + one map-side-combined aggregation).  The oracle replays the
+    identical iteration as unrolled CTEs; distance sums drift ~1e-15
+    between engines and the biased micro floor absorbs it."""
+    _tune(spark)
+    from gis_tools_spark.operators.centrography import median_center
+
+    pts = DT.events_points(spark, sf_dir)
+    out = median_center(pts, by=["event_type"], iters=12)
+    return out.select(
+        "event_type", F.col("n").cast("long").alias("n"),
+        F.floor(F.col("median_x") * 1e6 + 0.5001).cast("long")
+        .alias("mx_micro"),
+        F.floor(F.col("median_y") * 1e6 + 0.5001).cast("long")
+        .alias("my_micro")).orderBy("event_type")
+
+
 def q_great_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Haversine great-circle distance (functions/geodesy — pure
     whole-stage-codegen column math) from every event point to the AOI
@@ -5979,6 +5999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gc_interpolate": q_gc_interpolate,
         "graph_betweenness": q_graph_betweenness,
         "graph_closeness": q_graph_closeness,
+        "median_center": q_median_center,
         "sql_api": q_sql_api,
         "crs_webmercator": q_crs_webmercator,
         "sjoin_rects": q_sjoin_rects,
@@ -6905,6 +6926,44 @@ def _closeness_oracle_sql(levels: int = 20) -> str:
             GROUP BY node
         ) b ON b.node = n.node
         ORDER BY n.node
+    """
+
+
+def _median_center_oracle_sql(iters: int = 12) -> str:
+    """DuckDB replay of the fixed Weiszfeld iteration (expression
+    shapes mirrored term-for-term; float32-free — sums of smooth
+    doubles drift ~1e-15 and the biased micro floor absorbs it)."""
+    ctes = [f"""
+        __mp AS MATERIALIZED (
+            SELECT event_type AS g, lon AS px, lat AS py
+            FROM ({DT.POINTS_SQL.strip()}) p
+        )""", """
+        __mc_0 AS MATERIALIZED (
+            SELECT g, COUNT(*) AS n,
+                   SUM(px) / COUNT(*) AS cx, SUM(py) / COUNT(*) AS cy
+            FROM __mp GROUP BY g
+        )"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        __mc_{k} AS MATERIALIZED (
+            SELECT g, SUM(px / d) / SUM(1.0 / d) AS cx,
+                   SUM(py / d) / SUM(1.0 / d) AS cy
+            FROM (
+                SELECT p.g, p.px, p.py,
+                       greatest(sqrt((p.px - c.cx) * (p.px - c.cx)
+                                     + (p.py - c.cy) * (p.py - c.cy)),
+                                1e-12) AS d
+                FROM __mp p JOIN __mc_{k - 1} c ON p.g = c.g
+            ) q GROUP BY g
+        )""")
+    body = ",".join(ctes)
+    return f"""
+        WITH {body}
+        SELECT n.g AS event_type, n.n,
+               CAST(floor(c.cx * 1e6 + 0.5001) AS BIGINT) AS mx_micro,
+               CAST(floor(c.cy * 1e6 + 0.5001) AS BIGINT) AS my_micro
+        FROM __mc_0 n JOIN __mc_{iters} c ON n.g = c.g
+        ORDER BY n.g
     """
 
 
@@ -8030,6 +8089,7 @@ def oracle_sql() -> dict[str, str]:
         "gc_interpolate": _gc_interp_oracle_sql(),
         "graph_betweenness": _betweenness_oracle_sql(),
         "graph_closeness": _closeness_oracle_sql(),
+        "median_center": _median_center_oracle_sql(),
         "crs_webmercator": f"""
             SELECT p.event_id,
               CAST(CAST(radians(p.lon) * 6378137.0 AS REAL) AS DOUBLE)

@@ -133,7 +133,7 @@ def main() -> None:
                 "line_smooth", "g_function", "stream_geofence",
                 "line_zone_length", "wkt_roundtrip", "f_function",
                 "s2_cells", "slippy_tiles", "gc_interpolate",
-                "graph_betweenness", "graph_closeness"]
+                "graph_betweenness", "graph_closeness", "median_center"]
     qs = E.queries()
     for name in headline:
         n = _timed(name, lambda name=name: _count(qs[name](spark, SF_DIR)))

@@ -110,3 +110,44 @@ def std_deviational_ellipse(points: DataFrame, *, by: list[str] | None = None,
                     (sy / n).alias("mean_y"),
                     F.sqrt((dxx + dyy) / n).alias("std_dist"),
                     *_ellipse_cols(n, sx, sy, sxx, syy, sxy))
+
+
+def median_center(points: DataFrame, *, by: list[str] | None = None,
+                  lon: str = "lon", lat: str = "lat",
+                  iters: int = 12, eps: float = 1e-12) -> DataFrame:
+    """Median center (geometric median / Weber point) per group via
+    ``iters`` fixed Weiszfeld steps from the mean center — the robust
+    companion of mean_center (ArcGIS "Median Center"): the point
+    minimizing Σ distance, insensitive to outliers that drag the mean.
+
+    Weiszfeld step: c' = Σ(pᵢ/dᵢ) / Σ(1/dᵢ) with dᵢ = max(‖pᵢ−c‖, eps)
+    (the clamp is the standard coincident-point fix and is mirrored in
+    the oracle).  Physical plan: each step is one broadcast join of the
+    tiny center table + one map-side-combined aggregation — iters
+    scans, the Lloyd-iteration shape kmeans already uses; cache the
+    input for repeated passes.  Fixed iteration count keeps the result
+    deterministic and SQL-replayable (gate median_center)."""
+    by = by or []
+    pts = points.select(*by, F.col(lon).alias("__px"),
+                        F.col(lat).alias("__py"))
+    base = pts.groupBy(*by).agg(
+        F.count("*").alias("n"),
+        (F.sum("__px") / F.count("*")).alias("cx"),
+        (F.sum("__py") / F.count("*")).alias("cy"))
+    centers = base.select(*by, "cx", "cy")
+    for _ in range(iters):
+        small = F.broadcast(centers)
+        j = pts.join(small, on=by) if by else pts.crossJoin(small)
+        dx = F.col("__px") - F.col("cx")
+        dy = F.col("__py") - F.col("cy")
+        d = F.greatest(F.sqrt(dx * dx + dy * dy), F.lit(float(eps)))
+        centers = (j.groupBy(*by)
+                   .agg(F.sum(F.col("__px") / d).alias("sx"),
+                        F.sum(F.col("__py") / d).alias("sy"),
+                        F.sum(F.lit(1.0) / d).alias("sw"))
+                   .select(*by, (F.col("sx") / F.col("sw")).alias("cx"),
+                           (F.col("sy") / F.col("sw")).alias("cy")))
+    out = base.select(*by, "n").join(centers, on=by) if by else \
+        base.select("n").crossJoin(centers)
+    return out.select(*by, "n", F.col("cx").alias("median_x"),
+                      F.col("cy").alias("median_y"))
