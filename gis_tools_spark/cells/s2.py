@@ -374,3 +374,94 @@ def _alias_tmp(expr: str) -> str:
     import re
     return re.sub(r"\b(face|xs|ys|zs|u|v|x|y|d)\b",
                   lambda m: f"__s2_{m.group(1)}", expr)
+
+
+# ------------------------------------------------------------------ planar Hilbert keys
+
+def hilbert_key(lon, lat, res: int):
+    """Vectorized numpy Hilbert key on the equirectangular lon/lat grid
+    at ``res`` (2·res bits) — the locality-better drop-in for
+    cells.morton_key: consecutive keys are always edge-adjacent cells,
+    so range-sharded layouts (icetable cluster_by, bucketed joins) cut
+    fewer cell boundaries than the Z-order curve.  Same quantization
+    as morton_key (floor on the linear grid — no trig, no float32
+    concerns)."""
+    if not 1 <= res <= 29:
+        raise ValueError(f"res must be in [1, 29], got {res}")
+    n = 1 << res
+    ix = np.clip(np.floor((np.asarray(lon, dtype=np.float64) + 180.0)
+                          / 360.0 * n), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor((np.asarray(lat, dtype=np.float64) + 90.0)
+                          / 180.0 * n), 0, n - 1).astype(np.int64)
+    return _hilbert_d(ix, iy, res)
+
+
+def hilbert_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """ANSI-SQL mirror of hilbert_key (nested one-layer-per-bit
+    subqueries, exact BIGINT fold — the s2_sql machinery minus the
+    sphere)."""
+    if not 1 <= res <= S2_MAX_SQL_LEVEL:
+        raise ValueError(f"res must be in [1, {S2_MAX_SQL_LEVEL}]")
+    n = 1 << res
+    ix = (f"CAST(least(greatest(floor((({lon_expr}) + 180.0) / 360.0"
+          f" * {n}), 0), {n - 1}) AS BIGINT)")
+    iy = (f"CAST(least(greatest(floor((({lat_expr}) + 90.0) / 180.0"
+          f" * {n}), 0), {n - 1}) AS BIGINT)")
+    inner = (f"SELECT {ix} AS x, {iy} AS y, CAST(0 AS BIGINT) AS d")
+    layer = 0
+    for p in range(res - 1, -1, -1):
+        s = 1 << p
+        rx = f"((x >> {p}) & 1)"
+        ry = f"((y >> {p}) & 1)"
+        layer += 1
+        inner = (
+            f"SELECT"
+            f" (CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f" THEN {n - 1} - y ELSE y END ELSE x END) AS x,"
+            f" (CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+            f" THEN {n - 1} - x ELSE x END ELSE y END) AS y,"
+            f" (d + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})) AS d"
+            f" FROM ({inner}) AS __hq{layer}")
+    return f"(SELECT d FROM ({inner}) AS __hf)"
+
+
+def with_hilbert_key(df, lon: str = "lon", lat: str = "lat",
+                     res: int = 12, out: str = "hilbert_key"):
+    """DataFrame with an appended planar Hilbert key column — chained
+    one-select-per-bit (linear expression tree; same construction and
+    self-join caveat as with_s2_cell)."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= res <= S2_MAX_SQL_LEVEL:
+        raise ValueError(f"res must be in [1, {S2_MAX_SQL_LEVEL}]")
+    n = 1 << res
+    keep = list(df.columns)
+    cur = df.select(*[F.col(c) for c in keep],
+                    F.col(lon).alias("__hl_lon"),
+                    F.col(lat).alias("__hl_lat"))
+    ix = (f"CAST(least(greatest(floor((__hl_lon + 180.0) / 360.0"
+          f" * {n}), 0), {n - 1}) AS BIGINT)")
+    iy = (f"CAST(least(greatest(floor((__hl_lat + 90.0) / 180.0"
+          f" * {n}), 0), {n - 1}) AS BIGINT)")
+    cur = cur.select(*[F.col(c) for c in keep],
+                     F.expr(ix).alias("__hl_x"),
+                     F.expr(iy).alias("__hl_y"),
+                     F.lit(0).cast("long").alias("__hl_d"))
+    for p in range(res - 1, -1, -1):
+        s = 1 << p
+        rx = f"((__hl_x >> {p}) & 1)"
+        ry = f"((__hl_y >> {p}) & 1)"
+        cur = cur.select(
+            *[F.col(c) for c in keep],
+            F.expr(f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+                   f" THEN {n - 1} - __hl_y ELSE __hl_y END"
+                   f" ELSE __hl_x END").alias("__hl_x2"),
+            F.expr(f"CASE WHEN {ry} = 0 THEN CASE WHEN {rx} = 1"
+                   f" THEN {n - 1} - __hl_x ELSE __hl_x END"
+                   f" ELSE __hl_y END").alias("__hl_y2"),
+            F.expr(f"__hl_d + {s * s} * (3 * {rx} + {ry}"
+                   f" - 2 * {rx} * {ry})").alias("__hl_d2"),
+        ).withColumnsRenamed({"__hl_x2": "__hl_x", "__hl_y2": "__hl_y",
+                              "__hl_d2": "__hl_d"})
+    return cur.select(*[F.col(c) for c in keep],
+                      F.col("__hl_d").alias(out))
