@@ -465,3 +465,32 @@ def with_hilbert_key(df, lon: str = "lon", lat: str = "lat",
                               "__hl_d2": "__hl_d"})
     return cur.select(*[F.col(c) for c in keep],
                       F.col("__hl_d").alias(out))
+
+
+# ------------------------------------------------------------------ tokens
+
+def s2_token(cell):
+    """Compact hex token of a cell id (the customary interchange form:
+    16 hex digits with trailing zeros stripped; '0' only for an
+    all-zero id).  Vectorized; inverse of s2_from_token."""
+    flat = np.atleast_1d(np.asarray(cell, dtype=np.int64))
+    out = []
+    for c in flat.tolist():
+        h = format(c & 0xFFFFFFFFFFFFFFFF, "016x").rstrip("0")
+        out.append(h or "0")
+    if np.ndim(cell) == 0:
+        return out[0]
+    return np.array(out)
+
+
+def s2_from_token(tok):
+    """Inverse of s2_token (right-pads with zeros to 16 hex digits)."""
+    toks = [tok] if isinstance(tok, str) else list(tok)
+    out = np.empty(len(toks), dtype=np.int64)
+    for i, t in enumerate(toks):
+        if not 1 <= len(t) <= 16:
+            raise ValueError(f"bad s2 token {t!r}")
+        out[i] = np.int64(int(t.ljust(16, "0"), 16))
+    if isinstance(tok, str):
+        return out[0]
+    return out

@@ -166,13 +166,20 @@ def closeness(edges: DataFrame, *, weight_col: str | None = None,
     try:
         sizes = esym.groupBy("component").agg(
             (F.count("*") / 2).alias("n_edges"),
-            F.countDistinct("u").alias("n_nodes"))
-        too_big = sizes.where(
-            F.col("n_edges") > max_component_rows).limit(1).collect()
-        if too_big:
+            F.countDistinct("u").alias("n_nodes"),
+            F.min("w").alias("min_w"))
+        bad = sizes.where(
+            (F.col("n_edges") > max_component_rows)
+            | (F.col("min_w") <= 0)).limit(1).collect()
+        if bad:
+            if bad[0]["min_w"] is not None and bad[0]["min_w"] <= 0:
+                raise ValueError(
+                    "non-positive edge weight found: the Dijkstra "
+                    "settled order (and the accumulation built on it) "
+                    "requires strictly positive weights")
             raise ValueError(
-                f"component {too_big[0]['component']} has "
-                f"{int(too_big[0]['n_edges'])} edges > max_component_rows="
+                f"component {bad[0]['component']} has "
+                f"{int(bad[0]['n_edges'])} edges > max_component_rows="
                 f"{max_component_rows}; use sample=k (pivot estimator) "
                 f"or raise the guard explicitly")
 
@@ -283,13 +290,20 @@ def betweenness(edges: DataFrame, *, weight_col: str | None = None,
     try:
         sizes = esym.groupBy("component").agg(
             (F.count("*") / 2).alias("n_edges"),
-            F.countDistinct("u").alias("n_nodes"))
-        too_big = sizes.where(
-            F.col("n_edges") > max_component_rows).limit(1).collect()
-        if too_big:
+            F.countDistinct("u").alias("n_nodes"),
+            F.min("w").alias("min_w"))
+        bad = sizes.where(
+            (F.col("n_edges") > max_component_rows)
+            | (F.col("min_w") <= 0)).limit(1).collect()
+        if bad:
+            if bad[0]["min_w"] is not None and bad[0]["min_w"] <= 0:
+                raise ValueError(
+                    "non-positive edge weight found: the Dijkstra "
+                    "settled order (and the accumulation built on it) "
+                    "requires strictly positive weights")
             raise ValueError(
-                f"component {too_big[0]['component']} has "
-                f"{int(too_big[0]['n_edges'])} edges > max_component_rows="
+                f"component {bad[0]['component']} has "
+                f"{int(bad[0]['n_edges'])} edges > max_component_rows="
                 f"{max_component_rows}; use sample=k (sampled Brandes) "
                 f"or raise the guard explicitly")
 

@@ -134,6 +134,15 @@ def test_mega_component_guard(spark):
         closeness(spark.createDataFrame(pdf), max_component_rows=3)
 
 
+def test_nonpositive_weight_guard(spark):
+    pdf = pd.DataFrame({"src_key": ["a", "b"], "dst_key": ["b", "c"],
+                        "length": [1.0, 0.0]})
+    with pytest.raises(ValueError, match="positive"):
+        betweenness(spark.createDataFrame(pdf), weight_col="length")
+    with pytest.raises(ValueError, match="positive"):
+        closeness(spark.createDataFrame(pdf), weight_col="length")
+
+
 def test_closeness_vs_networkx(spark):
     g, pdf = _random_edges(13, n=45)
     out = closeness(spark.createDataFrame(pdf)).toPandas()

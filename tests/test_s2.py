@@ -157,6 +157,21 @@ def test_downstream_patterns(spark, pts):
     assert (win["cnt"].to_numpy() == joined["cnt"].to_numpy()).all()
 
 
+def test_tokens_roundtrip(pts):
+    lon, lat = pts["lon"].to_numpy(), pts["lat"].to_numpy()
+    for level in (0, 7, 16, 29):
+        ids = s2.s2_encode(lon, lat, level)
+        toks = s2.s2_token(ids)
+        assert (s2.s2_from_token(toks) == ids).all()
+        # canonical: no trailing zeros (except the bare '0')
+        assert all(t == "0" or not t.endswith("0") for t in toks)
+    assert s2.s2_token(np.int64(0)) == "0"
+    with pytest.raises(ValueError):
+        s2.s2_from_token("")
+    with pytest.raises(ValueError):
+        s2.s2_from_token("0" * 17)
+
+
 def test_level_guards(pts):
     with pytest.raises(ValueError):
         s2.s2_encode(pts["lon"], pts["lat"], 30)
