@@ -5364,7 +5364,7 @@ def _rhumb_oracle_sql() -> str:
         t AS (
           SELECT ida,
                  radians(lat2) - radians(lat1) AS dphi,
-                 radians(lon2 - lon1) AS dlam,
+                 radians(((lon2 - lon1 + 540.0) % 360.0) - 180.0) AS dlam,
                  ln(tan({pi4} + radians(lat2) / 2)
                     / tan({pi4} + radians(lat1) / 2)) AS dpsi,
                  radians(lat1) AS p1

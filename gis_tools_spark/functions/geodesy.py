@@ -175,10 +175,16 @@ def rhumb_distance_meters(lon1: Column, lat1: Column, lon2: Column,
     circle. Pure column math (ln/tan/sqrt), whole-stage codegen.
     Standard inverse-Mercator form: q = Δφ/Δψ with
     ψ = ln tan(π/4 + φ/2) (q → cos φ as Δφ → 0);
-    d = R·√(Δφ² + q²·Δλ²)."""
+    d = R·√(Δφ² + q²·Δλ²).
+
+    Δλ is normalized to the shorter arc [−180°, 180°) so pairs
+    straddling the antimeridian (179°E → 179°W) take the ~222 km hop,
+    not the long way around (round-4 ADVICE; haversine/slerp are
+    inherently periodic in Δλ, the rhumb family is not)."""
     p1, p2 = F.radians(lat1), F.radians(lat2)
     dphi = p2 - p1
-    dlam = F.radians(lon2 - lon1)
+    dlam = F.radians((lon2 - lon1 + F.lit(540.0)) % F.lit(360.0)
+                     - F.lit(180.0))
     dpsi = (F.log(F.tan(F.lit(np.pi / 4) + p2 / 2)
                   / F.tan(F.lit(np.pi / 4) + p1 / 2)))
     q = F.when(F.abs(dphi) > F.lit(1e-12), dphi / dpsi) \
@@ -190,9 +196,11 @@ def rhumb_distance_meters(lon1: Column, lat1: Column, lon2: Column,
 def rhumb_bearing_deg(lon1: Column, lat1: Column, lon2: Column,
                       lat2: Column) -> Column:
     """Constant compass course from point 1 to point 2, degrees
-    clockwise from north in [0, 360)."""
+    clockwise from north in [0, 360).  Δλ normalized to the shorter
+    arc, matching rhumb_distance_meters (antimeridian-safe)."""
     p1, p2 = F.radians(lat1), F.radians(lat2)
-    dlam = F.radians(lon2 - lon1)
+    dlam = F.radians((lon2 - lon1 + F.lit(540.0)) % F.lit(360.0)
+                     - F.lit(180.0))
     dpsi = (F.log(F.tan(F.lit(np.pi / 4) + p2 / 2)
                   / F.tan(F.lit(np.pi / 4) + p1 / 2)))
     th = F.degrees(F.atan2(dlam, dpsi))
@@ -215,7 +223,11 @@ def rhumb_destination(lon1: Column, lat1: Column, bearing_deg: Column,
     q = F.when(F.abs(dphi) > F.lit(1e-12), dphi / dpsi) \
         .otherwise(F.cos(p1))
     dlam = delta * F.sin(th) / q
-    return (lon1 + F.degrees(dlam), F.degrees(p2))
+    # normalize the destination longitude to (−180, 180] so courses
+    # crossing the antimeridian land on a valid coordinate
+    lon_raw = lon1 + F.degrees(dlam)
+    lon_out = F.lit(180.0) - F.pmod(F.lit(180.0) - lon_raw, F.lit(360.0))
+    return (lon_out, F.degrees(p2))
 
 
 def great_circle_interpolate(lon1: Column, lat1: Column,

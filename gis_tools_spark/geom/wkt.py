@@ -22,7 +22,16 @@ _TYPES = ("GEOMETRYCOLLECTION", "MULTILINESTRING", "MULTIPOLYGON",
 
 def _fmt_num(v: float) -> str:
     f = float(v)
+    if not np.isfinite(f):
+        # WKT has no standard non-finite spelling and the reader's
+        # number regex would reject 'nan'/'inf' anyway — fail loudly
+        # instead of emitting text that cannot round-trip
+        raise ValueError(f"WKT cannot represent non-finite ordinate {f!r}")
     if f == int(f) and abs(f) < 1e15:
+        # keep -0.0's sign (int(-0.0) would drop it and break the
+        # decode(encode(g)) bit-exactness contract)
+        if f == 0.0 and np.signbit(f):
+            return "-0"
         return str(int(f))
     return repr(f)
 

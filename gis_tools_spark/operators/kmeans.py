@@ -56,6 +56,18 @@ def _fit(points: DataFrame, *, k: int, n_iter: int, x: str, y: str,
         F.col(x).cast("long").alias("__kx"),
         F.col(y).cast("long").alias("__ky")).persist()
     try:
+        # the exact floor-mean contract relies on Spark's truncating
+        # `div` == floor division, which holds only for NONNEGATIVE
+        # sums — guard it (mirrors centrality.py's min_w <= 0 guard;
+        # round-4 ADVICE: negatives used to silently truncate-toward-
+        # zero and break bit-agreement with the oracle)
+        mn = pts.agg(F.min("__kx").alias("mx"),
+                     F.min("__ky").alias("my")).collect()[0]
+        if mn["mx"] is None or mn["mx"] < 0 or mn["my"] < 0:
+            raise ValueError(
+                "kmeans requires nonnegative int64 coordinates (the "
+                f"floor-mean spec); got min x={mn['mx']}, min "
+                f"y={mn['my']}. Shift the frame to >= 0 first.")
         rows = (pts.groupBy(F.pmod(F.col("__kid"), F.lit(k)).alias("j"))
                 .agg(F.expr("sum(__kx) div count(*)").alias("cx"),
                      F.expr("sum(__ky) div count(*)").alias("cy"))

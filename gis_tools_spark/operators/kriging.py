@@ -207,8 +207,12 @@ def ordinary_kriging(samples: DataFrame, queries: DataFrame, *,
                    F.struct(F.col("__rn"), F.col("__sx"), F.col("__sy"),
                             F.col("__sv"))).alias("__nb")))
 
+    # carry the caller's id dtype through (string keys are common;
+    # hard-coding LongType here used to fail deep inside the Arrow
+    # stage with an opaque cast error — round-4 ADVICE)
+    qid_type = queries.schema[query_id].dataType
     fields = StructType([
-        StructField("qid", LongType()), StructField("qx", DoubleType()),
+        StructField("qid", qid_type), StructField("qx", DoubleType()),
         StructField("qy", DoubleType()),
         StructField("ok_value", DoubleType()),
         StructField("ok_var", DoubleType()),
@@ -239,7 +243,7 @@ def ordinary_kriging(samples: DataFrame, queries: DataFrame, *,
                 pred[idx] = p
                 var[idx] = v
             yield pd.DataFrame({
-                "qid": pdf["__qid"].to_numpy(np.int64),
+                "qid": pdf["__qid"].to_numpy(),
                 "qx": qx, "qy": qy, "ok_value": pred, "ok_var": var,
                 "n_neighbors": ms.astype(np.int64)})
 

@@ -133,36 +133,51 @@ def geofence_transitions(stream: DataFrame, zones: DataFrame, *,
         "__us", F.unix_micros(F.col(ts_col).cast("timestamp")))
     sort_cols = ["__us"] + ([order_tiebreak] if order_tiebreak else [])
 
+    # zone columns / state carry the caller's id dtype: the batch
+    # geofence_events and sjoin APIs accept string gids, so LongType
+    # here used to crash per micro-batch inside the stateful UDF
+    # (round-4 ADVICE)
+    zid_t = zones.schema[zone_id].dataType
+    integral = isinstance(zid_t, (T.LongType, T.IntegerType,
+                                  T.ShortType, T.ByteType))
+    if not integral and not isinstance(zid_t, T.StringType):
+        raise TypeError(
+            f"geofence_transitions: zone id column {zone_id!r} must be "
+            f"integral or string, got {zid_t.simpleString()}")
+    zone_t = T.LongType() if integral else T.StringType()
+    _conv = int if integral else str
+    _none_sentinel = -1 if integral else ""
+
     out_schema = T.StructType([
         tagged.schema[key_col],
         T.StructField("ts_us", T.LongType()),
-        T.StructField("from_zone", T.LongType()),
-        T.StructField("to_zone", T.LongType()),
+        T.StructField("from_zone", zone_t),
+        T.StructField("to_zone", zone_t),
         T.StructField("kind", T.StringType()),
     ])
     state_schema = T.StructType([
         T.StructField("has_zone", T.IntegerType()),
-        T.StructField("zone", T.LongType()),
+        T.StructField("zone", zone_t),
     ])
 
     def _update(key, pdfs, state: GroupState):
         if state.exists:
             has_prev, prev = state.get
-            prev = None if not has_prev else int(prev)
+            prev = None if not has_prev else _conv(prev)
         else:
             prev = None
         rows = []
         for pdf in pdfs:
             pdf = pdf.sort_values(sort_cols)
             for us, z in zip(pdf["__us"], pdf["__zone"]):
-                z = None if pd.isna(z) else int(z)
+                z = None if pd.isna(z) else _conv(z)
                 if z != prev:
                     kind = ("enter" if prev is None
                             else "exit" if z is None else "switch")
                     rows.append((key[0], int(us), prev, z, kind))
                 prev = z
         state.update((0 if prev is None else 1,
-                      -1 if prev is None else int(prev)))
+                      _none_sentinel if prev is None else _conv(prev)))
         yield pd.DataFrame(rows, columns=[key_col, "ts_us", "from_zone",
                                           "to_zone", "kind"])
 
