@@ -2862,43 +2862,71 @@ def q_raster_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mapInPandas(_pixels, schema="gix long, giy long, curv_v double")
 
 
+CD_GRID, CD_SOURCES = 128, [(5, 5), (100, 80)]   # 2x2 tiles of 64
+
+
 def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cost-distance accumulation (raster/costdist.cost_distance —
-    block-sweep parallel Dijkstra, 1-px halo per sweep). Iterative
-    shortest paths are not ANSI-SQL-expressible at this size, so this
-    gate is rows-only; value-level equality to a global-grid Dijkstra
-    (barriers, multi-source, unreachable pockets) is pytest-proven in
-    tests/test_hydrology.py."""
+    block-sweep parallel relaxation, float64 1-px halo per sweep).
+
+    VALUE-GATED via the uniform-cost closed form (round-4 verdict ask
+    #1): with every cell's entry cost = 1 and no barriers, the
+    accumulated cost from the nearest source is exactly the octile
+    distance max(|Δx|,|Δy|) + (√2−1)·min(|Δx|,|Δy|) — one-scan SQL.
+    The engine still runs the REAL distributed operator (multi-sweep
+    halo exchange across 4 tiles); only the input is closed-form. The
+    barrier / multi-source / unreachable-pocket cases stay pytest-
+    proven against a global-grid Dijkstra (tests/test_hydrology.py,
+    exact equality). Distances are float64 end-to-end; emitted at 1e-3
+    (sequential-sum drift ≤ ~1e-11 over ≤256 steps, so the mm-scale
+    quantile is ~8 orders of magnitude away from any boundary)."""
     _tune(spark)
     import pandas as pd
     from typing import Iterator
+
+    import numpy as np
 
     from gis_tools_spark import fixtures
     from gis_tools_spark.raster import codec
     from gis_tools_spark.raster.costdist import cost_distance
 
-    ras = spark.createDataFrame(fixtures.gen_rasters_exact(2, 2, 64))
-    out = cost_distance(ras, [(5, 5), (100, 80)])
+    base = fixtures.gen_rasters_exact(2, 2, 64)
+    ones = codec.encode_raw_f32(np.ones((64, 64), dtype=np.float32))
+    uni = base.assign(bytes=[ones] * len(base), fmt="raw_f32")
+    out = cost_distance(spark.createDataFrame(uni), CD_SOURCES)
 
     def _pixels(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in it:
             recs = []
             for r in pdf.itertuples(index=False):
-                arr = codec.decode(r.bytes, int(r.w), int(r.h), "raw_f32")
+                arr = codec.decode(r.bytes, int(r.w), int(r.h), r.fmt)
                 _, tx, ty = r.image_id.split("_")
                 rows_, cols_ = np.nonzero((arr != codec.NO_DATA_F32)
                                           & np.isfinite(arr))
                 recs.append(pd.DataFrame(
                     {"gix": int(tx) * int(r.w) + cols_,
                      "giy": int(ty) * int(r.h) + rows_,
-                     "cd6": np.floor(arr[rows_, cols_].astype(np.float64)
-                                     * 1e6 + 0.5).astype(np.int64)}))
+                     "cdm": np.floor(arr[rows_, cols_].astype(np.float64)
+                                     * 1e3 + 0.5).astype(np.int64)}))
             if recs:
                 yield pd.concat(recs, ignore_index=True)
 
-    return out.mapInPandas(_pixels, schema="gix long, giy long, cd6 long")
+    return out.mapInPandas(_pixels, schema="gix long, giy long, cdm long")
+
+
+def _cost_distance_oracle_sql() -> str:
+    arms = ", ".join(
+        f"greatest(abs(gix - {sx}), abs(giy - {sy}))"
+        f" + (sqrt(2.0) - 1.0) * least(abs(gix - {sx}), abs(giy - {sy}))"
+        for sx, sy in CD_SOURCES)
+    return f"""
+        WITH px AS (
+          SELECT x.range AS gix, y.range AS giy
+          FROM range({CD_GRID}) x CROSS JOIN range({CD_GRID}) y)
+        SELECT gix, giy,
+               CAST(floor(least({arms}) * 1000.0 + 0.5) AS BIGINT) AS cdm
+        FROM px
+    """
 
 
 VS_OBS, VS_MAXD2 = (40, 41), 2500   # (40,40) is a no-data fixture pixel
@@ -9583,6 +9611,7 @@ SELECT CAST(w.sx AS BIGINT) AS gix, CAST(w.sy AS BIGINT) AS giy,
 FROM walk w
 WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.gix = w.gix AND e.giy = w.giy)
 """,
+        "cost_distance": _cost_distance_oracle_sql(),
         "viewshed": f"""
 WITH px AS (
   SELECT gix, giy,

@@ -37,6 +37,17 @@ def decode_raw_f32(buf: bytes, w: int, h: int) -> np.ndarray:
     return np.frombuffer(bytes(buf), dtype="<f4").reshape(h, w)
 
 
+def encode_raw_f64(arr: np.ndarray) -> bytes:
+    """float64 single band — the accumulation surface for iterative
+    passes (cost distance) where a float32 carry would round at every
+    tile crossing and break value-level oracle agreement."""
+    return np.ascontiguousarray(arr, dtype="<f8").tobytes()
+
+
+def decode_raw_f64(buf: bytes, w: int, h: int) -> np.ndarray:
+    return np.frombuffer(bytes(buf), dtype="<f8").reshape(h, w)
+
+
 # ----------------------------------------------------------------- PNG
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -208,6 +219,8 @@ def decode(buf: bytes, w: int, h: int, fmt: str) -> np.ndarray:
         return np.frombuffer(bytes(buf), dtype=np.uint8).reshape(h, w)
     if fmt == "raw_f32":
         return decode_raw_f32(buf, w, h)
+    if fmt == "raw_f64":
+        return decode_raw_f64(buf, w, h)
     if fmt == "raw_i16be":
         # SRTM .hgt payload layout (sources/dem.py keeps bytes as-is)
         return np.frombuffer(bytes(buf), dtype=">i2").reshape(h, w) \
@@ -253,6 +266,8 @@ def encode(arr: np.ndarray, fmt: str) -> bytes:
         return encode_raw(arr)
     if fmt == "raw_f32":
         return encode_raw_f32(arr)
+    if fmt == "raw_f64":
+        return encode_raw_f64(arr)
     if fmt == "raw_i16be":
         return np.ascontiguousarray(arr.astype(">i2")).tobytes()
     if fmt == "png":

@@ -243,15 +243,17 @@ def d8_flow_direction(df: DataFrame, *,
     return stitched_apply(df, _fn, no_data=no_data)
 
 
-def apply_halo(p: np.ndarray, halo, no_data: float) -> np.ndarray:
+def apply_halo(p: np.ndarray, halo, no_data: float,
+               dtype: str = "<f4") -> np.ndarray:
     """Overwrite the edge-replicate pad of `p` ((h+2, w+2), NaN nodata)
     with the collected neighbor strips (rows of {dc, dr, strip}); the
     corner rule replicates the GLOBAL array's clamped pad. Shared by
-    stitched_apply and the cost-distance sweep loop."""
+    stitched_apply and the cost-distance sweep loop (which exchanges
+    float64 strips — accumulation surfaces must not round per sweep)."""
     strips = {}
     if halo is not None:
         for piece in halo:
-            s = np.frombuffer(piece["strip"], dtype="<f4").astype(np.float64)
+            s = np.frombuffer(piece["strip"], dtype=dtype).astype(np.float64)
             strips[(int(piece["dc"]), int(piece["dr"]))] = \
                 np.where(s == no_data, np.nan, s)
     # a strip emitted with offset (dc,dr) came FROM the neighbor at
@@ -287,9 +289,10 @@ def apply_halo(p: np.ndarray, halo, no_data: float) -> np.ndarray:
     return p
 
 
-def emit_strip_rows(a: np.ndarray, c: int, w_: int) -> list[tuple]:
-    """The 4 edge strips + 4 corner pixels of one float32 tile, keyed
-    by the consuming neighbor's grid position (shared strip protocol)."""
+def emit_strip_rows(a: np.ndarray, c: int, w_: int,
+                    dtype: str = "<f4") -> list[tuple]:
+    """The 4 edge strips + 4 corner pixels of one tile, keyed by the
+    consuming neighbor's grid position (shared strip protocol)."""
     pieces = {
         (1, 0): a[:, -1], (-1, 0): a[:, 0],
         (0, 1): a[-1, :], (0, -1): a[0, :],
@@ -297,7 +300,7 @@ def emit_strip_rows(a: np.ndarray, c: int, w_: int) -> list[tuple]:
         (1, -1): a[:1, -1], (-1, -1): a[:1, 0],
     }
     return [(c + dc, w_ + dr, dc, dr,
-             np.ascontiguousarray(s, dtype="<f4").tobytes())
+             np.ascontiguousarray(s, dtype=dtype).tobytes())
             for (dc, dr), s in pieces.items()]
 
 

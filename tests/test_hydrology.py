@@ -162,12 +162,13 @@ def test_cost_distance_matches_global_dijkstra(spark):
     sources = [(2, 2), (30, 3)]
     out = cost_distance(spark.createDataFrame(pd.DataFrame(rows)),
                         sources)
-    got = np.zeros((32, 32), dtype=np.float32)
+    got = np.zeros((32, 32), dtype=np.float64)
     for r in out.collect():
+        assert r["fmt"] == "raw_f64"     # float64 carry, no per-sweep rounding
         tx, ty = int(r["image_id"].split("_")[1]), \
             int(r["image_id"].split("_")[2])
         got[ty * 16:(ty + 1) * 16, tx * 16:(tx + 1) * 16] = \
-            codec.decode_raw_f32(bytes(r["bytes"]), 16, 16)
+            codec.decode_raw_f64(bytes(r["bytes"]), 16, 16)
 
     cost = glob.astype(np.float64)
     cost[glob == codec.NO_DATA_F32] = np.nan
@@ -196,8 +197,9 @@ def test_cost_distance_matches_global_dijkstra(spark):
     nod = glob == codec.NO_DATA_F32
     assert (got[nod] == codec.NO_DATA_F32).all()
     valid = ~nod
-    np.testing.assert_allclose(got[valid], dist[valid].astype(np.float32),
-                               rtol=1e-6)
+    # float64 carry + identical relax expression (d_u + c_v*step):
+    # the block-sweep fixed point equals the global Dijkstra exactly
+    np.testing.assert_allclose(got[valid], dist[valid], rtol=0, atol=0)
     assert np.isinf(dist[valid]).sum() == np.isinf(got[valid]).sum()
     # paths genuinely cross tiles: bottom-right tile cost came from a
     # source in another tile
