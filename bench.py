@@ -508,8 +508,36 @@ def main() -> None:
         "pip_rows_per_sec": round(meta["img_pip_rows"] / max(timings["img_pip_join"], 1e-9), 1),
         "detail": meta,
     }
-    print(json.dumps(result))
+    # Full result (all ~125 queries + detail) goes to a file; stdout gets
+    # a COMPACT line that fits the driver's 2000-char tail capture — the
+    # round-4 full line overran it and the round lost its official perf
+    # comparison (BENCH_r04.json parsed: null). The compact line keeps
+    # the contract keys (metric/value/unit/queries/sf) with the slowest
+    # 45 queries (the ones that matter for perf deltas), rounded to 10ms.
+    full_path = Path(__file__).resolve().parent / "BENCH" / "bench_full.json"
+    full_path.parent.mkdir(exist_ok=True)
+    full_path.write_text(json.dumps(result, indent=1))
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:45])
+    compact = {
+        "metric": result["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in top.items()},
+        "n_queries_total": len(timings),
+        "sf": sf,
+        "cpus": CPUS,
+        "n_images": n_img,
+        "images_per_sec": result["images_per_sec"],
+        "pip_rows_per_sec": result["pip_rows_per_sec"],
+        "full": str(full_path),
+    }
     spark.stop()
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:        # hard guard: never overrun the capture
+        compact["queries"] = dict(list(compact["queries"].items())[:30])
+        line = json.dumps(compact, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

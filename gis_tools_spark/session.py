@@ -56,6 +56,9 @@ def get_spark(app_name: str = "gis_tools_spark", cpus: int | None = None,
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # keep stdout clean for harnesses that tail-parse one JSON line
+        # (the round-4 BENCH capture was overrun by progress bars)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in _THREAD_PINS.items():
         b = b.config(f"spark.executorEnv.{k}", v)
