@@ -37,6 +37,8 @@ raster/kernels.py.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 # ------------------------------------------------------------ tables
@@ -2822,6 +2824,14 @@ def _k_acr(jobs, sts, allcoef):
 _PROG_KERNELS = {"dcf": _k_dcf, "dcr": _k_dcr, "acf": _k_acf,
                  "acr": _k_acr}
 _PROG_MIN = 32
+# The multi-scan progressive lockstep is PARITY with the table-driven
+# scalar decoder on the fixture mix (0.97-1.24x, PERF.md round-4
+# continuation-2): its ~60-dispatch-per-symbol-step iteration only
+# wins on wide uniform batches. Per the round-4 verdict (#7), scalar
+# is the DEFAULT progressive path; the lockstep stays available behind
+# this env flag (it remains bit-exact — 229-case fuzz + pytest oracles
+# run with the flag forced on) and inherits any future dispatch win.
+_PROG_LOCKSTEP = os.environ.get("GTS_JPEG_PROG_LOCKSTEP", "0") == "1"
 
 
 def _prog_decode_batch(states: list[dict]):
@@ -2890,6 +2900,14 @@ def decode_batch(bufs) -> list:
         try:
             st = _parse_one(b)
         except _Progressive:
+            if not _PROG_LOCKSTEP:
+                # default path: the scalar progressive decoder (parity
+                # with the lockstep on the fixture mix — see _PROG_LOCKSTEP)
+                try:
+                    out[i] = decode(b)
+                except Exception as e:   # noqa: BLE001
+                    out[i] = e
+                continue
             try:
                 pstates.append(_parse_prog(b))
                 psids.append(i)

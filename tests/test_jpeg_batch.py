@@ -137,6 +137,10 @@ def test_vectorized_scan_emitter_bit_identical():
 
 
 def _force_prog(monkeypatch):
+    # the lockstep is opt-in (scalar is the default progressive path —
+    # round-4 verdict #7); force it on AND drop the entry gate so small
+    # test batches exercise it
+    monkeypatch.setattr(jpeg, "_PROG_LOCKSTEP", True)
     monkeypatch.setattr(jpeg, "_PROG_MIN", 1)
 
 
