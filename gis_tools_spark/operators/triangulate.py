@@ -61,12 +61,36 @@ def _incircle(ax, ay, bx, by, cx, cy, px, py) -> int:
     return (v > 0) - (v < 0)
 
 
+def _t_ratio_exact(X, Y, u, v, w):
+    """Exact (num, den) of the circumcenter parameter t(w) for the
+    circle through (u, v, w): centers lie on the bisector of u→v at
+    m + t·n̂; smaller t ⟺ w is Delaunay-preferred on the left side.
+    den = cross(e, q) > 0 for strictly-left w."""
+    ex, ey = X[v] - X[u], Y[v] - Y[u]
+    qx, qy = X[w] - X[u], Y[w] - Y[u]
+    return (qx * qx + qy * qy - ex * qx - ey * qy, ex * qy - ey * qx)
+
+
 def triangulate_points(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int, int]]:
     """Exact Delaunay wavefront over integer coordinates. Returns
     index triples (into the input arrays) in CCW orientation, each
     sorted ascending within the triple. Duplicate coordinates must be
     removed by the caller; fewer than 3 points or all-collinear input
-    yields []."""
+    yields [].
+
+    The per-edge candidate scan is vectorized (round-4 verdict #8 —
+    it was the 7–11 s bench cluster's interpreter-rate Python-int
+    loop): at the MAX_ABS_COORD=1e5 lattice bound, the left-of-edge
+    cross product (≤ 8e10) and the circumcenter parameter's numerator
+    and denominator (≤ 2e11) are all EXACT in float64 (< 2^53), so
+    the only inexact step is the final ratio t = num/den. The argmin
+    of t picks the Delaunay neighbor (min-t ⟺ the incircle tournament
+    winner); candidates within a 1e-9 relative band of the float min
+    — far wider than the ≤2-ulp ratio error — are re-resolved with
+    exact Python-int cross-multiplication, ties broken by lex (x, y)
+    order exactly as the scalar tournament did (first-in-order wins,
+    and order is sorted by (x, y)). Bit-identical output, ~50× fewer
+    interpreter dispatches."""
     n = len(xs)
     if n < 3:
         return []
@@ -76,6 +100,8 @@ def triangulate_points(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int, i
             "(scale/translate the lattice first)")
     X = [int(v) for v in xs]
     Y = [int(v) for v in ys]
+    Xf = np.asarray(xs, dtype=np.float64)
+    Yf = np.asarray(ys, dtype=np.float64)
     order = sorted(range(n), key=lambda i: (X[i], Y[i]))
     # seed hull edge from the lexicographic minimum: gift-wrap one step
     a = order[0]
@@ -92,6 +118,35 @@ def triangulate_points(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int, i
             if (abs(X[p] - X[a]) + abs(Y[p] - Y[a])
                     < abs(X[b] - X[a]) + abs(Y[b] - Y[a])):
                 b = p
+
+    def _best(u: int, v: int) -> int:
+        ex, ey = Xf[v] - Xf[u], Yf[v] - Yf[u]
+        qx, qy = Xf - Xf[u], Yf - Yf[u]
+        cross = ex * qy - ey * qx                  # exact integers in f64
+        left = cross > 0
+        left[u] = left[v] = False
+        idx = np.nonzero(left)[0]
+        if len(idx) == 0:
+            return -1
+        qxl, qyl = qx[idx], qy[idx]
+        num = qxl * qxl + qyl * qyl - ex * qxl - ey * qyl   # exact in f64
+        t = num / cross[idx]                       # the ONLY rounding step
+        tmin = float(t.min())
+        band = idx[np.abs(t - tmin) <= 1e-9 * (1.0 + abs(tmin))]
+        if len(band) == 1:
+            return int(band[0])
+        # exact resolution among the band: min t, tie → lex-(x, y) min
+        # (== first in `order`, matching the scalar tournament)
+        best = int(band[0])
+        nb, db = _t_ratio_exact(X, Y, u, v, best)
+        for w in map(int, band[1:]):
+            nw, dw = _t_ratio_exact(X, Y, u, v, w)
+            lhs, rhs = nw * db, nb * dw
+            if lhs < rhs or (lhs == rhs
+                             and (X[w], Y[w]) < (X[best], Y[best])):
+                best, nb, db = w, nw, dw
+        return best
+
     queue = [(a, b), (b, a)]
     visited: set[tuple[int, int]] = set()
     tris: list[tuple[int, int, int]] = []
@@ -100,18 +155,9 @@ def triangulate_points(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int, i
         if (u, v) in visited:
             continue
         visited.add((u, v))
-        best = -1
-        for p in order:
-            if p == u or p == v:
-                continue
-            if _orient(X[u], Y[u], X[v], Y[v], X[p], Y[p]) <= 0:
-                continue  # not strictly left of u->v
-            if best < 0 or _incircle(X[u], Y[u], X[v], Y[v],
-                                     X[best], Y[best], X[p], Y[p]) > 0:
-                best = p
-        if best < 0:
+        c = _best(u, v)
+        if c < 0:
             continue  # hull edge: nothing on this side
-        c = best
         tris.append(tuple(sorted((u, v, c))))
         # the new triangle fills the left of u->v, v->c, c->u;
         # explore the far sides of the two new edges
@@ -122,6 +168,20 @@ def triangulate_points(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int, i
                 queue.append(e)
     # triangles can be discovered from up to three frontier edges
     return sorted(set(tris))
+
+
+def _cpu_grouped(df: DataFrame, by: str):
+    """groupBy for CPU-heavy, byte-light group kernels: repartition
+    with an EXPLICIT partition count first. AQE's coalescePartitions
+    sizes post-shuffle partitions by BYTES, and these groups are a few
+    KB of lattice points feeding an O(n log n)–O(n²) kernel — left to
+    AQE the whole stage collapses onto 1-2 cores (measured: the sf0.1
+    voronoi gate ran 7.1 s with ~6 s of kernel work serialized; the
+    explicit count restores the 64-way spread). User-specified
+    repartition counts are exempt from AQE coalescing, and the
+    groupBy reuses the exchange (same hash partitioning)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, F.col(by)).groupBy(by)
 
 
 def _dedupe(ids, xs, ys):
@@ -157,8 +217,7 @@ def delaunay_edges(points: DataFrame, *, by: str, id_col: str = "id",
                              "i": [e[0] for e in edges],
                              "j": [e[1] for e in edges]})
 
-    return (points.repartition(by).groupBy(by)
-            .applyInPandas(_fn, schema=schema))
+    return _cpu_grouped(points, by).applyInPandas(_fn, schema=schema)
 
 
 def delaunay_triangles(points: DataFrame, *, by: str, id_col: str = "id",
@@ -183,8 +242,7 @@ def delaunay_triangles(points: DataFrame, *, by: str, id_col: str = "id",
                              "j": [t[1] for t in trip],
                              "k": [t[2] for t in trip]})
 
-    return (points.repartition(by).groupBy(by)
-            .applyInPandas(_fn, schema=schema))
+    return _cpu_grouped(points, by).applyInPandas(_fn, schema=schema)
 
 
 def _clip_halfplane(poly: np.ndarray, nx: float, ny: float, d: float) -> np.ndarray:
@@ -241,9 +299,25 @@ def voronoi_cells(points: DataFrame, *, by: str, id_col: str = "id",
         base = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
         for i in range(len(ids)):
             poly = base
-            for j in range(len(ids)):
-                if i == j or len(poly) == 0:
+            # nearest-first clip order + distance-bound early exit
+            # (round-4 verdict #8): a site j can only cut the current
+            # cell if |j−i| < 2·max_vertex_dist(i) — a vertex v violates
+            # j's bisector iff (v−i)·(j−i) > |j−i|²/2, which needs
+            # |v−i| > |j−i|/2. Sites sorted by distance, so once the
+            # bound holds for one j it holds for all later ones: the
+            # remaining clips are provably identity and the loop stops.
+            # Exact same cell as the full O(n) scan (the criterion is
+            # conservative with a 1e-9 relative margin), but the per-
+            # site cost drops to the cell's neighbor count (~6 avg).
+            d2 = (xs - xs[i]) ** 2 + (ys - ys[i]) ** 2
+            near = np.argsort(d2, kind="stable")
+            for j in near:
+                if j == i or len(poly) == 0:
                     continue
+                vmax2 = ((poly[:, 0] - xs[i]) ** 2
+                         + (poly[:, 1] - ys[i]) ** 2).max()
+                if d2[j] > 4.0 * vmax2 * (1.0 + 1e-9):
+                    break
                 # bisector of i, j: keep the side closer to i
                 nx, ny = xs[j] - xs[i], ys[j] - ys[i]
                 d = 0.5 * (xs[j] ** 2 - xs[i] ** 2 + ys[j] ** 2 - ys[i] ** 2)
@@ -257,8 +331,7 @@ def voronoi_cells(points: DataFrame, *, by: str, id_col: str = "id",
             rows.append((key[0], int(ids[i]), int(len(poly)), float(area)))
         return pd.DataFrame(rows, columns=[by, "id", "n_vertices", "area"])
 
-    return (points.repartition(by).groupBy(by)
-            .applyInPandas(_fn, schema=schema))
+    return _cpu_grouped(points, by).applyInPandas(_fn, schema=schema)
 
 
 def _kept_alpha(X, Y, tris, alpha2: int):
@@ -313,8 +386,7 @@ def alpha_shape_edges(points: DataFrame, *, by: str, id_col: str = "id",
                              "i": [e[0] for e in edges],
                              "j": [e[1] for e in edges]})
 
-    return (points.repartition(by).groupBy(by)
-            .applyInPandas(_fn, schema=schema))
+    return _cpu_grouped(points, by).applyInPandas(_fn, schema=schema)
 
 
 def tin_interpolate(points: DataFrame, queries: DataFrame, *, by: str,
@@ -368,21 +440,53 @@ def tin_interpolate(points: DataFrame, queries: DataFrame, *, by: str,
                 a, b, c = a, c, b
             norm.append((a, b, c))
         rows = []
-        for r in qs.itertuples(index=False):
-            qx, qy, qid = int(r.x), int(r.y), int(r.qid)
-            for a, b, c in norm:
-                wa = (X[c] - X[b]) * (qy - Y[b]) - (Y[c] - Y[b]) * (qx - X[b])
-                wb = (X[a] - X[c]) * (qy - Y[c]) - (Y[a] - Y[c]) * (qx - X[c])
-                wc = (X[b] - X[a]) * (qy - Y[a]) - (Y[b] - Y[a]) * (qx - X[a])
-                if wa < 0 or wb < 0 or wc < 0:
+        if norm:
+            # Vectorized containment (round-4 verdict #8): at the 1e5
+            # lattice bound every barycentric weight (≤ 8e10) is EXACT
+            # in float64, so the per-query triangle pick is one numpy
+            # pass; only the found triangle's num·qz // den runs in
+            # exact Python ints (weights can exceed 2^53 when scaled
+            # by z).
+            ta = np.array([t[0] for t in norm])
+            tb = np.array([t[1] for t in norm])
+            tc = np.array([t[2] for t in norm])
+            Xf = np.asarray(xs, dtype=np.float64)
+            Yf = np.asarray(ys, dtype=np.float64)
+            ax, ay = Xf[ta], Yf[ta]
+            bx, by_ = Xf[tb], Yf[tb]
+            cx, cy = Xf[tc], Yf[tc]
+            for r in qs.itertuples(index=False):
+                qx, qy, qid = int(r.x), int(r.y), int(r.qid)
+                if max(abs(qx), abs(qy)) > 10_000_000_000:
+                    # beyond f64-exact product range (and far outside
+                    # any site hull — sites are bounded at 1e5): exact
+                    # scalar scan keeps the all-int contract
+                    hit = [i for i, (a, b, c) in enumerate(norm)
+                           if (X[c] - X[b]) * (qy - Y[b])
+                           - (Y[c] - Y[b]) * (qx - X[b]) >= 0
+                           and (X[a] - X[c]) * (qy - Y[c])
+                           - (Y[a] - Y[c]) * (qx - X[c]) >= 0
+                           and (X[b] - X[a]) * (qy - Y[a])
+                           - (Y[b] - Y[a]) * (qx - X[a]) >= 0]
+                else:
+                    wa = (cx - bx) * (qy - by_) - (cy - by_) * (qx - bx)
+                    wb = (ax - cx) * (qy - cy) - (ay - cy) * (qx - cx)
+                    wc = (bx - ax) * (qy - ay) - (by_ - ay) * (qx - ax)
+                    hit = np.nonzero((wa >= 0) & (wb >= 0) & (wc >= 0))[0]
+                if len(hit) == 0:
                     continue
-                den = wa + wb + wc  # == the (positive) doubled CCW area
-                num = (wa * zmap[int(ids[a])] + wb * zmap[int(ids[b])]
-                       + wc * zmap[int(ids[c])])
+                # first containing triangle in norm order, like the
+                # scalar loop (on-edge queries interpolate identically
+                # from either neighbor, so the pick is value-neutral)
+                a, b, c = norm[int(hit[0])]
+                iwa = (X[c] - X[b]) * (qy - Y[b]) - (Y[c] - Y[b]) * (qx - X[b])
+                iwb = (X[a] - X[c]) * (qy - Y[c]) - (Y[a] - Y[c]) * (qx - X[c])
+                iwc = (X[b] - X[a]) * (qy - Y[a]) - (Y[b] - Y[a]) * (qx - X[a])
+                den = iwa + iwb + iwc  # == the (positive) doubled CCW area
+                num = (iwa * zmap[int(ids[a])] + iwb * zmap[int(ids[b])]
+                       + iwc * zmap[int(ids[c])])
                 rows.append((key[0], qid, (num * qz) // den))
-                break
         return pd.DataFrame(rows, columns=["__g", "qid", "zq"])
 
-    out = (u.repartition("__g").groupBy("__g")
-           .applyInPandas(_fn, schema=schema))
+    out = _cpu_grouped(u, "__g").applyInPandas(_fn, schema=schema)
     return out.withColumnRenamed("__g", by)
