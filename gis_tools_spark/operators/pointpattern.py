@@ -241,12 +241,23 @@ def _nn_ladder(a: DataFrame, b: DataFrame, radii, *, same_set: bool,
                lon: str, lat: str, scale_xy: float):
     """Shared NN-distance ladder: per a-row the min distance to b
     (excluding self when same_set), bucketed by the radius ladder.
-    Returns (cum_df(r_idx, r, n_le), n_a, n_found)."""
+    Returns (cum_df(r_idx, r, n_le), n_a, n_found).
+
+    Round-5 plan: PROGRESSIVE WIDENING instead of one join binned at
+    the LARGEST radius. Level k bins both sides at r_k and joins only
+    the points still unresolved after level k−1; a point with any
+    neighbour at distance ≤ r_k is guaranteed found in its 3×3 bins of
+    size r_k, and the min over candidates with d² ≤ r_k² is its TRUE
+    NN distance, so per-point nn_d2 — and every output row — is
+    identical to the single-join plan. Most points resolve at the
+    smallest radius where candidate sets are ~(r_0/r_max)² of the
+    coarse plan's (the old plan's pair count grew with the SQUARE of
+    the largest requested radius, the classic skew bomb on hotspot
+    data), and only the exponentially-rare isolated points escalate."""
     radii = sorted(float(r) for r in radii)
     if not radii or radii[0] <= 0:
         raise ValueError("radii must be positive")
     r_int = [int(round(r * scale_xy)) for r in radii]
-    L = r_int[-1]
 
     def _q(df, rid):
         cols = [F.floor(F.col(lon) * scale_xy + 0.5).cast("long")
@@ -258,51 +269,77 @@ def _nn_ladder(a: DataFrame, b: DataFrame, radii, *, same_set: bool,
         return df.select(*cols)
 
     if same_set:
-        qa = _q(a, True)
+        qa = _q(a, True).persist()
         qb = qa
     else:
-        qa = _q(a, True)
-        qb = _q(b, False)
-    n_a = qa.count()
-    bx = (F.col("xi") - F.col("xi") % L) / L
-    by = (F.col("yi") - F.col("yi") % L) / L
+        qa = _q(a, True).persist()
+        qb = _q(b, False).persist()
+    n_a = qa.count()   # also freezes the persisted __rid assignment
     offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    left = qa.select(
-        F.col("xi").alias("ax"), F.col("yi").alias("ay"),
-        F.col("__rid").alias("ra"),
-        F.explode(F.array(*[
-            F.struct((bx.cast("long") + dx).alias("bx"),
-                     (by.cast("long") + dy).alias("by"))
-            for dx, dy in offs])).alias("t")
-    ).select("ax", "ay", "ra",
-             F.col("t.bx").alias("bx"), F.col("t.by").alias("by"))
-    rcols = [F.col("xi").alias("cx"), F.col("yi").alias("cy"),
-             bx.cast("long").alias("bx"), by.cast("long").alias("by")]
-    if same_set:
-        rcols.insert(2, F.col("__rid").alias("rb"))
-    right = qb.select(*rcols)
     dx = F.col("ax") - F.col("cx")
     dy = F.col("ay") - F.col("cy")
     d2 = dx * dx + dy * dy
-    j = left.join(right, on=["bx", "by"])
-    if same_set:
-        j = j.where(F.col("ra") != F.col("rb"))
-    nn = (j.where(d2 <= F.lit(L * L).cast("long"))
-          .groupBy("ra").agg(F.min(d2).alias("nn_d2")))
-    n_found = nn.count()
+
+    def _level_join(unres, Lk: int):
+        bx = (F.col("xi") - F.col("xi") % Lk) / Lk
+        by = (F.col("yi") - F.col("yi") % Lk) / Lk
+        left = unres.select(
+            F.col("xi").alias("ax"), F.col("yi").alias("ay"),
+            F.col("__rid").alias("ra"),
+            F.explode(F.array(*[
+                F.struct((bx.cast("long") + ox).alias("bx"),
+                         (by.cast("long") + oy).alias("by"))
+                for ox, oy in offs])).alias("t")
+        ).select("ax", "ay", "ra",
+                 F.col("t.bx").alias("bx"), F.col("t.by").alias("by"))
+        rcols = [F.col("xi").alias("cx"), F.col("yi").alias("cy"),
+                 bx.cast("long").alias("bx"), by.cast("long").alias("by")]
+        if same_set:
+            rcols.insert(2, F.col("__rid").alias("rb"))
+        j = left.join(qb.select(*rcols), on=["bx", "by"])
+        if same_set:
+            j = j.where(F.col("ra") != F.col("rb"))
+        return (j.where(d2 <= F.lit(Lk * Lk).cast("long"))
+                .groupBy("ra").agg(F.min(d2).alias("nn_d2")))
+
+    unresolved = qa
+    to_unpersist = [qa] if same_set else [qa, qb]
+    found = []
+    n_found = 0
+    for k, rk in enumerate(r_int):
+        nn_k = _level_join(unresolved, rk).persist()
+        c_k = nn_k.count()
+        n_found += c_k
+        found.append(nn_k)
+        to_unpersist.append(nn_k)
+        if k + 1 < len(r_int):
+            unresolved = unresolved.join(
+                nn_k.select(F.col("ra").alias("__rid")),
+                on="__rid", how="left_anti").persist()
+            to_unpersist.append(unresolved)
+            if unresolved.count() == 0:
+                break
+    nn = found[0]
+    for f in found[1:]:
+        nn = nn.unionByName(f)
     idx = None
     for k in range(len(r_int) - 1, -1, -1):
         cond = F.col("nn_d2") <= F.lit(r_int[k] * r_int[k]).cast("long")
         idx = F.when(cond, F.lit(k)) if idx is None else             F.when(cond, F.lit(k)).otherwise(idx)
-    per = nn.groupBy(idx.alias("r_idx")).agg(F.count("*").alias("__c"))
-    rad_df = a.sparkSession.createDataFrame(
-        [(k, radii[k]) for k in range(len(radii))], "r_idx int, r double")
-    cum = (rad_df.join(per, on="r_idx", how="left")
-           .withColumn("__c", F.coalesce("__c", F.lit(0)))
-           .withColumn("n_le",
-                       F.sum("__c").over(
-                           Window.orderBy("r_idx")
-                           .rowsBetween(Window.unboundedPreceding, 0))))
+    per = {int(r["r_idx"]): int(r["__c"]) for r in
+           nn.groupBy(idx.alias("r_idx"))
+           .agg(F.count("*").alias("__c")).collect()}
+    for df in to_unpersist:
+        df.unpersist()
+    # the ladder is len(radii) rows — materialize the cumulative sums
+    # driver-side (frees the persisted intermediates immediately and
+    # keeps the returned plan trivially small)
+    rows, acc = [], 0
+    for k in range(len(radii)):
+        acc += per.get(k, 0)
+        rows.append((k, radii[k], acc))
+    cum = a.sparkSession.createDataFrame(
+        rows, "r_idx int, r double, n_le long")
     return cum, n_a, n_found
 
 
