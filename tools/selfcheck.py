@@ -40,8 +40,13 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    json_out = None
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -50,11 +55,20 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     n_fail = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        spark_pdf = fn(spark, sf_dir).toPandas()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            n_fail += 1
+            report[name] = {"ok": False, "rows": -1, "err": repr(e)[:300]}
+            print(f"{name:24s} ERROR {e!r}")
+            continue
         if name not in oracles:
+            report[name] = {"ok": True, "rows": len(spark_pdf),
+                            "err": "no_oracle (rows-only gate)"}
             print(f"{name:24s} rows-only: {len(spark_pdf)} rows")
             continue
         duck_pdf = con.execute(oracles[name]).fetchdf()
@@ -63,6 +77,9 @@ def main() -> int:
         ok_rows = len(a) == len(b)
         ok_vals = ok_cols and ok_rows and _values_equal(a, b)
         status = "OK" if (ok_cols and ok_rows and ok_vals) else "FAIL"
+        report[name] = {"ok": status == "OK", "rows": len(a),
+                        "oracle_rows": len(b), "err": None if status == "OK"
+                        else f"cols={ok_cols} rows={len(a)}/{len(b)} vals={ok_vals}"}
         if status == "FAIL":
             n_fail += 1
             print(f"{name:24s} {status} cols={ok_cols} rows={len(a)}/{len(b)} vals={ok_vals}")
@@ -79,6 +96,14 @@ def main() -> int:
         else:
             print(f"{name:24s} OK   ({len(a)} rows)")
     spark.stop()
+    if json_out:
+        import json
+
+        summary = {"sf_dir": sf_dir, "n_gates": len(report),
+                   "n_ok": sum(1 for r in report.values() if r["ok"]),
+                   "n_fail": n_fail, "gates": report}
+        Path(json_out).write_text(json.dumps(summary, indent=1))
+        print(f"wrote {json_out}: {summary['n_ok']}/{summary['n_gates']} ok")
     return n_fail
 
 
