@@ -20,6 +20,15 @@ def test_raw_roundtrips():
     assert (codec.decode_raw(codec.encode_raw(a), 8, 8) == a).all()
     f = rng.normal(0, 1, (8, 8)).astype(np.float32)
     assert (codec.decode_raw_f32(codec.encode_raw_f32(f), 8, 8) == f).all()
+    # raw_f64 (the cost-distance accumulation surface): bit-exact incl.
+    # the inf/NaN sentinels the sweep loop stores, via dispatch too
+    d = rng.normal(0, 1, (8, 8))
+    d[0, 0], d[0, 1], d[0, 2] = np.inf, -np.inf, np.nan
+    back = codec.decode_raw_f64(codec.encode_raw_f64(d), 8, 8)
+    assert np.array_equal(back, d, equal_nan=True)
+    assert back.dtype == np.float64
+    assert np.array_equal(codec.decode(codec.encode(d, "raw_f64"), 8, 8,
+                                       "raw_f64"), d, equal_nan=True)
 
 
 def test_psnr_gate():
