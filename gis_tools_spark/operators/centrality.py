@@ -38,6 +38,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .core import cpu_grouped
 from .network import connected_components
 
 __all__ = ["betweenness", "closeness"]
@@ -223,7 +224,7 @@ def closeness(edges: DataFrame, *, weight_col: str | None = None,
                 "sum_inv": [a[1] for a in acc.values()],
                 "n_reach": [a[2] for a in acc.values()]})
 
-        parts = work.groupBy("component", "batch").applyInPandas(
+        parts = cpu_grouped(work, "component", "batch").applyInPandas(
             _solve, "component string, node string, sum_d double,"
                     " sum_inv double, n_reach long")
         per_node = parts.groupBy("component", "node").agg(
@@ -350,7 +351,7 @@ def betweenness(edges: DataFrame, *, weight_col: str | None = None,
                 "node": list(dep.keys()),
                 "partial": list(dep.values())})
 
-        parts = work.groupBy("component", "batch").applyInPandas(
+        parts = cpu_grouped(work, "component", "batch").applyInPandas(
             _solve, "component string, node string, partial double")
 
         per_node = parts.groupBy("component", "node").agg(

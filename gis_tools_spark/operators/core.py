@@ -90,6 +90,20 @@ def persist_scoped(cached: DataFrame, result: DataFrame) -> DataFrame:
     return result
 
 
+def cpu_grouped(df: DataFrame, *keys: str):
+    """groupBy for CPU-heavy, byte-light group kernels: repartition on
+    the keys with an EXPLICIT partition count first. AQE's
+    coalescePartitions sizes post-shuffle partitions by BYTES, so
+    KB-sized groups feeding an expensive Python/numpy applyInPandas
+    kernel collapse onto 1-2 cores and the stage serializes (round-5
+    PERF.md: the sf0.1 voronoi gate walled 7.1 s for ~6 s of kernel
+    that 32 cores eat in ~0.3 s). User-specified repartition counts
+    are exempt from AQE coalescing, and the groupBy reuses the
+    exchange (same hash partitioning)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(k) for k in keys]).groupBy(*keys)
+
+
 def point_cells_multires(lon: Column, lat: Column,
                          res_min: int = C.RES_MIN, res_max: int = C.RES_MAX) -> Column:
     """Array of the point's ancestor cell at each res in [res_min,res_max].

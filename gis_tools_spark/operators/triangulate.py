@@ -170,18 +170,7 @@ def triangulate_points(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int, i
     return sorted(set(tris))
 
 
-def _cpu_grouped(df: DataFrame, by: str):
-    """groupBy for CPU-heavy, byte-light group kernels: repartition
-    with an EXPLICIT partition count first. AQE's coalescePartitions
-    sizes post-shuffle partitions by BYTES, and these groups are a few
-    KB of lattice points feeding an O(n log n)–O(n²) kernel — left to
-    AQE the whole stage collapses onto 1-2 cores (measured: the sf0.1
-    voronoi gate ran 7.1 s with ~6 s of kernel work serialized; the
-    explicit count restores the 64-way spread). User-specified
-    repartition counts are exempt from AQE coalescing, and the
-    groupBy reuses the exchange (same hash partitioning)."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n, F.col(by)).groupBy(by)
+from .core import cpu_grouped as _cpu_grouped  # shared AQE-exempt groupBy
 
 
 def _dedupe(ids, xs, ys):
