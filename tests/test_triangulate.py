@@ -198,3 +198,96 @@ def test_tin_interpolate_reproduces_plane(spark):
     out3 = tin_interpolate(spark.createDataFrame(sites),
                            spark.createDataFrame(far), by="zone").toPandas()
     assert 9999 not in set(out3.qid)
+
+
+def _scalar_tournament(xs, ys):
+    """The pre-vectorization reference: per frontier edge, a sequential
+    tournament with exact integer orient/incircle predicates (kept here
+    as the equivalence oracle for the vectorized candidate scan)."""
+    from gis_tools_spark.operators.triangulate import _incircle, _orient
+
+    n = len(xs)
+    if n < 3:
+        return []
+    X = [int(v) for v in xs]
+    Y = [int(v) for v in ys]
+    order = sorted(range(n), key=lambda i: (X[i], Y[i]))
+    a = order[0]
+    b = -1
+    for p in order[1:]:
+        if b < 0:
+            b = p
+            continue
+        s = _orient(X[a], Y[a], X[b], Y[b], X[p], Y[p])
+        if s < 0:
+            b = p
+        elif s == 0:
+            if (abs(X[p] - X[a]) + abs(Y[p] - Y[a])
+                    < abs(X[b] - X[a]) + abs(Y[b] - Y[a])):
+                b = p
+    queue = [(a, b), (b, a)]
+    visited, tris = set(), []
+    while queue:
+        u, v = queue.pop()
+        if (u, v) in visited:
+            continue
+        visited.add((u, v))
+        best = -1
+        for p in order:
+            if p == u or p == v:
+                continue
+            if _orient(X[u], Y[u], X[v], Y[v], X[p], Y[p]) <= 0:
+                continue
+            if best < 0 or _incircle(X[u], Y[u], X[v], Y[v],
+                                     X[best], Y[best], X[p], Y[p]) > 0:
+                best = p
+        if best < 0:
+            continue
+        tris.append(tuple(sorted((u, v, best))))
+        visited.add((v, best))
+        visited.add((best, u))
+        for e in ((best, v), (u, best)):
+            if e not in visited:
+                queue.append(e)
+    return sorted(set(tris))
+
+
+def test_vectorized_scan_equals_scalar_tournament():
+    """The vectorized candidate scan must be BIT-IDENTICAL to the
+    scalar exact-predicate tournament — including on cocircular-heavy
+    inputs (regular grids, where the float-filter band is widest) and
+    at the 1e5 coordinate bound (where the f64-exactness argument is
+    tightest)."""
+    from gis_tools_spark.operators.triangulate import (MAX_ABS_COORD,
+                                                       triangulate_points)
+
+    cases = []
+    # regular 5x5 grid: every cell's 4 corners exactly cocircular
+    g = np.arange(5) * 7
+    xx, yy = np.meshgrid(g, g)
+    cases.append((xx.ravel().astype(np.int64), yy.ravel().astype(np.int64)))
+    # grid + jittered extras (mixed ties and general position)
+    rng = np.random.default_rng(17)
+    ex = np.concatenate([xx.ravel(), rng.integers(0, 29, 12)]).astype(np.int64)
+    ey = np.concatenate([yy.ravel(), rng.integers(0, 29, 12)]).astype(np.int64)
+    dedup = sorted(set(zip(ex.tolist(), ey.tolist())))
+    cases.append((np.array([p[0] for p in dedup], dtype=np.int64),
+                  np.array([p[1] for p in dedup], dtype=np.int64)))
+    # near the coordinate bound, both signs
+    M = MAX_ABS_COORD
+    pts = set()
+    while len(pts) < 30:
+        pts.add((int(rng.integers(-M, M + 1)), int(rng.integers(-M, M + 1))))
+    arr = np.array(sorted(pts), dtype=np.int64)
+    cases.append((arr[:, 0], arr[:, 1]))
+    # random small-lattice clusters (dense ties)
+    for seed in (3, 4):
+        r2 = np.random.default_rng(seed)
+        pts = set()
+        while len(pts) < 40:
+            pts.add((int(r2.integers(0, 15)), int(r2.integers(0, 15))))
+        arr = np.array(sorted(pts), dtype=np.int64)
+        cases.append((arr[:, 0], arr[:, 1]))
+
+    for xs, ys in cases:
+        assert triangulate_points(xs, ys) == _scalar_tournament(xs, ys)
