@@ -5698,7 +5698,9 @@ def q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tile = F.ntile(n_files).over(
         __import__("pyspark.sql.window", fromlist=["Window"])
         .Window.orderBy("ts", "event_id"))
-    staged = pts.withColumn("__f", tile)
+    # persist the tiled frame: the 6 slice writes otherwise each re-run
+    # the global ntile sort (round-6, guide §2.4 — 6 window passes → 1)
+    staged = pts.withColumn("__f", tile).persist()
     base = time.time() - 1000
     for k in range(1, n_files + 1):
         (staged.where(F.col("__f") == k).drop("__f")
@@ -5707,6 +5709,7 @@ def q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
         for root, _dirs, files in os.walk(f"{d}/in/f{k}"):
             for fn in files:
                 os.utime(os.path.join(root, fn), (base + k, base + k))
+    staged.unpersist()
 
     schema = pts.schema
     stream = (spark.readStream.schema(schema)
@@ -5717,12 +5720,24 @@ def q_stream_geofence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = geofence_transitions(stream, DT.nation_zones(spark, sf_dir),
                                order_tiebreak="event_id")
-    q = (out.writeStream.format("parquet")
-         .option("path", f"{d}/out")
-         .option("checkpointLocation", f"{d}/ckpt")
-         .outputMode("append")
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    # state-store partition count is pinned from this conf at checkpoint
+    # creation (fresh checkpoint per call). Streaming has no AQE, so the
+    # session's batch setting would open/commit 32 KB-sized state stores
+    # per micro-batch; scale with cores instead of a constant (guide §2
+    # scale-adaptive partitioning) and restore the session value after.
+    _old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(max(8, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+                           // 4)))
+    try:
+        q = (out.writeStream.format("parquet")
+             .option("path", f"{d}/out")
+             .option("checkpointLocation", f"{d}/ckpt")
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", _old_sp)
     res = spark.read.parquet(f"{d}/out")
     return res.select("user_id", "ts_us", "from_zone", "to_zone", "kind")
 

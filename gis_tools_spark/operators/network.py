@@ -79,44 +79,130 @@ def end_nodes(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, *, max_iter: int = 64) -> DataFrame:
-    """(node, component) via min-label propagation **with pointer
-    jumping**: each round does (1) neighbor-min propagation and (2) label
-    compression `component ← label(component)`, so convergence is
-    O(log diameter) rounds, not O(diameter) — a million-node road chain
-    converges in ~20 rounds instead of silently stopping partway.
+    """(node, component = MIN node id in the component), all endpoint
+    nodes included. Two-level plan (round-6 rewrite — the old all-rounds
+    min-label propagation paid ~5 shuffled jobs per round and walled the
+    st_dbscan/flowacc/near-dup gates):
+
+    1. **Local union-find, zero shuffle.** Each task runs union-find over
+       its own slice of the edge list (mapInPandas — the edge set is
+       never symmetrized, deduped, or shuffled) and emits one
+       (node, lroot) row per distinct node it saw, lroot = min node id
+       of the node's LOCAL component. Output size ≈ nodes × partition
+       multiplicity, tiny next to the edge list.
+    2. **Contracted graph.** A node seen in several tasks links all its
+       lroots; pointer-jumping min-label rounds run only on that
+       contracted lroot graph — usually orders of magnitude smaller and
+       shallower than the input (a clique-ish cluster collapses to one
+       lroot per task slice). Worst case (path graph scattered round-
+       robin) degenerates to the old per-round cost on an edge set no
+       larger than before.
+
+    The result is a pure function of the input SET (mins are
+    order-independent), so partitioning does not leak into labels.
     Raises on non-convergence rather than returning split components
-    (which would feed Dijkstra wrong subgraphs downstream). Returns all
-    nodes incl. isolated endpoints."""
-    # persist: every propagation round joins against the undirected edge
-    # set — without it the upstream edge derivation (and its distinct
-    # shuffle) re-runs once per round
+    (which would feed Dijkstra wrong subgraphs downstream)."""
+    key_t = edges.schema["src_key"].dataType.simpleString()
+
+    def _local(it):
+        chunks = [pdf for pdf in it if len(pdf)]
+        if not chunks:
+            return
+        pdf = (pd.concat(chunks, ignore_index=True)
+               if len(chunks) > 1 else chunks[0])
+        both = pd.concat([pdf["src_key"], pdf["dst_key"]],
+                         ignore_index=True)
+        codes, uniq = pd.factorize(both, sort=False)
+        n = len(uniq)
+        m = len(pdf)
+        ca, cb = codes[:m], codes[m:]
+        # vectorized min-index propagation with pointer compression —
+        # O(E) numpy per round, O(log diameter) rounds, no Python loop
+        label = np.arange(n, dtype=np.int64)
+        while True:
+            old = label
+            le = np.minimum(label[ca], label[cb])
+            label = label.copy()
+            np.minimum.at(label, ca, le)
+            np.minimum.at(label, cb, le)
+            label = label[label]                 # compress one hop
+            if np.array_equal(label, old):
+                break
+        # label is the min node INDEX per component (factorize order ≠
+        # value order) — resolve to the min node VALUE per component
+        out = pd.DataFrame({"node": uniq, "__r": label})
+        out["lroot"] = out.groupby("__r")["node"].transform("min")
+        yield out[["node", "lroot"]]
+
+    mapping = edges.select("src_key", "dst_key").mapInPandas(
+        _local, schema=f"node {key_t}, lroot {key_t}").persist()
+    # contracted constraints: every node ties its min lroot to each of
+    # its other lroots (collect_set is tiny per node — one entry per
+    # task the node appeared in)
+    grp = (mapping.groupBy("node")
+           .agg(F.min("lroot").alias("__lo"),
+                F.collect_set("lroot").alias("__ls")))
+    e2 = (grp.select(F.col("__lo").alias("src_key"),
+                     F.explode("__ls").alias("dst_key"))
+          .where(F.col("src_key") != F.col("dst_key"))).persist()
+    if e2.isEmpty():
+        # every node saw exactly one task — local labels are global
+        # (common once AQE has coalesced a small edge list); skip the
+        # contracted rounds entirely
+        out = (mapping.groupBy("node")
+               .agg(F.min("lroot").alias("component"))
+               .localCheckpoint(eager=True))
+    else:
+        lab2 = _minlabel_rounds(e2, max_iter=max_iter)
+        out = (mapping.join(lab2.withColumnRenamed("node", "lroot"),
+                            on="lroot", how="left")
+               .groupBy("node")
+               .agg(F.min(F.coalesce("component", F.col("lroot")))
+                    .alias("component"))
+               .localCheckpoint(eager=True))
+    e2.unpersist()
+    mapping.unpersist()
+    return out
+
+
+def _minlabel_rounds(edges: DataFrame, *, max_iter: int = 64) -> DataFrame:
+    """Min-label propagation with pointer jumping (the pre-round-6
+    connected_components core), now run only on the contracted lroot
+    graph: per round (1) neighbor-min propagation, (2) label compression
+    `component ← label(component)` — O(log diameter) rounds. The changed
+    flag is computed INSIDE the checkpointed frame (one cheap scan per
+    round instead of a labels⋈labels join job)."""
     und = (edges.select(F.col("src_key").alias("a"), F.col("dst_key").alias("b"))
            .unionAll(edges.select(F.col("dst_key").alias("a"), F.col("src_key").alias("b")))
            .distinct()).persist()
     labels = (und.select(F.col("a").alias("node"))
               .distinct()
-              .withColumn("component", F.col("node")))
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iter):
         cand = (und.join(labels.withColumnRenamed("node", "b")
                          .withColumnRenamed("component", "nbr_comp"), on="b")
                 .groupBy("a").agg(F.min("nbr_comp").alias("min_nbr")))
-        new = (labels.join(cand.withColumnRenamed("a", "node"), on="node", how="left")
-               .select("node",
-                       F.least(F.col("component"), F.coalesce(F.col("min_nbr"), F.col("component")))
-                       .alias("component")))
+        prop = (labels.join(cand.withColumnRenamed("a", "node"), on="node", how="left")
+                .select("node", F.col("component").alias("__old"),
+                        F.least(F.col("component"),
+                                F.coalesce(F.col("min_nbr"), F.col("component")))
+                        .alias("component"))
+                .localCheckpoint(eager=True))
         # pointer jumping: component ids are node keys, so compress one
-        # hop through the label table (large-star step)
-        root = (new.select(F.col("node").alias("component"),
-                           F.col("component").alias("root")))
-        new = (new.join(root, on="component", how="left")
-               .select("node",
-                       F.least(F.col("component"),
-                               F.coalesce(F.col("root"), F.col("component")))
-                       .alias("component")))
-        new = new.localCheckpoint(eager=True)
-        changed = (new.alias("n").join(labels.alias("o"), on="node")
-                   .where(F.col("n.component") != F.col("o.component")).limit(1).count())
-        labels = new
+        # hop through the label table (large-star step); prop is
+        # checkpointed so the self-join does not recompute the
+        # propagation tree twice
+        root = (prop.select(F.col("node").alias("component"),
+                            F.col("component").alias("root")))
+        comp = F.least(F.col("component"),
+                       F.coalesce(F.col("root"), F.col("component")))
+        new = (prop.join(root, on="component", how="left")
+               .select("node", comp.alias("component"),
+                       (comp != F.col("__old")).alias("__chg"))
+               .localCheckpoint(eager=True))
+        changed = new.where("__chg").limit(1).count()
+        labels = new.drop("__chg")
         if changed == 0:
             # labels are eagerly checkpointed — the edge set is no
             # longer referenced (round-3 advisory: persist leak)

@@ -161,25 +161,73 @@ def geofence_transitions(stream: DataFrame, zones: DataFrame, *,
     ])
 
     def _update(key, pdfs, state: GroupState):
+        import numpy as np
         if state.exists:
             has_prev, prev = state.get
             prev = None if not has_prev else _conv(prev)
         else:
             prev = None
-        rows = []
+        frames = []
         for pdf in pdfs:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(sort_cols)
-            for us, z in zip(pdf["__us"], pdf["__zone"]):
-                z = None if pd.isna(z) else _conv(z)
-                if z != prev:
-                    kind = ("enter" if prev is None
-                            else "exit" if z is None else "switch")
-                    rows.append((key[0], int(us), prev, z, kind))
-                prev = z
+            if len(pdf) < 64:
+                # tiny trace: the scalar scan beats ~20 numpy calls of
+                # fixed vectorization overhead (measured on the 6-row
+                # groups of the sf0.1 gate)
+                rows = []
+                for us, z in zip(pdf["__us"], pdf["__zone"]):
+                    z = None if pd.isna(z) else _conv(z)
+                    if z != prev:
+                        kind = ("enter" if prev is None
+                                else "exit" if z is None else "switch")
+                        rows.append((key[0], int(us), prev, z, kind))
+                    prev = z
+                if rows:
+                    frames.append(pd.DataFrame(
+                        rows, columns=[key_col, "ts_us", "from_zone",
+                                       "to_zone", "kind"]))
+                continue
+            # vectorized transition scan (round-5 verdict #1: the
+            # per-event Python loop paid interpreter rate per ping):
+            # a row transitions when its (null-ness, zone) differs from
+            # the previous row's, row 0 comparing against the carried
+            # cross-batch state
+            zser = pdf["__zone"]
+            na = pd.isna(zser).to_numpy()
+            if integral:
+                vals = (zser.fillna(_none_sentinel).to_numpy()
+                        .astype(np.int64))
+            else:
+                vals = zser.fillna(_none_sentinel).astype(str) \
+                    .to_numpy(dtype=object)
+            pna = np.concatenate(([prev is None], na[:-1]))
+            pvals = np.concatenate(
+                ([_none_sentinel if prev is None else prev], vals[:-1]))
+            chg = (pna != na) | (~na & ~pna & (pvals != vals))
+            idx = np.nonzero(chg)[0]
+            if len(idx):
+                us = pdf["__us"].to_numpy()[idx]
+                f_na, t_na = pna[idx], na[idx]
+                frm = np.where(f_na, None, pvals[idx].astype(object))
+                to = np.where(t_na, None, vals[idx].astype(object))
+                kind = np.where(f_na, "enter",
+                                np.where(t_na, "exit", "switch"))
+                frames.append(pd.DataFrame({
+                    key_col: key[0], "ts_us": us, "from_zone": frm,
+                    "to_zone": to, "kind": kind}))
+            prev = None if na[-1] else _conv(vals[-1])
         state.update((0 if prev is None else 1,
                       _none_sentinel if prev is None else _conv(prev)))
-        yield pd.DataFrame(rows, columns=[key_col, "ts_us", "from_zone",
-                                          "to_zone", "kind"])
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+        else:
+            yield pd.DataFrame({key_col: pd.Series(dtype=object),
+                                "ts_us": pd.Series(dtype="int64"),
+                                "from_zone": pd.Series(dtype=object),
+                                "to_zone": pd.Series(dtype=object),
+                                "kind": pd.Series(dtype=object)})
 
     return (tagged.groupBy(key_col)
             .applyInPandasWithState(_update, outputStructType=out_schema,
