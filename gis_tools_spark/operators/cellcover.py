@@ -31,6 +31,8 @@ multi-resolution tiles.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .. import cells as C
@@ -56,6 +58,46 @@ def _parent(cell: Column) -> Column:
             + (iy / 2).cast("long"))
 
 
+def _compact_local(cells: "np.ndarray", min_res: int) -> "np.ndarray":
+    """Exact in-memory replay of the per-level promotion cascade —
+    identical semantics to the distributed loop (promote a parent when
+    all 4 distinct children are present), microseconds at driver-
+    collectable sizes."""
+    import numpy as np
+    cur = cells.astype(np.int64)
+    if not len(cur):
+        return cur
+    rmax = int((cur // _RES_UNIT).max())
+    rmin_in = int((cur // _RES_UNIT).min())
+    for r in range(rmax, min_res, -1):
+        res_cur = cur // _RES_UNIT
+        at_r = cur[res_cur == r]
+        others = cur[res_cur != r]
+        if not len(at_r):
+            if rmin_in >= r:
+                break
+            continue
+        parent = ((r - 1) * _RES_UNIT
+                  + (at_r % _RES_UNIT // _IX_UNIT // 2) * _IX_UNIT
+                  + (at_r % _IX_UNIT // 2))
+        uniq, counts = np.unique(parent, return_counts=True)
+        prom = uniq[counts == 4]
+        if not len(prom):
+            if rmin_in >= r:
+                break
+            continue
+        keep = at_r[~np.isin(parent, prom)]
+        cur = np.concatenate([others, keep, prom])
+    return cur
+
+
+# covers up to this many rows compact on the driver in one numpy pass
+# (8 MB collected at the default; same bytes/rows gating as the sjoin
+# broadcast sidecars). Above it, the distributed per-level loop runs.
+COMPACT_LOCAL_MAX_ROWS = int(os.environ.get("GTS_COMPACT_LOCAL_ROWS",
+                                            "1000000"))
+
+
 def compact_cells(cover: DataFrame, *, cell_col: str = "cell",
                   min_res: int = 0) -> DataFrame:
     """Compact a cell cover: every complete 4-sibling quartet collapses
@@ -66,9 +108,21 @@ def compact_cells(cover: DataFrame, *, cell_col: str = "cell",
     df = cover.select(F.col(cell_col).cast("long").alias(cell_col))
     res_expr = (F.col(cell_col) / F.lit(_RES_UNIT)).cast("long")
     lo_hi = df.agg(F.min(res_expr).alias("lo"),
-                   F.max(res_expr).alias("hi")).collect()[0]
+                   F.max(res_expr).alias("hi"),
+                   F.count("*").alias("n")).collect()[0]
     if lo_hi["hi"] is None:
         return df
+    if int(lo_hi["n"]) <= COMPACT_LOCAL_MAX_ROWS:
+        # small cover: the cascade is a driver-local numpy pass instead
+        # of ~2 jobs per resolution level (round-6; the sf0.1 gate paid
+        # ~20 KB-sized jobs for a 1 MB cover)
+        import numpy as np
+        import pandas as pd
+        arr = df.toPandas()[cell_col].to_numpy()
+        out = _compact_local(arr, min_res)
+        return df.sparkSession.createDataFrame(
+            pd.DataFrame({cell_col: np.sort(out)}),
+            schema=f"{cell_col} long")
     rmin_in, rmax = int(lo_hi["lo"]), int(lo_hi["hi"])
     npart = max(df.rdd.getNumPartitions(), 1)
     cur = df.persist()

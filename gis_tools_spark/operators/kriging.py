@@ -75,19 +75,26 @@ def empirical_variogram(points: DataFrame, *, value_col: str,
     vi = F.floor(F.col(value_col) * scale_v + 0.5).cast("long")
     b = points.select(xi.alias("xi"), yi.alias("yi"), vi.alias("vi"),
                       F.monotonically_increasing_id().alias("__rid"))
-    # 3x3 neighbor bins at width L — standard grid pair join
+    # forward-stencil grid pair join (round-6, guide §2.3): the classic
+    # 9-offset explode emits every adjacent-bin pair TWICE and dedups
+    # with ra<rb after the shuffle; the 5-offset forward stencil
+    # {(0,0),(1,0),(0,1),(1,1),(1,-1)} emits each cross-bin pair exactly
+    # once (only the same-bin offset still needs the id tiebreak), so
+    # candidate volume — and the shuffle feeding it — drops to 5/9
     bx = (F.col("xi") - F.col("xi") % L) / L
     by = (F.col("yi") - F.col("yi") % L) / L
-    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    offs = [(0, 0), (1, 0), (0, 1), (1, 1), (1, -1)]
     left = b.select(
         F.col("xi").alias("ax"), F.col("yi").alias("ay"),
         F.col("vi").alias("av"), F.col("__rid").alias("ra"),
         F.explode(F.array(*[
             F.struct((bx.cast("long") + dx).alias("bx"),
-                     (by.cast("long") + dy).alias("by"))
+                     (by.cast("long") + dy).alias("by"),
+                     F.lit(dx == 0 and dy == 0).alias("sm"))
             for dx, dy in offs])).alias("t")
     ).select("ax", "ay", "av", "ra",
-             F.col("t.bx").alias("bx"), F.col("t.by").alias("by"))
+             F.col("t.bx").alias("bx"), F.col("t.by").alias("by"),
+             F.col("t.sm").alias("sm"))
     right = b.select(F.col("xi").alias("cx"), F.col("yi").alias("cy"),
                      F.col("vi").alias("cv"), F.col("__rid").alias("rb"),
                      bx.cast("long").alias("bx"), by.cast("long").alias("by"))
@@ -96,7 +103,7 @@ def empirical_variogram(points: DataFrame, *, value_col: str,
     d2 = dx * dx + dy * dy
     dv = F.col("av") - F.col("cv")
     pairs = (left.join(right, on=["bx", "by"])
-             .where((F.col("ra") < F.col("rb"))
+             .where((~F.col("sm") | (F.col("ra") < F.col("rb")))
                     & (d2 < F.lit(L * L).cast("long")) & (d2 > 0))
              .select(d2.alias("d2"), (dv * dv).alias("dv2")))
     lag = F.floor(F.sqrt(F.col("d2").cast("double")) / F.lit(w)).cast("int")

@@ -14,6 +14,7 @@ shuffling each component once.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -78,6 +79,41 @@ def end_nodes(edges: DataFrame) -> DataFrame:
     return node_degrees(edges).where("degree = 1")
 
 
+def _cc_pairs_pandas(a: "pd.Series", b: "pd.Series") -> "pd.DataFrame":
+    """Exact connected components over one in-memory edge list:
+    (node, lroot = min node value of its component). Vectorized
+    min-index propagation with pointer compression — O(E) numpy per
+    round, O(log diameter) rounds, no Python loop."""
+    both = pd.concat([a, b], ignore_index=True)
+    codes, uniq = pd.factorize(both, sort=False)
+    n = len(uniq)
+    m = len(a)
+    ca, cb = codes[:m], codes[m:]
+    label = np.arange(n, dtype=np.int64)
+    while True:
+        old = label
+        le = np.minimum(label[ca], label[cb])
+        label = label.copy()
+        np.minimum.at(label, ca, le)
+        np.minimum.at(label, cb, le)
+        label = label[label]                 # compress one hop
+        if np.array_equal(label, old):
+            break
+    # label is the min node INDEX per component (factorize order ≠
+    # value order) — resolve to the min node VALUE per component
+    out = pd.DataFrame({"node": uniq, "__r": label})
+    out["lroot"] = out.groupby("__r")["node"].transform("min")
+    return out[["node", "lroot"]]
+
+
+# contracted graphs up to this many rows are solved ON THE DRIVER and
+# broadcast back (same bytes/rows gating as the sjoin broadcast
+# sidecars: 2M two-key rows ≈ 30 MB collected). Above it, the
+# distributed pointer-jumping rounds run — nothing is ever required to
+# fit in one machine.
+CC_DRIVER_MAX_ROWS = int(os.environ.get("GTS_CC_DRIVER_EDGES", "2000000"))
+
+
 def connected_components(edges: DataFrame, *, max_iter: int = 64) -> DataFrame:
     """(node, component = MIN node id in the component), all endpoint
     nodes included. Two-level plan (round-6 rewrite — the old all-rounds
@@ -110,29 +146,7 @@ def connected_components(edges: DataFrame, *, max_iter: int = 64) -> DataFrame:
             return
         pdf = (pd.concat(chunks, ignore_index=True)
                if len(chunks) > 1 else chunks[0])
-        both = pd.concat([pdf["src_key"], pdf["dst_key"]],
-                         ignore_index=True)
-        codes, uniq = pd.factorize(both, sort=False)
-        n = len(uniq)
-        m = len(pdf)
-        ca, cb = codes[:m], codes[m:]
-        # vectorized min-index propagation with pointer compression —
-        # O(E) numpy per round, O(log diameter) rounds, no Python loop
-        label = np.arange(n, dtype=np.int64)
-        while True:
-            old = label
-            le = np.minimum(label[ca], label[cb])
-            label = label.copy()
-            np.minimum.at(label, ca, le)
-            np.minimum.at(label, cb, le)
-            label = label[label]                 # compress one hop
-            if np.array_equal(label, old):
-                break
-        # label is the min node INDEX per component (factorize order ≠
-        # value order) — resolve to the min node VALUE per component
-        out = pd.DataFrame({"node": uniq, "__r": label})
-        out["lroot"] = out.groupby("__r")["node"].transform("min")
-        yield out[["node", "lroot"]]
+        yield _cc_pairs_pandas(pdf["src_key"], pdf["dst_key"])
 
     mapping = edges.select("src_key", "dst_key").mapInPandas(
         _local, schema=f"node {key_t}, lroot {key_t}").persist()
@@ -142,10 +156,15 @@ def connected_components(edges: DataFrame, *, max_iter: int = 64) -> DataFrame:
     grp = (mapping.groupBy("node")
            .agg(F.min("lroot").alias("__lo"),
                 F.collect_set("lroot").alias("__ls")))
+    # eager checkpoint (not persist): truncates the contracted graph's
+    # logical plan so the propagation rounds re-plan a leaf, not the
+    # whole mapping lineage per round
     e2 = (grp.select(F.col("__lo").alias("src_key"),
                      F.explode("__ls").alias("dst_key"))
-          .where(F.col("src_key") != F.col("dst_key"))).persist()
-    if e2.isEmpty():
+          .where(F.col("src_key") != F.col("dst_key"))
+          .localCheckpoint(eager=True))
+    n2 = e2.count()        # cheap scan of the checkpointed blocks
+    if n2 == 0:
         # every node saw exactly one task — local labels are global
         # (common once AQE has coalesced a small edge list); skip the
         # contracted rounds entirely
@@ -153,14 +172,28 @@ def connected_components(edges: DataFrame, *, max_iter: int = 64) -> DataFrame:
                .agg(F.min("lroot").alias("component"))
                .localCheckpoint(eager=True))
     else:
-        lab2 = _minlabel_rounds(e2, max_iter=max_iter)
+        if n2 <= CC_DRIVER_MAX_ROWS:
+            # solve the contracted graph on the driver and broadcast the
+            # label map back (guide §3.1: broadcast the side that fits)
+            pdf = e2.toPandas()
+            lab_pd = _cc_pairs_pandas(pdf["src_key"], pdf["dst_key"])
+            spark_ = edges.sparkSession
+            lab2 = F.broadcast(spark_.createDataFrame(
+                lab_pd.rename(columns={"lroot": "component"}),
+                schema=f"node {key_t}, component {key_t}"))
+        else:
+            # distributed pointer-jumping rounds. (A recursive
+            # contract-again variant was measured and REVERTED: each
+            # level's logical plan nests the previous one — persist does
+            # not truncate plans — and driver planning time blew up 5x,
+            # bimodally, on the st_dbscan gate.)
+            lab2 = _minlabel_rounds(e2, max_iter=max_iter)
         out = (mapping.join(lab2.withColumnRenamed("node", "lroot"),
                             on="lroot", how="left")
                .groupBy("node")
                .agg(F.min(F.coalesce("component", F.col("lroot")))
                     .alias("component"))
                .localCheckpoint(eager=True))
-    e2.unpersist()
     mapping.unpersist()
     return out
 

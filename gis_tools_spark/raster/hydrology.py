@@ -134,7 +134,11 @@ def flow_accumulation(flowdir: DataFrame, *,
                    e.groupBy("component").count()
                    .where(F.col("count") > max_component_rows).collect()]
         small = e.where(~F.col("component").isin(big)) if big else e
-        acc = small.groupBy("component").applyInPandas(
+        # cpu_grouped: basin edge lists are KB-sized but the in-task
+        # topological solve is CPU-heavy — AQE byte-coalescing would
+        # serialize basins onto 1-2 cores (round-5 verdict #2 audit)
+        from ..operators.core import cpu_grouped
+        acc = cpu_grouped(small, "component").applyInPandas(
             lambda k, pdf: _solve_basin(pdf), schema="node long, acc long")
         if big:
             acc = acc.unionByName(
