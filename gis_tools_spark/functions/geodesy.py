@@ -183,7 +183,10 @@ def rhumb_distance_meters(lon1: Column, lat1: Column, lon2: Column,
     inherently periodic in Δλ, the rhumb family is not)."""
     p1, p2 = F.radians(lat1), F.radians(lat2)
     dphi = p2 - p1
-    dlam = F.radians((lon2 - lon1 + F.lit(540.0)) % F.lit(360.0)
+    # F.pmod, not %: Spark's % takes the dividend's sign, so the
+    # +540 trick only holds for lons in [-270, 270]; pmod is correct
+    # for unwrapped inputs too (round-5 ADVICE)
+    dlam = F.radians(F.pmod(lon2 - lon1 + F.lit(180.0), F.lit(360.0))
                      - F.lit(180.0))
     dpsi = (F.log(F.tan(F.lit(np.pi / 4) + p2 / 2)
                   / F.tan(F.lit(np.pi / 4) + p1 / 2)))
@@ -199,7 +202,10 @@ def rhumb_bearing_deg(lon1: Column, lat1: Column, lon2: Column,
     clockwise from north in [0, 360).  Δλ normalized to the shorter
     arc, matching rhumb_distance_meters (antimeridian-safe)."""
     p1, p2 = F.radians(lat1), F.radians(lat2)
-    dlam = F.radians((lon2 - lon1 + F.lit(540.0)) % F.lit(360.0)
+    # F.pmod, not %: Spark's % takes the dividend's sign, so the
+    # +540 trick only holds for lons in [-270, 270]; pmod is correct
+    # for unwrapped inputs too (round-5 ADVICE)
+    dlam = F.radians(F.pmod(lon2 - lon1 + F.lit(180.0), F.lit(360.0))
                      - F.lit(180.0))
     dpsi = (F.log(F.tan(F.lit(np.pi / 4) + p2 / 2)
                   / F.tan(F.lit(np.pi / 4) + p1 / 2)))
@@ -319,5 +325,7 @@ def great_circle_destination(lon1: Column, lat1: Column,
     dl = F.atan2(F.sin(th) * F.sin(d) * F.cos(p1),
                  F.cos(d) - F.sin(p1) * F.sin(p2))
     lon2 = lon1 + F.degrees(dl)
-    lon2 = ((lon2 + F.lit(540.0)) % F.lit(360.0)) - F.lit(180.0)
+    # pmod for input-domain robustness (unwrapped lon1), same fix as
+    # the rhumb Δλ forms
+    lon2 = F.pmod(lon2 + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
     return lon2, F.degrees(p2)

@@ -268,13 +268,19 @@ def _nn_ladder(a: DataFrame, b: DataFrame, radii, *, same_set: bool,
             cols.append(F.monotonically_increasing_id().alias("__rid"))
         return df.select(*cols)
 
+    # localCheckpoint, not persist, for the __rid-carrying side: the
+    # ladder's left_anti joins match ids across several jobs, and a
+    # persist is best-effort — an evicted partition recomputed from a
+    # shuffled source could silently reassign monotonically_increasing_id
+    # (round-5 ADVICE, medium). The eager checkpoint pins the ids
+    # durably; a lost block is an error, never a silent relabel.
     if same_set:
-        qa = _q(a, True).persist()
+        qa = _q(a, True).localCheckpoint(eager=True)
         qb = qa
     else:
-        qa = _q(a, True).persist()
+        qa = _q(a, True).localCheckpoint(eager=True)
         qb = _q(b, False).persist()
-    n_a = qa.count()   # also freezes the persisted __rid assignment
+    n_a = qa.count()
     offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     dx = F.col("ax") - F.col("cx")
     dy = F.col("ay") - F.col("cy")
@@ -303,7 +309,7 @@ def _nn_ladder(a: DataFrame, b: DataFrame, radii, *, same_set: bool,
                 .groupBy("ra").agg(F.min(d2).alias("nn_d2")))
 
     unresolved = qa
-    to_unpersist = [qa] if same_set else [qa, qb]
+    to_unpersist = [] if same_set else [qb]   # qa is checkpointed, not persisted
     found = []
     n_found = 0
     for k, rk in enumerate(r_int):

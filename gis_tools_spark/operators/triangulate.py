@@ -295,9 +295,14 @@ def voronoi_cells(points: DataFrame, *, by: str, id_col: str = "id",
             # |v−i| > |j−i|/2. Sites sorted by distance, so once the
             # bound holds for one j it holds for all later ones: the
             # remaining clips are provably identity and the loop stops.
-            # Exact same cell as the full O(n) scan (the criterion is
-            # conservative with a 1e-9 relative margin), but the per-
-            # site cost drops to the cell's neighbor count (~6 avg).
+            # Same cell SET as the full O(n) scan (the early-exit
+            # bound is conservative with a 1e-9 relative margin) — but
+            # clips apply nearest-first rather than in index order, and
+            # Sutherland–Hodgman is order-dependent in floating point,
+            # so near-degenerate (cocircular) site rings can differ in
+            # the last ulp / a tangent sliver vs index-order clipping
+            # (round-5 ADVICE). Per-site cost drops to the cell's
+            # neighbor count (~6 avg).
             d2 = (xs - xs[i]) ** 2 + (ys - ys[i]) ** 2
             near = np.argsort(d2, kind="stable")
             for j in near:

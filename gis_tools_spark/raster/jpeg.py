@@ -2831,7 +2831,12 @@ _PROG_MIN = 32
 # is the DEFAULT progressive path; the lockstep stays available behind
 # this env flag (it remains bit-exact — 229-case fuzz + pytest oracles
 # run with the flag forced on) and inherits any future dispatch win.
-_PROG_LOCKSTEP = os.environ.get("GTS_JPEG_PROG_LOCKSTEP", "0") == "1"
+def _prog_lockstep() -> bool:
+    # read LAZILY, not at import: decode runs in executor Python
+    # workers, where a driver-side os.environ set after import (or a
+    # flag not propagated via spark.executorEnv) would silently leave
+    # the module-import snapshot stale (round-5 ADVICE)
+    return os.environ.get("GTS_JPEG_PROG_LOCKSTEP", "0") == "1"
 
 
 def _prog_decode_batch(states: list[dict]):
@@ -2900,7 +2905,7 @@ def decode_batch(bufs) -> list:
         try:
             st = _parse_one(b)
         except _Progressive:
-            if not _PROG_LOCKSTEP:
+            if not _prog_lockstep():
                 # default path: the scalar progressive decoder (parity
                 # with the lockstep on the fixture mix — see _PROG_LOCKSTEP)
                 try:

@@ -64,12 +64,19 @@ def pushdown_query(table: str, *, schema: str = "public",
     """
     if bounds is not None and polygon_extent is not None:
         raise ValueError("pass bounds OR polygon_extent, not both")
-    qtable = f'"{schema}"."{table}"'
-    qgeom = f'"{geom}"'
+
+    def _ident(name: str) -> str:
+        # PostgreSQL identifier quoting: double embedded '"' so an
+        # identifier containing a quote cannot break out of the quoted
+        # form (round-5 ADVICE — only polygon_extent was escaped)
+        return '"' + name.replace('"', '""') + '"'
+
+    qtable = f'{_ident(schema)}.{_ident(table)}'
+    qgeom = _ident(geom)
     if columns is None:
         proj = f'*, ST_AsBinary({qgeom}) AS geometry_wkb'
     else:
-        cols = ", ".join(f'"{c}"' for c in columns)
+        cols = ", ".join(_ident(c) for c in columns)
         proj = f'{cols}, ST_AsBinary({qgeom}) AS geometry_wkb'
     sql = f'SELECT {proj} FROM {qtable}'
     if bounds is not None:

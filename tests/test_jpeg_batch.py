@@ -140,7 +140,7 @@ def _force_prog(monkeypatch):
     # the lockstep is opt-in (scalar is the default progressive path —
     # round-4 verdict #7); force it on AND drop the entry gate so small
     # test batches exercise it
-    monkeypatch.setattr(jpeg, "_PROG_LOCKSTEP", True)
+    monkeypatch.setenv("GTS_JPEG_PROG_LOCKSTEP", "1")  # read lazily now
     monkeypatch.setattr(jpeg, "_PROG_MIN", 1)
 
 
