@@ -132,6 +132,11 @@ def geofence_transitions(stream: DataFrame, zones: DataFrame, *,
     tagged = tagged.withColumn(
         "__us", F.unix_micros(F.col(ts_col).cast("timestamp")))
     sort_cols = ["__us"] + ([order_tiebreak] if order_tiebreak else [])
+    # project before the stateful exchange (guide §4.1): the kernel
+    # reads only (key, __us, __zone [, tiebreak]) — lon/lat/ts would
+    # otherwise ride the shuffle and the per-group Arrow slices
+    tagged = tagged.select(key_col, "__us", "__zone", *(
+        [order_tiebreak] if order_tiebreak else []))
 
     # zone columns / state carry the caller's id dtype: the batch
     # geofence_events and sjoin APIs accept string gids, so LongType
