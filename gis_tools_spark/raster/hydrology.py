@@ -171,6 +171,39 @@ def watershed(flowdir: DataFrame, *,
     nodes = ed.select("src", "gix", "giy")
     ptr = (ed.select("src", F.coalesce("dst", "src").alias("ptr"))
            .localCheckpoint(eager=True))
+    from ..operators.network import CC_DRIVER_MAX_ROWS
+    if ptr.count() <= CC_DRIVER_MAX_ROWS:
+        # small mosaic: chase every pointer chain on the driver in one
+        # vectorized pass instead of O(log path) join+checkpoint rounds
+        # (round-6; same rows/bytes gating as the contracted-CC solve —
+        # the distributed doubling below is unchanged above the gate)
+        pdf = ptr.toPandas()
+        srcs = pdf["src"].to_numpy(np.int64)
+        lab = pdf["ptr"].to_numpy(np.int64).copy()
+        pos = pd.Series(np.arange(len(srcs)), index=srcs)
+        p = pos.reindex(lab).fillna(-1).to_numpy(np.int64)
+        idx = np.arange(len(srcs))
+        while True:
+            m = (p >= 0) & (p != idx)
+            if not m.any():
+                break
+            new_lab = lab[p[m]]
+            new_p = p[p[m]]
+            if (np.array_equal(new_lab, lab[m])
+                    and np.array_equal(new_p, p[m])):
+                break
+            lab[m] = new_lab
+            p[m] = new_p
+        spark = flowdir.sparkSession
+        solved = spark.createDataFrame(
+            pd.DataFrame({"src": srcs, "ptr": lab}),
+            schema="src long, ptr long")
+        mask = (1 << _KEY_SHIFT) - 1
+        return (nodes.join(F.broadcast(solved), on="src")
+                .select("gix", "giy", F.col("ptr").alias("basin"),
+                        F.col("ptr").bitwiseAND(F.lit(mask))
+                        .alias("basin_gix"),
+                        F.shiftright("ptr", _KEY_SHIFT).alias("basin_giy")))
     while True:
         hop = ptr.select(F.col("src").alias("p_src"),
                          F.col("ptr").alias("p_ptr"))
