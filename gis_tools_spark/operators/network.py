@@ -344,19 +344,28 @@ def _bellman_ford(edges: DataFrame, sources: list[str], weight_col: str,
             # the isochrone instead of flooding the whole component
             cand = cand.where(F.col("dist") <= F.lit(float(cutoff)))
         cand = cand.groupBy("source", "node").agg(F.min("dist").alias("dist"))
-        prev = dist.select("source", "node",
-                           F.col("dist").alias("dist_old"))
-        improved = (cand.join(prev, on=["source", "node"], how="left")
-                    .where(F.col("dist_old").isNull()
-                           | (F.col("dist") < F.col("dist_old")))
-                    .select("source", "node", "dist")
-                    .localCheckpoint(eager=True))
-        if improved.isEmpty() or (max_iter and it >= max_iter):
+        # one materialization per round (round-6): the relax merge and
+        # the improved flag land in the SAME checkpointed frame —
+        # previously `improved` and the dist merge were two checkpoint
+        # jobs per round (F.least skips nulls, so the full join merges
+        # discovered-vs-known rows directly)
+        merged = (dist.withColumnRenamed("dist", "__d_old")
+                  .join(cand, on=["source", "node"], how="full")
+                  .select("source", "node",
+                          F.least("dist", "__d_old").alias("dist"),
+                          (F.col("__d_old").isNull()
+                           | (F.col("dist") < F.col("__d_old")))
+                          .alias("__imp"))
+                  .localCheckpoint(eager=True))
+        changed = merged.where("__imp").limit(1).count()
+        if max_iter and it >= max_iter:
+            # contract parity with the pre-round-6 loop: hitting the
+            # iteration cap DISCARDS the capped round's relaxations
             break
-        dist = (dist.unionByName(improved)
-                .groupBy("source", "node").agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=True))
-        frontier = improved
+        dist = merged.drop("__imp")
+        if changed == 0:
+            break
+        frontier = merged.where("__imp").drop("__imp")
     sym.unpersist()
     return dist
 
