@@ -403,7 +403,10 @@ def candidate_pairs(left: DataFrame, right: DataFrame, *,
                     res_min: int = C.RES_MIN, res_max: int = C.RES_MAX,
                     max_cells: int = 64,
                     salt_threshold: int | None = None,
-                    salt_sample: float = 1.0) -> DataFrame:
+                    salt_sample: float = 1.0,
+                    broadcast_gate: bool = True,
+                    broadcast_max_rows: int = 100_000,
+                    broadcast_max_bytes: int = 64 << 20) -> DataFrame:
     """Distinct (left_id, right_id) bbox-overlap candidate pairs via
     adaptive per-geometry covers matched through cell-hierarchy
     ancestors — the shared filter phase of the generic sjoin and the
@@ -411,8 +414,35 @@ def candidate_pairs(left: DataFrame, right: DataFrame, *,
     (≤ max_cells per geometry, coarsening below the band floor for
     huge geometries), pairs match across resolutions (join1: right
     cells coarsened to each observed left res; join2 the strict
-    converse), and both pair joins accept explicit hot-cell salting."""
+    converse), and both pair joins accept explicit hot-cell salting.
+
+    When ``broadcast_gate`` is on and the right side passes the same
+    bytes/rows gate as the sjoin broadcast strategy, candidates come
+    from a broadcast bbox join instead (round-6, guide §3.1): one
+    bounds pass per side, zero shuffles, no cover UDFs — a strict
+    bbox-overlap superset of interacting pairs, which is exactly the
+    contract the exact refine downstream assumes. Callers that already
+    made their own strategy decision (generic sjoin's auto) pass
+    broadcast_gate=False to skip the extra dim-side scan."""
     from pyspark.storagelevel import StorageLevel
+
+    if broadcast_gate:
+        stat = right.select(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.length(F.col(right_wkb))),
+                       F.lit(0)).alias("nbytes")).collect()[0]
+        if (stat["n"] <= broadcast_max_rows
+                and stat["nbytes"] <= broadcast_max_bytes):
+            from ..functions.geom_funcs import geom_bounds_struct
+            bs = geom_bounds_struct()
+            lb = left.select(left_id, bs(F.col(left_wkb)).alias("__lb"))
+            rb = right.select(right_id, bs(F.col(right_wkb)).alias("__rb"))
+            cond = ((F.col("__lb.minx") <= F.col("__rb.maxx"))
+                    & (F.col("__lb.maxx") >= F.col("__rb.minx"))
+                    & (F.col("__lb.miny") <= F.col("__rb.maxy"))
+                    & (F.col("__lb.maxy") >= F.col("__rb.miny")))
+            return (lb.join(F.broadcast(rb), cond)
+                    .select(left_id, right_id))
 
     lc = (explode_cover(left.select(left_id, left_wkb), left_wkb, CELL_COL,
                         res_min, res_max, max_cells)
@@ -688,7 +718,8 @@ def sjoin(left: DataFrame, right: DataFrame, *,
                             res_min=res_min, res_max=res_max,
                             max_cells=max_cells,
                             salt_threshold=salt_threshold,
-                            salt_sample=salt_sample)
+                            salt_sample=salt_sample,
+                            broadcast_gate=False)  # auto already chose cell
     cand = pairs.join(left, on=left_id).join(right, on=right_id)
 
     @F.pandas_udf("boolean")
