@@ -2169,7 +2169,11 @@ def q_stream_pip_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     d = tempfile.mkdtemp(prefix="stream_gate_")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # stage only the 3 columns the pipeline reads (round-6, guide §2.3:
+    # lon/lat are derived from event_id downstream; user_id/event_type/
+    # props were ~60% of the staged bytes)
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "value", "ts"))
     ev.repartition(8).write.mode("overwrite").parquet(f"{d}/in")
 
     stream = (spark.readStream.schema(ev.schema)
