@@ -104,6 +104,33 @@ def od_flows(points: DataFrame, zones: DataFrame, *,
                  pos).alias("__o"),
         F.max_by(F.struct(F.col(lon).alias("lon"), F.col(lat).alias("lat")),
                  pos).alias("__d")))
+    if strategy == "broadcast":
+        # round-6 (guide §2.4): tag BOTH endpoints in one broadcast-CSR
+        # UDF stage and explode the hit arrays — zero joins — instead
+        # of two pip_join passes re-joined on the session key. The
+        # explode × explode cross reproduces pip_join's inner pair
+        # multiplicity exactly (a session in k origin zones and m
+        # destination zones contributes k·m trips, and a session with
+        # no hit on either side drops), so results are identical.
+        from .. import cells as C
+        from .sjoin import _broadcast_hits_udf
+        _hits, poly_rows = _broadcast_hits_udf(
+            points.sparkSession, zones, poly_wkb="geometry_wkb",
+            predicate="covers", res=C.RES_MIN)
+        ids = F.array(*[F.lit(row[zone_id]) for row in poly_rows])
+        return (ends
+                .select(F.explode(_hits(F.col("__o.lon"),
+                                        F.col("__o.lat"))).alias("__io"),
+                        _hits(F.col("__d.lon"),
+                              F.col("__d.lat")).alias("__hd"))
+                .select(F.element_at(ids, F.col("__io") + 1)
+                        .alias("zone_o"),
+                        F.explode("__hd").alias("__id"))
+                .select("zone_o",
+                        F.element_at(ids, F.col("__id") + 1)
+                        .alias("zone_d"))
+                .groupBy("zone_o", "zone_d")
+                .agg(F.count("*").alias("n_trips")))
     o = ends.select(*keys, "session_idx",
                     F.col("__o.lon").alias("lon"), F.col("__o.lat").alias("lat"))
     d = ends.select(*keys, "session_idx",
@@ -140,10 +167,21 @@ def geofence_events(points: DataFrame, zones: DataFrame, *,
     both codegen; the output is only the transition rows, orders of
     magnitude smaller than the ping stream."""
     keys = list(key_cols)
-    hits = (pip_join(points.select(id_col, lon, lat), zones,
-                     strategy=strategy)
-            .groupBy(id_col).agg(F.min(zone_id).alias("__zone")))
-    z = points.join(hits, on=id_col, how="left")
+    if strategy == "broadcast":
+        # round-6 (guide §2.4): pip_tag IS this op's tagging step —
+        # MIN covering zone id, NULL outside, every row kept, and
+        # join-free (pure array expression over the broadcast CSR
+        # hits) — so the groupBy(id) + left-join-back pair of shuffles
+        # disappears from the plan
+        from .. import cells as C
+        from .sjoin import pip_tag
+        z = pip_tag(points, zones, lon=lon, lat=lat, poly_id=zone_id,
+                    res=C.RES_MIN, out_col="__zone")
+    else:
+        hits = (pip_join(points.select(id_col, lon, lat), zones,
+                         strategy=strategy)
+                .groupBy(id_col).agg(F.min(zone_id).alias("__zone")))
+        z = points.join(hits, on=id_col, how="left")
     order = [F.col(ts_col).asc()]
     if order_tiebreak:
         order.append(F.col(order_tiebreak).asc())
